@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+session warm-up query so JVM/codegen startup is not billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyconnect_spark.registry import ALL
+from pyconnect_spark.session import get_spark
+
+# Headline set: the scan/agg/join/window/set-op core plus the LLM-pipeline
+# operators — the queries whose cost dominates real workloads.
+HEADLINE = [
+    "b01_filter_project",
+    "b03_tpch_q1",
+    "b05_join_agg",
+    "b06_tpch_q3",
+    "b07_left_join",
+    "b10_broadcast_join",
+    "b11_range_join",
+    "b12_distinct_agg",
+    "b14_cube",
+    "b15_topk_per_group",
+    "b16_window_running",
+    "b18_global_topk",
+    "b21_json_funcs",
+    "ts01_tumbling_window",
+    "ts02_sessionize",
+    "ts03_asof_join",
+    "tx01_text_stats",
+    "tx03_fingerprint",
+    "dd01_exact_dedup",
+    "dd03_minhash_lsh",
+    "sm01_cosine_topk",
+    "sm03_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark("pyconnect-spark-bench", cores=cpus)
+
+    builders = ALL.builders()
+    # Warm-up: trigger JVM/codegen/parquet-footer paths once.
+    builders["b01_filter_project"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = builders[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Connector configuration layer.
+
+Parity with the reference's config model (`BaseConfig`/`SinkConfig`/
+`SourceConfig`, /root/reference/src/pyconnect/config.py:354-601): same
+field names, defaults, loaders (env vars with PYCONNECT_ prefix, YAML
+file, JSON file/string) and sanity semantics — expressed as pydantic
+models instead of the reference's dict-subclass + whitelisted-AST eval
+(field validators give the same guarantees without an expression
+interpreter).
+
+Secret redaction (`hide_sensitive_values`) mirrors
+/root/reference/src/pyconnect/core.py:28-56: known secret keys are either
+PBKDF2-hashed (so two configs can still be diffed) or replaced by '****'.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from datetime import timedelta
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, Field, field_validator
+
+SENSITIVE_KEYS = (
+    "sasl.password",
+    "sasl.username",
+    "ssl.key.password",
+    "ssl.keystore.password",
+    "basic.auth.user.info",
+)
+
+_TIMEDELTA_RE = re.compile(r"(\d+)\s*(d|h|m|s|ms)")
+_UNITS = {"d": "days", "h": "hours", "m": "minutes", "s": "seconds", "ms": "milliseconds"}
+
+
+def parse_timedelta(value: str | int | float | timedelta) -> timedelta:
+    """Parse '1h 30m'-style strings (reference: config.py:43-70)."""
+    if isinstance(value, timedelta):
+        return value
+    if isinstance(value, (int, float)):
+        return timedelta(seconds=value)
+    parts = _TIMEDELTA_RE.findall(value.strip())
+    if not parts:
+        raise ValueError(f"cannot parse timedelta from {value!r}")
+    kwargs: Dict[str, float] = {}
+    for num, unit in parts:
+        kwargs[_UNITS[unit]] = kwargs.get(_UNITS[unit], 0) + int(num)
+    return timedelta(**kwargs)
+
+
+def csv_list(value: str | List[str]) -> List[str]:
+    """CSV string -> list (reference: csv_line_reader config.py:235-280)."""
+    if isinstance(value, list):
+        return value
+    return [v.strip() for v in value.split(",") if v.strip()]
+
+
+def hide_sensitive_values(
+    config: Dict[str, Any], algorithm: str = "sha256", iterations: int = 1000
+) -> Dict[str, Any]:
+    """Redact known secret keys before logging. With hashing enabled the
+    value becomes a salted PBKDF2 digest (diffable); otherwise '****'."""
+    out = dict(config)
+    for key in SENSITIVE_KEYS:
+        if key in out and out[key] is not None:
+            digest = hashlib.pbkdf2_hmac(
+                algorithm, str(out[key]).encode(), b"pyconnect-spark", iterations
+            )
+            out[key] = f"$pbkdf2-{algorithm}$i={iterations}${digest.hex()[:32]}"
+    return out
+
+
+class BaseConfig(BaseModel):
+    """Common connector config (reference: config.py:354-552)."""
+
+    bootstrap_servers: List[str]
+    schema_registry: Optional[str] = None
+    offset_commit_interval: timedelta = timedelta(minutes=30)
+    sink_commit_retry_count: int = 2
+    hash_sensitive_values: bool = True
+    kafka_opts: Dict[str, str] = Field(default_factory=dict)
+    # Spark-native additions:
+    checkpoint_location: Optional[str] = None
+    shuffle_partitions: Optional[int] = None
+
+    @field_validator("bootstrap_servers", mode="before")
+    @classmethod
+    def _servers(cls, v: Any) -> List[str]:
+        return csv_list(v)
+
+    @field_validator("offset_commit_interval", mode="before")
+    @classmethod
+    def _interval(cls, v: Any) -> timedelta:
+        return parse_timedelta(v)
+
+    @field_validator("offset_commit_interval")
+    @classmethod
+    def _interval_positive(cls, v: timedelta) -> timedelta:
+        # sanity check parity: "{offset_commit_interval}>0" (config.py:413-418)
+        if v.total_seconds() <= 0:
+            raise ValueError("offset_commit_interval must be > 0")
+        return v
+
+    @field_validator("sink_commit_retry_count")
+    @classmethod
+    def _retry_nonneg(cls, v: int) -> int:
+        if v < 0:
+            raise ValueError("sink_commit_retry_count must be >= 0")
+        return v
+
+    @field_validator("schema_registry")
+    @classmethod
+    def _registry_url(cls, v: Optional[str]) -> Optional[str]:
+        if v is not None and not re.match(r"^https?://", v):
+            raise ValueError("schema_registry must be an http(s) URL")
+        return v
+
+    # ---- loaders (reference: config.py:509-552) ----
+    @classmethod
+    def from_json_string(cls, s: str) -> "BaseConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "BaseConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "BaseConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls(**yaml.safe_load(f))
+
+    @classmethod
+    def from_env_variables(cls, prefix: str = "PYCONNECT_") -> "BaseConfig":
+        raw = {
+            k[len(prefix):].lower(): v
+            for k, v in os.environ.items()
+            if k.startswith(prefix)
+        }
+        return cls(**raw)
+
+    def redacted(self) -> Dict[str, Any]:
+        d = self.model_dump()
+        d["kafka_opts"] = hide_sensitive_values(d.get("kafka_opts") or {})
+        return d
+
+
+class SinkConfig(BaseConfig):
+    """Consume-side config (reference: config.py:555-579)."""
+
+    group_id: str = "pyconnect-spark"
+    topics: List[str] = Field(default_factory=list)  # '^'-prefix = regex subscribe
+    poll_timeout: timedelta = timedelta(seconds=2)
+
+    @field_validator("topics", mode="before")
+    @classmethod
+    def _topics(cls, v: Any) -> List[str]:
+        return csv_list(v)
+
+    @field_validator("poll_timeout", mode="before")
+    @classmethod
+    def _poll(cls, v: Any) -> timedelta:
+        return parse_timedelta(v)
+
+
+class SourceConfig(BaseConfig):
+    """Produce-side config (reference: config.py:582-601)."""
+
+    topic: str = ""
+    offset_topic: str = ""

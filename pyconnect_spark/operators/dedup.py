@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM data pipelines.
+
+Four tiers, by scale posture:
+
+- **exact** (`dd01`): hash/groupBy distinct — embarrassingly parallel, one
+  shuffle on the dedup key.
+- **n-gram Jaccard, exact pairwise** (`dd02`): shingle-explode + self-join
+  on shingle + group-count. Quadratic in the worst case — this is the
+  *oracle-checkable* ground truth that the sketch variants are validated
+  against at small SF; not the 100 TB path.
+- **MinHash + banded LSH** (`dd03`): the scale path. Shingles → k minhash
+  values (one pass, deterministic hash family) → band buckets → candidate
+  pairs only within buckets. Cost is ~linear in corpus size for fixed
+  band/row parameters; the full pairwise comparison never happens.
+- **SimHash** (`dd04`): 64-bit signature per doc; near-dups have small
+  Hamming distance. Linear, join-free signature computation.
+
+Hash functions are Spark built-ins (xxhash64, crc32) — JVM-side and
+deterministic across runs/partitionings, so results are stable at any
+parallelism. No oracle for the sketch variants (DuckDB lacks the same hash
+family); they are validated against dd02 in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+# MinHash parameters: 64 hashes = 16 bands × 4 rows — candidate threshold
+# s ≈ (1/16)^(1/4) ≈ 0.5 Jaccard.
+_N_HASHES = 64
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+# 31-bit Mersenne prime field: a*h + b stays under 2^62, so the affine
+# permutations never overflow Spark's long arithmetic (ANSI multiplyExact).
+_MERSENNE = (1 << 31) - 1
+# Deterministic affine hash family h_i(x) = (a_i*x + b_i) mod p — constants
+# from a fixed LCG so every run/partitioning agrees.
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    a = (6364136223846793005 * (i + 1) + 1442695040888963407) % (_MERSENNE - 1) + 1
+    b = (2862933555777941757 * (i + 1) + 3037000493) % _MERSENNE
+    return a, b
+
+
+@REGISTRY.register(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(DISTINCT text) FROM documents) AS n_after_dedup,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT lang, source FROM documents)) AS n_lang_source
+    """,
+    doc="Exact dedup: dropDuplicates on the content column (one shuffle on "
+    "hash(text)); at 100 TB dedup on sha2(text) instead to shuffle 32-byte "
+    "keys, not documents (see tx03_fingerprint).",
+    tags=("dedup", "llm"),
+)
+def dd01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_total"))
+    deduped = docs.dropDuplicates(["text"]).agg(F.count("*").alias("n_after_dedup"))
+    pairs = docs.dropDuplicates(["lang", "source"]).agg(F.count("*").alias("n_lang_source"))
+    return total.crossJoin(deduped).crossJoin(pairs)
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct character n-gram shingles per doc: doc_id, sh."""
+    arr = F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length(text) - {n - 1}, 0)), i -> substring(text, i, {n}))")
+    )
+    return docs.select("doc_id", F.explode(arr).alias("sh"))
+
+
+@REGISTRY.register(
+    "dd02_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 2, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 3)))) AS sh
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(nc AS DOUBLE) / (za.n + zb.n - nc), 6) AS jacc
+    FROM common
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    ORDER BY CAST(nc AS DOUBLE) / (za.n + zb.n - nc) DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+    doc="Exact pairwise 3-gram Jaccard (top-50 most similar pairs). "
+    "Quadratic ground truth used to validate the MinHash sketch; the 100 TB "
+    "path is dd03.",
+    tags=("dedup", "llm", "jaccard"),
+)
+def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    za = sz.alias("za")
+    zb = sz.alias("zb")
+    jacc = F.col("nc").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("nc"))
+    return (
+        common.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jacc"), jacc.alias("_j"))
+        .orderBy(F.desc("_j"), "doc_a", "doc_b")
+        .limit(50)
+        .drop("_j")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """doc_id → array<long> minhash signature, computed in one groupBy pass.
+
+    Shingle → xxhash64 (JVM) → k affine permutations → min per permutation.
+    All column arithmetic; no Python in the loop.
+    """
+    sh = _shingles(docs).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in (enumerate(_hash_params(i) for i in range(n_hashes)))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """Banded LSH: hash each band of the signature, bucket-join within
+    (band, band_hash). Only co-bucketed docs ever meet — no full cross join."""
+    rows = _N_HASHES // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            F.lit(i),
+                            *[F.col("signature")[i * rows + j] for j in range(rows)],
+                        )
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@REGISTRY.register(
+    "dd03_minhash_lsh",
+    oracle=None,  # sketch output; validated against dd02 in tests
+    doc="MinHash(64) + 16-band LSH near-dup candidates with signature-"
+    "estimated Jaccard. Linear scale path: shuffle keys are (band, hash) "
+    "buckets, never document pairs.",
+    tags=("dedup", "llm", "minhash", "lsh"),
+)
+def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.signature"), F.col("sb.signature"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / _N_HASHES
+    )
+    return (
+        pairs.join(a, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+    )
+
+
+@REGISTRY.register(
+    "dd04_simhash",
+    oracle=None,  # hash-family-specific; Hamming properties tested in pytest
+    doc="64-bit SimHash per document from whitespace tokens (xxhash64 bit "
+    "votes). Join-free, one aggregation pass; near-dup = small Hamming "
+    "distance between signatures.",
+    tags=("dedup", "llm", "simhash"),
+)
+def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # Vote per bit: +1 if bit set else -1; sign of the sum becomes the bit.
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(1 << i).cast("long")
+        for i in range(63)  # bit 63 omitted: keep the signature positive
+    ]
+    total = bits[0]
+    for piece in bits[1:]:
+        total = total + piece
+    return agg.select("doc_id", total.alias("simhash"))
+
+
+def simhash_hamming_pairs(sig: DataFrame, max_dist: int = 8) -> DataFrame:
+    """Candidate pairs within Hamming distance via 4-block LSH: split the
+    63-bit signature into 4 blocks; any pair within distance 3×block must
+    share ≥1 exact block (pigeonhole) — bucket-join on block value."""
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit((1 << 16) - 1))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "bval"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )

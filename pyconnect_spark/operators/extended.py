@@ -1,0 +1,234 @@
+"""Extended relational surface: grouping sets, pivot, percentiles,
+conditional/null handling, math, date arithmetic, explode, string_agg,
+approximate aggregates.
+
+Same contract as relational.py: DataFrame builder + DuckDB oracle with
+aligned aliases/types. Approximate aggregates have no oracle (values are
+estimator-dependent) — the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import dsum, sql_dsum, t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+@REGISTRY.register(
+    "x01_grouping_sets",
+    oracle=f"""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n, {sql_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    # groupingSets is SQL-only surface; expressed via the SQL API on a temp view.
+    joined.createOrReplaceTempView("pc_x01_cust_nat")
+    return spark.sql(
+        f"""
+        SELECT n_name, c_mktsegment, COUNT(*) AS n,
+               {sql_dsum('c_acctbal')} AS sum_acctbal
+        FROM pc_x01_cust_nat
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@REGISTRY.register(
+    "x02_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot = conditional aggregation; Spark's .pivot() plans exactly the "
+    "CASE-WHEN shape the oracle spells out.",
+    tags=("agg", "pivot"),
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@REGISTRY.register(
+    "x03_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (both engines use linear "
+    "interpolation). percentile_approx is the 100-TB path — see "
+    "x08_approx_stats.",
+    tags=("agg", "percentile"),
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x04_conditional_null",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'WAS-URGENT') AS prio2,
+           CASE WHEN o_totalprice < 50000 THEN 'S'
+                WHEN o_totalprice < 150000 THEN 'M'
+                ELSE 'L' END AS size_bucket,
+           CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS is_final
+    FROM orders
+    """,
+    tags=("conditional", "null"),
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("WAS-URGENT")
+        ).alias("prio2"),
+        F.when(F.col("o_totalprice") < 50000, "S")
+        .when(F.col("o_totalprice") < 150000, "M")
+        .otherwise("L")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long").alias("is_final"),
+    )
+
+
+@REGISTRY.register(
+    "x05_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(l_quantity + 1), 6)    AS log_qty,
+           round(abs(l_discount - 0.05), 2) AS abs_disc,
+           round(pow(1 + l_tax, 2), 6)     AS pow_tax
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    doc="Transcendental outputs rounded to 6dp to absorb libm last-ulp "
+    "differences between JVM and DuckDB.",
+    tags=("math",),
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("abs_disc"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("pow_tax"),
+    )
+
+
+@REGISTRY.register(
+    "x06_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus30,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("date",),
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    )
+
+
+@REGISTRY.register(
+    "x07_explode_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="posexplode / unnest-with-ordinality parity (1-based index to match "
+    "SQL convention).",
+    tags=("array", "explode"),
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("idx"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
+@REGISTRY.register(
+    "x08_approx_stats",
+    oracle=None,  # approximate results are estimator-dependent: rows-only check
+    doc="approx_count_distinct (HLL++) and percentile_approx — the sketch-"
+    "based path that replaces exact distinct/percentile at 100 TB.",
+    tags=("agg", "approx"),
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x09_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    doc="collect_list + sort_array + concat_ws == ordered string_agg.",
+    tags=("agg", "collect"),
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+            F.count("*").alias("n_nations"),
+        )
+    )

@@ -1,0 +1,687 @@
+"""Core relational operator surface (declared-query contract B01-B24).
+
+Every query here exists twice: as an idiomatic DataFrame pipeline (what the
+engine executes — Catalyst plans it, so filters/projections push into the
+parquet scan and joins pick broadcast/SMJ adaptively) and as an ANSI-SQL
+oracle string for DuckDB. Aliases and types are aligned pairwise; exact
+decimal accumulation (see operators/_util.py) makes float aggregates
+bitwise-reproducible across engines *and* across cluster repartitionings.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffle lands, what AQE is expected to do at 100 TB.
+
+Reference parity: the reference (real-digital/pyconnect) has no relational
+operators at all — it is a connector framework (see SURVEY.md §2.1); this
+module is the EXT surface mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import (
+    FACTOR,
+    MONEY,
+    SQL_ONE_MINUS,
+    SQL_ONE_PLUS,
+    davg,
+    dec,
+    dsum,
+    one_minus,
+    one_plus,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+# --------------------------------------------------------------------------
+# B01 — scan / filter / projection
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b01_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="Scan + filter + projection; predicate and columns push into the parquet scan.",
+    tags=("scan", "filter", "projection"),
+)
+def b01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# B02 — string scalar functions + LIKE
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b02_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                       AS brand_upper,
+           CAST(length(p_name) AS BIGINT)       AS name_len,
+           trim(concat(p_type, ' '))            AS type_trim,
+           substring(p_name, 1, 5)              AS name_pfx
+    FROM part WHERE p_type LIKE '%ECO%'
+    """,
+    tags=("string", "filter"),
+)
+def b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%ECO%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.trim(F.concat(F.col("p_type"), F.lit(" "))).alias("type_trim"),
+            F.substring("p_name", 1, 5).alias("name_pfx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B03 — TPC-H Q1 shape: hash aggregation with arithmetic + date predicate
+# --------------------------------------------------------------------------
+_B03_DISC = SQL_ONE_MINUS.format(c="l_discount")
+_B03_TAX = SQL_ONE_PLUS.format(c="l_tax")
+
+
+@REGISTRY.register(
+    "b03_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')}                                        AS sum_qty,
+           {sql_dsum('l_extendedprice')}                                   AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY}) * {_B03_DISC}) AS DOUBLE)              AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY}) * {_B03_DISC} * {_B03_TAX}) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity')}                                        AS avg_qty,
+           {sql_davg('l_extendedprice')}                                   AS avg_price,
+           {sql_davg('l_discount', 'decimal(8,2)')}                        AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: partial (map-side) agg + final agg after a 2-key shuffle; "
+    "6 groups total, so the shuffle is tiny regardless of input scale.",
+    tags=("agg", "arithmetic", "date"),
+)
+def b03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1998-09-03 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(disc_price * one_plus("l_tax")).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", "decimal(8,2)").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B04 — date extraction + aggregation
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b04_date_agg",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           COUNT(*)                           AS n_orders,
+           {sql_dsum('o_totalprice')}         AS sum_total
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("agg", "date"),
+)
+def b04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B05 — inner equi join + aggregation
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b05_join_agg",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="orders⋈customer: customer is the small side — AQE turns this into a "
+    "broadcast hash join at any scale where customer fits the threshold.",
+    tags=("join", "agg"),
+)
+def b05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B06 — TPC-H Q3 shape: 3-way join + agg + top-k
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b06_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY}) * {_B03_DISC}) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: filters push below the joins; customer broadcasts; "
+    "orders⋈lineitem shuffles on orderkey. Top-10 via TakeOrderedAndProject "
+    "(no global sort materialization).",
+    tags=("join", "agg", "topk"),
+)
+def b06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B07 — left outer join, counting preserved nulls
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b07_left_join",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "outer", "agg"),
+)
+def b07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B08 / B09 — semi and anti joins
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b08_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "semi"),
+)
+def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@REGISTRY.register(
+    "b09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def b09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# B10 — broadcast join (explicit hint)
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b10_broadcast_join",
+    oracle=f"""
+    SELECT p_brand, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Explicit broadcast of the dimension table: no shuffle of the fact "
+    "side for the join; only the 25-group agg shuffles.",
+    tags=("join", "broadcast", "agg"),
+)
+def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — non-equi (range) join
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b11_range_join",
+    oracle="""
+    SELECT COUNT(*) AS n_matches
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    """,
+    doc="Equi key + range residual: executes as a (broadcast) hash join on "
+    "partkey with the BETWEEN as a post-join filter — the scalable shape for "
+    "equi+range predicates.",
+    tags=("join", "range"),
+)
+def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cond = (
+        (lineitem.l_partkey == part.p_partkey)
+        & (lineitem.l_quantity >= part.p_size - 5)
+        & (lineitem.l_quantity <= part.p_size + 5)
+    )
+    return lineitem.join(F.broadcast(part), cond).agg(F.count("*").alias("n_matches"))
+
+
+# --------------------------------------------------------------------------
+# B12 — distinct aggregation
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b12_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi-column distinct agg: Spark expands to a partial-distinct "
+    "(expand + two-phase agg) plan — no single-node de-dup bottleneck.",
+    tags=("agg", "distinct"),
+)
+def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 / B14 — rollup and cube
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b13_rollup",
+    oracle=f"""
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n, {sql_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    tags=("agg", "rollup"),
+)
+def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@REGISTRY.register(
+    "b14_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — ranking window, top-k per group
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b15_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window; Spark inserts a rank-limit "
+    "(WindowGroupLimit) before the shuffle so only k rows per group move.",
+    tags=("window", "topk"),
+)
+def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — analytic window: lag + running sum (rows frame)
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b16_window_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — range frame window
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b17_range_frame",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY})) OVER (
+                PARTITION BY l_returnflag ORDER BY l_quantity
+                RANGE BETWEEN CURRENT ROW AND 5 FOLLOWING) AS DOUBLE) AS range_sum
+    FROM lineitem
+    """,
+    tags=("window", "range-frame"),
+)
+def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(0, 5)
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.sum(dec("l_extendedprice")).over(w).cast("double").alias("range_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B18 — global sort + limit (top-k)
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b18_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    doc="Global top-k: executes as TakeOrderedAndProject (per-partition heap "
+    "+ driver merge of k rows) — never a full global sort.",
+    tags=("sort", "topk"),
+)
+def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — union / union all
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b19_union_distinct",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@REGISTRY.register(
+    "b19_union_all_count",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier)
+    """,
+    tags=("setop", "union"),
+)
+def b19b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# B20 — intersect / except
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b20_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+@REGISTRY.register(
+    "b20_except",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+    tags=("setop", "except"),
+)
+def b20b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.subtract(s)  # subtract == EXCEPT (set semantics)
+
+
+# --------------------------------------------------------------------------
+# B21 — JSON functions
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b21_json_funcs",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B22 — text scalar functions over documents
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b22_text_scalar",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CASE WHEN length(text) > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        F.sum(F.when(F.length("text") > 100, 1).otherwise(0)).cast("long").alias("n_long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B23 — array / higher-order functions
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b23_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS emb_dim,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sum,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sq_sum
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="Higher-order array functions (transform/aggregate) evaluated "
+    "JVM-side — no Python in the loop.",
+    tags=("array", "higher-order"),
+)
+def b23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("emb_dim"),
+        F.round(F.aggregate(xd, F.lit(0.0), lambda a, x: a + x), 6).alias("emb_sum"),
+        F.round(
+            F.aggregate(xd, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("emb_sq_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — Python UDF parity (CASE-equivalent oracle)
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "b24_udf_tier",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM customer
+    """,
+    doc="Deliberately exercises the row-at-a-time Python UDF surface (the "
+    "one query allowed off the JVM fast path); oracle uses equivalent CASE.",
+    tags=("udf",),
+)
+def b24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("string")
+    def tier(b: float) -> str:
+        if b < 0:
+            return "debt"
+        if b < 1000:
+            return "low"
+        if b < 5000:
+            return "mid"
+        return "high"
+
+    return t(spark, sf_dir, "customer").select("c_custkey", tier("c_acctbal").alias("tier"))

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** (`sm01`): exact baseline. Query vector(s)
+  broadcast against the corpus; dot products via JVM higher-order
+  functions (zip_with + aggregate) — no Python, no shuffle of the corpus.
+- **Embedding near-dup pairs** (`sm02`): all-pairs cosine above a
+  threshold (exact, oracle-checked at fixture scale; quadratic ground
+  truth for the LSH variant).
+- **Random-hyperplane LSH ANN** (`sm03`): the scale path. 16 fixed
+  hyperplanes → sign bits → bucket key; candidates only within the query's
+  bucket. Recall vs sm01 is asserted in tests/test_similarity.py.
+
+DuckDB oracles use list_cosine_similarity over double-cast lists; both
+engines accumulate left-to-right in double, and outputs are rounded to
+6 dp, so hashes match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns, JVM-side."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+_ORACLE_COS = (
+    "list_cosine_similarity("
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.embedding, x -> CAST(x AS DOUBLE)))"
+)
+
+
+@REGISTRY.register(
+    "sm01_cosine_topk",
+    oracle=f"""
+    SELECT e.vec_id, round({_ORACLE_COS}, 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+    WHERE e.vec_id <> 1
+    ORDER BY {_ORACLE_COS} DESC, e.vec_id
+    LIMIT 5
+    """,
+    doc="Exact top-5 cosine neighbors of vec_id=1. Query vector broadcasts; "
+    "TakeOrderedAndProject keeps only k rows per partition.",
+    tags=("similarity", "llm", "topk"),
+)
+def sm01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("q_emb"))
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_raw", 6).alias("cos_sim"))
+    )
+
+
+@REGISTRY.register(
+    "sm02_embedding_neardup",
+    oracle=f"""
+    SELECT e.vec_id AS vec_a, q.vec_id AS vec_b, round({_ORACLE_COS}, 6) AS cos_sim
+    FROM embeddings e JOIN embeddings q ON e.vec_id < q.vec_id
+    ORDER BY {_ORACLE_COS} DESC, e.vec_id, q.vec_id
+    LIMIT 25
+    """,
+    doc="Exact all-pairs cosine, top-25 most-similar pairs: the quadratic "
+    "ground truth the ANN/LSH variants are validated against.",
+    tags=("similarity", "llm", "neardup"),
+)
+def sm02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(25)
+        .select("vec_a", "vec_b", F.round("_raw", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Fixed random hyperplanes — deterministic, generated driver-side once
+    and shipped to executors as literals (tiny: n_planes × dim floats)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
+    """Pack sign(dot(v, plane_i)) bits into a long bucket id, JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(emb_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+@REGISTRY.register(
+    "sm03_ann_lsh",
+    oracle=None,  # approximate; recall vs sm01/sm02 asserted in pytest
+    doc="ANN via random-hyperplane LSH: bucket the corpus once (16 sign "
+    "bits), then candidate top-k only within the query's bucket. At 100 TB "
+    "the bucketed corpus is written partitioned by bucket so queries touch "
+    "one partition.",
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def sm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, n_planes=8)
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    queries = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    ranked = (
+        bucketed.join(F.broadcast(queries), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", sim.alias("_raw"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", F.round("_raw", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for LLM data pipelines: token counting, quality
+scoring, stopword-based language ID, document fingerprinting.
+
+All of these are pure column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path, so they scale linearly with input splits and
+never shuffle. Each has a DuckDB oracle built from the same regex
+semantics (both engines: RE2-compatible patterns, global replace).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+# Tiny per-language marker lexicons (n-gram/stopword heuristic). The fixture
+# corpus is synthetic, so discrimination quality is irrelevant — the operator
+# mechanism (deterministic scoring + argmax with fixed tie order) is what is
+# exercised and oracle-checked.
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|value|row)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "fr": r"\b(le|la|les|des|une)\b",
+    "de": r"\b(der|die|das|und|ein)\b",
+    "zh": r"\b(big|merge|window)\b",
+}
+_TOKEN_RE = r"\s+"
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_RE = r"[^\w\s]"
+_STOP_RE = _LANG_MARKERS["en"]
+
+
+def _count(col: str, pat: str) -> Column:
+    return F.regexp_count(F.col(col), F.lit(pat))
+
+
+def _sql_count(col: str, pat: str) -> str:
+    # DuckDB: count regex occurrences via len(regexp_extract_all(...)).
+    # NB: DuckDB single-quoted strings are standard SQL — backslash is NOT
+    # an escape character, so the pattern goes in verbatim.
+    pat_sql = pat.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({col}, '{pat_sql}')) AS INT)"
+
+
+@REGISTRY.register(
+    "tx01_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST({_sql_count('text', _BPE_RE)} AS BIGINT) AS n_bpe_tokens,
+           CAST({_sql_count('text', _PUNCT_RE)} AS BIGINT) AS n_punct,
+           CAST({_sql_count('text', _STOP_RE)} AS BIGINT) AS n_stopwords,
+           round(CAST({_sql_count('text', _STOP_RE)} AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document token counts (whitespace + BPE-ish regex), punctuation "
+    "and stopword ratios — the quality-scoring column pack.",
+    tags=("text", "llm"),
+)
+def tx01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE))
+    n_stop = _count("text", _STOP_RE)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        _count("text", _BPE_RE).cast("long").alias("n_bpe_tokens"),
+        _count("text", _PUNCT_RE).cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_guess_spark() -> Column:
+    scores = {lang: _count("text", pat) for lang, pat in _LANG_MARKERS.items()}
+    order = list(_LANG_MARKERS)  # fixed tie order: en > es > fr > de > zh
+    expr = F.lit(order[-1])
+    for lang in reversed(order[:-1]):
+        cond = None
+        for other in order:
+            if other == lang:
+                continue
+            c = (
+                scores[lang] >= scores[other]
+                if order.index(other) > order.index(lang)
+                else scores[lang] > scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _lang_guess_sql() -> str:
+    order = list(_LANG_MARKERS)
+    scores = {lang: _sql_count("text", pat) for lang, pat in _LANG_MARKERS.items()}
+    # Identical argmax w/ fixed tie-break: lang wins over laters with >=, over earliers with >.
+    branches = []
+    for lang in order[:-1]:
+        conds = []
+        for other in order:
+            if other == lang:
+                continue
+            op = ">=" if order.index(other) > order.index(lang) else ">"
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{order[-1]}' END"
+
+
+@REGISTRY.register(
+    "tx02_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_guess_sql()} AS lang_guess
+    FROM documents
+    """,
+    doc="Stopword/n-gram-marker language ID: per-language regex hit counts, "
+    "deterministic argmax with a fixed tie order.",
+    tags=("text", "llm", "lang-id"),
+)
+def tx02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _lang_guess_spark().alias("lang_guess")
+    )
+
+
+@REGISTRY.register(
+    "tx03_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: sha256 over whitespace-normalized, lowercased "
+    "text — the exact-dedup key for content-addressed pipelines.",
+    tags=("text", "llm", "fingerprint"),
+)
+def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(norm, 256).alias("fp")
+    )

@@ -1,0 +1,131 @@
+"""Time-series operators: tumbling-window aggregation (batch equivalent of
+the streaming S04 check), sessionization, and as-of join.
+
+As-of join is the one operator here Spark lacks natively. The scalable
+shape is: co-partition both sides on the join key (one shuffle each),
+sort within the co-group, and run a single merge pass — expressed with
+``groupBy().cogroup().applyInPandas`` over Arrow batches (vectorized
+``pd.merge_asof`` per group). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window
+
+from pyconnect_spark.operators._util import dsum, sql_dsum, t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+@REGISTRY.register(
+    "ts01_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute windows over events — the batch twin of the "
+    "streaming window-agg (S04); window() keys are epoch-aligned in both "
+    "engines so buckets match exactly.",
+    tags=("timeseries", "window-agg"),
+)
+def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ts02_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Sessionization via gap detection (lag + cumulative flag): one "
+    "shuffle on user_id, everything else within-partition. The streaming "
+    "twin is session_window(ts, gap).",
+    tags=("timeseries", "session"),
+)
+def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-cogroup backward as-of merge (orders of one customer × events of
+    the matching user). Arrow-batched; single sorted pass per group."""
+    left = left.sort_values("o_orderdate")
+    out = left[["o_orderkey"]].copy()
+    if len(right) == 0:
+        out["last_event_id"] = pd.array([None] * len(left), dtype="Int64")
+        return out
+    right = right.sort_values("ts")
+    lts = left["o_orderdate"].astype("datetime64[us]")
+    rts = right["ts"].astype("datetime64[us]")
+    merged = pd.merge_asof(
+        pd.DataFrame({"t": lts, "o_orderkey": left["o_orderkey"].values}),
+        pd.DataFrame({"t": rts, "event_id": right["event_id"].values}),
+        on="t",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    out = merged[["o_orderkey"]].copy()
+    out["last_event_id"] = merged["event_id"].astype("Int64")
+    return out
+
+
+@REGISTRY.register(
+    "ts03_asof_join",
+    oracle="""
+    SELECT o.o_orderkey, e.event_id AS last_event_id
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    doc="As-of join (latest event at-or-before each order, per user): "
+    "cogroup on the key + vectorized pd.merge_asof per group. Both sides "
+    "shuffle exactly once on the key; within-group work is a linear merge.",
+    tags=("timeseries", "asof-join", "pandas-udf"),
+)
+def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    events = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(_asof_merge, schema="o_orderkey long, last_event_id long")
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is used for correctness tests; the same config
+surface is what a 1000-executor deployment would tune. Scale-relevant
+defaults set here:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion) — the single most important knob at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the initial number much less sensitive.
+- Arrow enabled so every pandas-UDF operator moves columns, not pickled rows.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and independent of the host (also required for oracle comparisons).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_APP = "pyconnect-spark"
+
+
+def get_spark(
+    app_name: str = _DEFAULT_APP,
+    *,
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster
+    the builder would instead carry master/deploy-mode from the environment;
+    nothing else here is local-specific.
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cores = os.cpu_count() or 8 if cores in ("*", None) else int(cores)
+    shuffle_partitions = shuffle_partitions or max(2 * n_cores, 32)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects outright; read as long and convert in the
+        # catalog (stays in the vectorized reader, fully distributed).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # files.maxPartitionBytes default 128m is right for the 100 TB target;
+        # leave it — small local files read as one task regardless.
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
