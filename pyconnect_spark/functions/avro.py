@@ -104,6 +104,7 @@ _AVRO_TO_SPARK = {
     "null": T.NullType(),
 }
 _SPARK_TO_AVRO = {
+    T.NullType(): "null",
     T.BooleanType(): "boolean",
     T.IntegerType(): "int",
     T.LongType(): "long",
@@ -170,7 +171,9 @@ def spark_type_to_avro(dtype: T.DataType, nullable: bool = False, name: str = "v
             out = _SPARK_TO_AVRO[dtype]
         except KeyError:
             raise ValueError(f"no Avro mapping for Spark type {dtype}") from None
-    return ["null", out] if nullable and not isinstance(out, list) else out
+    if nullable and out != "null" and not isinstance(out, list):
+        return ["null", out]
+    return out
 
 
 # ---------------------------------------------------------------------------

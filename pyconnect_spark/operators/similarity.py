@@ -18,6 +18,7 @@ engines accumulate left-to-right in double, and outputs are rounded to
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,17 +111,25 @@ def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
-    """Pack sign(dot(v, plane_i)) bits into a long bucket id, JVM-side."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(emb_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Pack sign(dot(v, plane_i)) bits into a long bucket id.
+
+    One Arrow-batched pandas UDF doing a single (batch × dim)·(dim × planes)
+    matrix multiply — one BLAS call per batch. The per-plane fold-expression
+    alternative generates O(planes × dim) nested codegen and was measurably
+    slower; a matmul is the idiomatic vectorized shape for this.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = planes.T.astype(np.float64)  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket_udf(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())  # (batch, dim)
+        bits = mat.astype(np.float64) @ planes_t > 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return bucket_udf(emb_col)
 
 
 @REGISTRY.register(

@@ -1,0 +1,9 @@
+"""Physical-plan inspection utilities."""
+
+from pyconnect_spark.plans.inspect import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+    wholestage_codegen_spans,
+)

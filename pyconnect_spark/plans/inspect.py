@@ -1,0 +1,71 @@
+"""Physical-plan inspection: programmatic access to the facts that matter
+at 100 TB — did the filter push into the parquet scan, did the scan prune
+columns, did the small side broadcast, how much of the plan runs inside
+whole-stage codegen.
+
+Used by tests/test_plans.py to *assert* the plan shape (so a regression
+that silently un-pushes a predicate fails CI), and handy interactively:
+
+    >>> from pyconnect_spark.plans import pushed_filters
+    >>> pushed_filters(df)
+    ["IsNotNull(l_quantity)", "GreaterThan(l_quantity,45.0)"]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (instead of printed)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters pushed into the (parquet) scan, flattened across scans."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names actually read from the scans (column pruning check)."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees — wider/fewer is better.
+    Formatted mode tags operators with ``[codegen id : N]``; simple mode
+    prints ``WholeStageCodegen (N)``."""
+    text = explain_str(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+    ids |= set(re.findall(r"codegen id : (\d+)", text))
+    if not ids:
+        # Under AQE codegen subtrees only materialize in the *final* plan.
+        # collect() executes THIS frame's queryExecution (count() would
+        # build a different plan), after which the same handle reports the
+        # finalized plan with codegen ids.
+        df.collect()
+        text = explain_str(df)
+        ids = set(re.findall(r"codegen id : (\d+)", text))
+        ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+    return len(ids)

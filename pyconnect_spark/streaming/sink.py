@@ -1,0 +1,132 @@
+"""Consume path: topic → durable sink with commit-after-flush.
+
+Reference parity (PyConnectSink, R12-R20 of SURVEY.md §2.1). The
+reference's contract, proven by its tests
+(test/test_pyconnectsink.py:93-126):
+
+1. records are buffered, then flushed by the user's ``on_flush``;
+2. offsets are committed **only after** a successful flush;
+3. a failed flush prevents the commit → replay on restart
+   (at-least-once, duplicates possible, loss impossible).
+
+Spark-native mapping: the micro-batch IS the flush buffer.
+``foreachBatch(on_flush)`` runs the user flush; Structured Streaming
+writes the batch's offsets to the checkpoint commit log only after
+``foreachBatch`` returns successfully — exactly guarantee (2). A crash
+inside ``on_flush`` fails the batch, the offset is not committed, and the
+restarted query replays the same batch — guarantee (3).
+
+Message-type dispatch (R13: STANDARD/NO_MESSAGE/ERROR/EOF) collapses:
+Spark sources surface only data rows; errors fail the query
+(→ status machine); EOF = ``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from pyconnect_spark.config import SinkConfig
+from pyconnect_spark.streaming.core import BaseConnector
+from pyconnect_spark.streaming.source import RECORD_SCHEMA
+
+
+class SparkSink(BaseConnector):
+    """Topic-location → user flush sink connector.
+
+    Override :meth:`on_flush` (batch DataFrame + epoch id) — the analogue
+    of the reference's buffered ``on_message_received`` + ``on_flush``
+    pair, at micro-batch granularity.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: SinkConfig,
+        *,
+        schema: Optional[T.StructType] = None,
+        stop_at_end: bool = True,
+        max_crash_restarts: int = 0,
+    ):
+        super().__init__(spark, max_crash_restarts=max_crash_restarts)
+        self.config = config
+        self.schema = schema or RECORD_SCHEMA
+        self.stop_at_end = stop_at_end
+        if not config.checkpoint_location:
+            raise ValueError("SinkConfig.checkpoint_location is required")
+        if not config.topics:
+            raise ValueError("SinkConfig.topics is required")
+
+    # ---- overridables ----
+    def read_stream(self) -> DataFrame:
+        """Default: file-'topic' directories (JSON-lines)."""
+        [topic] = self.config.topics  # file mode: single topic dir
+        return self.spark.readStream.schema(self.schema).json(topic)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        """User flush: persist the micro-batch durably. Runs to completion
+        BEFORE the batch's offsets commit to the checkpoint."""
+        raise NotImplementedError
+
+    # ---- plumbing ----
+    def _start_query(self) -> StreamingQuery:
+        df = self.transform(self.read_stream())
+        writer = (
+            df.writeStream.option("checkpointLocation", self.config.checkpoint_location)
+            .foreachBatch(self._flush_wrapper)
+        )
+        if self.stop_at_end:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        if self.stop_at_end:
+            query.awaitTermination()
+        return query
+
+    def _flush_wrapper(self, batch: DataFrame, epoch_id: int) -> None:
+        self.on_flush(batch, epoch_id)
+
+
+class FileSink(SparkSink):
+    """JSON-lines append sink — parity with the reference's file_sink
+    example (examples/file_sink/file_sink.py:34-67): flush appends
+    {"key": ..., "value": ...} lines to one file.
+
+    The append is idempotence-free by design (at-least-once, like the
+    reference); an exactly-once file sink would write per-epoch part
+    files keyed by epoch_id instead.
+    """
+
+    def __init__(self, *args, out_path: str, **kw):
+        super().__init__(*args, **kw)
+        self.out_path = out_path
+        self.flushed_batches: list[int] = []
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        rows = batch.select("key", "value").collect()
+        os.makedirs(os.path.dirname(self.out_path) or ".", exist_ok=True)
+        with open(self.out_path, "a") as f:
+            for r in rows:
+                f.write(json.dumps({"key": r["key"], "value": r["value"]}) + "\n")
+        self.flushed_batches.append(epoch_id)
+
+
+class CallbackSink(SparkSink):
+    """Sink driven by a plain callable — the test harness's
+    PyConnectTestSink analogue (test/utils.py:244-302): records land in
+    ``flushed_messages`` via the user function; failure injection is a
+    matter of raising from the callable."""
+
+    def __init__(self, *args, flush_fn: Callable[[DataFrame, int], None], **kw):
+        super().__init__(*args, **kw)
+        self._flush_fn = flush_fn
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        self._flush_fn(batch, epoch_id)

@@ -1,0 +1,169 @@
+"""Config-layer and Avro-inference parity tests.
+
+Mirrors the reference's test coverage: env-var loading
+(test/test_config.py:11-24), sanity checks (:112-160), secret hashing
+(test/test_core.py:7-33), and the all-types Avro schema golden record
+(test/test_avroparser.py:7-85)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyconnect_spark.config import (
+    BaseConfig,
+    SinkConfig,
+    SourceConfig,
+    csv_list,
+    hide_sensitive_values,
+    parse_timedelta,
+)
+from pyconnect_spark.functions import avro as A
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+def test_parse_timedelta():
+    td = parse_timedelta("1h 30m")
+    assert td.total_seconds() == 5400
+    assert parse_timedelta("2d").days == 2
+    assert parse_timedelta(90).total_seconds() == 90
+    with pytest.raises(ValueError):
+        parse_timedelta("soon")
+
+
+def test_csv_list():
+    assert csv_list("a, b ,c") == ["a", "b", "c"]
+    assert csv_list(["x"]) == ["x"]
+
+
+def test_base_config_defaults_and_sanity():
+    cfg = BaseConfig(bootstrap_servers="broker1:9092,broker2:9092")
+    assert cfg.bootstrap_servers == ["broker1:9092", "broker2:9092"]
+    assert cfg.offset_commit_interval.total_seconds() == 1800  # 30m default
+    assert cfg.sink_commit_retry_count == 2
+    with pytest.raises(ValueError):
+        BaseConfig(bootstrap_servers="b:9092", offset_commit_interval="0s")
+    with pytest.raises(ValueError):
+        BaseConfig(bootstrap_servers="b:9092", schema_registry="not-a-url")
+
+
+def test_env_loading(monkeypatch):
+    monkeypatch.setenv("PYCONNECT_BOOTSTRAP_SERVERS", "env:9092")
+    monkeypatch.setenv("PYCONNECT_SINK_COMMIT_RETRY_COUNT", "5")
+    cfg = BaseConfig.from_env_variables()
+    assert cfg.bootstrap_servers == ["env:9092"]
+    assert cfg.sink_commit_retry_count == 5
+
+
+def test_json_yaml_loading(tmp_path):
+    data = {"bootstrap_servers": "j:9092", "offset_commit_interval": "15m"}
+    jf = tmp_path / "c.json"
+    jf.write_text(json.dumps(data))
+    assert BaseConfig.from_json_file(str(jf)).offset_commit_interval.total_seconds() == 900
+    yf = tmp_path / "c.yaml"
+    yf.write_text("bootstrap_servers: y:9092\noffset_commit_interval: 45m\n")
+    assert BaseConfig.from_yaml_file(str(yf)).bootstrap_servers == ["y:9092"]
+    assert BaseConfig.from_json_string(json.dumps(data)).bootstrap_servers == ["j:9092"]
+
+
+def test_sink_source_configs():
+    sink = SinkConfig(bootstrap_servers="b:9092", topics="t1,t2", poll_timeout="5s")
+    assert sink.topics == ["t1", "t2"]
+    assert sink.poll_timeout.total_seconds() == 5
+    src = SourceConfig(bootstrap_servers="b:9092", topic="t", offset_topic="t-off")
+    assert src.offset_topic == "t-off"
+
+
+def test_secret_redaction():
+    cfg = {"sasl.password": "hunter2", "other": "keep"}
+    red = hide_sensitive_values(cfg)
+    assert red["other"] == "keep"
+    assert "hunter2" not in str(red["sasl.password"])
+    assert red["sasl.password"].startswith("$pbkdf2-")
+    # deterministic (diffable) like the reference's hashed variant
+    assert hide_sensitive_values(cfg) == red
+
+
+# ---------------------------------------------------------------------------
+# avro inference — golden record parity (test_avroparser.py fixture)
+# ---------------------------------------------------------------------------
+ALL_FIELD_RECORD = {
+    "fint": 1,
+    "fnull": None,
+    "ffloat": 1.0,
+    "flong": 123456789101112131415,
+    "fdouble": 2.0,
+    "fstring": "hi there",
+    "fobj": {"fobjint": 2, "fobjstr": "hello there"},
+}
+
+
+def test_infer_all_types():
+    schema = A.create_schema_from_record("value", ALL_FIELD_RECORD)
+    fields = {f["name"]: f["type"] for f in schema["fields"]}
+    assert fields["fint"] == "long"
+    assert fields["fnull"] == "null"
+    assert fields["ffloat"] == "double"
+    assert fields["flong"] == "long"
+    assert fields["fstring"] == "string"
+    assert fields["fobj"]["type"] == "record"
+    assert fields["fobj"]["name"] == "fobj"  # child record reuses field name
+    nested = {f["name"]: f["type"] for f in fields["fobj"]["fields"]}
+    assert nested == {"fobjint": "long", "fobjstr": "string"}
+
+
+def test_infer_optional_primitives():
+    schema = A.create_schema_from_record("value", ALL_FIELD_RECORD, optional_primitives=True)
+    fields = {f["name"]: f["type"] for f in schema["fields"]}
+    assert fields["fint"] == ["null", "long"]
+    assert fields["fstring"] == ["null", "string"]
+    assert fields["fnull"] == "null"  # null stays bare
+    # nested primitives optional too (reference behavior)
+    nested = {f["name"]: f["type"] for f in fields["fobj"]["fields"]}
+    assert nested["fobjint"] == ["null", "long"]
+
+
+def test_infer_scalar_and_namespace():
+    s = A.create_schema_from_record("key", "some-key", namespace="ns")
+    assert s["type"] == "string" and s["namespace"] == "ns"
+    assert A.create_schema_from_record("key", 7)["type"] == "long"
+    assert A.create_schema_from_record("key", b"x")["type"] == "bytes"
+
+
+def test_infer_list_items():
+    # deliberate fix vs the reference's hardcoded string items
+    s = A.create_schema_from_record("value", {"xs": [1, 2, 3]})
+    assert s["fields"][0]["type"] == {"type": "array", "items": "long"}
+    s2 = A.create_schema_from_record("value", {"xs": []})
+    assert s2["fields"][0]["type"] == {"type": "array", "items": "string"}
+
+
+def test_avro_spark_roundtrip():
+    schema = A.create_schema_from_record("value", ALL_FIELD_RECORD, optional_primitives=True)
+    dtype, _ = A.avro_to_spark_type(schema)
+    back = A.spark_type_to_avro(dtype, name="value")
+    dtype2, _ = A.avro_to_spark_type(back)
+    assert dtype == dtype2
+
+
+# ---------------------------------------------------------------------------
+# confluent wire format (column-level, checked via a tiny DataFrame)
+# ---------------------------------------------------------------------------
+def test_confluent_framing(spark):
+    from pyspark.sql import functions as F
+
+    payload = b"\x10avro-bytes"
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    framed = df.select(A.wrap_confluent(F.col("payload"), 1234).alias("v"))
+    [row] = framed.collect()
+    assert row["v"][:1] == b"\x00"
+    assert int.from_bytes(row["v"][1:5], "big") == 1234
+    back = framed.select(
+        A.unwrap_confluent(F.col("v")).alias("p"),
+        A.confluent_schema_id(F.col("v")).alias("sid"),
+    ).collect()[0]
+    assert bytes(back["p"]) == payload
+    assert back["sid"] == 1234
