@@ -73,11 +73,33 @@ def dd01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct character n-gram shingles per doc: doc_id, sh."""
+    """Distinct character n-gram shingles per doc: doc_id, sh.
+
+    O(len²) per doc (substring at every offset) — fine for the exact
+    oracle-checked Jaccard (dd02); the sketch path uses word shingles."""
     arr = F.array_distinct(
         F.expr(f"transform(sequence(1, greatest(length(text) - {n - 1}, 0)), i -> substring(text, i, {n}))")
     )
     return docs.select("doc_id", F.explode(arr).alias("sh"))
+
+
+def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: doc_id, sh.
+
+    Word-level shingling is the published choice for document-scale
+    MinHash dedup (e.g. the C4/Gopher/RefinedWeb pipelines): ~10× fewer
+    shingles than char n-grams and O(len) to produce — split once, then
+    join n-token windows of the token array."""
+    with_toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        )
+    )
+    return with_toks.select("doc_id", F.explode(arr).alias("sh"))
 
 
 @REGISTRY.register(
@@ -135,10 +157,16 @@ def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """doc_id → array<long> minhash signature, computed in one groupBy pass.
 
-    Shingle → xxhash64 (JVM) → k affine permutations → min per permutation.
-    All column arithmetic; no Python in the loop.
+    Word-3-gram shingle → xxhash64 (JVM) → k affine permutations → min per
+    permutation. All column arithmetic; no Python in the loop.
     """
-    sh = _shingles(docs).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)))
+    # A small input file arrives as one partition; the shingle explode and
+    # 64-way min-agg are the heavy part, so spread docs across cores first
+    # (at real scale the scan is already many-partitioned and AQE coalesces).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = _word_shingles(docs.repartition(par, "doc_id")).withColumn(
+        "h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    )
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
         for i, (a, b) in (enumerate(_hash_params(i) for i in range(n_hashes)))
@@ -195,6 +223,7 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
 def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sig = minhash_signatures(docs).cache()
+    sig.count()  # materialize once; three downstream branches reuse the cache
     pairs = lsh_candidate_pairs(sig)
     a = sig.alias("sa")
     b = sig.alias("sb")

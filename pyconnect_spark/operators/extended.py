@@ -211,6 +211,56 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "x10_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS BIGINT)  AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Map-typed columns: JSON → map<string,string>, map_keys/element_at.",
+    tags=("map", "json"),
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    )
+
+
+@REGISTRY.register(
+    "x11_unpivot",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {sql_dsum('l_quantity')}      AS qty,
+             {sql_dsum('l_extendedprice')} AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM agg
+    """,
+    doc="Unpivot (wide → long) via stack().",
+    tags=("unpivot",),
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_quantity").alias("qty"), dsum("l_extendedprice").alias("price"))
+    )
+    return agg.selectExpr(
+        "l_returnflag", "stack(2, 'qty', qty, 'price', price) AS (measure, val)"
+    )
+
+
+@REGISTRY.register(
     "x09_string_agg",
     oracle="""
     SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,

@@ -28,8 +28,8 @@ def docs(spark):
     return load_table(spark, SF, "documents").cache()
 
 
-def _exact_jaccard_pairs(spark, docs, threshold):
-    sh = D._shingles(docs)
+def _exact_jaccard_pairs(spark, docs, threshold, shingler=D._word_shingles):
+    sh = shingler(docs)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -265,3 +265,71 @@ def test_s06_stream_dedup_equals_batch_distinct(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("SELECT * FROM s06_out").count() == batch_distinct == 5
+
+
+def test_s07_session_window_stream(spark, tmp_path):
+    """Session-window aggregation on a stream equals gap-based batch
+    sessionization for completed sessions."""
+    from pyconnect_spark.streaming.windows import session_window_agg
+
+    d = tmp_path / "sess-in"
+    d.mkdir()
+    rows = (
+        [{"u": 1, "ts": f"2024-01-01 10:{m:02d}:00"} for m in (0, 5, 10)]  # session A
+        + [{"u": 1, "ts": "2024-01-01 12:00:00"}]  # session B (gap > 30m)
+        + [{"u": 2, "ts": "2024-01-01 10:00:00"}]
+    )
+    with open(d / "rows.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("u long, ts timestamp").json(str(d))
+    agg = session_window_agg(
+        stream, "ts", "30 minutes", ["u"], [F.count("*").alias("n")], watermark="0 seconds"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s07_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r["u"], r["n"]) for r in spark.sql("SELECT u, n FROM s07_out").collect()
+    }
+    # session A (3 events) closed below the final watermark; later sessions may
+    # remain in state — assert the closed one surfaced correctly
+    assert (1, 3) in out
+
+
+def test_s08_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across micro-batches
+    within a run and across restarts via the checkpoint."""
+    from pyconnect_spark.streaming.stateful import running_totals_per_user
+
+    d = tmp_path / "state-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "state-ckpt")
+
+    def run_once(fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        collected = []
+        stream = spark.readStream.schema("user_id long, value double").json(str(d))
+        q = (
+            running_totals_per_user(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, eid: collected.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: (r["n_events"], r["total_value"]) for r in collected}
+
+    first = run_once("b1.jsonl", [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0}, {"user_id": 2, "value": 1.0}])
+    assert first[1] == (2, 15.0) and first[2] == (1, 1.0)
+    # second run, same checkpoint: state restored, totals accumulate
+    second = run_once("b2.jsonl", [{"user_id": 1, "value": 2.5}])
+    assert second[1] == (3, 17.5)
