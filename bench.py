@@ -39,12 +39,15 @@ HEADLINE = [
     "ts01_tumbling_window",
     "ts02_sessionize",
     "ts03_asof_join",
+    "ts04_sliding_window",
     "tx01_text_stats",
+    "tx04_quality_filter",
     "tx03_fingerprint",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "sm01_cosine_topk",
     "sm03_ann_lsh",
+    "sm04_label_centroids",
 ]
 
 

@@ -103,6 +103,33 @@ def sm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "sm04_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS idx,
+           round(AVG(val), 6) AS centroid_val
+    FROM e GROUP BY 1, 2
+    """,
+    doc="Per-label centroid vectors (the IVF coarse-quantizer build step): "
+    "explode to (label, dim, value), average per cell — one shuffle keyed "
+    "by (label, dim), arbitrarily wide corpora.",
+    tags=("similarity", "llm", "centroid"),
+)
+def sm04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("idx"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Fixed random hyperplanes — deterministic, generated driver-side once
     and shipped to executors as literals (tiny: n_planes × dim floats)."""

@@ -130,6 +130,56 @@ def tx02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "tx04_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST({_sql_count('text', _STOP_RE)} AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+             CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS mean_tok_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                WHEN mean_tok_len > 12 THEN 'gibberish'
+                ELSE 'keep' END AS verdict,
+           CAST(CASE WHEN n_tokens BETWEEN 10 AND 5000
+                      AND stop_ratio >= 0.01 AND mean_tok_len <= 12
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM stats
+    """,
+    doc="C4-style quality gate: length bounds, stopword-ratio floor, mean-"
+    "token-length ceiling; first failing rule becomes the verdict. Pure "
+    "column expressions — filters 100 TB at scan speed.",
+    tags=("text", "llm", "quality"),
+)
+def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE))
+    stop_ratio = _count("text", _STOP_RE).cast("double") / n_tokens
+    mean_tok_len = F.length("text").cast("double") / n_tokens
+    verdict = (
+        F.when(n_tokens < 10, "too_short")
+        .when(n_tokens > 5000, "too_long")
+        .when(stop_ratio < 0.01, "no_stopwords")
+        .when(mean_tok_len > 12, "gibberish")
+        .otherwise("keep")
+    )
+    keep = (
+        F.when(
+            n_tokens.between(10, 5000) & (stop_ratio >= 0.01) & (mean_tok_len <= 12), 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"), keep.alias("keep"))
+
+
+@REGISTRY.register(
     "tx03_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -85,6 +85,77 @@ def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "ts04_sliding_window",
+    oracle=f"""
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM contrib GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10 min window, 5 min slide): every event lands in "
+    "exactly two windows; the oracle materializes both contributions "
+    "explicitly.",
+    tags=("timeseries", "window-agg", "sliding"),
+)
+def ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ts05_session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Gap-based session windows via session_window(ts, gap); the oracle "
+    "derives the same sessions with lag + cumulative-flag SQL. (Second-"
+    "precision session_start keys both engines identically because event "
+    "timestamps are µs-precise and sessions start on a data row.)",
+    tags=("timeseries", "session"),
+)
+def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def _asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     """Per-cogroup backward as-of merge (orders of one customer × events of
     the matching user). Arrow-batched; single sorted pass per group."""

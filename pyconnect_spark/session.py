@@ -56,6 +56,10 @@ def get_spark(
         # parquet reader rejects outright; read as long and convert in the
         # catalog (stays in the vectorized reader, fully distributed).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep the derby metastore + warehouse (used only by bucketed-table
+        # features) out of the repo working tree.
+        .config("spark.sql.warehouse.dir", "/tmp/pyconnect-spark-warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/pyconnect-spark-derby")
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # leave it — small local files read as one task regardless.
     )

@@ -118,6 +118,28 @@ class FileSink(SparkSink):
         self.flushed_batches.append(epoch_id)
 
 
+def console_sink(df: DataFrame, *, truncate: bool = False, num_rows: int = 20):
+    """Debug sink: print each micro-batch to stdout (EXT surface:
+    'Console/memory sink'). Returns the started query."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", truncate)
+        .option("numRows", num_rows)
+        .start()
+    )
+
+
+def memory_sink(df: DataFrame, name: str, *, output_mode: str = "append"):
+    """Debug sink: materialize the stream into an in-memory table
+    queryable as ``SELECT * FROM <name>``. Returns the started query."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 class CallbackSink(SparkSink):
     """Sink driven by a plain callable — the test harness's
     PyConnectTestSink analogue (test/utils.py:244-302): records land in

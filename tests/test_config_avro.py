@@ -167,3 +167,22 @@ def test_confluent_framing(spark):
     ).collect()[0]
     assert bytes(back["p"]) == payload
     assert back["sid"] == 1234
+
+
+# ---------------------------------------------------------------------------
+# logging unification (R22 parity)
+# ---------------------------------------------------------------------------
+def test_configure_logging_json(capsys):
+    import json as _json
+    import logging
+
+    from pyconnect_spark.logging_util import configure_logging
+
+    root = configure_logging(json_output=True, capture_excepthook=False)
+    logging.getLogger("pc.test").info("hello %s", "world")
+    err = capsys.readouterr().err.strip().splitlines()[-1]
+    payload = _json.loads(err)
+    assert payload["message"] == "hello world"
+    assert payload["level"] == "INFO"
+    for h in list(root.handlers):
+        root.removeHandler(h)

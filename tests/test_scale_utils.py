@@ -1,0 +1,70 @@
+"""Scale-utility semantics: salted join / two-phase agg equal their
+unsalted counterparts; bucketed tables join without an exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyconnect_spark.functions.skew import salted_join, two_phase_agg
+from pyconnect_spark.plans.inspect import explain_str
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90%) + long tail — the shape AQE-less salting targets
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    small = spark.range(0, 100).select(F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name"))
+    return big.cache(), small.cache()
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, ["k"]).groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(big, small, ["k"]).groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    big, small = skewed
+    big2 = big.withColumn("k", F.col("k") + 1000)  # nothing matches
+    out = salted_join(big2, small, ["k"], how="left")
+    assert out.count() == big2.count()
+    assert out.filter(F.col("name").isNotNull()).count() == 0
+
+
+def test_two_phase_agg_equals_direct(spark, skewed):
+    big, _ = skewed
+    direct = big.groupBy("k").agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+    salted = two_phase_agg(
+        big,
+        ["k"],
+        {"s": F.sum("v"), "c": F.count("v")},
+        {"total": F.sum("s"), "n": F.sum("c")},
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key co-locate: the join plan contains
+    no Exchange on either side — the bucketing scale story."""
+    a = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("va"))
+    b = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("vb"))
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

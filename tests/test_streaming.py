@@ -333,3 +333,83 @@ def test_s08_stateful_running_totals(spark, tmp_path):
     # second run, same checkpoint: state restored, totals accumulate
     second = run_once("b2.jsonl", [{"user_id": 1, "value": 2.5}])
     assert second[1] == (3, 17.5)
+
+
+def test_s09_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition
+    equals the batch join over the same data."""
+    imp_d = tmp_path / "impressions"
+    clk_d = tmp_path / "clicks"
+    imp_d.mkdir(); clk_d.mkdir()
+    imps = [{"ad": i % 3, "its": f"2024-01-01 10:{i:02d}:00"} for i in range(10)]
+    clks = [{"ad": i % 3, "cts": f"2024-01-01 10:{i + 1:02d}:30"} for i in range(8)]
+    with open(imp_d / "i.jsonl", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+    with open(clk_d / "c.jsonl", "w") as f:
+        for r in clks:
+            f.write(json.dumps(r) + "\n")
+
+    def build(left, right):
+        cond = (
+            (left["ad"] == right["ad"])
+            & (right["cts"] >= left["its"])
+            & (right["cts"] <= left["its"] + F.expr("INTERVAL 5 MINUTES"))
+        )
+        return left.join(right, cond).select(left["ad"], "its", "cts")
+
+    b = build(
+        spark.read.schema("ad long, its timestamp").json(str(imp_d)),
+        spark.read.schema("ad long, cts timestamp").json(str(clk_d)),
+    )
+    batch_rows = sorted(map(tuple, b.collect()))
+
+    ls = (
+        spark.readStream.schema("ad long, its timestamp")
+        .json(str(imp_d))
+        .withWatermark("its", "1 hour")
+    )
+    rs = (
+        spark.readStream.schema("ad long, cts timestamp")
+        .json(str(clk_d))
+        .withWatermark("cts", "1 hour")
+    )
+    q = (
+        build(ls, rs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s09_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = sorted(map(tuple, spark.sql("SELECT * FROM s09_out").collect()))
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_s06b_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are suppressed; key-state is bounded by the watermark."""
+    d = tmp_path / "dupw-in"
+    d.mkdir()
+    rows = [
+        {"key": "a", "ts": "2024-01-01 10:00:00"},
+        {"key": "a", "ts": "2024-01-01 10:00:30"},  # dup within horizon
+        {"key": "b", "ts": "2024-01-01 10:01:00"},
+    ]
+    with open(d / "r.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("key string, ts timestamp").json(str(d))
+    q = (
+        stream_dedup(stream, ["key"], ts_col="ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s06b_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [r["key"] for r in spark.sql("SELECT key FROM s06b_out").collect()]
+    assert sorted(out) == ["a", "b"]
