@@ -130,6 +130,71 @@ def sm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_cells(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding") -> DataFrame:
+    """IVF assignment: nearest centroid per vector (one Arrow-batched
+    matmul against the L2-normalized centroid matrix). ``centroids`` is
+    tiny (n_cells × dim) and ships in the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm_t = cnorm.T.astype(np.float64)
+
+    @pandas_udf("long")
+    def cell_udf(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cnorm_t, axis=1).astype(np.int64))
+
+    return df.withColumn("cell", cell_udf(F.col(emb_col)))
+
+
+@REGISTRY.register(
+    "sm05_ann_ivf",
+    oracle=None,  # approximate; recall vs exact asserted in pytest
+    doc="ANN via IVF: label-centroids (sm04) act as the coarse quantizer; "
+    "vectors are assigned to their nearest centroid cell, queries probe "
+    "only their own cell. At 100 TB the corpus is written partitioned by "
+    "cell, so a query touches one partition; the centroid matrix is tiny "
+    "and broadcast in the UDF closure. (A production build would k-means "
+    "the centroids; the cell machinery is identical.)",
+    tags=("similarity", "llm", "ann", "ivf"),
+)
+def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = (
+        sm04(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            # collect_list order is not shuffle-stable; sort (idx, val)
+            # structs, then project the values
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("vec")
+        )
+        .orderBy("label")
+        .collect()
+    )
+    centroids = np.array([r["vec"] for r in cents])
+    bucketed = assign_cells(emb, centroids)
+    queries = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    ranked = bucketed.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", sim.alias("_raw"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", F.round("_raw", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Fixed random hyperplanes — deterministic, generated driver-side once
     and shipped to executors as literals (tiny: n_planes × dim floats)."""

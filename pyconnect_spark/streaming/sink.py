@@ -118,6 +118,29 @@ class FileSink(SparkSink):
         self.flushed_batches.append(epoch_id)
 
 
+class EpochFileSink(SparkSink):
+    """Exactly-once JSON-lines sink: each micro-batch writes an
+    epoch-keyed part file via atomic tmp+rename. A replayed batch (crash
+    after flush, before the checkpoint commit) rewrites the *same* file,
+    so downstream readers of the directory observe each record exactly
+    once — upgrading the reference's at-least-once contract where the
+    sink target supports idempotent writes."""
+
+    def __init__(self, *args, out_dir: str, **kw):
+        super().__init__(*args, **kw)
+        self.out_dir = out_dir
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        final = os.path.join(self.out_dir, f"epoch-{epoch_id:010d}.jsonl")
+        tmp = final + ".tmp"
+        rows = batch.select("key", "value").collect()
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"key": r["key"], "value": r["value"]}) + "\n")
+        os.replace(tmp, final)  # atomic: idempotent under replay
+
+
 def console_sink(df: DataFrame, *, truncate: bool = False, num_rows: int = 20):
     """Debug sink: print each micro-batch to stdout (EXT surface:
     'Console/memory sink'). Returns the started query."""

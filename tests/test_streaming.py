@@ -413,3 +413,79 @@ def test_s06b_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     out = [r["key"] for r in spark.sql("SELECT key FROM s06b_out").collect()]
     assert sorted(out) == ["a", "b"]
+
+
+def test_s10_python_datasource_offsets(spark, tmp_path):
+    """Custom Python streaming data source: offsets checkpoint, a second
+    run resumes where the first stopped (reference get_index/seek parity)."""
+    from pyconnect_spark.streaming.pysource import RecordStreamDataSource
+
+    spark.dataSource.register(RecordStreamDataSource)
+    ckpt = str(tmp_path / "pysrc-ckpt")
+
+    def drain(n_records):
+        # each availableNow run advances one read(); loop until the source
+        # reports no new records — the streaming twin of the reference's
+        # poll loop (core.py:155-161)
+        got = []
+        while True:
+            batch_got = []
+            stream = (
+                spark.readStream.format("pyconnect_records")
+                .option("n_records", n_records)
+                .option("batch_size", 7)
+                .load()
+            )
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda b, eid: batch_got.extend((r["key"], r["value"]) for r in b.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if not batch_got:
+                return got
+            got.extend(batch_got)
+
+    first = drain(20)
+    assert sorted(first) == sorted((f"key_{i}", f"value_{i}") for i in range(20))
+    # "more data arrives": same source, larger high-watermark, same checkpoint
+    second = drain(30)
+    assert sorted(second) == sorted((f"key_{i}", f"value_{i}") for i in range(20, 30))
+
+
+def test_s11_epoch_file_sink_exactly_once(spark, tmp_path):
+    """EpochFileSink: a replayed epoch rewrites the same part file, so the
+    directory never contains duplicates (exactly-once observable effect)."""
+    from pyconnect_spark.streaming.sink import EpochFileSink
+
+    tmp = str(tmp_path)
+    topic = os.path.join(tmp, "topic-s11")
+    RecordsSource(
+        spark, _source_cfg(tmp, topic), RECORDS, staging_dir=os.path.join(tmp, "in")
+    ).run()
+
+    out_dir = os.path.join(tmp, "epochs")
+    cfg = _sink_cfg(tmp, topic, "s11")
+
+    class CrashAfterWrite(EpochFileSink):
+        def on_flush(self, batch, epoch_id):
+            super().on_flush(batch, epoch_id)
+            raise RuntimeError("crash AFTER durable write, BEFORE commit")
+
+    crashing = CrashAfterWrite(spark, cfg, out_dir=out_dir)
+    with pytest.raises(PyConnectError):
+        crashing.run()
+    files_after_crash = sorted(os.listdir(out_dir))
+    assert files_after_crash  # the write did land
+
+    # restart replays the SAME epoch; file overwritten, not duplicated
+    EpochFileSink(spark, cfg, out_dir=out_dir).run()
+    files_final = sorted(f for f in os.listdir(out_dir) if f.endswith(".jsonl"))
+    all_rows = []
+    for fn in files_final:
+        all_rows += _read_jsonl(os.path.join(out_dir, fn))
+    assert sorted(all_rows) == sorted(RECORDS)  # exactly once, no dups
