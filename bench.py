@@ -51,6 +51,44 @@ HEADLINE = [
 ]
 
 
+def bench_streaming(spark, sf_dir: str) -> float:
+    """End-to-end micro-batch pipeline over the events table: stage →
+    readStream → watermark + tumbling window agg → foreachBatch, drained
+    with availableNow. Times the full streaming round trip (the
+    reference's category is stream processing)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        staged = os.path.join(tmp, "events")
+        load_table(spark, sf_dir, "events").write.parquet(staged)
+        schema = spark.read.parquet(staged).schema
+        t0 = time.perf_counter()
+        counts: list[int] = []
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, eid: counts.append(b.count()))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sum(counts) > 0
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -67,6 +105,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+    timings["stream_window_events"] = bench_streaming(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -32,7 +32,8 @@ SENSITIVE_KEYS = (
     "basic.auth.user.info",
 )
 
-_TIMEDELTA_RE = re.compile(r"(\d+)\s*(d|h|m|s|ms)")
+# longest alternative first — 'ms' must win over 'm' followed by a stray 's'
+_TIMEDELTA_RE = re.compile(r"(\d+)\s*(ms|d|h|m|s)")
 _UNITS = {"d": "days", "h": "hours", "m": "minutes", "s": "seconds", "ms": "milliseconds"}
 
 

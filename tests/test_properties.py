@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the pure-Python layers: Avro
+inference totality/validity, config parsers, and wire framing."""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyconnect_spark.config import csv_list, parse_timedelta
+from pyconnect_spark.functions import avro as A
+
+# JSON-ish records: primitives, nested dicts, homogeneous-ish lists
+_prims = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(string.printable, max_size=20),
+    st.binary(max_size="20".__len__() * 10),
+)
+_field_names = st.text(string.ascii_lowercase, min_size=1, max_size=8)
+_records = st.recursive(
+    _prims,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(_field_names, inner, min_size=1, max_size=4),
+    ),
+    max_leaves=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_field_names, _records, min_size=1, max_size=5), st.booleans())
+def test_inference_total_and_json_serializable(record, optional):
+    """Inference never crashes on JSON-shaped records and always yields a
+    JSON-serializable schema whose field set matches the record."""
+    schema = A.create_schema_from_record("value", record, optional_primitives=optional)
+    json.dumps(schema)
+    assert schema["type"] == "record"
+    assert [f["name"] for f in schema["fields"]] == list(record.keys())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(_field_names, _prims, min_size=1, max_size=5))
+def test_inference_roundtrips_through_spark_types(record):
+    """primitive records: Avro → StructType → Avro is a fixed point."""
+    schema = A.create_schema_from_record("value", record, optional_primitives=True)
+    dtype, _ = A.avro_to_spark_type(schema)
+    back = A.spark_type_to_avro(dtype, name="value")
+    dtype2, _ = A.avro_to_spark_type(back)
+    assert dtype == dtype2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["d", "h", "m", "s", "ms"])),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_timedelta_parser_additive(parts):
+    s = " ".join(f"{n}{u}" for n, u in parts)
+    expect = sum(
+        n * {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[u] for n, u in parts
+    )
+    assert abs(parse_timedelta(s).total_seconds() - expect) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(string.ascii_letters + string.digits, min_size=1, max_size=8), max_size=6))
+def test_csv_list_roundtrip(items):
+    assert csv_list(",".join(items)) == items
