@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline over the documents/embeddings
+tables: quality gate → exact dedup → near-dup clustering (MinHash LSH →
+connected components, keep-first) → text feature columns, plus an ANN
+neighbor lookup. Run: python examples/llm_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pyconnect_spark.catalog import load_table
+from pyconnect_spark.operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from pyconnect_spark.operators.text import tx01, tx04
+from pyconnect_spark.operators.similarity import sm01
+from pyconnect_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("example-llm-pipeline", cores=8)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate (pure column expressions — scan-speed filtering)
+    kept_ids = tx04(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    docs = docs.join(kept_ids, "doc_id")
+    n1 = docs.count()
+
+    # 2. exact dedup on content fingerprint
+    docs = docs.dropDuplicates(["text"])
+    n2 = docs.count()
+
+    # 3. near-dup: minhash signatures -> LSH candidates -> components -> keep-first
+    sig = minhash_signatures(docs).cache()
+    sig.count()
+    edges = lsh_candidate_pairs(sig).selectExpr("doc_a AS a", "doc_b AS b")
+    comp = connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    keep = comp.filter(F.col("node") == F.col("root")).select(F.col("node").alias("doc_id"))
+    docs = docs.join(keep, "doc_id")
+    n3 = docs.count()
+
+    # 4. feature columns for the survivors
+    feats = tx01(spark, sf_dir).join(docs.select("doc_id"), "doc_id")
+    print(feats.orderBy("doc_id").limit(5).toPandas().to_string(index=False))
+    print(f"pipeline: {n0} docs -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
+
+    # 5. ANN: top-5 cosine neighbors of vec_id=1
+    print(sm01(spark, sf_dir).toPandas().to_string(index=False))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

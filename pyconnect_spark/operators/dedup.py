@@ -291,6 +291,121 @@ def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", total.alias("simhash"))
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, *, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    nodes(node) ∪ edges(a, b) → (node, root) where root = min node id in
+    the component. Each iteration: every node takes the min of its own
+    label and its neighbors' labels; stops when no label changes. The
+    label frame is localCheckpoint()-ed each round to truncate lineage
+    (an unbounded iterative plan otherwise re-executes from the source
+    every iteration and eventually overwhelms the optimizer).
+
+    Diameter bounds iterations (near-dup clusters are shallow); each round
+    is one join + one aggregation — the standard large-graph formulation.
+    """
+    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    labels = nodes.select(F.col("node"), F.col("node").alias("root"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("root").alias("nroot"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))).alias("root"),
+                (F.col("nroot") < F.col("root")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def word_jaccard_edges(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ threshold: (a, b) with a < b.
+    Quadratic in co-bucketed shingles — the oracle-able edge set;
+    at scale, swap in lsh_candidate_pairs as the edge source."""
+    sh = _word_shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    common = (
+        x.join(y, (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    za, zb = sz.alias("za"), sz.alias("zb")
+    jacc = F.col("nc").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("nc"))
+    return (
+        common.join(F.broadcast(za), F.col("a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("b") == F.col("zb.doc_id"))
+        .filter(jacc >= threshold)
+        .select("a", "b")
+    )
+
+
+_DD05_SHINGLES_SQL = """
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                               CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+      FROM documents
+"""
+
+
+@REGISTRY.register(
+    "dd05_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_root,
+           CAST(CASE WHEN node = MIN(root) THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM reach GROUP BY node
+    """,
+    doc="Full near-dup dedup decision: exact word-Jaccard(≥0.8) edges → "
+    "connected components (iterative min-label propagation) → keep-first "
+    "(min doc_id) per cluster. Oracle: DuckDB recursive CTE over the same "
+    "edge set. At 100 TB the edge source is the LSH candidates (dd03) — "
+    "the component/keep machinery is identical.",
+    tags=("dedup", "llm", "components"),
+)
+def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = word_jaccard_edges(docs, 0.8)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("root").alias("cluster_root"),
+        F.when(F.col("node") == F.col("root"), 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
 def simhash_hamming_pairs(sig: DataFrame, max_dist: int = 8) -> DataFrame:
     """Candidate pairs within Hamming distance via 4-block LSH: split the
     63-bit signature into 4 blocks; any pair within distance 3×block must

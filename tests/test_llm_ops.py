@@ -149,3 +149,14 @@ def test_ivf_ann_sanity(spark):
     per_q = Counter(r["q_id"] for r in ivf)
     assert all(n <= 5 for n in per_q.values())
     assert all(1 <= r["rk"] <= 5 for r in ivf)
+
+
+def test_connected_components_handbuilt(spark):
+    """Min-label propagation on a known graph: two chains + an isolate."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    # components: {0,1,2,3} (chain), {4,5} , {6} isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    comp = {r["node"]: r["root"] for r in D.connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
