@@ -489,3 +489,85 @@ def test_s11_epoch_file_sink_exactly_once(spark, tmp_path):
     for fn in files_final:
         all_rows += _read_jsonl(os.path.join(out_dir, fn))
     assert sorted(all_rows) == sorted(RECORDS)  # exactly once, no dups
+
+
+def test_s01b_nested_record_values(spark, tmp_path):
+    """A1-fixture parity: records with nested dict values ({'a': str,
+    'b': long}) flow through the connector with an explicit struct schema."""
+    from pyspark.sql import types as T
+
+    tmp = str(tmp_path)
+    topic = os.path.join(tmp, "topic-s01b")
+    staging = os.path.join(tmp, "in")
+    os.makedirs(staging)
+    nested = [
+        {"key": f"K{i:08d}", "value": {"a": "x" * 64, "b": i * 37 % 1000}}
+        for i in range(15)
+    ]
+    with open(os.path.join(staging, "r.jsonl"), "w") as f:
+        for r in nested:
+            f.write(json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField(
+                "value",
+                T.StructType(
+                    [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+                ),
+            ),
+        ]
+    )
+    SparkSource(
+        spark, _source_cfg(tmp, topic), input_dir=staging, schema=schema
+    ).run()
+
+    flushed = []
+    sink = CallbackSink(
+        spark,
+        _sink_cfg(tmp, topic, "s01b"),
+        schema=schema,
+        flush_fn=lambda b, e: flushed.extend(b.collect()),
+    )
+    sink.run()
+    got = sorted((r["key"], r["value"]["a"], r["value"]["b"]) for r in flushed)
+    want = sorted((r["key"], r["value"]["a"], r["value"]["b"]) for r in nested)
+    assert got == want
+
+
+def test_kafka_option_building(spark):
+    """Kafka reader/writer option construction (pure; the jar-gated part
+    is exercised only when spark-sql-kafka is on the classpath)."""
+    from pyconnect_spark.streaming.kafka import (
+        kafka_available,
+        sink_reader_options,
+        source_writer_options,
+    )
+
+    cfg = SinkConfig(
+        bootstrap_servers="b1:9092,b2:9092",
+        topics="t1,t2",
+        group_id="g1",
+        checkpoint_location="/tmp/x",
+        kafka_opts={"security.protocol": "SASL_SSL"},
+    )
+    opts = sink_reader_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"  # reference: earliest reset
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    regex_cfg = SinkConfig(
+        bootstrap_servers="b:9092", topics=["^pyconnect-.*"], checkpoint_location="/tmp/x"
+    )
+    assert sink_reader_options(regex_cfg)["subscribePattern"] == "^pyconnect-.*"
+
+    with pytest.raises(ValueError):
+        sink_reader_options(
+            SinkConfig(bootstrap_servers="b:9092", topics=["plain", "^rx"], checkpoint_location="/tmp/x")
+        )
+
+    src = SourceConfig(bootstrap_servers="b:9092", topic="out-t", checkpoint_location="/tmp/x")
+    assert source_writer_options(src)["topic"] == "out-t"
+    assert kafka_available(spark) is False  # jar not in this image
