@@ -9,6 +9,8 @@ estimator-dependent) — the driver records a rows-only check for those.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -258,6 +260,37 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "l_returnflag", "stack(2, 'qty', qty, 'price', price) AS (measure, val)"
     )
+
+
+@REGISTRY.register(
+    "x12_pandas_udaf",
+    oracle="""
+    SELECT c_mktsegment,
+           round(exp(avg(ln(c_acctbal))), 6) AS geo_mean_bal,
+           COUNT(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+    doc="Grouped-aggregate pandas UDF (UDAF surface): geometric mean per "
+    "group, computed vectorized over Arrow batches; oracle uses the "
+    "exp(avg(ln)) identity.",
+    tags=("udf", "udaf", "agg"),
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    pos = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates —
+    # compute each and join on the (tiny) group key
+    geo = pos.groupBy("c_mktsegment").agg(
+        F.round(geo_mean("c_acctbal"), 6).alias("geo_mean_bal")
+    )
+    counts = pos.groupBy("c_mktsegment").agg(F.count("*").alias("n_pos"))
+    return geo.join(counts, "c_mktsegment")
 
 
 @REGISTRY.register(
