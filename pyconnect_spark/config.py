@@ -3,10 +3,11 @@
 Parity with the reference's config model (`BaseConfig`/`SinkConfig`/
 `SourceConfig`, /root/reference/src/pyconnect/config.py:354-601): same
 field names, defaults, loaders (env vars with PYCONNECT_ prefix, YAML
-file, JSON file/string) and sanity semantics — expressed as pydantic
-models instead of the reference's dict-subclass + whitelisted-AST eval
-(field validators give the same guarantees without an expression
-interpreter).
+file, JSON file/string) and sanity semantics — pydantic models carry the
+typed parsing, and the reference's string mini-expression checks
+("{offset_commit_interval}>0") are supported verbatim through the same
+whitelisted-AST safe evaluator (`check_sanity`), with the same
+injection-resistance guarantees its tests demand.
 
 Secret redaction (`hide_sensitive_values`) mirrors
 /root/reference/src/pyconnect/core.py:28-56: known secret keys are either
@@ -20,9 +21,11 @@ import json
 import os
 import re
 from datetime import timedelta
-from typing import Any, Dict, List, Optional
+from typing import Any, ClassVar, Dict, List, Optional
 
-from pydantic import BaseModel, Field, field_validator
+import ast as _ast
+
+from pydantic import BaseModel, Field, field_validator, model_validator
 
 SENSITIVE_KEYS = (
     "sasl.password",
@@ -74,6 +77,87 @@ def hide_sensitive_values(
     return out
 
 
+# ---------------------------------------------------------------------------
+# sanity-check mini-expressions (reference parity: config.py:149-224)
+# ---------------------------------------------------------------------------
+# The reference validates config fields with string expressions like
+# "{offset_commit_interval}>0", evaluated by an AST-whitelisted
+# interpreter so config files can carry checks without arbitrary-code
+# execution. Same contract here: only literals, comparisons, boolean ops,
+# and arithmetic are admitted; names, calls, attributes, subscripts,
+# comprehensions — anything that could reach builtins or state — are
+# rejected before evaluation (injection tests: tests/test_config_avro.py).
+
+_ALLOWED_AST_NODES = (
+    _ast.Expression,
+    _ast.Compare,
+    _ast.BoolOp,
+    _ast.BinOp,
+    _ast.UnaryOp,
+    _ast.Constant,
+    # operators
+    _ast.And,
+    _ast.Or,
+    _ast.Not,
+    _ast.Eq,
+    _ast.NotEq,
+    _ast.Lt,
+    _ast.LtE,
+    _ast.Gt,
+    _ast.GtE,
+    _ast.Add,
+    _ast.Sub,
+    _ast.Mult,
+    _ast.Div,
+    _ast.Mod,
+    _ast.USub,
+    _ast.UAdd,
+)
+
+
+class SanityError(ValueError):
+    pass
+
+
+def _validate_ast_tree(node: _ast.AST) -> None:
+    for child in _ast.walk(node):
+        if not isinstance(child, _ALLOWED_AST_NODES):
+            raise SanityError(
+                f"illegal construct in sanity expression: {type(child).__name__}"
+            )
+
+
+def check_sanity(expression: str, values: Dict[str, Any]) -> bool:
+    """Evaluate a ``"{field} > 0"``-style check against config values.
+
+    Fields are substituted as literals (numbers stay numbers; timedeltas
+    substitute as total seconds; everything else as a quoted string), the
+    result is parsed, whitelisted, and evaluated with empty globals.
+    """
+
+    def literal(v: Any) -> str:
+        if isinstance(v, timedelta):
+            return repr(v.total_seconds())
+        if isinstance(v, bool) or isinstance(v, (int, float)):
+            return repr(v)
+        return repr(str(v))
+
+    try:
+        substituted = re.sub(
+            r"\{([A-Za-z_][A-Za-z0-9_]*)\}",
+            lambda m: literal(values[m.group(1)]),
+            expression,
+        )
+    except KeyError as e:
+        raise SanityError(f"unknown field in sanity expression: {e}") from None
+    try:
+        tree = _ast.parse(substituted, mode="eval")
+    except SyntaxError as e:
+        raise SanityError(f"unparseable sanity expression: {expression!r}") from e
+    _validate_ast_tree(tree)
+    return bool(eval(compile(tree, "<sanity-check>", "eval"), {"__builtins__": {}}, {}))
+
+
 class BaseConfig(BaseModel):
     """Common connector config (reference: config.py:354-552)."""
 
@@ -97,20 +181,20 @@ class BaseConfig(BaseModel):
     def _interval(cls, v: Any) -> timedelta:
         return parse_timedelta(v)
 
-    @field_validator("offset_commit_interval")
-    @classmethod
-    def _interval_positive(cls, v: timedelta) -> timedelta:
-        # sanity check parity: "{offset_commit_interval}>0" (config.py:413-418)
-        if v.total_seconds() <= 0:
-            raise ValueError("offset_commit_interval must be > 0")
-        return v
+    # string mini-expression checks, evaluated by the whitelisted-AST
+    # interpreter — the reference's registration style (config.py:413-418)
+    SANITY_CHECKS: ClassVar[tuple[str, ...]] = (
+        "{offset_commit_interval} > 0",
+        "{sink_commit_retry_count} >= 0",
+    )
 
-    @field_validator("sink_commit_retry_count")
-    @classmethod
-    def _retry_nonneg(cls, v: int) -> int:
-        if v < 0:
-            raise ValueError("sink_commit_retry_count must be >= 0")
-        return v
+    @model_validator(mode="after")
+    def _run_sanity_checks(self) -> "BaseConfig":
+        values = self.model_dump()
+        for expr in self.SANITY_CHECKS:
+            if not check_sanity(expr, values):
+                raise ValueError(f"sanity check failed: {expr}")
+        return self
 
     @field_validator("schema_registry")
     @classmethod
@@ -153,6 +237,8 @@ class BaseConfig(BaseModel):
 
 class SinkConfig(BaseConfig):
     """Consume-side config (reference: config.py:555-579)."""
+
+    SANITY_CHECKS = BaseConfig.SANITY_CHECKS + ("{poll_timeout} > 0",)
 
     group_id: str = "pyconnect-spark"
     topics: List[str] = Field(default_factory=list)  # '^'-prefix = regex subscribe

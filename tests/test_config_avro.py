@@ -186,3 +186,39 @@ def test_configure_logging_json(capsys):
     assert payload["level"] == "INFO"
     for h in list(root.handlers):
         root.removeHandler(h)
+
+
+# ---------------------------------------------------------------------------
+# sanity mini-expressions (whitelisted-AST eval; reference test_config.py:44-160)
+# ---------------------------------------------------------------------------
+def test_sanity_expressions():
+    from pyconnect_spark.config import check_sanity
+
+    assert check_sanity("{x} > 0 and {x} < 10", {"x": 5})
+    assert not check_sanity("{x} > 0", {"x": -1})
+    assert check_sanity("{t} >= 1800", {"t": __import__("datetime").timedelta(minutes=30)})
+    assert check_sanity("{name} == 'abc'", {"name": "abc"})
+
+
+def test_sanity_eval_injection_resistance():
+    """Mirror of the reference's eval-injection tests: code-bearing
+    expressions must be rejected before evaluation."""
+    from pyconnect_spark.config import SanityError, check_sanity
+
+    hostile = [
+        "__import__('os').system('id')",
+        "(1).__class__.__mro__",
+        "open('/etc/passwd')",
+        "[x for x in (1,)]",
+        "(lambda: 1)()",
+        "a if True else b",
+        "{x}.__class__",
+    ]
+    for expr in hostile:
+        with pytest.raises(SanityError):
+            check_sanity(expr, {"x": 1})
+
+
+def test_sanity_check_in_sink_config():
+    with pytest.raises(ValueError):
+        SinkConfig(bootstrap_servers="b:9092", topics="t", poll_timeout="0s")
