@@ -571,3 +571,56 @@ def test_kafka_option_building(spark):
     src = SourceConfig(bootstrap_servers="b:9092", topic="out-t", checkpoint_location="/tmp/x")
     assert source_writer_options(src)["topic"] == "out-t"
     assert kafka_available(spark) is False  # jar not in this image
+
+
+def test_s12_avro_wire_roundtrip(spark, tmp_path):
+    """The reference's full serialization path, jar-free: infer Avro
+    schemas from the first record, encode key+value as Confluent-framed
+    Avro binary, stream through a binary 'topic' (parquet key/value —
+    exactly the Kafka source's column shape), decode on the sink side."""
+    from pyconnect_spark.functions.avro import create_schema_from_record
+    from pyconnect_spark.functions.avro_codec import from_avro_py, to_avro_py
+    from pyspark.sql import functions as F
+
+    records = [(f"K{i}", {"a": f"payload-{i}", "b": i * 101}) for i in range(15)]
+    key_schema = create_schema_from_record("key", records[0][0])
+    value_schema = create_schema_from_record("value", records[0][1])
+
+    tmp = str(tmp_path)
+    staging = os.path.join(tmp, "in")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "r.jsonl"), "w") as f:
+        for k, v in records:
+            f.write(json.dumps({"key": k, "value": v}) + "\n")
+
+    topic = os.path.join(tmp, "avro-topic")
+    stream = (
+        spark.readStream.schema("key string, value struct<a:string,b:long>")
+        .json(staging)
+        .select(
+            to_avro_py(F.col("key"), key_schema, schema_id=7).alias("key"),
+            to_avro_py(F.col("value"), value_schema, schema_id=8).alias("value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start(topic)
+    )
+    q.awaitTermination()
+
+    # sink side: binary key/value columns — the Kafka source's shape
+    consumed = (
+        spark.read.parquet(topic)
+        .select(
+            from_avro_py(F.col("key"), key_schema, "string", confluent_framed=True).alias("k"),
+            from_avro_py(
+                F.col("value"), value_schema, "struct<a:string,b:bigint>", confluent_framed=True
+            ).alias("v"),
+        )
+        .collect()
+    )
+    got = sorted((r["k"], r["v"]["a"], r["v"]["b"]) for r in consumed)
+    want = sorted((k, v["a"], v["b"]) for k, v in records)
+    assert got == want
