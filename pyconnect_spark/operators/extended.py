@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import dsum, sql_dsum, t
+from pyconnect_spark.operators._util import MONEY, dec, dsum, one_minus, sql_dsum, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -294,6 +294,75 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "x13_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p,
+           round(stddev_samp(l_quantity), 6)                 AS std_qty,
+           round(stddev_pop(l_quantity), 6)                  AS stdp_qty,
+           round(var_samp(l_extendedprice), 2)               AS var_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr/covariance/stddev/variance) — one "
+    "partial+final hash aggregation, same numerically-stable single-pass "
+    "moment formulas in both engines; rounded to absorb last-ulp drift.",
+    tags=("agg", "stats"),
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+    )
+
+
+@REGISTRY.register(
+    "x14_dist_windows",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           first_value(c_custkey) OVER w AS richest_key,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS second_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Distribution window functions: ntile, percent_rank, cume_dist, "
+    "first_value, nth_value over a deterministic (unique-key-tied) order. "
+    "One shuffle on the partition key, per-partition sort — the frame for "
+    "nth_value must span the full partition, not the default "
+    "up-to-current-row.",
+    tags=("window", "distribution"),
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_key"),
+    )
+
+
+@REGISTRY.register(
     "x09_string_agg",
     oracle="""
     SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
@@ -313,5 +382,153 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
             F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x15_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS (lineitem shipped >60 days after "
+    "order) plus an uncorrelated IN. Catalyst decorrelates both into "
+    "left-semi joins — EXISTS shuffles on orderkey, IN broadcasts the "
+    "filtered customer keys — so no per-row subquery execution remains in "
+    "the physical plan. Mirror of reference-free subquery surface; "
+    "expressed through the SQL entry point to exercise the analyzer's "
+    "subquery rewrite, not hand-decorrelated DataFrame joins.",
+    tags=("subquery", "semi-join", "sql"),
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pc_x15_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pc_x15_lineitem")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("pc_x15_customer")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM pc_x15_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM pc_x15_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND o_custkey IN (SELECT c_custkey FROM pc_x15_customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@REGISTRY.register(
+    "x16_scalar_subquery",
+    oracle=f"""
+    SELECT p_brand,
+           round(CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#4', 'Brand#19')
+      AND CAST(l_quantity AS {MONEY}) * 5 *
+            (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS {MONEY}))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subqueries against the fact "
+    "table itself (per-part average quantity). The textbook predicate "
+    "`l_quantity < 0.2 * avg(l_quantity)` is multiplied through to "
+    "`5 * qty * count < sum` so both engines compare exact decimals/ints — "
+    "no float-division tie-breaking at the threshold. Catalyst decorrelates "
+    "each scalar subquery into an aggregate + join on l_partkey; with AQE "
+    "the re-aggregated lineitem side reuses the same shuffle key.",
+    tags=("subquery", "scalar-subquery", "sql"),
+)
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pc_x16_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("pc_x16_part")
+    return spark.sql(
+        f"""
+        SELECT p_brand,
+               round(CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0, 2)
+                   AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM pc_x16_lineitem JOIN pc_x16_part ON p_partkey = l_partkey
+        WHERE p_brand IN ('Brand#4', 'Brand#19')
+          AND CAST(l_quantity AS {MONEY}) * 5 *
+                (SELECT COUNT(*) FROM pc_x16_lineitem l2
+                 WHERE l2.l_partkey = p_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS {MONEY}))
+                 FROM pc_x16_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+@REGISTRY.register(
+    "x17_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS {MONEY}) *
+                    (CAST(1 AS decimal(4,2)) - CAST(l_discount AS decimal(4,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: six-table join with the local-supplier constraint "
+    "(c_nationkey = s_nationkey makes supplier⋈customer a second equi-key, "
+    "not a cross filter). region/nation/supplier are broadcast — only "
+    "orders⋈lineitem shuffles, on orderkey; the date filter pushes to the "
+    "orders scan so the shuffle carries one year, not seven. At 100 TB the "
+    "same plan holds: dims stay broadcast-sized, the single big shuffle is "
+    "on the most selective prejoined fact slice.",
+    tags=("join", "multi-join", "agg"),
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    lineitem = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * one_minus("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
         )
     )

@@ -179,6 +179,110 @@ def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", verdict.alias("verdict"), keep.alias("keep"))
 
 
+# Winnowing parameters: k-gram size and window width (Schleimer/Wilkerson/
+# Aiken "Winnowing: Local Algorithms for Document Fingerprinting"). Any two
+# documents sharing a run of ≥ k+w-1 chars share ≥1 fingerprint.
+_WIN_K = 5
+_WIN_W = 4
+_WIN_P = 1_000_000_007
+_WIN_B = 31
+
+
+@REGISTRY.register(
+    "tx05_winnow_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    cps AS (
+      SELECT doc_id,
+             list_transform(range(1, length(s) + 1),
+                            i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS cp
+      FROM norm
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(cp) - {_WIN_K - 1}, 1) + 1),
+                            i -> list_reduce(
+                                   list_prepend(CAST(0 AS BIGINT),
+                                                list_slice(cp, i, i + {_WIN_K - 1})),
+                                   (acc, x) -> (acc * {_WIN_B} + x) % {_WIN_P})) AS hs
+      FROM cps
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {_WIN_W - 1}, 1) + 1),
+               j -> list_aggregate(list_slice(hs, j, j + {_WIN_W - 1}), 'min'))) AS fps
+      FROM kg
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_aggregate(fps, 'min') AS BIGINT) AS fp_min,
+           CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+    FROM fp
+    """,
+    doc="Winnowing document fingerprints: rolling polynomial hash over "
+    "5-gram codepoints of normalized text, min-of-4-window selection, "
+    "distinct set. Pure higher-order column expressions (JVM, no shuffle); "
+    "shared fingerprints detect local overlap that whole-doc hashing "
+    "(tx03) misses.",
+    tags=("text", "llm", "fingerprint", "winnowing"),
+)
+def tx05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each stage is materialized as its own column in a separate projection.
+    # An expression tree captured inside a higher-order-function lambda is
+    # re-evaluated on every element, so inlining `cp` into the `hs` lambda
+    # (and `hs` into the `fps` lambda) turns an O(n·w) computation into
+    # O(n^3) per document — a column reference inside the lambda is O(1).
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("_s"),
+    )
+    # per-char codepoints (substring with a *column* start needs expr form)
+    cps = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(_s), 1), "
+            "i -> CAST(ascii(substring(_s, i, 1)) AS BIGINT))"
+        ).alias("_cp"),
+    )
+    cp = F.col("_cp")
+    kg = cps.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(cp) - (_WIN_K - 1), F.lit(1)), F.lit(1)
+            ),
+            lambda i: F.aggregate(
+                F.slice(cp, i, _WIN_K),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * _WIN_B + x) % _WIN_P,
+            ),
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+    fp = kg.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(hs) - (_WIN_W - 1), F.lit(1)), F.lit(1)
+                ),
+                lambda j: F.array_min(F.slice(hs, j, _WIN_W)),
+            )
+        ).alias("_fps"),
+    )
+    fps = F.col("_fps")
+    return fp.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).cast("long").alias("fp_min"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
 @REGISTRY.register(
     "tx03_fingerprint",
     oracle="""
@@ -194,4 +298,52 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return t(spark, sf_dir, "documents").select(
         "doc_id", F.sha2(norm, 256).alias("fp")
+    )
+
+
+@REGISTRY.register(
+    "tx06_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                       / greatest(length(a.text), length(b.text)), 6) AS sim
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+    ORDER BY dist, doc_a, doc_b
+    LIMIT 50
+    """,
+    doc="Pairwise Levenshtein distance + normalized similarity over a "
+    "bounded document slice (the exact-verification tier under the "
+    "sketch-based dedup ops, like dd02's n-gram Jaccard). O(n^2) pairs x "
+    "O(len^2) DP is intrinsically quadratic — the scale path is running "
+    "it only on LSH candidate pairs (dd03/dd04), never all-pairs; the "
+    "slice keeps the oracle check tractable. JVM-side levenshtein "
+    "expression — no Python in the loop.",
+    tags=("text", "llm", "similarity", "edit-distance"),
+)
+def tx06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    sim = F.round(
+        F.lit(1.0)
+        - dist.cast("double")
+        / F.greatest(F.length(F.col("a.text")), F.length(F.col("b.text"))),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+            sim.alias("sim"),
+        )
+        .orderBy("dist", "doc_a", "doc_b")
+        .limit(50)
     )

@@ -1,0 +1,115 @@
+"""Avro Object Container File source/sink tests: spec-level structure,
+pure-Python roundtrip, and distributed Spark read/write roundtrips
+(mirrors the reference's Avro-everywhere transport,
+/root/reference/src/pyconnect/pyconnectsource.py:177-196)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from pyconnect_spark.catalog import load_table
+from pyconnect_spark.sources.avro_ocf import (
+    iter_records,
+    parse_header,
+    read_avro,
+    write_avro,
+    write_container,
+)
+from tests.conftest import SF_SMALL
+
+SCHEMA = {
+    "type": "record",
+    "name": "value",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "xs", "type": {"type": "array", "items": "double"}},
+    ],
+}
+RECORDS = [
+    {"k": 1, "s": "alpha", "xs": [1.5, -2.25]},
+    {"k": 2, "s": None, "xs": []},
+    {"k": -3, "s": "Ünïcode", "xs": [0.0]},
+]
+
+
+def test_container_structure():
+    data = write_container(RECORDS, SCHEMA)
+    assert data[:4] == b"Obj\x01"
+    buf = io.BytesIO(data)
+    schema, codec, sync = parse_header(buf)
+    assert schema == SCHEMA and codec == "null" and len(sync) == 16
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_pure_python_roundtrip(codec):
+    data = write_container(RECORDS, SCHEMA, codec=codec, block_records=2)
+    assert list(iter_records(data)) == RECORDS
+
+
+def test_multi_block_roundtrip():
+    recs = [{"k": i, "s": f"r{i}", "xs": [float(i)]} for i in range(1000)]
+    data = write_container(recs, SCHEMA, block_records=100)
+    assert list(iter_records(data)) == recs
+
+
+def test_corrupt_sync_detected():
+    data = bytearray(write_container(RECORDS, SCHEMA))
+    data[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        list(iter_records(bytes(data)))
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_spark_roundtrip_nation(spark, tmp_path, codec):
+    src = load_table(spark, SF_SMALL, "nation")
+    out = str(tmp_path / "nation_avro")
+    n = write_avro(src.repartition(3), out, codec=codec)
+    assert n == src.count()
+    back = read_avro(spark, out)
+    assert back.schema == src.schema or [f.name for f in back.schema.fields] == [
+        f.name for f in src.schema.fields
+    ]
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_spark_roundtrip_embeddings_floats(spark, tmp_path):
+    """array<float> survives; float32 values compare exactly (both sides
+    round-trip the same IEEE bits)."""
+    src = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    out = str(tmp_path / "emb_avro")
+    n = write_avro(src, out)
+    assert n == src.count()
+    back = read_avro(spark, out)
+    a = {(r.vec_id, tuple(r.embedding)) for r in src.collect()}
+    b = {(r.vec_id, tuple(r.embedding)) for r in back.collect()}
+    assert a == b
+
+
+def test_empty_partitions_produce_no_files(spark, tmp_path):
+    src = load_table(spark, SF_SMALL, "region").repartition(16)
+    out = str(tmp_path / "region_avro")
+    write_avro(src, out)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert 0 < len(files) <= 5  # region has 5 rows → ≤5 non-empty partitions
+    assert read_avro(spark, out).count() == 5
+
+
+def test_schema_metadata_json(spark, tmp_path):
+    src = load_table(spark, SF_SMALL, "region")
+    out = str(tmp_path / "r2")
+    write_avro(src, out)
+    import os
+
+    f = next(p for p in os.listdir(out) if p.endswith(".avro"))
+    with open(os.path.join(out, f), "rb") as fh:
+        schema, codec, _ = parse_header(io.BytesIO(fh.read(65536)))
+    assert json.dumps(schema)  # valid JSON object
+    assert {x["name"] for x in schema["fields"]} == set(src.columns)

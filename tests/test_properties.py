@@ -3,6 +3,7 @@ inference totality/validity, config parsers, and wire framing."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import string
 
@@ -64,10 +65,13 @@ def test_inference_roundtrips_through_spark_types(record):
 )
 def test_timedelta_parser_additive(parts):
     s = " ".join(f"{n}{u}" for n, u in parts)
+    # exact datetime.timedelta arithmetic — float total_seconds() loses
+    # sub-ms precision once the total passes ~1e10 s
+    kw = {"d": "days", "h": "hours", "m": "minutes", "s": "seconds", "ms": "milliseconds"}
     expect = sum(
-        n * {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[u] for n, u in parts
+        (datetime.timedelta(**{kw[u]: n}) for n, u in parts), datetime.timedelta()
     )
-    assert abs(parse_timedelta(s).total_seconds() - expect) < 1e-6
+    assert parse_timedelta(s) == expect
 
 
 @settings(max_examples=100, deadline=None)
