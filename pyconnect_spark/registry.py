@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from pyconnect_spark.operators import dedup, extended, multimodal, relational, similarity, text, timeseries
+from pyconnect_spark.operators import dedup, extended, multimodal, relational, similarity, text, timeseries, tpch
 from pyconnect_spark.query import Query, QueryRegistry
 
 ALL = QueryRegistry()
-for mod in (relational, extended, timeseries, text, dedup, similarity, multimodal):
+for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal):
     ALL.merge(mod.REGISTRY)
 
 
