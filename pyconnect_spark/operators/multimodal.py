@@ -94,6 +94,75 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+# Frame-sampling parameters: fixed-size char blocks stand in for video
+# frames; every STRIDE-th frame is kept (uniform temporal sampling).
+_FRAME_CHARS = 128
+_FRAME_STRIDE = 4
+
+
+def sample_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one input row (a 'video') fans out to its sampled
+    frames. Streams Arrow batches; the fan-out happens inside the batch so
+    a 2-hour video never materializes as one Python object per frame list.
+
+    The decode step is a deterministic fake (md5 of the frame's byte slice
+    — hashlib.md5 matches SQL md5 exactly, so the whole pipeline is
+    oracle-checkable); a real deployment swaps in an ffmpeg keyframe read
+    with the same (doc_id, frame_idx, fingerprint) output contract."""
+    import hashlib
+
+    for pdf in it:
+        ids, idxs, totals, fps = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_frames = max((len(text) + _FRAME_CHARS - 1) // _FRAME_CHARS, 1)
+            for fi in range(0, n_frames, _FRAME_STRIDE):
+                block = text[fi * _FRAME_CHARS : (fi + 1) * _FRAME_CHARS]
+                ids.append(doc_id)
+                idxs.append(fi)
+                totals.append(n_frames)
+                fps.append(hashlib.md5(block.encode("utf-8")).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "n_frames": totals, "frame_md5": fps}
+        )
+
+
+@REGISTRY.register(
+    "mm03_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             greatest(CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS BIGINT), 1)
+                 AS n_frames,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS BIGINT) AS frame_idx,
+           n_frames,
+           md5(substr(text,
+                      CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INT)
+                          * {_FRAME_CHARS} + 1,
+                      {_FRAME_CHARS})) AS frame_md5
+    FROM f
+    """,
+    doc="Video frame-sampling plumbing: each document row acts as a video "
+    "whose fixed-size char blocks are frames; every 4th frame is decoded "
+    "(deterministic md5 fake) through an Arrow-batched mapInPandas fan-out "
+    "— the row-to-many-frames shape, schema, and batching a real ffmpeg "
+    "sampler would use. Fully oracle-checked because the fake decode is "
+    "md5, which DuckDB computes identically. At 100 TB the input column "
+    "is a binaryFile pointer and frames inherit the scan's partitioning — "
+    "no shuffle anywhere in the pipeline.",
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx long, n_frames long, frame_md5 string",
+    )
+
+
 @REGISTRY.register(
     "mm02_decode_pipeline",
     oracle=None,  # stubbed decode kernel; plumbing asserted in pytest

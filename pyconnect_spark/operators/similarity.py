@@ -177,8 +177,15 @@ def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = np.array([r["vec"] for r in cents])
     bucketed = assign_cells(emb, centroids)
-    queries = bucketed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    # Same single-UDF-pass rule as sm03: assign cells to the 5 query rows
+    # directly rather than re-deriving the whole assigned corpus.
+    queries = (
+        assign_cells(emb.filter(F.col("vec_id") < 5), centroids)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
     )
     sim = cosine(F.col("embedding"), F.col("q_emb"))
     ranked = bucketed.join(
@@ -237,8 +244,18 @@ def sm03(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     planes = _hyperplanes(64, n_planes=8)
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    queries = bucketed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    # Bucket the query slice independently: filtering `bucketed` instead
+    # would re-run the corpus-wide UDF scan a second time just to keep 5
+    # rows — the vec_id filter here pushes to the parquet scan and the UDF
+    # touches only the query rows.
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("q_bucket", lsh_bucket(F.col("embedding"), planes))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "q_bucket",
+        )
     )
     sim = cosine(F.col("embedding"), F.col("q_emb"))
     ranked = (
