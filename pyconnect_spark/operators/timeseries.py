@@ -262,3 +262,143 @@ def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="o_orderdate",
         right_ts="ts",
     )
+
+
+@REGISTRY.register(
+    "ts06_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    doc="Ordered funnel (view -> click -> purchase): users whose first "
+    "click strictly follows their first view, and first purchase strictly "
+    "follows that click. Staged min-ts aggregations, each shuffling on "
+    "user_id — the SAME key every stage, so on a cluster the exchange "
+    "output of stage N is already co-partitioned for stage N+1 (no "
+    "re-shuffle of the big side; AQE reuses the layout). The per-stage "
+    "event_type filter pushes to the parquet scan, so each pass reads "
+    "only its funnel step's rows.",
+    tags=("timeseries", "events", "funnel"),
+)
+def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@REGISTRY.register(
+    "ts07_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT f.cohort_date, CAST(a.day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_date, a.day_offset
+    """,
+    doc="Retention cohorts: users grouped by first-seen date, counted on "
+    "each later day-offset they were active. One min-ts aggregation on "
+    "user_id, broadcast back onto the event stream (first_seen is "
+    "|users|-sized — small relative to events at any scale that matters), "
+    "distinct per (user, offset), then a count. The only fact-sized "
+    "shuffle is the per-user distinct; at 100 TB pre-partition events by "
+    "user_id once and both the min and the distinct reuse that layout.",
+    tags=("timeseries", "events", "retention"),
+)
+def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_date")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_date", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@REGISTRY.register(
+    "ts08_props_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured event properties: JSON path extraction from the "
+    "props column aggregated per event type. get_json_object runs "
+    "JVM-side inside whole-stage codegen (no Python); the integer sum is "
+    "exact, divided once in double, so both engines agree bitwise. At "
+    "scale the JSON parse happens once per row in the scan stage — for "
+    "hot paths, materialize extracted fields as typed columns at ingest "
+    "(schema-on-write) and this query becomes a plain columnar agg.",
+    tags=("timeseries", "events", "json"),
+)
+def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
