@@ -76,3 +76,26 @@ def with_late_data_policy(df: DataFrame, ts_col: str, allowed_lateness: str) -> 
     """Watermark: rows later than max(event_time) - allowed_lateness are
     dropped from stateful operators downstream (S05)."""
     return df.withWatermark(ts_col, allowed_lateness)
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension table (S13).
+
+    The static side is marked for broadcast: every micro-batch joins
+    against an executor-local copy, so enrichment adds ZERO shuffle to the
+    stream — the scale-critical property when the stream is the 100 TB
+    side. Spark re-resolves the static relation per batch, so an external
+    table updated in place (e.g. a dimension snapshot overwritten daily)
+    is picked up on the next micro-batch without restarting the query.
+
+    Left join by default: an event with no dimension row survives with
+    nulls (dropping events silently in an enrichment stage is almost
+    never what a pipeline wants; filter explicitly if it is).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream_df.join(F.broadcast(static_df), keys, how)

@@ -624,3 +624,49 @@ def test_s12_avro_wire_roundtrip(spark, tmp_path):
     got = sorted((r["k"], r["v"]["a"], r["v"]["b"]) for r in consumed)
     want = sorted((k, v["a"], v["b"]) for k, v in records)
     assert got == want
+
+
+def test_s13_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast enrichment equals the batch join; no
+    watermark needed (static side is not stateful)."""
+    from pyconnect_spark.streaming.windows import stream_static_enrich
+
+    ev_d = tmp_path / "sevents"
+    ev_d.mkdir()
+    rows = [{"user": i % 5, "val": i} for i in range(20)]
+    with open(ev_d / "e.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    static = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], "user long, tier string"
+    )
+
+    batch = sorted(
+        map(
+            tuple,
+            stream_static_enrich(
+                spark.read.schema("user long, val long").json(str(ev_d)),
+                static,
+                on="user",
+            ).collect(),
+        )
+    )
+
+    q = (
+        stream_static_enrich(
+            spark.readStream.schema("user long, val long").json(str(ev_d)),
+            static,
+            on="user",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s13_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = sorted(map(tuple, spark.sql("SELECT * FROM s13_out").collect()))
+    assert stream_rows == batch
+    assert len(stream_rows) == 20
+    # users 3,4 have no tier -> survive with null (left semantics)
+    assert any(r[-1] is None for r in stream_rows)
