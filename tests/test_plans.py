@@ -49,3 +49,45 @@ def test_b18_topk_no_global_sort(spark):
 def test_codegen_spans_exist(spark):
     # whole-stage codegen active on the hot aggregation path
     assert wholestage_codegen_spans(_Q["b03_tpch_q1"](spark, SF)) >= 1
+
+
+def test_x17_q5_broadcasts_dims_single_fact_shuffle(spark):
+    df = _Q["x17_tpch_q5"](spark, SF)
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text
+    # the one big exchange is lineitem<->orders on orderkey; dims must NOT
+    # introduce extra shuffle exchanges (broadcast exchanges are fine)
+    import re
+    shuffles = len(re.findall(r"Exchange hashpartitioning", text))
+    assert shuffles <= 3, text  # join + partial/final agg, not one per dim
+
+
+def test_x20_q19_disjunction_pushed_to_both_scans(spark):
+    df = _Q["x20_tpch_q19"](spark, SF)
+    pf = pushed_filters(df)
+    # extracted common bounds reach the scans on BOTH sides
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("p_size" in f or "p_brand" in f for f in pf), pf
+
+
+def test_x21_single_lineitem_scan(spark):
+    df = _Q["x21_late_supplier"](spark, SF)
+    text = explain_str(df)
+    assert text.count("lineitem.parquet") == 1, "window rewrite must scan the fact once"
+
+
+def test_x24_q10_topk_without_global_sort(spark):
+    df = _Q["x24_tpch_q10"](spark, SF)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_x22_q22_anti_join_prunes_orders_to_one_column(spark):
+    df = _Q["x22_tpch_q22"](spark, SF)
+    cols = read_schema(df)
+    # orders contributes only the join key (+ pushed date filter column)
+    assert "o_custkey" in cols
+    assert "o_totalprice" not in cols and "o_orderstatus" not in cols
+
+
+def test_ts07_retention_broadcasts_first_seen(spark):
+    assert has_broadcast_join(_Q["ts07_retention"](spark, SF))
