@@ -440,3 +440,51 @@ def simhash_hamming_pairs(sig: DataFrame, max_dist: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+@REGISTRY.register(
+    "dd06_keep_best",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             md5(substr(text, 1, 100)) AS grp,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 100))
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 100))) AS n_dups
+      FROM documents
+    )
+    SELECT doc_id AS kept_doc_id, grp, CAST(n_dups AS BIGINT) AS n_dups
+    FROM g WHERE rk = 1 AND n_dups > 1
+    """,
+    doc="Canonical-document selection: the post-dedup step every training "
+    "pipeline needs — given duplicate clusters (here: md5 of the first 100 "
+    "chars, a same-lead heuristic; in production the cluster id from "
+    "dd03/dd05), keep ONE representative per cluster by an explicit "
+    "keep-best rule (longest text, doc_id tiebreak). One window shuffle "
+    "keyed on the 16-byte fingerprint — documents themselves never "
+    "re-shuffle, and the rule is deterministic so any partitioning/retry "
+    "keeps the same survivor set.",
+    tags=("dedup", "llm", "canonical"),
+)
+def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.substring("text", 1, 100)).alias("grp")
+    )
+    w = Window.partitionBy("grp")
+    wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "grp",
+            F.row_number().over(wo).alias("rk"),
+            F.count("*").over(w).alias("n_dups"),
+        )
+        .filter((F.col("rk") == 1) & (F.col("n_dups") > 1))
+        .select(
+            F.col("doc_id").alias("kept_doc_id"),
+            "grp",
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )

@@ -68,3 +68,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout + a partition-key filter ⇒ the scan lists
+    only matching directories (PartitionFilters), the 100 TB equivalent of
+    skipping whole table regions. Also checks partition-count control via
+    write_parquet's target_files."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.plans import explain_str
+    from pyconnect_spark.sources.io import write_parquet
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = str(tmp_path / "li_part")
+    write_parquet(li, out, partition_by=["l_returnflag"], target_files=4)
+
+    back = spark.read.parquet(out).filter("l_returnflag = 'R'")
+    text = explain_str(back)
+    assert "PartitionFilters" in text and "l_returnflag" in text.split("PartitionFilters")[1][:200]
+    got = back.count()
+    want = li.filter("l_returnflag = 'R'").count()
+    assert got == want > 0
+    # only the R directory's files are listed
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
+    assert sorted(dirs) == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
