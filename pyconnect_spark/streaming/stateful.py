@@ -60,3 +60,67 @@ def running_totals_per_user(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x stateful-processor API)
+# ---------------------------------------------------------------------------
+try:  # the processor API is new in Spark 4.0 and its state-server protocol
+    # needs protobuf at runtime; gate on both so environments without either
+    # still import this module (applyInPandasWithState above has no such
+    # dependency and stays the portable path).
+    import google.protobuf.descriptor  # noqa: F401  (runtime requirement)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-key running (count, sum) on the modern stateful-processor
+        API. Functionally the twin of `_running_totals` above; the new API
+        gives named typed state slots (ValueState/ListState/MapState),
+        per-slot TTL, and timers — the shape production stateful operators
+        should target going forward. State lives in the state store keyed
+        by the grouping key, exactly like applyInPandasWithState.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_totals_tws(stream: DataFrame) -> DataFrame:
+        """running_totals_per_user on transformWithStateInPandas."""
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=RUNNING_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pyspark < 4.0 or no protobuf
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+
+    def running_totals_tws(stream: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 and protobuf"
+        )

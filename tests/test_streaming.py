@@ -670,3 +670,49 @@ def test_s13_stream_static_enrich(spark, tmp_path):
     assert len(stream_rows) == 20
     # users 3,4 have no tier -> survive with null (left semantics)
     assert any(r[-1] is None for r in stream_rows)
+
+
+def test_s14_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful-processor API): same
+    running-totals semantics as S08, state survives restart."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from pyconnect_spark.streaming.stateful import RunningTotalsProcessor, running_totals_tws
+
+    if RunningTotalsProcessor is None:
+        pytest.skip("stateful-processor API unavailable")
+
+    d = tmp_path / "tws-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "tws-ckpt")
+
+    def run_once(fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        collected = []
+        stream = spark.readStream.schema("user_id long, value double").json(str(d))
+        q = (
+            running_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, eid: collected.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: (r["n_events"], r["total_value"]) for r in collected}
+
+    first = run_once(
+        "b1.jsonl",
+        [
+            {"user_id": 1, "value": 10.0},
+            {"user_id": 1, "value": 5.0},
+            {"user_id": 2, "value": 1.0},
+        ],
+    )
+    assert first[1] == (2, 15.0) and first[2] == (1, 1.0)
+    second = run_once("b2.jsonl", [{"user_id": 1, "value": 2.5}])
+    assert second[1] == (3, 17.5)
