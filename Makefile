@@ -15,6 +15,7 @@ bench:
 example:
 	python examples/file_connector.py
 	python examples/llm_pipeline.py
+	python examples/event_analytics.py
 
 lint:
 	python -m compileall -q pyconnect_spark tests bench.py __spark_entry__.py

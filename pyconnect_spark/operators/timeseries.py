@@ -402,3 +402,49 @@ def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("long").alias("min_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+@REGISTRY.register(
+    "ts09_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate rollup cascade (the hypertable pattern): "
+    "day-level aggregates are computed FROM hour-level partials, which "
+    "are computed from minute-level partials — raw events are scanned "
+    "exactly once and each coarser grain re-aggregates ~60x fewer rows. "
+    "Works because sum/count are reaggregable (avg is derived at the end, "
+    "never averaged-of-averages); sums are exact decimals so the cascade "
+    "is bit-identical to the direct day-level oracle. At 100 TB the "
+    "minute partials are the materialized view; refreshing a late day "
+    "touches one day of partials, not the raw table.",
+    tags=("timeseries", "events", "rollup", "hypertable"),
+)
+def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    minute = ev.groupBy("minute", "event_type").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    return day.select(
+        "day",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("total_value"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    )
