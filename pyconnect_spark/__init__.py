@@ -25,3 +25,4 @@ __version__ = "0.1.0"
 
 from pyconnect_spark.session import get_spark  # noqa: F401
 from pyconnect_spark.catalog import TABLES, load_tables  # noqa: F401
+from pyconnect_spark.functions.sqlfuncs import register_sql_functions  # noqa: F401

@@ -517,3 +517,42 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("_cut"))
         .select("l_partkey", "value")
     )
+
+
+@REGISTRY.register(
+    "x27_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      FROM orders
+    ) WHERE rk = 1
+    """,
+    doc="Latest-row-per-key compaction (the CDC/upsert read pattern): one "
+    "windowed rank per key, deterministic tie-break on the unique key so "
+    "replays and repartitionings keep the same survivor. One shuffle on "
+    "the key; at 100 TB this is the standard change-log compaction read — "
+    "write the table bucketed by the key and the window needs no exchange "
+    "at all (see test_bucketed_join_has_no_shuffle).",
+    tags=("window", "dedup", "cdc"),
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
