@@ -62,12 +62,20 @@ class SparkSource(BaseConnector):
         schema: Optional[T.StructType] = None,
         stop_at_end: bool = True,
         max_crash_restarts: int = 0,
+        reader_options: Optional[dict] = None,
     ):
         super().__init__(spark, max_crash_restarts=max_crash_restarts)
         self.config = config
         self.input_dir = input_dir
         self.schema = schema or RECORD_SCHEMA
         self.stop_at_end = stop_at_end
+        # Micro-batch granularity / rate limiting — the Spark analogue of
+        # the reference's per-message poll + need_flush() cadence knobs
+        # (poll_timeout, flush-every-N): e.g. {"maxFilesPerTrigger": 1}
+        # caps each batch at one input file (availableNow still drains
+        # everything, in bounded batches), and Kafka sources take
+        # maxOffsetsPerTrigger the same way.
+        self.reader_options = dict(reader_options or {})
         if not config.checkpoint_location:
             raise ValueError("SourceConfig.checkpoint_location is required")
 
@@ -75,7 +83,10 @@ class SparkSource(BaseConnector):
     def read_stream(self) -> DataFrame:
         """The record stream. Default: JSON-lines directory with the
         reference's {"key","value"} record shape."""
-        return self.spark.readStream.schema(self.schema).json(self.input_dir)
+        reader = self.spark.readStream.schema(self.schema)
+        for k, v in self.reader_options.items():
+            reader = reader.option(k, v)
+        return reader.json(self.input_dir)
 
     def transform(self, df: DataFrame) -> DataFrame:
         return df

@@ -716,3 +716,45 @@ def test_s14_transform_with_state(spark, tmp_path):
     assert first[1] == (2, 15.0) and first[2] == (1, 1.0)
     second = run_once("b2.jsonl", [{"user_id": 1, "value": 2.5}])
     assert second[1] == (3, 17.5)
+
+
+def test_s15_rate_limited_batches(spark, tmp_path):
+    """reader_options rate limiting: maxFilesPerTrigger=1 over N staged
+    files drains in N bounded micro-batches under availableNow — the
+    Spark analogue of the reference's flush-every-N cadence (R15)."""
+    d = tmp_path / "rate-in"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"f{i}.jsonl", "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"key": f"k{i}-{j}", "value": "v"}) + "\n")
+
+    batch_sizes = []
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda b, eid: batch_sizes.append(b.count()))
+        .option("checkpointLocation", str(tmp_path / "rate-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(batch_sizes) == 15
+    assert len([b for b in batch_sizes if b > 0]) == 3  # one file per batch
+    assert all(b <= 5 for b in batch_sizes)
+
+    # the SparkSource wrapper carries the same options through
+    from pyconnect_spark.streaming.source import SparkSource
+
+    src = SparkSource(
+        spark,
+        _source_cfg(str(tmp_path), str(tmp_path / "topic")),
+        input_dir=str(d),
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    plan_opts = src.read_stream()
+    assert plan_opts.isStreaming
