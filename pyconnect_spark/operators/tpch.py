@@ -556,3 +556,44 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@REGISTRY.register(
+    "x28_skew_two_phase_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(MAX(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-safe aggregation as a declared query: lineitem's 3-value "
+    "l_returnflag is the canonical hot-key aggregation (at 100 TB each "
+    "group would funnel tens of TB into one reducer). two_phase_agg "
+    "salts the groupBy with a content-deterministic xxhash64 salt, "
+    "pre-aggregates on (key, salt) — bounding any reducer to 1/16 of a "
+    "hot group — then combines partials. Sums stay exact decimals through "
+    "both phases and the salt derives from row content (no rand()), so "
+    "the result is bit-identical to the direct groupBy oracle under any "
+    "partitioning, retry, or speculative re-execution.",
+    tags=("agg", "skew", "two-phase"),
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.functions.skew import two_phase_agg
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", dec("l_extendedprice").alias("_p"), dec("l_quantity").alias("_q")
+    )
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {"n": F.count("*"), "s": F.sum("_p"), "m": F.max("_q")},
+        {"n_items": F.sum("n"), "_s2": F.sum("s"), "_m2": F.max("m")},
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.col("_s2").cast("double").alias("total_price"),
+        F.col("_m2").cast("double").alias("max_qty"),
+    )
