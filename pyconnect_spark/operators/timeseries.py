@@ -448,3 +448,36 @@ def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_value"),
         (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+@REGISTRY.register(
+    "ts10_json_struct",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10)
+                AS BIGINT) AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY k_bucket
+    """,
+    doc="Schema-on-read JSON: from_json parses props into a typed struct "
+    "once per row (vs get_json_object's per-path extraction in ts08 — "
+    "from_json is the right call when multiple fields are consumed), then "
+    "a bucketed aggregation over the extracted field. The parse runs in "
+    "the scan stage inside codegen; nulls (unparseable rows) are filtered "
+    "before the shuffle.",
+    tags=("timeseries", "events", "json", "from_json"),
+)
+def ts10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    j = F.from_json(F.col("props"), "k INT")
+    return (
+        ev.select(j["k"].alias("k"), F.col("value").cast("decimal(12,2)").alias("v"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )

@@ -3,9 +3,13 @@ scenarios (SURVEY.md §2.3 S01-S06) re-expressed on the file-based topic
 transport (no Kafka broker in this image; the Kafka path shares all the
 code above the transport options).
 
-S01 roundtrip · S02 checkpoint resume · S03 crash → at-least-once ·
-S04 stream window == batch window · S05 watermark late-drop ·
-S06 stream dedup == batch distinct.
+S01 roundtrip · S02 checkpoint resume · S03/S03b crash → at-least-once
+(+resume hook) · S04 stream window == batch window · S05 watermark
+late-drop · S06/S06b stream dedup (± watermark) · S07 session window ·
+S08 stateful running totals · S09 stream-stream join · S10 custom Python
+source offsets · S11 exactly-once epoch sink · S12 Avro wire roundtrip ·
+S13 stream-static broadcast enrichment · S14 transformWithState
+(protobuf-gated) · S15 reader-options rate limiting.
 """
 
 from __future__ import annotations
