@@ -481,3 +481,42 @@ def ts10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+@REGISTRY.register(
+    "ts11_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_1h_n
+    FROM events
+    """,
+    doc="Rolling event-time feature: per user, the trailing-1-hour sum and "
+    "count at every event — the classic time-series feature column. A "
+    "RANGE frame over epoch seconds (not ROWS: events are irregular, the "
+    "window is defined by time distance). One shuffle on user_id + one "
+    "per-partition sort; Spark evaluates the sliding frame incrementally "
+    "(add/evict at the boundaries), so cost is O(events), not "
+    "O(events x window). Exact-decimal sums keep every frame bit-stable.",
+    tags=("timeseries", "events", "window", "rolling"),
+)
+def ts11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("rolling_1h_value"),
+        F.count("*").over(w).cast("long").alias("rolling_1h_n"),
+    )
