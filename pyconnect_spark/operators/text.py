@@ -347,3 +347,39 @@ def tx06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@REGISTRY.register(
+    "tx07_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+                AS BIGINT) AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic content-hash dataset split (train/val/test 80/10/10): "
+    "the reproducible alternative to rand()-based sampling — a document "
+    "lands in the same split on every run, every engine, every "
+    "partitioning, and (critically for dedup-then-split pipelines) "
+    "duplicate texts land in the SAME split, so no train/test leakage "
+    "from near-copies that exact-dedup missed. Pure column expressions "
+    "(md5 + hex decode) in codegen; no shuffle, no RNG state.",
+    tags=("text", "llm", "sampling", "split"),
+)
+def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
