@@ -39,13 +39,19 @@ HEADLINE = [
     "b16_window_running",
     "b18_global_topk",
     "b21_json_funcs",
+    "x17_tpch_q5",
+    "x21_late_supplier",
+    "x28_skew_two_phase_agg",
     "ts01_tumbling_window",
     "ts02_sessionize",
     "ts03_asof_join",
     "ts04_sliding_window",
+    "ts09_rollup_cascade",
+    "ts11_rolling_time_window",
     "tx01_text_stats",
     "tx04_quality_filter",
     "tx03_fingerprint",
+    "tx07_hash_split",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "sm01_cosine_topk",
