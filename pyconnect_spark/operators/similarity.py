@@ -338,3 +338,89 @@ def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@REGISTRY.register(
+    "sm07_int8_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             greatest(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12) / 127
+                 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+           round(
+             list_aggregate(list_transform(range(1, len(v) + 1),
+               i -> v[CAST(i AS INT)] * qv[CAST(i AS INT)] * scale), 'sum')
+             / (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                * sqrt(greatest(list_aggregate(list_transform(qv,
+                         x -> CAST(x AS DOUBLE) * x * scale * scale), 'sum'),
+                       1e-300))), 6) AS recon_cos
+    FROM q
+    """,
+    doc="Symmetric int8 embedding quantization (per-vector absmax scale, "
+    "explicit floor(x/s + 0.5) so both engines round identically) with "
+    "reconstruction-quality audit: cosine between the original vector and "
+    "its dequantized form. The 100 TB story: int8 storage cuts embedding "
+    "IO/memory 4x and the quantized corpus still serves ANN candidate "
+    "generation (rerank with full precision); this operator IS the "
+    "compression step plus its quality gate, all higher-order column "
+    "expressions — no Python, no shuffle.",
+    tags=("similarity", "llm", "quantization"),
+)
+def sm07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        (
+            F.greatest(
+                F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+            )
+            / 127
+        ).alias("scale"),
+    )
+    q = staged.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b * F.col("scale")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = F.sqrt(
+        F.greatest(
+            F.aggregate(
+                "qv",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x.cast("double") * x * F.col("scale") * F.col("scale"),
+            ),
+            F.lit(1e-300),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+        F.round(dot / (nv * nq), 6).alias("recon_cos"),
+    )
