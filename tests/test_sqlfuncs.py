@@ -61,3 +61,28 @@ def test_pc_jaccard_and_shingles(spark):
     ).collect()[0]
     # shingles: {ab,bc,cd} vs {ab,bc,ce} -> intersection 2, union 4
     assert abs(row["j"] - 0.5) < 1e-12
+
+
+def test_json_roundtrip_and_schema_inference(spark):
+    """Completes the survey's JSON-function row: schema_of_json infers the
+    props shape, from_json(to_json(struct)) round-trips losslessly."""
+    from pyconnect_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").limit(50)
+    # schema_of_json needs a foldable literal — sample one value driver-side
+    sample = ev.select("props").first()["props"]
+    inferred = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first()["s"]
+    assert "k" in inferred  # {"k": N} shape
+
+    rt = ev.select(
+        "event_id",
+        F.from_json(F.to_json(F.struct("event_id", "user_id")), 
+                    "event_id BIGINT, user_id BIGINT").alias("j"),
+        "user_id",
+    ).filter(
+        (F.col("j.event_id") != F.col("event_id"))
+        | (F.col("j.user_id") != F.col("user_id"))
+    )
+    assert rt.count() == 0
