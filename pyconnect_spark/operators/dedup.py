@@ -488,3 +488,63 @@ def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dups").cast("long").alias("n_dups"),
         )
     )
+
+
+@REGISTRY.register(
+    "dd07_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 5)))) AS sh
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(nc AS DOUBLE) / za.n, 6) AS containment
+    FROM common
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    ORDER BY CAST(nc AS DOUBLE) / za.n DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+    doc="N-gram containment — the benchmark-decontamination measure: "
+    "containment(a in b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|, "
+    "the ASYMMETRIC cousin of Jaccard that catches a short eval document "
+    "embedded inside a long training document (their Jaccard is tiny, "
+    "their containment is ~1). Ordered pairs, 5-gram chars. Exact "
+    "formulation oracle-checked here; at 100 TB run it only on LSH "
+    "candidate pairs (dd03) exactly like the Jaccard verification tier.",
+    tags=("dedup", "llm", "contamination", "containment"),
+)
+def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=5).cache()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    za = sz.alias("za")
+    zb = sz.alias("zb")
+    cont = F.col("nc").cast("double") / F.col("za.n")
+    return (
+        common.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"), cont.alias("_c"))
+        .orderBy(F.desc("_c"), "doc_a", "doc_b")
+        .limit(50)
+        .drop("_c")
+    )
