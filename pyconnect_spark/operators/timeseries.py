@@ -520,3 +520,49 @@ def ts11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("rolling_1h_value"),
         F.count("*").over(w).cast("long").alias("rolling_1h_n"),
     )
+
+
+@REGISTRY.register(
+    "ts12_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list_transform(list(value ORDER BY ts, event_id),
+                            x -> CAST(x AS DOUBLE)) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals,
+                 (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                           + CAST(0.8 AS DOUBLE) * acc), 6) AS ewma
+    FROM ordered
+    """,
+    doc="Per-user EWMA (alpha=0.2, y_1 = x_1) — sequential recurrent state "
+    "WITHOUT a UDF: an event-time-ordered left fold over the value "
+    "sequence (array_sort(collect_list(struct)) then aggregate). Both "
+    "engines fold left-to-right in double, so even this order-sensitive "
+    "recurrence is bit-reproducible. Per-user state fits memory by "
+    "construction (one array per user); the unbounded/streaming "
+    "formulation is the applyInPandasWithState running-state operator "
+    "(S08) carrying y forward across micro-batches.",
+    tags=("timeseries", "events", "ewma", "fold"),
+)
+def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["v"]).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
