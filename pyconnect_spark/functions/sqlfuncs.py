@@ -17,9 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-# Mirrors operators/text.py regexes (single source of semantics; the SQL
-# string-literal form needs doubled quotes only, backslashes stay).
+# Mirrors operators/text.py regexes (single source of semantics). Spark's
+# SQL parser unescapes backslashes inside single-quoted literals ('\s' -> 's'),
+# so the regex must be embedded with doubled backslashes in the DDL below.
 _BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_BPE_RE_SQL = _BPE_RE.replace("\\", "\\\\")
 
 _FUNCTIONS: dict[str, str] = {
     "pc_cosine": """
@@ -53,7 +55,7 @@ _FUNCTIONS: dict[str, str] = {
     "pc_bpe_token_count": rf"""
         CREATE TEMPORARY FUNCTION pc_bpe_token_count(s STRING)
         RETURNS BIGINT
-        RETURN CAST(regexp_count(s, '{_BPE_RE}') AS BIGINT)
+        RETURN CAST(regexp_count(s, '{_BPE_RE_SQL}') AS BIGINT)
     """,
     "pc_fingerprint": r"""
         CREATE TEMPORARY FUNCTION pc_fingerprint(s STRING)

@@ -524,7 +524,10 @@ def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = _shingles(docs, n=5).cache()
+    # No cache(): the plan reuses the same scan, recompute is cheap, and a
+    # session-lifetime cached DataFrame would linger in executor memory
+    # across the many registry queries bench.py runs in one session.
+    sh = _shingles(docs, n=5)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

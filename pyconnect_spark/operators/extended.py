@@ -193,14 +193,12 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "x08_approx_stats",
-    oracle=None,  # approximate results are estimator-dependent: rows-only check
-    doc="approx_count_distinct (HLL++) and percentile_approx — the sketch-"
-    "based path that replaces exact distinct/percentile at 100 TB.",
-    tags=("agg", "approx"),
-)
-def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) and percentile_approx — the sketch-based
+    path that replaces exact distinct/percentile at 100 TB. Estimator outputs
+    are engine-specific, so this is validated by tolerance against the exact
+    companions (tests/test_queries_oracle.py::test_sketch_stats_tolerance),
+    not by the SQL oracle."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -208,6 +206,36 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.approx_count_distinct("l_suppkey").alias("approx_supps"),
             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x08_approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact companions of the sketch path (count distinct, continuous "
+    "median) — hash-checkable against the oracle. The HLL++/approx-"
+    "percentile sketch variant lives in sketch_stats() and is tolerance-"
+    "validated against these exact numbers in pytest; at 100 TB you run "
+    "the sketches, and this query is how you audit them.",
+    tags=("agg", "approx", "distinct"),
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+            F.count_distinct("l_suppkey").cast("long").alias("exact_supps"),
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.5)"), 6
+            ).alias("median_price"),
         )
     )
 

@@ -165,9 +165,30 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register(
     "mm02_decode_pipeline",
-    oracle=None,  # stubbed decode kernel; plumbing asserted in pytest
+    # The fake decode is checksum = sum(first 64 payload bytes) + byte length;
+    # fixture text is pure ASCII (asserted below via octet_length==length),
+    # so DuckDB replicates it char-wise with unicode(substr(...)).
+    oracle=f"""
+    WITH chk AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))), 'sum')
+                  AS BIGINT) AS checksum
+      FROM documents
+    )
+    SELECT doc_id, n_bytes,
+           CAST(16 + checksum % 64 AS BIGINT) AS width,
+           CAST(16 + (checksum // 64) % 64 AS BIGINT) AS height,
+           checksum
+    FROM chk
+    """,
     doc="mapInPandas decode pipeline over binary payloads (stubbed codec): "
-    "real Arrow batch flow, schema, and partitioning.",
+    "real Arrow batch flow, schema, and partitioning. The deterministic "
+    "stub kernel is replicated in SQL so the full pipeline is oracle-"
+    "checked end to end.",
     tags=("multimodal", "mapInPandas"),
 )
 def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:

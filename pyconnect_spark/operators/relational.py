@@ -582,7 +582,10 @@ def b20b(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            {sql_dsum('value')} AS sum_value,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           -- outer CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128), which
+           -- becomes DOUBLE on Arrow/pandas export and hash-mismatches
+           -- Spark's BIGINT (99111 vs 99111.0) — r01 driver failure.
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
     GROUP BY event_type

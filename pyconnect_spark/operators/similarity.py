@@ -234,8 +234,9 @@ def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
 @REGISTRY.register(
     "sm03_ann_lsh",
     oracle=None,  # approximate; recall vs sm01/sm02 asserted in pytest
-    doc="ANN via random-hyperplane LSH: bucket the corpus once (16 sign "
-    "bits), then candidate top-k only within the query's bucket. At 100 TB "
+    doc="ANN via random-hyperplane LSH: bucket the corpus once (8 sign "
+    "bits = 256 buckets; see BENCH recall table for the 8-vs-16 tradeoff), "
+    "then candidate top-k only within the query's bucket. At 100 TB "
     "the bucketed corpus is written partitioned by bucket so queries touch "
     "one partition.",
     tags=("similarity", "llm", "ann", "lsh"),

@@ -178,14 +178,13 @@ def read_avro(spark: SparkSession, path: str, glob: str = "*.avro") -> DataFrame
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path)
-    first = files.select("path").limit(1).collect()
+    # Fetch the first file's header bytes THROUGH Spark (works on any
+    # supported filesystem — hdfs://, s3a:// — not just file:), instead of
+    # stripping the scheme and open()ing on the driver.
+    first = files.select("content").limit(1).collect()
     if not first:
         raise FileNotFoundError(f"no OCF files under {path!r} matching {glob!r}")
-    local = first[0].path
-    local = local[len("file:") :] if local.startswith("file:") else local
-    with open(local, "rb") as fh:
-        # header is tiny; 64 KiB covers any schema JSON we emit
-        schema, _, _ = parse_header(io.BytesIO(fh.read(65536)))
+    schema, _, _ = parse_header(io.BytesIO(bytes(first[0].content)))
     spark_type, _ = avro_to_spark_type(schema)
 
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

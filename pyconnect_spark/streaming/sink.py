@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -131,14 +133,29 @@ class EpochFileSink(SparkSink):
         self.out_dir = out_dir
 
     def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        """Executor-side write, driver-side metadata rename.
+
+        The batch's rows are written BY THE EXECUTORS as JSON-lines part
+        files into ``epoch-N.jsonl.tmp`` (no ``collect()`` — at scale the
+        driver never sees the data), then the driver promotes the complete
+        directory to ``epoch-N.jsonl`` — an O(1) metadata operation. A
+        replayed epoch overwrites the tmp dir and re-promotes the same
+        name, so readers observe each record exactly once. On HDFS/S3 the
+        promote step is a FileSystem.rename / committer call; same shape.
+        """
         os.makedirs(self.out_dir, exist_ok=True)
         final = os.path.join(self.out_dir, f"epoch-{epoch_id:010d}.jsonl")
         tmp = final + ".tmp"
-        rows = batch.select("key", "value").collect()
-        with open(tmp, "w") as f:
-            for r in rows:
-                f.write(json.dumps({"key": r["key"], "value": r["value"]}) + "\n")
-        os.replace(tmp, final)  # atomic: idempotent under replay
+        (
+            batch.select(
+                F.to_json(F.struct(F.col("key"), F.col("value"))).alias("line")
+            )
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # idempotent under replay
 
 
 def console_sink(df: DataFrame, *, truncate: bool = False, num_rows: int = 20):

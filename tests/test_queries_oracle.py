@@ -22,6 +22,34 @@ def test_oracle_match(spark, ddb, name):
     assert ok, f"{name}: {detail}"
 
 
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_no_hugeint(ddb, name):
+    """No oracle may type a result column HUGEINT: DuckDB SUM(BIGINT) yields
+    int128, which Arrow/pandas export degrades to DOUBLE, so the driver
+    hashes 99111.0 against Spark's 99111 and fails (r01 b21 regression).
+    DESCRIBE compiles without executing, so this is a static schema check."""
+    types = {
+        r[0]: r[1] for r in ddb.sql(f"DESCRIBE {_QUERIES[name].oracle}").fetchall()
+    }
+    bad = {c: t for c, t in types.items() if "HUGEINT" in t.upper()}
+    assert not bad, f"{name}: HUGEINT result columns {bad}; add an outer CAST"
+
+
+def test_sketch_stats_tolerance(spark):
+    """HLL++ distinct counts within 5% of exact; approx median within 1% —
+    the audit contract promised by x08_approx_stats' docstring."""
+    from pyconnect_spark.operators.extended import sketch_stats, x08
+
+    exact = {r["l_returnflag"]: r for r in x08(spark, SF_ORACLE).collect()}
+    approx = {r["l_returnflag"]: r for r in sketch_stats(spark, SF_ORACLE).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["exact_parts"]) <= 0.05 * e["exact_parts"]
+        assert abs(a["approx_supps"] - e["exact_supps"]) <= 0.05 * e["exact_supps"]
+        assert abs(a["approx_median_price"] - e["median_price"]) <= 0.01 * e["median_price"]
+
+
 @pytest.mark.parametrize("name", _NO_ORACLE)
 def test_no_oracle_smoke(spark, name):
     q = _QUERIES[name]

@@ -54,6 +54,29 @@ def test_pc_text_functions(spark):
     assert all("  " not in r["norm"] for r in rows)
 
 
+def test_pc_bpe_token_count_exact_parity(spark):
+    """pc_bpe_token_count must equal operators/text.py's n_bpe_tokens exactly.
+
+    Regression test for the SQL-literal backslash bug: Spark's SQL parser
+    unescapes '\\s' to 's' in single-quoted literals, which silently turned
+    [^A-Za-z0-9\\s] into [^A-Za-z0-9s] and counted whitespace as tokens
+    (pc_bpe_token_count('ab cd') returned 3 instead of 2)."""
+    from pyconnect_spark.operators.text import _BPE_RE, _count
+
+    assert spark.sql("SELECT pc_bpe_token_count('ab cd') AS n").collect()[0]["n"] == 2
+    docs = load_table(spark, SF, "documents").limit(50)
+    docs.createOrReplaceTempView("sqlf_docs_bpe")
+    got = spark.sql(
+        "SELECT doc_id, pc_bpe_token_count(text) AS n FROM sqlf_docs_bpe ORDER BY doc_id"
+    ).collect()
+    want = (
+        docs.select("doc_id", _count("text", _BPE_RE).cast("long").alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_pc_jaccard_and_shingles(spark):
     row = spark.sql(
         """SELECT pc_jaccard(pc_word_shingles('a b c d', 2),

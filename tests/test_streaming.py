@@ -486,13 +486,27 @@ def test_s11_epoch_file_sink_exactly_once(spark, tmp_path):
     files_after_crash = sorted(os.listdir(out_dir))
     assert files_after_crash  # the write did land
 
-    # restart replays the SAME epoch; file overwritten, not duplicated
+    def read_epoch_dir(d):
+        """Each epoch is a DIRECTORY of executor-written part files."""
+        rows = []
+        for part in sorted(os.listdir(d)):
+            if part.startswith("part-"):
+                rows += _read_jsonl(os.path.join(d, part))
+        return rows
+
+    # restart replays the SAME epoch; directory re-promoted, not duplicated
     EpochFileSink(spark, cfg, out_dir=out_dir).run()
-    files_final = sorted(f for f in os.listdir(out_dir) if f.endswith(".jsonl"))
+    finals = sorted(f for f in os.listdir(out_dir) if f.endswith(".jsonl"))
+    assert all(os.path.isdir(os.path.join(out_dir, f)) for f in finals)
     all_rows = []
-    for fn in files_final:
-        all_rows += _read_jsonl(os.path.join(out_dir, fn))
+    for fn in finals:
+        all_rows += read_epoch_dir(os.path.join(out_dir, fn))
     assert sorted(all_rows) == sorted(RECORDS)  # exactly once, no dups
+    # the flush path must never funnel data through the driver
+    import inspect
+
+    src = inspect.getsource(EpochFileSink.on_flush)
+    assert ".collect()" not in src
 
 
 def test_s01b_nested_record_values(spark, tmp_path):
