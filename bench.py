@@ -54,9 +54,12 @@ HEADLINE = [
     "tx07_hash_split",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
+    "dd05_dedup_clusters",
     "sm01_cosine_topk",
     "sm03_ann_lsh",
     "sm04_label_centroids",
+    "sm06_ann_mllib_lsh",
+    "mm03_frame_sample",
 ]
 
 
@@ -110,6 +113,37 @@ def bench_streaming(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
+    """recall@5 of each registered ANN operator vs brute-force cosine
+    ground truth — ANN quality as a tracked number, not a default.
+    (Ground truth is a numpy pass over the collected fixture corpus; at
+    real scale the truth set comes from an offline exact job instead.)"""
+    import numpy as np
+
+    from pyconnect_spark.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    truth = {}
+    for q in range(n_queries):
+        qi = int(np.where(ids == q)[0][0])
+        sims = mat @ mat[qi]
+        sims[qi] = -2
+        truth[q] = set(int(x) for x in ids[np.argsort(-sims)[:k]])
+
+    builders = ALL.builders()
+    out = {}
+    for name in ("sm03_ann_lsh", "sm05_ann_ivf", "sm06_ann_mllib_lsh"):
+        got: dict[int, set] = {}
+        for r in builders[name](spark, sf_dir).collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        out[name] = round(hits / (k * len(truth)), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -137,6 +171,7 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    recall = ann_recall(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -145,6 +180,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ann_recall_at_5": recall,
             }
         )
     )

@@ -158,6 +158,35 @@ class EpochFileSink(SparkSink):
         os.rename(tmp, final)  # idempotent under replay
 
 
+class RecordCallbackSink(SparkSink):
+    """Migration shim for reference users whose logic lives in the
+    per-record ``on_message_received`` hook (pyconnectsink.py:196-221).
+
+    The callback runs per record ON THE EXECUTORS (``foreachPartition``
+    inside the micro-batch), so porting keeps per-record granularity
+    without funnelling data through the driver. Semantics that carry
+    over: a raising callback fails the batch → no offset commit → replay
+    (at-least-once, reference guarantee 3). Semantics that change: the
+    callback must be a plain picklable callable (not a bound method that
+    drags the SparkSession along), and side effects must be executor-safe
+    (idempotent external writes, not driver-memory mutation) — which is
+    also true of any real Kafka Connect sink task.
+    """
+
+    def __init__(self, *args, on_record: Callable[[Optional[str], Optional[str]], None], **kw):
+        super().__init__(*args, **kw)
+        self._on_record = on_record
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        fn = self._on_record  # capture the callable, not self
+
+        def run_partition(rows) -> None:
+            for r in rows:
+                fn(r["key"], r["value"])
+
+        batch.select("key", "value").foreachPartition(run_partition)
+
+
 def console_sink(df: DataFrame, *, truncate: bool = False, num_rows: int = 20):
     """Debug sink: print each micro-batch to stdout (EXT surface:
     'Console/memory sink'). Returns the started query."""

@@ -102,21 +102,52 @@ def test_simhash_hamming_blocking(spark, docs):
         assert r["doc_a"] < r["doc_b"]
 
 
+def _brute_force_topk(spark, k=5, n_queries=5):
+    """Ground truth: per-query exact cosine top-k over the whole corpus."""
+    import numpy as np
+
+    from pyconnect_spark.catalog import load_table
+
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    truth = {}
+    for q in range(n_queries):
+        qi = int(np.where(ids == q)[0][0])
+        sims = mat @ mat[qi]
+        sims[qi] = -2
+        order = np.argsort(-sims)
+        truth[q] = [int(x) for x in ids[order[:k]]]
+    return truth
+
+
+def _ann_quality(out_rows, truth, k=5):
+    """(recall@k, top1_violations): top-1 must be the true nearest whenever
+    the true nearest appears anywhere in that query's returned candidates —
+    a mistuned rerank would return it at the wrong rank."""
+    got = {}
+    for r in out_rows:
+        got.setdefault(r["q_id"], []).append((r["rk"], r["vec_id"]))
+    hits, violations = 0, []
+    for q, top in truth.items():
+        returned = sorted(got.get(q, []))
+        returned_ids = {v for _, v in returned}
+        hits += len(returned_ids & set(top))
+        if top[0] in returned_ids and returned and returned[0][1] != top[0]:
+            violations.append((q, returned[0][1], top[0]))
+    return hits / (k * len(truth)), violations
+
+
 def test_ann_recall_vs_bruteforce(spark):
-    """Per query, LSH top-k within-bucket hits must be a subset of... no:
-    recall = fraction of true top-5 found by the bucketed search. With 8
-    hyperplanes on random data recall is imperfect by design; assert it
-    beats a floor and that returned neighbors are genuinely high-cosine."""
-    truth = S.sm02(spark, SF)  # exact top pairs, small corpus
-    ann = S.sm03(spark, SF).collect()
-    assert len(ann) > 0
-    brute = {r["vec_id"]: r["cos_sim"] for r in S.sm01(spark, SF).collect()}
-    ann_q1 = [r for r in ann if r["q_id"] == 1]
-    if ann_q1 and brute:
-        # every ANN hit for q=1 must rank within the plausible cosine range
-        best = max(brute.values())
-        for r in ann_q1:
-            assert r["cos_sim"] <= best + 1e-9
+    """sm03 multi-table multiprobe LSH: recall@5 vs brute force must beat a
+    floor (measured 0.92 at L=12/b=6 on this corpus; random embeddings are
+    the no-structure worst case), and the exact-cosine rerank must place
+    the true nearest at rank 1 whenever it is recalled at all."""
+    truth = _brute_force_topk(spark)
+    recall, violations = _ann_quality(S.sm03(spark, SF).collect(), truth)
+    assert recall >= 0.7, f"recall@5={recall}"
+    assert not violations, f"rerank put wrong vec at rank 1: {violations}"
 
 
 def test_multimodal_decode_plumbing(spark):
@@ -135,14 +166,14 @@ def test_multimodal_codec_stub_guards():
 
 
 def test_ivf_ann_sanity(spark):
-    """IVF ANN: per-query hits are genuinely high-cosine (bounded by the
-    exact best) and cells partition the corpus."""
+    """IVF ANN with n_probe=4: recall floor vs brute force, correct rerank
+    (true nearest at rank 1 when recalled), ranks well-formed."""
     ivf = S.sm05(spark, SF).collect()
     assert len(ivf) > 0
-    brute_best = max(r["cos_sim"] for r in S.sm01(spark, SF).collect())
-    for r in ivf:
-        if r["q_id"] == 1:
-            assert r["cos_sim"] <= brute_best + 1e-9
+    truth = _brute_force_topk(spark)
+    recall, violations = _ann_quality(ivf, truth)
+    assert recall >= 0.5, f"recall@5={recall}"  # measured 0.76 at n_probe=4
+    assert not violations, f"rerank put wrong vec at rank 1: {violations}"
     # every query returns at most 5 ranked hits, ranks are 1..k
     from collections import Counter
 
@@ -163,16 +194,16 @@ def test_connected_components_handbuilt(spark):
 
 
 def test_mllib_lsh_ann_agrees_with_bruteforce_ranks(spark):
-    """sm06 (MLlib bucketed random projection) candidates must be genuine
-    high-cosine neighbors: every returned hit's cosine is <= the true best
-    for that query, and the top-1 per query matches brute force when the
-    bucket search recalls it."""
-    out = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in S.sm06(spark, SF).collect()}
-    assert out, "approxSimilarityJoin returned no candidates"
-    brute = {r["vec_id"]: r["cos_sim"] for r in S.sm01(spark, SF).collect()}
-    best = max(brute.values())
-    for (q, v), c in out.items():
-        if q == 1:
-            assert c <= best + 1e-6
+    """sm06 (MLlib bucketed random projection, tuned bl=0.5/nt=5/thr=1.4):
+    recall@5 vs per-query brute force must beat a floor (measured 0.96),
+    and the rank-1 neighbor must be the true nearest whenever the true
+    nearest appears in the candidate set — a badly mistuned LSH or a
+    wrong rerank fails this even if candidates look plausible."""
+    rows = S.sm06(spark, SF).collect()
+    assert rows, "approxSimilarityJoin returned no candidates"
+    truth = _brute_force_topk(spark)
+    recall, violations = _ann_quality(rows, truth)
+    assert recall >= 0.8, f"recall@5={recall}"
+    assert not violations, f"rerank put wrong vec at rank 1: {violations}"
     # cosine from unit-sphere distance must be in [-1, 1]
-    assert all(-1.000001 <= c <= 1.000001 for c in out.values())
+    assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rows)

@@ -509,6 +509,32 @@ def test_s11_epoch_file_sink_exactly_once(spark, tmp_path):
     assert ".collect()" not in src
 
 
+def test_s14_record_callback_shim(spark, tmp_path):
+    """RecordCallbackSink: per-record on_message_received migration shim —
+    the callback observes every record individually, executor-side (each
+    invocation drops a file; local-mode executors share the test FS)."""
+    from pyconnect_spark.streaming.sink import RecordCallbackSink
+
+    tmp = str(tmp_path)
+    topic = os.path.join(tmp, "topic-s14")
+    RecordsSource(
+        spark, _source_cfg(tmp, topic), RECORDS, staging_dir=os.path.join(tmp, "in")
+    ).run()
+
+    seen_dir = os.path.join(tmp, "seen")
+    os.makedirs(seen_dir)
+
+    def per_record(key, value):  # plain picklable callable, no session ref
+        with open(os.path.join(seen_dir, key), "w") as f:
+            f.write(value)
+
+    sink = RecordCallbackSink(spark, _sink_cfg(tmp, topic, "s14"), on_record=per_record)
+    sink.run()
+    assert sink.status is Status.STOPPED
+    got = sorted((k, open(os.path.join(seen_dir, k)).read()) for k in os.listdir(seen_dir))
+    assert got == sorted(RECORDS)
+
+
 def test_s01b_nested_record_values(spark, tmp_path):
     """A1-fixture parity: records with nested dict values ({'a': str,
     'b': long}) flow through the connector with an explicit struct schema."""
