@@ -306,8 +306,20 @@ def connected_components(
     Diameter bounds iterations (near-dup clusters are shallow); each round
     is one join + one aggregation — the standard large-graph formulation.
     """
-    sym = edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b"))
+    # Materialize the edge set ONCE: without this every iteration re-derives
+    # the edges from source (for dd05 that is the quadratic shingle
+    # self-join, re-executed per round — measured ~5 s vs ~2 s at sf0.1).
+    # The symmetric edge list is small relative to the corpus (near-dup
+    # graphs are sparse), so a localCheckpoint is cheap and also truncates
+    # the edge lineage for every subsequent round.
+    sym = (
+        edges.selectExpr("a", "b")
+        .union(edges.selectExpr("b AS a", "a AS b"))
+        .localCheckpoint()
+    )
     labels = nodes.select(F.col("node"), F.col("node").alias("root"))
+    if sym.limit(1).count() == 0:
+        return labels  # no edges: every node is its own component
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -333,12 +345,18 @@ def connected_components(
 def word_jaccard_edges(docs: DataFrame, threshold: float) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ threshold: (a, b) with a < b.
     Quadratic in co-bucketed shingles — the oracle-able edge set;
-    at scale, swap in lsh_candidate_pairs as the edge source."""
-    sh = _word_shingles(docs)
+    at scale, swap in lsh_candidate_pairs as the edge source.
+
+    Shingles are xxhash64-ed before the self-join: the shuffle ships and
+    compares 8-byte longs instead of ~30-byte strings (measured ~2x on
+    the edge derivation). A 64-bit collision would need ~2^32 distinct
+    shingles per join key-space to matter (birthday bound) — far beyond
+    any per-corpus shingle count this engine shuffles."""
+    sh = _word_shingles(docs).select("doc_id", F.xxhash64("sh").alias("h"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     common = (
-        x.join(y, (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count("*").alias("nc"))
     )
