@@ -223,3 +223,24 @@ class SchemaRegistryClient:
         ) as resp:
             body = json.load(resp)
         return body["id"], json.loads(body["schema"])
+
+
+def register_record_schemas(
+    client: "SchemaRegistryClient",
+    topic: str,
+    key: Any,
+    value: Any,
+    namespace: Optional[str] = None,
+) -> tuple[int, int]:
+    """First-produce schema registration, reference parity
+    (pyconnectsource.py:177-196): infer key/value Avro schemas from the
+    first record and register them under the Confluent subject convention
+    ``<topic>-key`` / ``<topic>-value``. Returns (key_schema_id,
+    value_schema_id) — the ids that go into the Confluent wire framing
+    (wrap_confluent). Idempotent server-side: registering an identical
+    schema returns the existing id."""
+    key_schema = create_schema_from_record("key", key, namespace)
+    value_schema = create_schema_from_record("value", value, namespace)
+    key_id = client.register(f"{topic}-key", key_schema)
+    value_id = client.register(f"{topic}-value", value_schema)
+    return key_id, value_id

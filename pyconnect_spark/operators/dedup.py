@@ -569,3 +569,66 @@ def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_c")
     )
+
+
+@REGISTRY.register(
+    "dd08_split_decontamination",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, split, unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 5)))) AS sh
+      FROM split
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, COUNT(*) AS nc
+      FROM sh e JOIN sh t ON e.sh = t.sh
+      WHERE e.split = 'eval' AND t.split = 'train'
+      GROUP BY 1, 2
+    )
+    SELECT eval_doc, train_doc,
+           round(CAST(nc AS DOUBLE) / ze.n, 6) AS containment
+    FROM common JOIN sz ze ON ze.doc_id = eval_doc
+    ORDER BY CAST(nc AS DOUBLE) / ze.n DESC, eval_doc, train_doc
+    LIMIT 20
+    """,
+    doc="Train/eval split decontamination — the composition every LLM "
+    "pipeline runs before training: deterministic content-hash split "
+    "(tx07's md5 bucketing) x n-gram containment (dd07's asymmetric "
+    "measure), reporting the eval documents whose 5-gram shingles are "
+    "most contained in any train document. At 100 TB the eval side is "
+    "tiny (broadcast) and the train side streams — the join here is the "
+    "exact tier; swap in dd03's LSH candidates to prune first, exactly "
+    "like dd07.",
+    tags=("dedup", "llm", "contamination", "split"),
+)
+def dd08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    split = docs.select(
+        "doc_id", "text", F.when(bucket < 80, "train").otherwise("eval").alias("split")
+    )
+    sh = _shingles(split, n=5).join(split.select("doc_id", "split"), "doc_id")
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    e = sh.filter(F.col("split") == "eval").alias("e")
+    tr = sh.filter(F.col("split") == "train").alias("t")
+    common = (
+        e.join(tr, F.col("e.sh") == F.col("t.sh"))
+        .groupBy(F.col("e.doc_id").alias("eval_doc"), F.col("t.doc_id").alias("train_doc"))
+        .agg(F.count("*").alias("nc"))
+    )
+    cont = F.col("nc").cast("double") / F.col("ze.n")
+    return (
+        common.join(F.broadcast(sz.alias("ze")), F.col("eval_doc") == F.col("ze.doc_id"))
+        .select("eval_doc", "train_doc", F.round(cont, 6).alias("containment"), cont.alias("_c"))
+        .orderBy(F.desc("_c"), "eval_doc", "train_doc")
+        .limit(20)
+        .drop("_c")
+    )

@@ -560,3 +560,46 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@REGISTRY.register(
+    "x29_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(MIN(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT)
+               AS first_sampled_id
+    FROM s GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling (10% per language stratum) via "
+    "content-hash bucketing instead of rand(): the same rows are sampled "
+    "on every run, every engine, every partitioning — reproducible "
+    "training subsets with per-stratum accounting. Pure codegen "
+    "expressions (md5 + hex decode + conditional agg); no RNG state, no "
+    "shuffle beyond the final per-stratum rollup. At 100 TB this is how "
+    "you cut a validation slice without a second pass or a seed that "
+    "behaves differently across partitionings.",
+    tags=("sampling", "llm", "stratified"),
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    staged = docs.select("lang", "doc_id", bucket.alias("bucket"))
+    return staged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.min(F.when(F.col("bucket") < 10, F.col("doc_id"))).cast("long").alias("first_sampled_id"),
+    )

@@ -40,9 +40,12 @@ _PRIORITY = [
     "mm01_binary_columns", "mm02_decode_pipeline", "mm03_frame_sample",
     # -- red in round 1, fixed this round: must re-earn green rows
     "b21_json_funcs", "x08_approx_stats",
-    # -- flagship re-checks, one per core family
-    "b03_tpch_q1", "b06_tpch_q3", "b11_range_join", "b16_window_running",
-    "b24_udf_tier", "x03_percentiles", "x12_pandas_udaf", "x17_tpch_q5",
+    # -- new this round, oracle-checked: need their first driver row
+    "tx08_gopher_repetition", "tx09_quality_gate", "tx10_vocab_topk",
+    "sm08_centroid_assign", "x29_stratified_sample", "dd08_split_decontamination",
+    # -- flagship re-checks (relational + extended cores; the other
+    # families are already covered by the rows above)
+    "b03_tpch_q1", "x17_tpch_q5",
 ]
 
 ALL = QueryRegistry()

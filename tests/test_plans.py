@@ -91,3 +91,24 @@ def test_x22_q22_anti_join_prunes_orders_to_one_column(spark):
 
 def test_ts07_retention_broadcasts_first_seen(spark):
     assert has_broadcast_join(_Q["ts07_retention"](spark, SF))
+
+
+def test_tx10_vocab_topk_no_global_sort(spark):
+    # corpus wordcount top-k: partial (map-side) agg + TakeOrderedAndProject,
+    # never a full sort of the vocabulary
+    text = explain_str(_Q["tx10_vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+    assert "partial_count" in text  # combiner shrinks the shuffle
+
+
+def test_sm08_centroids_broadcast(spark):
+    # the tiny centroid side must broadcast; the corpus must not sort-merge
+    text = explain_str(_Q["sm08_centroid_assign"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_x29_sample_never_reads_text(spark):
+    # hash-stratified sampling keys on doc_id — the scan must not read the
+    # (wide) text column at all
+    assert "text" not in read_schema(_Q["x29_stratified_sample"](spark, SF))
