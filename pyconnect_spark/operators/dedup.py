@@ -15,10 +15,13 @@ Four tiers, by scale posture:
 - **SimHash** (`dd04`): 64-bit signature per doc; near-dups have small
   Hamming distance. Linear, join-free signature computation.
 
-Hash functions are Spark built-ins (xxhash64, crc32) — JVM-side and
-deterministic across runs/partitionings, so results are stable at any
-parallelism. No oracle for the sketch variants (DuckDB lacks the same hash
-family); they are validated against dd02 in tests/test_dedup.py.
+Hash functions are md5-derived (first 15 hex chars → 60-bit ints) — a
+public hash BOTH engines compute identically, so even the sketch variants
+(dd03 MinHash+LSH, dd04 SimHash) are oracle-checked bit-for-bit: DuckDB
+replays the full signature/band pipeline, not just a spot check. The
+sketches remain deterministic across runs/partitionings at any
+parallelism, and are additionally validated against the exact tiers
+(dd02) in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -176,11 +179,22 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     )
     # Small local files arrive as one partition; spread the map work.
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # Shingle hash: first 15 hex chars of md5 (60 bits) mod the Mersenne
+    # field — a public hash both engines compute bit-identically, which is
+    # what makes the whole MinHash+LSH pipeline oracle-checkable in DuckDB
+    # (measured cost parity with xxhash64 at sf0.1: the 64 affine
+    # permutations dominate, not the shingle hash).
     hashed = (
         with_toks.repartition(par)
         .select(
             "doc_id",
-            F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))).alias("hs"),
+            F.transform(
+                shingle_arr,
+                lambda s: F.pmod(
+                    F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                    F.lit(_MERSENNE),
+                ),
+            ).alias("hs"),
         )
     )
     mins = [
@@ -196,18 +210,28 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     """Banded LSH: hash each band of the signature, bucket-join within
     (band, band_hash). Only co-bucketed docs ever meet — no full cross join."""
     rows = _N_HASHES // n_bands
+    # Band key: md5 of "band:v0:...:v7" (same public-hash rationale as the
+    # shingle hash — DuckDB replays the identical band buckets).
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ":",
-                            F.lit(i),
-                            *[F.col("signature")[i * rows + j] for j in range(rows)],
-                        )
-                    )
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(i),
+                                    *[F.col("signature")[i * rows + j] for j in range(rows)],
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
                     for i in range(n_bands)
                 ]
             )
@@ -227,12 +251,75 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     )
 
 
+def _dd03_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash+LSH pipeline: word-3-gram
+    shingles → md5-based shingle hashes → 64 affine-permutation minima →
+    md5 band keys → bucket-join candidates → signature-agreement estimate.
+    Possible only because every hash in the pipeline is md5-derived (a
+    public hash both engines compute identically); est_jaccard is k/64,
+    which has ≤6 decimal digits, so round(…,6) is exact on both sides."""
+    p = _MERSENNE
+    rows = _N_HASHES // _N_BANDS
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS s{i}"
+        for i, (a, b) in ((i, _hash_params(i)) for i in range(_N_HASHES))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5('{b}:' || {cat}), 1, 15)) AS BIGINT) AS bhash FROM sig".format(
+            b=b,
+            cat=" || ':' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+    )
+    word_shingles = """
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                               CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+      FROM documents
+    """
+    return f"""
+    WITH shingles AS ({word_shingles}),
+    hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {p} AS h
+      FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST({agree} AS DOUBLE) / {_N_HASHES}, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """
+
+
 @REGISTRY.register(
     "dd03_minhash_lsh",
-    oracle=None,  # sketch output; validated against dd02 in tests
-    doc="MinHash(64) + 16-band LSH near-dup candidates with signature-"
+    oracle=_dd03_oracle_sql(),
+    doc="MinHash(64) + 8-band LSH near-dup candidates with signature-"
     "estimated Jaccard. Linear scale path: shuffle keys are (band, hash) "
-    "buckets, never document pairs.",
+    "buckets, never document pairs. Every hash in the pipeline (shingle "
+    "hash, band key) is md5-derived, so DuckDB replays the ENTIRE sketch "
+    "bit-for-bit — the LSH candidate set itself is oracle-checked, not "
+    "just spot-validated against dd02.",
     tags=("dedup", "llm", "minhash", "lsh"),
 )
 def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,31 +346,65 @@ def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash bit width: 60 bits = 15 hex chars of md5, so the per-token hash
+# is computable IDENTICALLY in Spark (conv) and DuckDB (hex cast) and the
+# packed signature stays inside a positive BIGINT.
+_SIMHASH_BITS = 60
+
+_DD04_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    v AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(_SIMHASH_BITS))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))}
+               AS BIGINT) AS simhash
+    FROM v
+"""
+
+
 @REGISTRY.register(
     "dd04_simhash",
-    oracle=None,  # hash-family-specific; Hamming properties tested in pytest
-    doc="64-bit SimHash per document from whitespace tokens (xxhash64 bit "
-    "votes). Join-free, one aggregation pass; near-dup = small Hamming "
-    "distance between signatures.",
+    oracle=_DD04_ORACLE,
+    doc="60-bit SimHash per document from whitespace tokens. The per-token "
+    "hash is the first 15 hex chars of md5 — a public hash both engines "
+    "compute bit-identically, which makes the whole sketch "
+    "oracle-checkable (DuckDB replays the same bit votes), unlike "
+    "engine-private hash families. Join-free: explode tokens, one "
+    "60-column vote aggregation (combiner-friendly), pack sign bits. "
+    "Near-dup = small Hamming distance; candidate pairs via "
+    "simhash_hamming_pairs' pigeonhole block join.",
     tags=("dedup", "llm", "simhash"),
 )
 def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     # Vote per bit: +1 if bit set else -1; sign of the sum becomes the bit.
     votes = [
         F.sum(
             (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     bits = [
         F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         * F.lit(1 << i).cast("long")
-        for i in range(63)  # bit 63 omitted: keep the signature positive
+        for i in range(_SIMHASH_BITS)
     ]
     total = bits[0]
     for piece in bits[1:]:
@@ -426,15 +547,16 @@ def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_hamming_pairs(sig: DataFrame, max_dist: int = 8) -> DataFrame:
     """Candidate pairs within Hamming distance via 4-block LSH: split the
-    63-bit signature into 4 blocks; any pair within distance 3×block must
-    share ≥1 exact block (pigeonhole) — bucket-join on block value."""
+    60-bit signature into 4 blocks of 15 bits; any pair within distance 3
+    must share ≥1 exact block (pigeonhole) — bucket-join on block value.
+    Pairs up to ``max_dist`` are still surfaced when they co-bucket."""
     blocks = sig.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit((1 << 16) - 1))
+                    F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1))
                     for i in range(4)
                 ]
             )
