@@ -170,22 +170,89 @@ def probe_cells(df: DataFrame, centroids: np.ndarray, n_probe: int, emb_col: str
     return df.withColumn("cells", cells_udf(F.col(emb_col)))
 
 
+_SM05_N_PROBE = 4
+
+_SM05_ORACLE = f"""
+    WITH cells AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (SELECT label, idx, round(AVG(val), 6) AS cv FROM cells GROUP BY 1, 2),
+    cv AS (SELECT label, list(cv ORDER BY idx) AS cvec FROM c GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, CAST(cv.label AS BIGINT) AS cell,
+             round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * cvec[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(cvec, x -> x * x),
+                          'sum'))), 9) AS cos9,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * cvec[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(cvec, x -> x * x),
+                          'sum'))), 9) DESC, cv.label) AS rk
+      FROM embeddings e CROSS JOIN cv
+    ),
+    corpus AS (SELECT vec_id, cell FROM scored WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cell AS q_cell FROM scored
+      WHERE rk <= {_SM05_N_PROBE} AND vec_id < 5
+    ),
+    pair AS (
+      SELECT p.q_id, c.vec_id,
+             round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))), 9) AS cos9
+      FROM probes p
+      JOIN corpus c ON c.cell = p.q_cell AND c.vec_id <> p.q_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = p.q_id
+    ),
+    topk AS (
+      SELECT q_id, vec_id, cos9,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos9 DESC, vec_id) AS rk
+      FROM pair
+    )
+    SELECT q_id, vec_id, round(cos9, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM topk WHERE rk <= 5
+    """
+
+
 @REGISTRY.register(
     "sm05_ann_ivf",
-    oracle=None,  # approximate; recall vs exact asserted in pytest
-    doc="ANN via IVF with multi-cell probe: label-centroids (sm04) act as "
-    "the coarse quantizer; vectors are assigned to their nearest centroid "
-    "cell, queries probe their n_probe=4 nearest cells (FAISS nprobe — "
-    "probe-one recall@5 measured 0.16 on the fixture, boundary misses "
-    "dominate). At 100 TB the corpus is written partitioned by cell, so a "
-    "query touches n_probe partitions; the centroid matrix is tiny and "
-    "broadcast in the UDF closure. (A production build would k-means the "
-    "centroids; the cell machinery is identical.)",
+    oracle=_SM05_ORACLE,
+    doc="ANN via IVF with multi-cell probe: label-centroids (sm04, rounded "
+    "to 6dp so both engines agree bit-for-bit) act as the coarse "
+    "quantizer; each vector is assigned to its highest-cosine cell by a "
+    "JVM fold (same sequential accumulation DuckDB's list_aggregate "
+    "uses, so the oracle replays the ENTIRE index build + probe + rerank "
+    "— the only ANN design here that is fully oracle-checked); queries "
+    "probe their n_probe=4 nearest cells (FAISS nprobe — probe-one "
+    "recall@5 measured 0.16, boundary misses dominate; 0.8 at 4). At "
+    "100 TB the corpus is written partitioned by cell so a query touches "
+    "n_probe partitions, and with thousands of cells the assignment "
+    "switches to the Arrow-batched BLAS matmul (assign_cells/probe_cells "
+    "helpers) — same cells up to float-ulp ties, chosen per deployment.",
     tags=("similarity", "llm", "ann", "ivf"),
 )
 def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = t(spark, sf_dir, "embeddings")
-    cents = (
+    cvec = (
         sm04(spark, sf_dir)
         .groupBy("label")
         .agg(
@@ -194,35 +261,55 @@ def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))),
                 lambda s: s["centroid_val"],
-            ).alias("vec")
+            ).alias("cvec")
         )
-        .orderBy("label")
-        .collect()
+        .select(F.col("label").cast("long").alias("c_label"), "cvec")
     )
-    centroids = np.array([r["vec"] for r in cents])
-    bucketed = assign_cells(emb, centroids)
-    # Same single-UDF-pass rule as sm03: probe cells for the 5 query rows
-    # directly rather than re-deriving the whole assigned corpus.
-    queries = (
-        probe_cells(emb.filter(F.col("vec_id") < 5), centroids, n_probe=4)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        emb.select("vec_id", "embedding", v.alias("v"))
+        .crossJoin(F.broadcast(cvec))
         .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode("cells").alias("q_cell"),
+            "vec_id",
+            "embedding",
+            F.col("c_label").alias("cell"),
+            F.round(dot / (nv * nc), 9).alias("cos9"),
         )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos9"), "cell")
+    ranked_cells = scored.withColumn("rk", F.row_number().over(wcell))
+    corpus = ranked_cells.filter(F.col("rk") == 1).select("vec_id", "embedding", "cell")
+    probes = (
+        ranked_cells.filter((F.col("rk") <= _SM05_N_PROBE) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"))
+    )
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     sim = cosine(F.col("embedding"), F.col("q_emb"))
-    ranked = bucketed.join(
-        F.broadcast(queries),
-        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
-    ).select("q_id", "vec_id", sim.alias("_raw"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    cand = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos9"), "vec_id")
     return (
-        ranked.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("q_id", "vec_id", F.round("_raw", 6).alias("cos_sim"), F.col("rk").cast("long").alias("rk"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("cos9", 6).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
 
 
