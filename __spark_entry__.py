@@ -32,7 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; sketch-based
-    and stub-backed operators (minhash/simhash/ANN-LSH, approx aggregates,
-    stubbed media decode) are intentionally omitted -> rows-only check."""
+    """DuckDB-equivalent SQL for every SQL-expressible query — including
+    the MinHash/SimHash sketches and the IVF ANN index (md5-derived hash
+    families / JVM-fold cosine make DuckDB replay them bit-for-bit).
+    Only the two random-projection ANN queries (sm03, sm06) are omitted
+    -> rows-only check; their quality is tracked as recall@5 in bench."""
     return ALL.oracles()
