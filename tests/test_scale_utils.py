@@ -93,3 +93,60 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     import os
     dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
     assert sorted(dirs) == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
+
+
+def test_training_shard_layout(spark, tmp_path):
+    """write_training_shards: partition dirs per (split, lang), per-file
+    row cap honored, rows sorted by fingerprint within each file, and the
+    manifest accounts for every row."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.sources.layout import write_manifest, write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+        F.sha2("text", 256).alias("fp"),
+    )
+    out = os.path.join(str(tmp_path), "corpus")
+    write_training_shards(
+        staged,
+        out,
+        partition_by=["split", "lang"],
+        sort_within=["fp"],
+        target_rows_per_shard=40,
+        shards_hint=4,
+    )
+    # partition directories exist for both splits
+    top = set(os.listdir(out))
+    assert {"split=train", "split=eval"} <= top
+
+    back = spark.read.parquet(out)
+    assert back.count() == staged.count()
+
+    # per-file row cap + within-file ordering by fp
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count("*").alias("rows"),
+            (F.collect_list("fp") == F.array_sort(F.collect_list("fp"))).alias("sorted_ok"),
+        )
+        .collect()
+    )
+    assert all(r["rows"] <= 40 for r in per_file)
+    # collect_list within one file preserves row order for a single-file
+    # partition read; every file must be fp-sorted
+    assert all(r["sorted_ok"] for r in per_file)
+
+    # manifest covers every row and matches the real layout
+    mpath = write_manifest(spark, out)
+    manifest = json.load(open(mpath))
+    assert sum(m["rows"] for m in manifest) == staged.count()
+    assert all("split" in m and "lang" in m for m in manifest)
