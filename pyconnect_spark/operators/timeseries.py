@@ -566,3 +566,135 @@ def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@REGISTRY.register(
+    "ts13_ohlc_bars",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS win,
+             event_type, value,
+             printf('%020d:%012d', epoch_us(ts), event_id) AS ord
+      FROM events
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           round(arg_min(value, ord), 2) AS open,
+           round(MAX(value), 2) AS high,
+           round(MIN(value), 2) AS low,
+           round(arg_max(value, ord), 2) AS close,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS volume
+    FROM keyed GROUP BY win, event_type
+    """,
+    doc="OHLC bars (open/high/low/close + volume) per 15-minute window per "
+    "event type — the financial-rollup staple. Open/close are picked by "
+    "min_by/max_by over a zero-padded (epoch_us, event_id) string key, a "
+    "total order both engines share, so ties at equal timestamps resolve "
+    "identically. One shuffle on (window, type); min_by/max_by aggregate "
+    "with partial merge like any other agg — no per-window sort.",
+    tags=("timeseries", "window-agg", "ohlc"),
+)
+def ts13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ordk = F.format_string("%020d:%012d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        ev.select("ts", "event_type", "value", ordk.alias("ord"))
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", F.col("ord")), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", F.col("ord")), 2).alias("close"),
+            F.count("*").alias("n"),
+            dsum("value").alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "volume",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ts14_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS t0,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS t1
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS slot
+      FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS slot, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT g.event_type, g.slot, h.n, h.sum_value,
+             COUNT(h.n) OVER (PARTITION BY g.event_type ORDER BY g.slot) AS grp
+      FROM grid g LEFT JOIN hourly h ON h.slot = g.slot AND h.event_type = g.event_type
+    )
+    SELECT event_type,
+           strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_start,
+           coalesce(n, 0) AS n,
+           first_value(sum_value) OVER (PARTITION BY event_type, grp ORDER BY slot)
+               AS sum_value_ffill,
+           n IS NULL AS gap_filled
+    FROM joined
+    """,
+    doc="Resample to a fixed 1-hour grid with forward-fill — the "
+    "timeseries gap-fill staple (TimescaleDB time_bucket_gapfill / "
+    "pandas resample().ffill()). The dense grid comes from sequence() + "
+    "explode over the observed bound (per group: #slots rows, tiny vs "
+    "the fact table); missing slots left-join to NULL and inherit the "
+    "last observed aggregate via the count-over-nulls run-group trick "
+    "(count ignores NULLs, so each gap shares its predecessor's group "
+    "id) — no UDF, no per-row loop, one shuffle on event_type.",
+    tags=("timeseries", "resample", "gapfill"),
+)
+def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        bounds.crossJoin(ev.select("event_type").distinct())
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+    )
+    joined = grid.join(hourly, ["slot", "event_type"], "left")
+    wgrp = Window.partitionBy("event_type").orderBy("slot")
+    wfill = Window.partitionBy("event_type", "grp").orderBy("slot")
+    return (
+        joined.withColumn("grp", F.count("n").over(wgrp))
+        .select(
+            "event_type",
+            F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.first("sum_value").over(wfill).alias("sum_value_ffill"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )

@@ -43,9 +43,7 @@ _PRIORITY = [
     # -- new this round, oracle-checked: need their first driver row
     "tx08_gopher_repetition", "tx09_quality_gate", "tx10_vocab_topk",
     "sm08_centroid_assign", "x29_stratified_sample", "dd08_split_decontamination",
-    # -- flagship re-checks (relational + extended cores; the other
-    # families are already covered by the rows above)
-    "b03_tpch_q1", "x17_tpch_q5",
+    "ts13_ohlc_bars", "ts14_resample_ffill",
 ]
 
 ALL = QueryRegistry()
