@@ -135,7 +135,9 @@ def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 )
 def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    # No cache() — same rationale as dd07: plan reuses one scan, recompute
+    # is cheap, and a session-lifetime cache would outlive the query.
+    sh = _shingles(docs)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -324,6 +326,11 @@ def _dd03_oracle_sql() -> str:
 )
 def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # Deliberate cache (unlike dd02/dd07): the signature stage costs ~1.5 s
+    # at sf0.1 and THREE downstream branches consume it (band join + both
+    # sides of the estimate join) — uncached, the subtree re-executes 3x.
+    # At 100 TB the equivalent move is materializing the signature table
+    # once (write parquet, read thrice), which also survives the session.
     sig = minhash_signatures(docs).cache()
     sig.count()  # materialize once; three downstream branches reuse the cache
     pairs = lsh_candidate_pairs(sig)
@@ -753,4 +760,70 @@ def dd08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_c"), "eval_doc", "train_doc")
         .limit(20)
         .drop("_c")
+    )
+
+
+_DD09_COS_SQL = """
+               list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum')))
+"""
+
+
+@REGISTRY.register(
+    "dd09_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_DD09_COS_SQL}, 9) >= 0.45
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS vec_id, MIN(root) AS cluster_root,
+           CAST(CASE WHEN node = MIN(root) THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM reach GROUP BY node
+    """,
+    doc="Semantic (embedding-space) dedup decision — the third dedup tier "
+    "after exact (dd01) and lexical (dd03/dd05): cosine >= 0.45 edges "
+    "over the embedding column -> connected components -> keep-first per "
+    "cluster. Both engines compute the cosine with the SAME sequential "
+    "fold and the threshold applies to round(cos, 9), so edge sets match "
+    "bit-for-bit. The all-pairs edge derivation here is the exact "
+    "oracle-able tier; at 100 TB the edge source is the ANN candidate "
+    "set (sm03/sm06 buckets, or sm05 cells) exactly like dd05 swaps in "
+    "LSH candidates — the component/keep machinery is shared "
+    "(connected_components).",
+    tags=("dedup", "llm", "semantic", "components"),
+)
+def dd09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(cos, 9).alias("c9"),
+        )
+        .filter(F.col("c9") >= 0.45)
+        .select("a", "b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("root").alias("cluster_root"),
+        F.when(F.col("node") == F.col("root"), 1).otherwise(0).cast("long").alias("keep"),
     )

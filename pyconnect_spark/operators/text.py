@@ -550,3 +550,56 @@ def tx10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(50)
     )
+
+
+@REGISTRY.register(
+    "tx11_tfidf_keywords",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2),
+    df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM w GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                        tf.word) AS rk
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document by "
+    "tf * ln(N/df). The document-frequency table is |vocab| rows "
+    "(combiner-shrunk, broadcast back to the TF side), the per-doc top-k "
+    "is WindowGroupLimit — no global sort of the scored pairs. Scores "
+    "round to 6dp before ranking so JVM/libm last-ulp differences in ln "
+    "can't flip ranks between engines; ties break on the word itself.",
+    tags=("text", "llm", "tfidf", "keywords"),
+)
+def tx11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df = w.groupBy("word").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    n_docs = docs.count()
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select("doc_id", "word", tfidf.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
