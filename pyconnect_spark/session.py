@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/pyconnect-spark-derby")
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # leave it — small local files read as one task regardless.
+        # Answer bare MIN/MAX/COUNT from parquet footers instead of scanning
+        # row groups (applies when no post-scan filter remains; at 100 TB a
+        # COUNT(*) over a partition becomes a metadata read).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
