@@ -48,10 +48,14 @@ HEADLINE = [
     "ts04_sliding_window",
     "ts09_rollup_cascade",
     "ts11_rolling_time_window",
+    "ts13_ohlc_bars",
+    "ts14_resample_ffill",
     "tx01_text_stats",
     "tx04_quality_filter",
     "tx03_fingerprint",
     "tx07_hash_split",
+    "tx08_gopher_repetition",
+    "tx11_tfidf_keywords",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd05_dedup_clusters",

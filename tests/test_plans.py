@@ -112,3 +112,19 @@ def test_x29_sample_never_reads_text(spark):
     # hash-stratified sampling keys on doc_id — the scan must not read the
     # (wide) text column at all
     assert "text" not in read_schema(_Q["x29_stratified_sample"](spark, SF))
+
+
+def test_tx11_tfidf_broadcast_df_and_grouplimit(spark):
+    # document-frequency table broadcasts; per-doc top-3 uses
+    # WindowGroupLimit (rank pruned before the window sort)
+    text = explain_str(_Q["tx11_tfidf_keywords"](spark, SF))
+    assert "BroadcastHashJoin" in text
+    assert "WindowGroupLimit" in text
+
+
+def test_ts13_ohlc_partial_agg(spark):
+    # min_by/max_by OHLC stays a partial-merge hash aggregate — no
+    # per-window sort anywhere in the plan
+    text = explain_str(_Q["ts13_ohlc_bars"](spark, SF))
+    assert "partial_min" in text and "partial_max" in text
+    assert "WindowGroupLimit" not in text

@@ -9,7 +9,9 @@ late-drop · S06/S06b stream dedup (± watermark) · S07 session window ·
 S08 stateful running totals · S09 stream-stream join · S10 custom Python
 source offsets · S11 exactly-once epoch sink · S12 Avro wire roundtrip ·
 S13 stream-static broadcast enrichment · S14 transformWithState
-(protobuf-gated) · S15 reader-options rate limiting.
+(protobuf-gated) · S15 reader-options rate limiting · S16 stream OHLC ==
+batch OHLC (merge-compatible min_by/max_by) · S17 per-record callback
+migration shim (executor-side on_message_received).
 """
 
 from __future__ import annotations
@@ -509,7 +511,7 @@ def test_s11_epoch_file_sink_exactly_once(spark, tmp_path):
     assert ".collect()" not in src
 
 
-def test_s14_record_callback_shim(spark, tmp_path):
+def test_s17_record_callback_shim(spark, tmp_path):
     """RecordCallbackSink: per-record on_message_received migration shim —
     the callback observes every record individually, executor-side (each
     invocation drops a file; local-mode executors share the test FS)."""
@@ -802,3 +804,51 @@ def test_s15_rate_limited_batches(spark, tmp_path):
     )
     plan_opts = src.read_stream()
     assert plan_opts.isStreaming
+
+
+def test_s16_stream_ohlc_equals_batch(spark, tmp_path):
+    """OHLC bars computed on a drained stream equal the batch ts13 shape:
+    min_by/max_by aggregates are merge-compatible, so they work unchanged
+    under incremental micro-batch execution (complete mode)."""
+    from pyconnect_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    staged = str(tmp_path / "events-parquet")
+    events.write.parquet(staged)
+
+    ordk = F.format_string("%020d:%012d", F.unix_micros("ts"), F.col("event_id"))
+
+    def ohlc(df):
+        return (
+            df.select("ts", "event_type", "value", ordk.alias("ord"))
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.round(F.min_by("value", F.col("ord")), 2).alias("open"),
+                F.round(F.max("value"), 2).alias("high"),
+                F.round(F.min("value"), 2).alias("low"),
+                F.round(F.max_by("value", F.col("ord")), 2).alias("close"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    key = lambda r: (r["w"]["start"], r["event_type"])  # noqa: E731
+    batch_rows = {
+        key(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc(spark.read.parquet(staged)).collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    q = (
+        ohlc(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s16_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        key(r): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in spark.sql("SELECT * FROM s16_out").collect()
+    }
+    assert stream_rows == batch_rows
