@@ -464,10 +464,18 @@ def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x * x,
         )
     )
-    unit = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
-    ).select("vec_id", array_to_vector("u").alias("features"))
+    # Materialize the normalized-vector frame ONCE: fit() and BOTH sides of
+    # approxSimilarityJoin consume it, and uncheckpointed the normalize+
+    # array_to_vector subtree executes three times (measured ~1.9 s vs
+    # ~1.0 s at sf0.1). Tiny: n_vectors x dim doubles.
+    unit = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+        )
+        .select("vec_id", array_to_vector("u").alias("features"))
+        .localCheckpoint()
+    )
 
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
