@@ -420,12 +420,25 @@ def _sm03_impl(emb: DataFrame, n_tables: int = 12, n_bits: int = 6, k: int = 5) 
             lsh_tables(F.col("embedding"), planes, n_tables, n_bits, multiprobe=True)
         ).alias("key"),
     )
+    # Dedupe candidate PAIR IDS (16 bytes/row), not rows carrying both
+    # embeddings (~1 KB/row): a pair colliding in several tables would
+    # otherwise push its vectors through the distinct() exchange once per
+    # collision. Embeddings re-attach after the dedup — corpus side by
+    # join, query side broadcast.
+    pair_ids = (
+        corpus.select("vec_id", "key")
+        .join(F.broadcast(queries.select("q_id", "key")), "key")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
     sim = cosine(F.col("embedding"), F.col("q_emb"))
     cand = (
-        corpus.join(F.broadcast(queries), "key")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "embedding", "q_emb")
-        .distinct()  # a pair can collide in several tables; rerank once
+        pair_ids.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
         .select("q_id", "vec_id", sim.alias("_raw"))
     )
     from pyspark.sql import Window
