@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyconnect_spark.operators._util import (
+    FACTOR,
     MONEY,
     SQL_ONE_MINUS,
     dec,
@@ -596,4 +597,186 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         F.col("_s2").cast("double").alias("total_price"),
         F.col("_m2").cast("double").alias("max_qty"),
+    )
+
+
+@REGISTRY.register(
+    "x30_tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                    * CAST(l_discount AS {FACTOR})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS {FACTOR}) BETWEEN CAST(0.05 AS {FACTOR})
+                                           AND CAST(0.07 AS {FACTOR})
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the canonical "
+    "scan-filter-aggregate with zero joins. Every predicate — shipdate "
+    "range, discount band, quantity cap — is pushed into the parquet scan "
+    "(PushedFilters), the projection prunes to three columns, and map-side "
+    "partial aggregation reduces each partition to one decimal pair before "
+    "a single-row exchange. At 100 TB this query's cost is pure I/O; "
+    "with date-partitioned or zone-mapped storage the range predicate "
+    "prunes whole files. Discount compares in decimal(4,2) on both "
+    "engines so the band edges (exact 2-dp values) can never flip on "
+    "float representation.",
+    tags=("scan", "filter", "agg", "pushdown", "tpch"),
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dec("l_discount", FACTOR)
+    lo = F.lit("0.05").cast(FACTOR)
+    hi = F.lit("0.07").cast(FACTOR)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+            & d.between(lo, hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * d).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x31_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (customer distribution), adapted: the fixture has no "
+    "o_comment, so the anti-predicate moves to o_orderpriority — the plan "
+    "shape (outer join that must keep zero-order customers, then a "
+    "two-level aggregation over the join result) is unchanged. The join "
+    "condition's non-key predicate stays in the ON clause, NOT a WHERE "
+    "(a WHERE would silently turn the outer join inner and drop the "
+    "c_count=0 bucket). One shuffle on custkey, one on the tiny c_count "
+    "domain (≤ max orders per customer, a few hundred groups at any "
+    "scale) — the second aggregation is effectively free.",
+    tags=("outer-join", "agg", "distribution", "tpch"),
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@REGISTRY.register(
+    "x32_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM({_REV}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 (top supplier): a quarter's revenue per supplier, then "
+    "the supplier(s) hitting the global maximum. The max is an "
+    "uncorrelated scalar subquery over the same aggregate — Spark "
+    "computes the per-supplier aggregation once, derives the single-row "
+    "max from it (one-row exchange), and broadcasts it into the filter; "
+    "the supplier dimension is broadcast too, so the fact table shuffles "
+    "exactly once, on l_suppkey. The revenue ties are compared as exact "
+    "decimals (never doubles), so 'equal to the max' is deterministic "
+    "under any partitioning — the TPC-H spec's own footnote about ties "
+    "becomes a non-issue.",
+    tags=("agg", "scalar-subquery", "join", "tpch"),
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_rev"))
+    best = rev.agg(F.max("total_rev").alias("_best"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("_best"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@REGISTRY.register(
+    "x33_tpch_q17",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS a_partkey,
+             SUM(CAST(l_quantity AS {MONEY})) AS qty_sum,
+             COUNT(*) AS qty_n
+      FROM lineitem GROUP BY l_partkey
+    ) ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS {MONEY}) * 5 * qty_n < qty_sum
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue), adapted: no "
+    "p_container in the fixture, so brand alone selects the part slice. "
+    "The correlated scalar subquery (0.2 * per-part average quantity) is "
+    "written in its decorrelated form — a per-part aggregate joined back "
+    "— which is exactly the plan Catalyst produces for the correlated "
+    "original. The threshold test is cross-multiplied (5*qty*n < sum) so "
+    "it stays in exact integer/decimal arithmetic: no division, no float, "
+    "identical edge behavior on both engines. Part is broadcast; at "
+    "100 TB the per-part aggregate shuffles once on l_partkey and AQE "
+    "can convert its join back to broadcast after the brand filter "
+    "collapses the key set.",
+    tags=("join", "correlated-subquery", "agg", "tpch"),
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("qty_sum"),
+        F.count("*").alias("qty_n"),
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    parts = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(dec("l_quantity") * F.lit(5) * F.col("qty_n") < F.col("qty_sum"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
     )

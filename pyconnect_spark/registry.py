@@ -45,6 +45,8 @@ _PRIORITY = [
     "sm08_centroid_assign", "x29_stratified_sample", "dd08_split_decontamination",
     "ts13_ohlc_bars", "ts14_resample_ffill",
 ]
+# Outside this round's window (rotate into the next one): dd09, tx11,
+# x30-x33 (TPC-H Q6/Q13/Q15/Q17), plus any query added after this note.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()

@@ -128,3 +128,34 @@ def test_ts13_ohlc_partial_agg(spark):
     text = explain_str(_Q["ts13_ohlc_bars"](spark, SF))
     assert "partial_min" in text and "partial_max" in text
     assert "WindowGroupLimit" not in text
+
+
+def test_x30_q6_predicates_pushed_columns_pruned(spark):
+    df = _Q["x30_tpch_q6"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    # plain comparisons reach the scan; the decimal-cast discount band
+    # legitimately cannot push (cast blocks parquet filters) but must not
+    # drag extra columns into the read
+    assert "l_shipdate" in pf and "l_quantity" in pf
+    assert set(read_schema(df)) == {
+        "l_shipdate", "l_quantity", "l_discount", "l_extendedprice",
+    }
+
+
+def test_x31_q13_outer_join_survives(spark):
+    # the priority anti-predicate must stay in the join ON clause: the
+    # plan keeps a LeftOuter join (a WHERE would have turned it inner and
+    # dropped the zero-order customers from the distribution)
+    assert "LeftOuter" in explain_str(_Q["x31_tpch_q13"](spark, SF))
+
+
+def test_x32_q15_broadcasts_max_and_supplier(spark):
+    df = _Q["x32_tpch_q15"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    # fact shuffles once, on l_suppkey; max + supplier arrive by broadcast
+    assert text.count("Exchange hashpartitioning(l_suppkey") <= 1
+
+
+def test_x33_q17_part_slice_broadcast(spark):
+    assert has_broadcast_join(_Q["x33_tpch_q17"](spark, SF))
