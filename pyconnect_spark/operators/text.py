@@ -603,3 +603,73 @@ def tx11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "word", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@REGISTRY.register(
+    "tx12_sequence_pack",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16
+                  AS BIGINT) AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+               AS seq_id
+      FROM tok
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+    doc="Sequence packing for training-data assembly: documents are packed "
+    "greedily (contiguous fill, in deterministic doc_id order) into "
+    "~2048-token training sequences, independently inside each of 16 "
+    "content-hash shards. This is the step between dedup/quality "
+    "filtering and the shard writer (sources/layout.py): loaders want "
+    "fixed-budget sequences, and packing must be reproducible so a "
+    "re-run resumes into identical shards. The plan is one shuffle on "
+    "the shard key, then a per-shard ordered window cumsum - packing "
+    "parallelism equals shard count, so at 100 TB you raise the modulus "
+    "(e.g. 64k shards) and every shard's window stays executor-sized; "
+    "no global sort, no driver state. Sequence boundaries come from "
+    "integer division of the exclusive running total - exact integer "
+    "arithmetic, so Spark and the oracle agree bit-for-bit.",
+    tags=("text", "llm", "packing", "window"),
+)
+def tx12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 16
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tok")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        tok.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("seq_id", F.expr("(cum - n_tok) div 2048").cast("long"))
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
