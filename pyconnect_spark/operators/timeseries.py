@@ -74,7 +74,9 @@ def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    # timestamp_diff works on TIMESTAMP_NTZ (the fixture's ts type) and is
+    # timezone-independent, unlike unix_micros which requires TIMESTAMP_LTZ.
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     flagged = ev.withColumn(
         "is_new",
         F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
@@ -597,7 +599,13 @@ def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    ordk = F.format_string("%020d:%012d", F.unix_micros("ts"), F.col("event_id"))
+    # date_format on TIMESTAMP_NTZ is timezone-independent and its 20-digit
+    # wall-clock rendering sorts lexicographically == chronologically, so it
+    # is the same total order as the oracle's epoch_us key (ord is internal:
+    # only the min_by/max_by winners are compared, never the key itself).
+    ordk = F.format_string(
+        "%s:%012d", F.date_format("ts", "yyyyMMddHHmmssSSSSSS"), F.col("event_id")
+    )
     return (
         ev.select("ts", "event_type", "value", ordk.alias("ord"))
         .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
