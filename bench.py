@@ -154,6 +154,7 @@ def main() -> None:
     spark = get_spark("pyconnect-spark-bench", cores=cpus)
 
     builders = ALL.builders()
+    errors: dict[str, str] = {}
     # Warm-up: trigger JVM/codegen/parquet-footer paths once.
     builders["b01_filter_project"](spark, sf_dir).count()
 
@@ -161,33 +162,49 @@ def main() -> None:
     # back-to-back): the host's stall windows last tens of seconds, so
     # consecutive repeats can both land inside one; a full pass between
     # repeats almost never does.
+    #
+    # Crash containment: one broken query must not discard everyone else's
+    # timings (round 2 lost all 38 batch numbers to one streaming failure).
+    # Each unit is individually guarded; failures land in "errors" and the
+    # final JSON line is printed NO MATTER WHAT.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     timings["stream_window_events"] = float("inf")
     for _ in range(2):
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            df = builders[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
-            assert n >= 0
-        timings["stream_window_events"] = round(
-            min(timings["stream_window_events"], bench_streaming(spark, sf_dir)), 3
-        )
+            try:
+                t0 = time.perf_counter()
+                df = builders[name](spark, sf_dir)
+                n = df.count()
+                timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
+                assert n >= 0
+            except Exception as exc:  # noqa: BLE001 — record and keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        try:
+            timings["stream_window_events"] = round(
+                min(timings["stream_window_events"], bench_streaming(spark, sf_dir)), 3
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["stream_window_events"] = f"{type(exc).__name__}: {exc}"[:300]
+    # Drop units that never produced a number so sum() stays finite.
+    timings = {k: v for k, v in timings.items() if v != float("inf")}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    recall = ann_recall(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ann_recall_at_5": recall,
-            }
-        )
-    )
+    try:
+        recall = ann_recall(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        recall = {}
+        errors["ann_recall_at_5"] = f"{type(exc).__name__}: {exc}"[:300]
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ann_recall_at_5": recall,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -36,21 +36,31 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to a
-    timestamp type; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
-    arrives as a long of epoch-nanos and is converted here (values are
-    µs-aligned in the fixtures, so the conversion is lossless).
+    `events.ts` is parquet TIMESTAMP(NANOS). Depending on the Spark build it
+    arrives either as TIMESTAMP_NTZ (current behavior) or — under
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` — as a long of epoch-nanos.
+    Both paths are normalized HERE, once, to TIMESTAMP (with local time zone):
+    every downstream consumer (watermarks, ``unix_micros``, window functions)
+    then sees one canonical type. The session time zone is pinned to UTC, so
+    the NTZ→LTZ cast preserves wall-clock values exactly, and the fixture's
+    nanos are µs-aligned so nothing is lost either way.
     """
     from pyspark.sql import functions as F
 
     if name == "events":
-        # Must be set before the scan is planned; harmless if already set.
-        # Works under ANY caller-provided SparkSession (e.g. the driver's),
-        # not just ones built by get_spark().
+        # Must be set before the scan is planned; harmless if already set
+        # (and a no-op on builds that read nanos as NTZ natively). Works
+        # under ANY caller-provided SparkSession (e.g. the driver's).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        elif ts_type == "timestamp_ntz":
+            # Watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and epoch
+            # functions require TIMESTAMP_LTZ; UTC session makes this exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

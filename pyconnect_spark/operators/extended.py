@@ -20,29 +20,8 @@ from pyconnect_spark.query import QueryRegistry
 REGISTRY = QueryRegistry()
 
 
-@REGISTRY.register(
-    "x01_grouping_sets",
-    oracle=f"""
-    SELECT n_name, c_mktsegment, COUNT(*) AS n, {sql_dsum('c_acctbal')} AS sum_acctbal
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-    """,
-    tags=("agg", "grouping-sets"),
-)
-def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = t(spark, sf_dir, "customer")
-    nation = t(spark, sf_dir, "nation")
-    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-    # groupingSets is SQL-only surface; expressed via the SQL API on a temp view.
-    joined.createOrReplaceTempView("pc_x01_cust_nat")
-    return spark.sql(
-        f"""
-        SELECT n_name, c_mktsegment, COUNT(*) AS n,
-               {sql_dsum('c_acctbal')} AS sum_acctbal
-        FROM pc_x01_cust_nat
-        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        """
-    )
+# x01_grouping_sets merged into b13_rollup_sets (round 3): same Expand
+# operator, one declared query covering rollup + marginal grouping sets.
 
 
 @REGISTRY.register(
@@ -69,18 +48,27 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
-    "x03_percentiles",
+    "x03_stats_percentiles",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.5), 6) AS p50,
            round(quantile_cont(l_quantity, 0.9), 6) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p,
+           round(stddev_samp(l_quantity), 6)                 AS std_qty,
+           round(stddev_pop(l_quantity), 6)                  AS stdp_qty,
+           round(var_samp(l_extendedprice), 2)               AS var_price
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Exact interpolated percentiles (both engines use linear "
-    "interpolation). percentile_approx is the 100-TB path — see "
-    "x08_approx_stats.",
-    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles plus the statistical aggregates "
+    "(corr/covariance/stddev/variance) in one grouped pass (round-3 merge "
+    "of x03_percentiles and x13_stats_agg). Both engines use linear "
+    "interpolation for quantiles and the same single-pass moment formulas; "
+    "rounded to absorb last-ulp drift. percentile_approx is the 100-TB "
+    "path — see x08_approx_stats.",
+    tags=("agg", "percentile", "stats"),
 )
 def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -90,6 +78,12 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
             F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
             F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
         )
     )
 
@@ -172,25 +166,8 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "x07_explode_arrays",
-    oracle="""
-    SELECT vec_id,
-           CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
-           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
-    FROM embeddings WHERE vec_id < 5
-    """,
-    doc="posexplode / unnest-with-ordinality parity (1-based index to match "
-    "SQL convention).",
-    tags=("array", "explode"),
-)
-def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
-    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("idx"),
-        F.round(F.col("v").cast("double"), 6).alias("val"),
-    )
+# x07_explode_arrays merged into b23_array_explode (round 3): posexplode
+# and the higher-order folds now share one plan over the same scan.
 
 
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,33 +298,8 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.join(counts, "c_mktsegment")
 
 
-@REGISTRY.register(
-    "x13_stats_agg",
-    oracle="""
-    SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
-           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p,
-           round(stddev_samp(l_quantity), 6)                 AS std_qty,
-           round(stddev_pop(l_quantity), 6)                  AS stdp_qty,
-           round(var_samp(l_extendedprice), 2)               AS var_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Statistical aggregates (corr/covariance/stddev/variance) — one "
-    "partial+final hash aggregation, same numerically-stable single-pass "
-    "moment formulas in both engines; rounded to absorb last-ulp drift.",
-    tags=("agg", "stats"),
-)
-def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-    )
+# x13_stats_agg merged into x03_stats_percentiles (round 3): one grouped
+# pass computes percentiles and moment statistics together.
 
 
 @REGISTRY.register(

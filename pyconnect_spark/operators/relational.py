@@ -361,22 +361,33 @@ def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B13 / B14 — rollup and cube
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "b13_rollup",
+    "b13_rollup_sets",
     oracle=f"""
     SELECT n_name, c_mktsegment,
            COUNT(*) AS n, {sql_dsum('c_acctbal')} AS sum_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY ROLLUP (n_name, c_mktsegment)
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
     """,
-    tags=("agg", "rollup"),
+    doc="GROUPING SETS covering the ROLLUP levels plus the per-segment "
+    "marginal (round-3 merge of b13_rollup and x01_grouping_sets: same "
+    "Expand physical operator, one declared query instead of two). All "
+    "grouping variants are a single Expand + one hash aggregate — the "
+    "fact side is scanned once regardless of how many sets are listed.",
+    tags=("agg", "rollup", "grouping-sets"),
 )
 def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
-    return (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .rollup("n_name", "c_mktsegment")
-        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("sum_acctbal"))
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    # groupingSets is SQL-only surface; expressed via the SQL API on a temp view.
+    joined.createOrReplaceTempView("pc_b13_cust_nat")
+    return spark.sql(
+        f"""
+        SELECT n_name, c_mktsegment, COUNT(*) AS n,
+               {sql_dsum('c_acctbal')} AS sum_acctbal
+        FROM pc_b13_cust_nat
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        """
     )
 
 
@@ -510,67 +521,56 @@ def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B19 — union / union all
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "b19_union_distinct",
+    "b19_set_union",
     oracle="""
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-    UNION
-    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                                  UNION ALL
+                                  SELECT s_nationkey FROM supplier)) AS n_all
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          UNION
+          SELECT s_nationkey FROM supplier)
     """,
+    doc="UNION (distinct) rows with the UNION ALL cardinality attached as a "
+    "scalar (round-3 merge of b19_union_distinct and b19_union_all_count). "
+    "The distinct is one shuffle on a tiny key domain; the count is a "
+    "broadcast scalar cross join — no second fact-table pass at scale "
+    "because AQE reuses the exchange.",
     tags=("setop", "union"),
 )
 def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@REGISTRY.register(
-    "b19_union_all_count",
-    oracle="""
-    SELECT COUNT(*) AS n FROM (
-      SELECT c_nationkey AS nationkey FROM customer
-      UNION ALL
-      SELECT s_nationkey FROM supplier)
-    """,
-    tags=("setop", "union"),
-)
-def b19b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionAll(s).agg(F.count("*").alias("n"))
+    u = c.union(s)
+    n_all = u.agg(F.count("*").alias("n_all"))
+    return u.distinct().crossJoin(F.broadcast(n_all))
 
 
 # --------------------------------------------------------------------------
 # B20 — intersect / except
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "b20_intersect",
+    "b20_intersect_except",
     oracle="""
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-    INTERSECT
-    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    SELECT 'intersect' AS op, CAST(nationkey AS BIGINT) AS nationkey
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', CAST(nationkey AS BIGINT)
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    tags=("setop", "intersect"),
+    doc="INTERSECT and EXCEPT results tagged and unioned (round-3 merge of "
+    "b20_intersect and b20_except): both set ops planned in one query, each "
+    "a left-semi/anti shape over the same two distinct inputs.",
+    tags=("setop", "intersect", "except"),
 )
 def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
-    return c.intersect(s)
-
-
-@REGISTRY.register(
-    "b20_except",
-    oracle="""
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-    EXCEPT
-    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
-    """,
-    tags=("setop", "except"),
-)
-def b20b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
-    return c.subtract(s)  # subtract == EXCEPT (set semantics)
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    exc = c.subtract(s).select(F.lit("except").alias("op"), "nationkey")
+    return inter.unionAll(exc)
 
 
 # --------------------------------------------------------------------------
@@ -634,17 +634,22 @@ def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B23 — array / higher-order functions
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "b23_array_funcs",
+    "b23_array_explode",
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS emb_dim,
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sum,
-           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sq_sum
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS emb_sq_sum,
+           CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
     FROM embeddings WHERE vec_id < 100
     """,
-    doc="Higher-order array functions (transform/aggregate) evaluated "
-    "JVM-side — no Python in the loop.",
-    tags=("array", "higher-order"),
+    doc="Higher-order array functions (transform/aggregate, JVM-side) plus "
+    "posexplode / unnest-with-ordinality in one plan (round-3 merge of "
+    "b23_array_funcs and x07_explode_arrays; 1-based index to match SQL "
+    "convention). The per-vector scalars are computed before the generator "
+    "so each array is folded once, not once per exploded row.",
+    tags=("array", "higher-order", "explode"),
 )
 def b23(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
@@ -653,9 +658,15 @@ def b23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("emb_dim"),
         F.round(F.aggregate(xd, F.lit(0.0), lambda a, x: a + x), 6).alias("emb_sum"),
-        F.round(
-            F.aggregate(xd, F.lit(0.0), lambda a, x: a + x * x), 6
-        ).alias("emb_sq_sum"),
+        F.round(F.aggregate(xd, F.lit(0.0), lambda a, x: a + x * x), 6).alias("emb_sq_sum"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "emb_dim",
+        "emb_sum",
+        "emb_sq_sum",
+        (F.col("pos") + 1).cast("long").alias("idx"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
     )
 
 

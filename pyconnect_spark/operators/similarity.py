@@ -478,16 +478,22 @@ def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Materialize the normalized-vector frame ONCE: fit() and BOTH sides of
-    # approxSimilarityJoin consume it, and uncheckpointed the normalize+
+    # approxSimilarityJoin consume it, and unmaterialized the normalize+
     # array_to_vector subtree executes three times (measured ~1.9 s vs
-    # ~1.0 s at sf0.1). Tiny: n_vectors x dim doubles.
+    # ~1.0 s at sf0.1). Tiny: n_vectors x dim doubles. persist(MEMORY_AND_
+    # DISK), not localCheckpoint: same reuse benefit (fit() populates the
+    # cache, the join hits it), but on a real cluster a lost executor
+    # recomputes the partition from lineage instead of failing the query —
+    # localCheckpoint blocks are executor-memory-resident and unrecoverable.
+    from pyspark import StorageLevel
+
     unit = (
         emb.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
         )
         .select("vec_id", array_to_vector("u").alias("features"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     lsh = BucketedRandomProjectionLSH(

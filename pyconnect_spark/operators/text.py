@@ -591,13 +591,15 @@ def tx11(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
     df = w.groupBy("word").agg(F.count_distinct("doc_id").cast("long").alias("df"))
-    n_docs = docs.count()
-    tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-    )
+    # N stays IN the plan as a broadcast one-row scalar (no eager
+    # docs.count() driver job at build time — building this query
+    # launches zero Spark jobs).
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    tfidf = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
     win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
     return (
         tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "word", tfidf.alias("tfidf"))
         .withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 3)

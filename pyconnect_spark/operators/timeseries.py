@@ -74,8 +74,8 @@ def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timestamp_diff works on TIMESTAMP_NTZ (the fixture's ts type) and is
-    # timezone-independent, unlike unix_micros which requires TIMESTAMP_LTZ.
+    # timestamp_diff is valid on both TIMESTAMP and TIMESTAMP_NTZ, so this
+    # works no matter which timestamp flavor the catalog hands us.
     gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     flagged = ev.withColumn(
         "is_new",
@@ -599,10 +599,11 @@ def ts12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    # date_format on TIMESTAMP_NTZ is timezone-independent and its 20-digit
-    # wall-clock rendering sorts lexicographically == chronologically, so it
-    # is the same total order as the oracle's epoch_us key (ord is internal:
-    # only the min_by/max_by winners are compared, never the key itself).
+    # date_format's 20-digit wall-clock rendering (deterministic under the
+    # pinned UTC session; valid on TIMESTAMP and TIMESTAMP_NTZ alike) sorts
+    # lexicographically == chronologically, so it is the same total order as
+    # the oracle's epoch_us key (ord is internal: only the min_by/max_by
+    # winners are compared, never the key itself).
     ordk = F.format_string(
         "%s:%012d", F.date_format("ts", "yyyyMMddHHmmssSSSSSS"), F.col("event_id")
     )

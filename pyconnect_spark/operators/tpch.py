@@ -758,22 +758,28 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— which is exactly the plan Catalyst produces for the correlated "
     "original. The threshold test is cross-multiplied (5*qty*n < sum) so "
     "it stays in exact integer/decimal arithmetic: no division, no float, "
-    "identical edge behavior on both engines. Part is broadcast; at "
-    "100 TB the per-part aggregate shuffles once on l_partkey and AQE "
-    "can convert its join back to broadcast after the brand filter "
-    "collapses the key set.",
+    "identical edge behavior on both engines. The brand slice of part is "
+    "broadcast-joined to lineitem BEFORE the per-part aggregate (the "
+    "per-part average only depends on rows of that part, so restricting "
+    "to brand parts first is exact): the only wide shuffle — groupBy "
+    "l_partkey — carries ~1/25 of lineitem instead of all of it, which "
+    "is the difference between shuffling 4 TB and 100 TB at scale. The "
+    "aggregate-to-probe join is then small enough for AQE to broadcast.",
     tags=("join", "correlated-subquery", "agg", "tpch"),
 )
 def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    parts = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    # Brand restriction FIRST: every downstream operator (including the
+    # decorrelated per-part aggregate) sees only the brand slice.
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec("l_quantity")).alias("qty_sum"),
         F.count("*").alias("qty_n"),
     ).withColumnRenamed("l_partkey", "a_partkey")
-    parts = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     return (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        li.join(per_part, F.col("a_partkey") == F.col("l_partkey"))
         .filter(dec("l_quantity") * F.lit(5) * F.col("qty_n") < F.col("qty_sum"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),

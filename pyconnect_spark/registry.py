@@ -19,34 +19,34 @@ _MERGED = QueryRegistry()
 for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal):
     _MERGED.merge(mod.REGISTRY)
 
-# First 50 = the driver's verification window for this round.
+# First 50 = the driver's verification window for round 3. Composition:
+# (a) the 7 queries that have NEVER had a driver row (added late in r2),
+# (b) the 5 round-3 merged queries (new names -> need their first row),
+# (c) the 38 queries whose last green row is round 1 (staleness order).
+# Everything verified green in round 2 (CORRECTNESS_r02) sits after the
+# window and becomes round 4's window — with 100 declared queries and a
+# 50-row window, every query is re-verified on a strict 2-round cadence.
 _PRIORITY = [
-    # -- driver-unverified in round 1: TPC-H long tail + CDC/skew
-    "x25_tpch_q14", "x26_value_share", "x27_latest_per_key", "x28_skew_two_phase_agg",
-    # -- timeseries / streaming-shaped batch twins
-    "ts01_tumbling_window", "ts02_sessionize", "ts03_asof_join", "ts04_sliding_window",
-    "ts05_session_window_agg", "ts06_funnel", "ts07_retention", "ts08_props_json",
-    "ts09_rollup_cascade", "ts10_json_struct", "ts11_rolling_time_window", "ts12_ewma",
-    # -- text analysis
-    "tx01_text_stats", "tx02_lang_id", "tx03_fingerprint", "tx04_quality_filter",
-    "tx05_winnow_fingerprint", "tx06_edit_distance", "tx07_hash_split",
-    # -- dedup
-    "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh", "dd04_simhash",
-    "dd05_dedup_clusters", "dd06_keep_best", "dd07_contamination",
-    # -- similarity / ANN
-    "sm01_cosine_topk", "sm02_embedding_neardup", "sm03_ann_lsh", "sm04_label_centroids",
-    "sm05_ann_ivf", "sm06_ann_mllib_lsh", "sm07_int8_quantize",
-    # -- multimodal
-    "mm01_binary_columns", "mm02_decode_pipeline", "mm03_frame_sample",
-    # -- red in round 1, fixed this round: must re-earn green rows
-    "b21_json_funcs", "x08_approx_stats",
-    # -- new this round, oracle-checked: need their first driver row
-    "tx08_gopher_repetition", "tx09_quality_gate", "tx10_vocab_topk",
-    "sm08_centroid_assign", "x29_stratified_sample", "dd08_split_decontamination",
-    "ts13_ohlc_bars", "ts14_resample_ffill",
+    # -- (a) never driver-checked: TPC-H Q6/Q13/Q15/Q17 + round-2 stragglers
+    "x30_tpch_q6", "x31_tpch_q13", "x32_tpch_q15", "x33_tpch_q17",
+    "tx11_tfidf_keywords", "tx12_sequence_pack", "dd09_semantic_dedup",
+    # -- (b) round-3 merges of near-duplicate declared queries
+    "b13_rollup_sets", "b19_set_union", "b20_intersect_except",
+    "b23_array_explode", "x03_stats_percentiles",
+    # -- (c) last green in round 1: relational core
+    "b01_filter_project", "b02_string_funcs", "b03_tpch_q1", "b04_date_agg",
+    "b05_join_agg", "b06_tpch_q3", "b07_left_join", "b08_semi_join",
+    "b09_anti_join", "b10_broadcast_join", "b11_range_join", "b12_distinct_agg",
+    "b14_cube", "b15_topk_per_group", "b16_window_running", "b17_range_frame",
+    "b18_global_topk", "b22_text_scalar", "b24_udf_tier",
+    # -- (c) last green in round 1: extended surface
+    "x02_pivot", "x04_conditional_null", "x05_math_funcs", "x06_date_funcs",
+    "x09_string_agg", "x10_map_funcs", "x11_unpivot", "x12_pandas_udaf",
+    "x14_dist_windows", "x15_exists_subquery", "x16_scalar_subquery",
+    # -- (c) last green in round 1: TPC-H adapted
+    "x17_tpch_q5", "x18_tpch_q7", "x19_tpch_q8", "x20_tpch_q19",
+    "x21_late_supplier", "x22_tpch_q22", "x23_tpch_q18", "x24_tpch_q10",
 ]
-# Outside this round's window (rotate into the next one): dd09, tx11,
-# x30-x33 (TPC-H Q6/Q13/Q15/Q17), plus any query added after this note.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()

@@ -159,3 +159,30 @@ def test_x32_q15_broadcasts_max_and_supplier(spark):
 
 def test_x33_q17_part_slice_broadcast(spark):
     assert has_broadcast_join(_Q["x33_tpch_q17"](spark, SF))
+
+
+def test_x33_q17_aggregate_input_is_brand_filtered(spark):
+    # the per-part quantity aggregate must consume the brand-restricted
+    # join output, not all of lineitem: every lineitem scan in the plan
+    # sits under a broadcast join with the filtered part slice, so the
+    # only wide shuffle (groupBy l_partkey) carries ~1/25 of the fact
+    text = explain_str(_Q["x33_tpch_q17"](spark, SF))
+    n_li_scans = text.count("lineitem.parquet")
+    assert text.count("BroadcastHashJoin") >= n_li_scans, text
+
+
+def test_tx11_build_launches_no_extra_jobs(spark):
+    # N (corpus size) is a broadcast scalar INSIDE the plan; constructing
+    # the query must not trigger a driver-side count() job. Every
+    # spark.read.parquet fires one tiny footer-schema job, so the lazy
+    # baseline is "same job count as a trivially-lazy single-table build",
+    # not literally zero.
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(name):
+        before = len(tracker.getJobIdsForGroup(None))
+        _Q[name](spark, SF)
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    baseline = jobs_during("tx01_text_stats")  # known-lazy, same table
+    assert jobs_during("tx11_tfidf_keywords") <= baseline, "building tx11 must be lazy"

@@ -816,7 +816,12 @@ def test_s16_stream_ohlc_equals_batch(spark, tmp_path):
     staged = str(tmp_path / "events-parquet")
     events.write.parquet(staged)
 
-    ordk = F.format_string("%020d:%012d", F.unix_micros("ts"), F.col("event_id"))
+    # Same total-order key as ts13 (operators/timeseries.py): wall-clock
+    # rendering sorts lexicographically == chronologically and is valid on
+    # both TIMESTAMP and TIMESTAMP_NTZ inputs.
+    ordk = F.format_string(
+        "%s:%012d", F.date_format("ts", "yyyyMMddHHmmssSSSSSS"), F.col("event_id")
+    )
 
     def ohlc(df):
         return (
