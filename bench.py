@@ -50,12 +50,16 @@ HEADLINE = [
     "ts11_rolling_time_window",
     "ts13_ohlc_bars",
     "ts14_resample_ffill",
+    "ts15_zscore_anomaly",
+    "x34_tpch_q12_late_shipments",
     "tx01_text_stats",
     "tx04_quality_filter",
     "tx03_fingerprint",
     "tx07_hash_split",
     "tx08_gopher_repetition",
     "tx11_tfidf_keywords",
+    "tx13_char_entropy",
+    "tx14_zipf_audit",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
     "dd05_dedup_clusters",

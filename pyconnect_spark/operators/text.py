@@ -675,3 +675,112 @@ def tx12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+@REGISTRY.register(
+    "tx13_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS total, COUNT(*) AS n_distinct
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_chars_seen,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-SUM((n / total) * log2(n / total)), 6) AS char_entropy
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY doc_id, total, n_distinct
+    """,
+    doc="Per-document character-level Shannon entropy — a cheap, "
+    "language-agnostic quality signal (boilerplate / binary-garbage / "
+    "repeated-char documents score low; natural text sits near the "
+    "language's typical entropy band). Two hash aggregations: "
+    "(doc_id, char) counts, then a per-doc fold of -sum(p*log2 p). Both "
+    "shuffles key on doc_id so at scale this is one exchange of "
+    "(docs x alphabet) rows — the alphabet factor is a small constant, "
+    "never corpus-sized. Rounded to 6dp so the two engines' summation "
+    "orders cannot flip the value.",
+    tags=("text", "llm", "quality", "entropy"),
+)
+def tx13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("double").alias("total"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum(F.col("n") * F.log2("n")).alias("_sum_nlogn"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_seen"),
+            "n_distinct_chars",
+            # -sum(p log2 p) = log2(total) - sum(n log2 n)/total
+            F.round(
+                F.log2("total") - F.col("_sum_nlogn") / F.col("total"), 6
+            ).alias("char_entropy"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "tx14_zipf_audit",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, word, COUNT(*) AS n FROM words GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, word, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+      FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_r2
+    FROM ranked WHERE rk <= 100
+    GROUP BY lang
+    """,
+    doc="Zipf-law corpus audit: per language, the log-log regression slope "
+    "of term frequency against frequency rank over the top-100 terms. "
+    "Natural language sits near slope -1; a flat slope flags synthetic or "
+    "template-heavy corpora, a cliff flags boilerplate domination — a "
+    "distribution-level quality gate to complement the per-document ones "
+    "(tx04/tx08/tx09). Wordcount is a combiner-shrunk aggregate; the "
+    "per-language rank window runs on |vocab| rows (already corpus-"
+    "independent), and regr_slope/regr_r2 are single-pass moment "
+    "aggregates in both engines. Ranks tie-break on the word so the "
+    "top-100 set is unique and both engines regress identical points.",
+    tags=("text", "llm", "quality", "regression"),
+)
+def tx14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+    )
+    freq = words.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    rk = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("n"), "word"))
+    ranked = freq.withColumn("rk", rk).filter(F.col("rk") <= 100)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_rk), 6).alias("zipf_r2"),
+    )

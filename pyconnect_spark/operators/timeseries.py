@@ -707,3 +707,66 @@ def ts14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@REGISTRY.register(
+    "ts15_zscore_anomaly",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type, value,
+             AVG(value)         OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*)           OVER w AS n_prev
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN round(abs((value - mu) / sd), 6) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(MAX(abs((value - mu) / sd)), 6) AS max_abs_z
+    FROM scored
+    WHERE n_prev >= 30 AND sd > 1e-9
+    GROUP BY event_type
+    """,
+    doc="Rolling z-score anomaly detection: each event is scored against "
+    "the mean/stddev of the PRECEDING 100 events of its type (strictly "
+    "preceding frame - no self-leakage), flagged when |z| > 3, and "
+    "summarized per type. Warm-up guard: rows with fewer than 30 "
+    "predecessors are unscored, and zero-variance windows are skipped. "
+    "One shuffle on event_type, then a within-partition ordered frame - "
+    "the moving aggregate is O(1) per row (add/evict), not O(frame). At "
+    "100 TB event_type is low-cardinality, so the scale path is the "
+    "same query over (event_type, coarse time bucket) salted keys; the "
+    "frame semantics are unchanged because buckets overlap by 100 rows. "
+    "The z comparison uses the 6-dp rounded value so an ulp of stddev "
+    "drift cannot flip a flag between engines.",
+    tags=("timeseries", "anomaly", "window-frame"),
+)
+def ts15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        scored.filter((F.col("n_prev") >= 30) & (F.col("sd") > 1e-9))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(F.when(F.round(z, 6) > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+    )

@@ -705,27 +705,28 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 (top supplier): a quarter's revenue per supplier, then "
-    "the supplier(s) hitting the global maximum. The max is an "
-    "uncorrelated scalar subquery over the same aggregate — Spark "
-    "computes the per-supplier aggregation once, derives the single-row "
-    "max from it (one-row exchange), and broadcasts it into the filter; "
-    "the supplier dimension is broadcast too, so the fact table shuffles "
-    "exactly once, on l_suppkey. The revenue ties are compared as exact "
-    "decimals (never doubles), so 'equal to the max' is deterministic "
-    "under any partitioning — the TPC-H spec's own footnote about ties "
-    "becomes a non-issue.",
+    "the supplier(s) hitting the global maximum. The max is derived from "
+    "the SAME per-supplier aggregate via an unpartitioned window over the "
+    "small |suppliers|-row frame — the fact table is scanned and shuffled "
+    "exactly once, on l_suppkey (the naive scalar-subquery formulation "
+    "plans two full lineitem scans; round-3 fix). The singleton-partition "
+    "exchange only ever carries one row per supplier, never fact rows. "
+    "The revenue ties are compared as exact decimals (never doubles), so "
+    "'equal to the max' is deterministic under any partitioning — the "
+    "TPC-H spec's own footnote about ties becomes a non-issue.",
     tags=("agg", "scalar-subquery", "join", "tpch"),
 )
 def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_rev"))
-    best = rev.agg(F.max("total_rev").alias("_best"))
+    best = rev.withColumn("_best", F.max("total_rev").over(Window.partitionBy()))
     return (
-        rev.join(F.broadcast(best))
-        .filter(F.col("total_rev") == F.col("_best"))
+        best.filter(F.col("total_rev") == F.col("_best"))
         .join(
             F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
             F.col("s_suppkey") == F.col("l_suppkey"),
@@ -784,5 +785,49 @@ def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
             F.count("*").alias("n_items"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x34_tpch_q12_late_shipments",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS late_share
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority audit), adapted: the "
+    "fixture has no l_shipmode/l_commitdate/l_receiptdate, so lateness is "
+    "l_shipdate > o_orderdate + 60 days and the grouping key is "
+    "o_orderpriority - same join graph (the one big-big equi join on "
+    "orderkey) and the same conditional two-way count aggregation. At "
+    "100 TB neither side broadcasts: this is the canonical co-partition "
+    "case - both tables shuffle once on orderkey (or are bucket-joined "
+    "shuffle-free if written bucketed by orderkey, sources/layout.py), "
+    "and the conditional counts partial-aggregate map-side so the "
+    "post-join exchange carries |priorities| rows per task.",
+    tags=("join", "agg", "tpch", "date"),
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(late).cast("long").alias("n_late"),
+            F.round(F.sum(late).cast("double") / F.count("*"), 6).alias("late_share"),
         )
     )
