@@ -56,7 +56,7 @@ HEADLINE = [
     "tx04_quality_filter",
     "tx03_fingerprint",
     "tx07_hash_split",
-    "tx08_gopher_repetition",
+    "tx08_quality_suite",
     "tx11_tfidf_keywords",
     "tx13_char_entropy",
     "tx14_zipf_audit",

@@ -26,36 +26,14 @@ from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
 
+# mm01_binary_columns merged into mm02_decode_pipeline (round 3): the
+# decode pipeline now carries the binary payload AND the typed metadata
+# struct through the Arrow batches, which is how a real media pipeline
+# flows — blob + sidecar metadata in one row.
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, width long, height long, checksum long"
+    "doc_id long, n_bytes long, media_lang string, meta_chars long, "
+    "width long, height long, checksum long"
 )
-
-
-@REGISTRY.register(
-    "mm01_binary_columns",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           lang AS media_lang,
-           CAST(n_chars AS BIGINT) AS meta_chars
-    FROM documents
-    """,
-    doc="Binary payload column + metadata struct: byte lengths computed "
-    "JVM-side on the binary type (documents' text stands in for a blob).",
-    tags=("multimodal", "binary"),
-)
-def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    meta = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("chars"))
-    return docs.select(
-        "doc_id", payload.alias("payload"), meta.alias("meta")
-    ).select(
-        "doc_id",
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.col("meta.lang").alias("media_lang"),
-        F.col("meta.chars").cast("long").alias("meta_chars"),
-    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -75,13 +53,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: streams Arrow batches; never materializes a
-    partition. Shape/signature is exactly what a real decoder would use."""
+    partition. Shape/signature is exactly what a real decoder would use —
+    the metadata struct fields ride along untouched."""
     for pdf in it:
         decoded = [_fake_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
                 "n_bytes": [len(p) for p in pdf["payload"]],
+                "media_lang": pdf["media_lang"].values,
+                "meta_chars": pdf["meta_chars"].values,
                 "width": [d[0] for d in decoded],
                 "height": [d[1] for d in decoded],
                 "checksum": [d[2] for d in decoded],
@@ -90,7 +71,8 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """df(doc_id, payload: binary) → decoded metadata via mapInPandas."""
+    """df(doc_id, payload: binary, media_lang, meta_chars) → decoded
+    metadata via mapInPandas."""
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
@@ -172,6 +154,8 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH chk AS (
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             lang AS media_lang,
+             CAST(n_chars AS BIGINT) AS meta_chars,
              CAST(octet_length(encode(text))
                   + list_aggregate(list_transform(
                         range(1, least(length(text), 64) + 1),
@@ -179,20 +163,31 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS checksum
       FROM documents
     )
-    SELECT doc_id, n_bytes,
+    SELECT doc_id, n_bytes, media_lang, meta_chars,
            CAST(16 + checksum % 64 AS BIGINT) AS width,
            CAST(16 + (checksum // 64) % 64 AS BIGINT) AS height,
            checksum
     FROM chk
     """,
-    doc="mapInPandas decode pipeline over binary payloads (stubbed codec): "
-    "real Arrow batch flow, schema, and partitioning. The deterministic "
-    "stub kernel is replicated in SQL so the full pipeline is oracle-"
-    "checked end to end.",
-    tags=("multimodal", "mapInPandas"),
+    doc="mapInPandas decode pipeline over binary payloads (stubbed codec) "
+    "with the typed metadata struct carried through the Arrow batches "
+    "(round-3 merge of mm01_binary_columns into this pipeline): real "
+    "batch flow, schema, and partitioning; byte lengths computed on the "
+    "binary type. The deterministic stub kernel is replicated in SQL so "
+    "the full pipeline is oracle-checked end to end.",
+    tags=("multimodal", "binary", "mapInPandas"),
 )
 def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    docs = t(spark, sf_dir, "documents")
+    meta = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("chars"))
+    staged = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), meta.alias("meta")
     )
-    return decode_media(docs)
+    return decode_media(
+        staged.select(
+            "doc_id",
+            "payload",
+            F.col("meta.lang").alias("media_lang"),
+            F.col("meta.chars").cast("long").alias("meta_chars"),
+        )
+    )

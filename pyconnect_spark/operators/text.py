@@ -386,7 +386,7 @@ def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
-    "tx08_gopher_repetition",
+    "tx08_quality_suite",
     oracle="""
     WITH w AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -396,7 +396,8 @@ def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc AS (
       SELECT doc_id,
              CAST(SUM(c) AS BIGINT) AS n_words,
-             CAST(MAX(c) AS BIGINT) AS top_word_count
+             CAST(MAX(c) AS BIGINT) AS top_word_count,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words
       FROM wc GROUP BY 1
     ),
     grams AS (
@@ -410,7 +411,9 @@ def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(list_transform(
                  range(1, greatest(len(l) - 1, 0) + 1),
                  i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1])))
-                 AS n_distinct_2grams
+                 AS n_distinct_2grams,
+             list_aggregate(list_transform(l, x -> CAST(length(x) AS DOUBLE)),
+                            'sum') / len(l) AS mean_word_len
       FROM grams
     )
     SELECT p.doc_id,
@@ -419,18 +422,28 @@ def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS top_word_frac,
            round(1.0 - CAST(g.n_distinct_2grams AS DOUBLE)
                        / greatest(g.n_2grams, 1), 6) AS dup_2gram_frac,
+           round(g.mean_word_len, 6) AS mean_word_len,
+           round(CAST(p.n_distinct_words AS DOUBLE) / p.n_words, 6)
+               AS uniq_word_ratio,
            (CAST(p.top_word_count AS DOUBLE) / p.n_words) <= 0.2
                AND (1.0 - CAST(g.n_distinct_2grams AS DOUBLE)
-                          / greatest(g.n_2grams, 1)) <= 0.2 AS keep
+                          / greatest(g.n_2grams, 1)) <= 0.2
+               AND p.n_words >= 10
+               AND g.mean_word_len BETWEEN 2 AND 12
+               AND (CAST(p.n_distinct_words AS DOUBLE) / p.n_words) >= 0.2
+               AS keep
     FROM perdoc p JOIN g2 g ON p.doc_id = g.doc_id
     """,
-    doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1): "
-    "top-word fraction and duplicate-2-gram fraction per document, plus "
-    "the keep/drop gate. Two scale shapes on purpose: the word-mode "
-    "needs a (doc_id, word) shuffle with map-side combine (a 100k-word "
-    "doc must not build a per-row Python dict), while the 2-gram "
-    "fraction is a shuffle-free array expression (distinct 2-grams "
-    "counted inside one codegen stage).",
+    doc="Document quality suite — Gopher repetition filters (Rae et al. "
+    "2021 §A1.1: top-word fraction, duplicate-2-gram fraction) plus the "
+    "C4-style composite signals (word count, mean word length, unique-"
+    "word ratio) and one combined keep gate (round-3 merge of "
+    "tx08_gopher_repetition and tx09_quality_gate — one corpus pass "
+    "instead of two). Two scale shapes on purpose: the word-mode signals "
+    "(top-word, distinct-word) use a (doc_id, word) shuffle with "
+    "map-side combine (a 100k-word doc must not build a per-row Python "
+    "dict), while the 2-gram fraction and mean word length are "
+    "shuffle-free array expressions inside one codegen stage.",
     tags=("text", "llm", "quality", "gopher"),
 )
 def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,80 +458,47 @@ def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_words"),
             F.max("c").cast("long").alias("top_word_count"),
+            F.count("*").cast("long").alias("n_distinct_words"),
         )
     )
-    # 2-gram dup fraction: pure array expressions, no shuffle
+    # 2-gram dup fraction + mean word length: pure array expressions, no shuffle
     l = words
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(l) - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.element_at(l, i), F.element_at(l, i + 1)),
     )
+    mean_len = (
+        F.aggregate(
+            F.transform(l, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(l)
+    )
     g2 = docs.select(
         "doc_id",
         F.greatest(F.size(l) - 1, F.lit(0)).alias("n_2grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_2grams"),
+        mean_len.alias("mean_word_len"),
     )
     top_frac = F.col("top_word_count").cast("double") / F.col("n_words")
     dup_frac = F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / F.greatest(
         F.col("n_2grams"), F.lit(1)
+    )
+    uniq = F.col("n_distinct_words").cast("double") / F.col("n_words")
+    keep = (
+        (top_frac <= 0.2)
+        & (dup_frac <= 0.2)
+        & (F.col("n_words") >= 10)
+        & F.col("mean_word_len").between(2, 12)
+        & (uniq >= 0.2)
     )
     return perdoc.join(g2, "doc_id").select(
         "doc_id",
         "n_words",
         F.round(top_frac, 6).alias("top_word_frac"),
         F.round(dup_frac, 6).alias("dup_2gram_frac"),
-        ((top_frac <= 0.2) & (dup_frac <= 0.2)).alias("keep"),
-    )
-
-
-@REGISTRY.register(
-    "tx09_quality_gate",
-    oracle="""
-    WITH s AS (
-      SELECT doc_id,
-             string_split_regex(trim(text), '\\s+') AS l
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(l) AS BIGINT) AS n_words,
-           round(list_aggregate(list_transform(l, w -> CAST(length(w) AS DOUBLE)),
-                                'sum') / len(l), 6) AS mean_word_len,
-           round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
-               AS uniq_word_ratio,
-           len(l) >= 10
-             AND list_aggregate(list_transform(l, w -> CAST(length(w) AS DOUBLE)),
-                                'sum') / len(l) BETWEEN 2 AND 12
-             AND CAST(len(list_distinct(l)) AS DOUBLE) / len(l) >= 0.2 AS keep
-    FROM s
-    """,
-    doc="Composite document quality gate (C4/Gopher-style signal pack): "
-    "word count, mean word length, unique-word ratio, and the combined "
-    "keep decision. Every signal is a higher-order array expression over "
-    "one split() — single codegen stage, no shuffle, no Python.",
-    tags=("text", "llm", "quality"),
-)
-def tx09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    l = F.split(F.trim(F.col("text")), _TOKEN_RE)
-    staged = docs.select("doc_id", l.alias("l"))
-    mean_len = (
-        F.aggregate(
-            F.transform("l", lambda w: F.length(w).cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        / F.size("l")
-    )
-    uniq = F.size(F.array_distinct("l")).cast("double") / F.size("l")
-    keep = (
-        (F.size("l") >= 10)
-        & mean_len.between(2, 12)
-        & (uniq >= 0.2)
-    )
-    return staged.select(
-        "doc_id",
-        F.size("l").cast("long").alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round(uniq, 6).alias("uniq_word_ratio"),
         keep.alias("keep"),
     )

@@ -376,33 +376,54 @@ def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts08_props_json",
     oracle="""
     SELECT event_type,
+           CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10)
+                AS BIGINT) AS k_bucket,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS DOUBLE) / COUNT(*) AS avg_k,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k
+                AS BIGINT) AS max_k,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY event_type
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_bucket
     """,
-    doc="Semi-structured event properties: JSON path extraction from the "
-    "props column aggregated per event type. get_json_object runs "
-    "JVM-side inside whole-stage codegen (no Python); the integer sum is "
-    "exact, divided once in double, so both engines agree bitwise. At "
-    "scale the JSON parse happens once per row in the scan stage — for "
-    "hot paths, materialize extracted fields as typed columns at ingest "
-    "(schema-on-write) and this query becomes a plain columnar agg.",
-    tags=("timeseries", "events", "json"),
+    doc="Semi-structured event properties, both extraction paths in one "
+    "plan (round-3 merge of ts08_props_json and ts10_json_struct): "
+    "from_json parses props into a typed struct once per row — the right "
+    "call when multiple fields are consumed — and feeds the bucketed "
+    "grouping key, while get_json_object per-path extraction feeds the "
+    "k aggregates; both run JVM-side inside whole-stage codegen (no "
+    "Python), and unparseable rows are filtered before the shuffle. The "
+    "integer sum is exact, divided once in double, so both engines agree "
+    "bitwise. At scale the JSON parse happens once per row in the scan "
+    "stage — for hot paths, materialize extracted fields as typed "
+    "columns at ingest (schema-on-write) and this becomes a plain "
+    "columnar agg.",
+    tags=("timeseries", "events", "json", "from_json"),
 )
 def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    j = F.from_json(F.col("props"), "k INT")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
-        F.min(k).cast("long").alias("min_k"),
-        F.max(k).cast("long").alias("max_k"),
+    return (
+        ev.select(
+            "event_type",
+            j["k"].alias("jk"),
+            k.alias("k"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .filter(F.col("jk").isNotNull())
+        .groupBy("event_type", F.floor(F.col("jk") / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
     )
 
 
@@ -452,37 +473,9 @@ def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "ts10_json_struct",
-    oracle="""
-    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10)
-                AS BIGINT) AS k_bucket,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    GROUP BY k_bucket
-    """,
-    doc="Schema-on-read JSON: from_json parses props into a typed struct "
-    "once per row (vs get_json_object's per-path extraction in ts08 — "
-    "from_json is the right call when multiple fields are consumed), then "
-    "a bucketed aggregation over the extracted field. The parse runs in "
-    "the scan stage inside codegen; nulls (unparseable rows) are filtered "
-    "before the shuffle.",
-    tags=("timeseries", "events", "json", "from_json"),
-)
-def ts10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    j = F.from_json(F.col("props"), "k INT")
-    return (
-        ev.select(j["k"].alias("k"), F.col("value").cast("decimal(12,2)").alias("v"))
-        .filter(F.col("k").isNotNull())
-        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_bucket"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("v").cast("double").alias("total_value"),
-        )
-    )
+# ts10_json_struct merged into ts08_props_json (round 3): one query now
+# exercises both from_json (typed struct, bucketing key) and
+# get_json_object (per-path extraction, aggregates) over the same scan.
 
 
 @REGISTRY.register(
