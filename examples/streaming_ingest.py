@@ -9,7 +9,7 @@ engine's pieces end to end:
 
 - Structured Streaming file source (swap in kafka_record_stream for a
   real topic — the rest is identical);
-- quality gate + fingerprint as pure column expressions (tx03/tx09
+- quality gate + fingerprint as pure column expressions (tx03/tx08-suite
   vocabulary) running inside the micro-batch;
 - cross-batch exact dedup via dropDuplicates on the fingerprint with the
   stream's state store (watermark-free: content hashes don't expire);

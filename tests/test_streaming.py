@@ -11,7 +11,8 @@ source offsets · S11 exactly-once epoch sink · S12 Avro wire roundtrip ·
 S13 stream-static broadcast enrichment · S14 transformWithState
 (protobuf-gated) · S15 reader-options rate limiting · S16 stream OHLC ==
 batch OHLC (merge-compatible min_by/max_by) · S17 per-record callback
-migration shim (executor-side on_message_received).
+migration shim (executor-side on_message_received) · S18 left-outer
+stream-stream join (null emission on watermark-driven state eviction).
 """
 
 from __future__ import annotations
@@ -857,3 +858,74 @@ def test_s16_stream_ohlc_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM s16_out").collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_s18_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows emit immediately;
+    unmatched left rows emit null-padded only after the watermark passes
+    the end of their join window (state eviction). A sentinel event far in
+    the future advances both watermarks so every real left row expires
+    before the availableNow drain finishes."""
+    imp_d = tmp_path / "lo-impressions"
+    clk_d = tmp_path / "lo-clicks"
+    imp_d.mkdir(); clk_d.mkdir()
+    # ads 0..5 at 10:00..10:05; clicks only for even ads, 30s after
+    imps = [{"ad": i, "its": f"2024-01-01 10:{i:02d}:00"} for i in range(6)]
+    clks = [{"ad": i, "cts": f"2024-01-01 10:{i:02d}:30"} for i in range(0, 6, 2)]
+    with open(imp_d / "i1.jsonl", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+    with open(clk_d / "c1.jsonl", "w") as f:
+        for r in clks:
+            f.write(json.dumps(r) + "\n")
+    # sentinel batch: pushes both watermarks hours past every join window
+    with open(imp_d / "i2.jsonl", "w") as f:
+        f.write(json.dumps({"ad": 99, "its": "2024-01-01 18:00:00"}) + "\n")
+    with open(clk_d / "c2.jsonl", "w") as f:
+        f.write(json.dumps({"ad": 98, "cts": "2024-01-01 18:00:00"}) + "\n")
+
+    def build(left, right):
+        cond = (
+            (left["ad"] == right["ad"])
+            & (right["cts"] >= left["its"])
+            & (right["cts"] <= left["its"] + F.expr("INTERVAL 5 MINUTES"))
+        )
+        return left.join(right, cond, "left_outer").select(left["ad"], "its", "cts")
+
+    ls = (
+        spark.readStream.schema("ad long, its timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(imp_d))
+        .withWatermark("its", "10 seconds")
+    )
+    rs = (
+        spark.readStream.schema("ad long, cts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(clk_d))
+        .withWatermark("cts", "10 seconds")
+    )
+    q = (
+        build(ls, rs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s18_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["ad"], str(r["its"]), None if r["cts"] is None else str(r["cts"]))
+        for r in spark.sql("SELECT * FROM s18_out").collect()
+    }
+    # matched even ads carry their click; odd ads expired unmatched -> null
+    expect_matched = {
+        (i, f"2024-01-01 10:{i:02d}:00", f"2024-01-01 10:{i:02d}:30")
+        for i in range(0, 6, 2)
+    }
+    expect_null = {(i, f"2024-01-01 10:{i:02d}:00", None) for i in range(1, 6, 2)}
+    assert expect_matched <= got, got
+    assert expect_null <= got, got
+    # no spurious matches beyond sentinels
+    assert got - expect_matched - expect_null <= {
+        (99, "2024-01-01 18:00:00", None)
+    }, got
