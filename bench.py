@@ -67,6 +67,7 @@ HEADLINE = [
     "sm03_ann_lsh",
     "sm04_label_centroids",
     "sm06_ann_mllib_lsh",
+    "sm09_ann_recall_audit",
     "mm03_frame_sample",
 ]
 

@@ -705,3 +705,62 @@ def sm08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", F.col("c_label").alias("assigned_label"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@REGISTRY.register(
+    "sm09_ann_recall_audit",
+    oracle=f"""
+    WITH ivf AS ({_SM05_ORACLE}),
+    truth AS (
+      SELECT q.vec_id AS q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_ORACLE_COS}, 9) DESC,
+                                         e.vec_id) AS rk
+      FROM embeddings e JOIN embeddings q
+        ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    )
+    SELECT t.q_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(i.vec_id) AS DOUBLE) / 5, 6) AS recall_at_5
+    FROM (SELECT q_id, vec_id FROM truth WHERE rk <= 5) t
+    LEFT JOIN ivf i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
+    GROUP BY t.q_id
+    """,
+    doc="Distributed ANN quality audit: exact brute-force top-5 ground "
+    "truth (queries broadcast against the corpus — linear in corpus "
+    "size, never all-pairs) joined against the IVF index results (sm05) "
+    "to produce per-query recall@5, entirely inside the engine. This is "
+    "how index quality is validated at 100 TB, where collecting "
+    "embeddings to a driver for a numpy check (bench.py's small-scale "
+    "shortcut) is impossible: sample a query set, broadcast it, compute "
+    "truth and hits in one distributed pass. Fully oracle-replayed "
+    "because both the IVF pipeline and the truth tier are deterministic "
+    "SQL-expressible plans.",
+    tags=("similarity", "llm", "ann", "audit"),
+)
+def sm09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos9"), "vec_id")
+    truth = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    ann = sm05(spark, sf_dir).select("q_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        truth.join(ann, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit").cast("double") / F.lit(5), 6).alias("recall_at_5"),
+        )
+    )
