@@ -12,7 +12,9 @@ S13 stream-static broadcast enrichment · S14 transformWithState
 (protobuf-gated) · S15 reader-options rate limiting · S16 stream OHLC ==
 batch OHLC (merge-compatible min_by/max_by) · S17 per-record callback
 migration shim (executor-side on_message_received) · S18 left-outer
-stream-stream join (null emission on watermark-driven state eviction).
+stream-stream join (null emission on watermark-driven state eviction) ·
+S19 RocksDB state-store provider parity (the 100 TB streaming-state
+configuration).
 """
 
 from __future__ import annotations
@@ -929,3 +931,55 @@ def test_s18_stream_stream_left_outer_join(spark, tmp_path):
     assert got - expect_matched - expect_null <= {
         (99, "2024-01-01 18:00:00", None)
     }, got
+
+
+def test_s19_rocksdb_state_store_provider(spark, tmp_path):
+    """The same stateful windowed aggregation runs correctly on the
+    RocksDB state-store provider — the provider the engine's scale notes
+    prescribe for 100 TB streaming state (bounded executor memory,
+    changelog checkpointing). Results must equal the batch aggregate and
+    therefore the default HDFS-backed provider's."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.streaming.windows import tumbling_window_agg
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    staged = str(tmp_path / "rocks-events")
+    events.write.parquet(staged)
+
+    batch = tumbling_window_agg(
+        spark.read.parquet(staged), "ts", "5 minutes", ["event_type"], [F.count("*").alias("n")]
+    )
+    batch_rows = {
+        (r["window"]["start"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(staged)
+        agg = tumbling_window_agg(
+            stream, "ts", "5 minutes", ["event_type"], [F.count("*").alias("n")]
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("s19_out")
+            .option("checkpointLocation", str(tmp_path / "rocks-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    stream_rows = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM s19_out").collect()
+    }
+    assert stream_rows == batch_rows
