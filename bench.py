@@ -62,6 +62,7 @@ HEADLINE = [
     "tx14_zipf_audit",
     "dd01_exact_dedup",
     "dd03_minhash_lsh",
+    "dd10_minhash_calibration",
     "dd05_dedup_clusters",
     "sm01_cosine_topk",
     "sm03_ann_lsh",

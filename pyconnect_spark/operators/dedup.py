@@ -253,13 +253,12 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     )
 
 
-def _dd03_oracle_sql() -> str:
-    """DuckDB replay of the ENTIRE MinHash+LSH pipeline: word-3-gram
-    shingles → md5-based shingle hashes → 64 affine-permutation minima →
-    md5 band keys → bucket-join candidates → signature-agreement estimate.
-    Possible only because every hash in the pipeline is md5-derived (a
-    public hash both engines compute identically); est_jaccard is k/64,
-    which has ≤6 decimal digits, so round(…,6) is exact on both sides."""
+def _minhash_pipeline_ctes() -> str:
+    """Shared DuckDB CTE prefix replaying the MinHash+LSH pipeline:
+    word-3-gram shingles → md5-based shingle hashes → 64 affine-
+    permutation minima → md5 band keys → bucket-join candidate pairs.
+    Used by both the dd03 candidate oracle and the dd10 calibration
+    oracle so the two can never drift apart."""
     p = _MERSENNE
     rows = _N_HASHES // _N_BANDS
     mins = ",\n             ".join(
@@ -275,9 +274,6 @@ def _dd03_oracle_sql() -> str:
         )
         for b in range(_N_BANDS)
     )
-    agree = " + ".join(
-        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
-    )
     word_shingles = """
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
@@ -285,8 +281,7 @@ def _dd03_oracle_sql() -> str:
                                                CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
       FROM documents
     """
-    return f"""
-    WITH shingles AS ({word_shingles}),
+    return f"""shingles AS ({word_shingles}),
     hs AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {p} AS h
@@ -304,9 +299,24 @@ def _dd03_oracle_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )"""
+
+
+def _sql_est_agree() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
     )
+
+
+def _dd03_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash+LSH pipeline (CTEs shared with
+    dd10). Possible only because every hash in the pipeline is md5-derived
+    (a public hash both engines compute identically); est_jaccard is k/64,
+    which has ≤6 decimal digits, so round(…,6) is exact on both sides."""
+    return f"""
+    WITH {_minhash_pipeline_ctes()}
     SELECT p.doc_a, p.doc_b,
-           round(CAST({agree} AS DOUBLE) / {_N_HASHES}, 6) AS est_jaccard
+           round(CAST({_sql_est_agree()} AS DOUBLE) / {_N_HASHES}, 6) AS est_jaccard
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.doc_a
     JOIN sig sb ON sb.doc_id = p.doc_b
@@ -844,4 +854,106 @@ def dd09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         F.col("root").alias("cluster_root"),
         F.when(F.col("node") == F.col("root"), 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+def _dd10_oracle_sql() -> str:
+    """Calibration oracle: the shared MinHash CTEs plus the exact
+    word-shingle Jaccard restricted to the candidate pairs."""
+    return f"""
+    WITH {_minhash_pipeline_ctes()},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS nc
+      FROM pairs p
+      JOIN shingles a ON a.doc_id = p.doc_a
+      JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST({_sql_est_agree()} AS DOUBLE) / {_N_HASHES}, 6)
+               AS est_jaccard,
+           round(CAST(COALESCE(c.nc, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(c.nc, 0)), 6) AS exact_jaccard,
+           round(abs(round(CAST({_sql_est_agree()} AS DOUBLE) / {_N_HASHES}, 6)
+                     - round(CAST(COALESCE(c.nc, 0) AS DOUBLE)
+                             / (za.n + zb.n - COALESCE(c.nc, 0)), 6)), 6)
+               AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN sz za ON za.doc_id = p.doc_a
+    JOIN sz zb ON zb.doc_id = p.doc_b
+    LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    """
+
+
+@REGISTRY.register(
+    "dd10_minhash_calibration",
+    oracle=_dd10_oracle_sql(),
+    doc="Sketch calibration audit: for every LSH candidate pair, the "
+    "MinHash signature estimate next to the EXACT word-shingle Jaccard "
+    "and the absolute error — the query a pipeline owner runs before "
+    "trusting a dedup threshold at 100 TB. The exact tier is computed "
+    "ONLY on the candidate pairs (shingle join pre-filtered by the "
+    "candidate doc set), so it stays linear in candidates, never "
+    "all-pairs; at full scale this runs on a sampled candidate slice. "
+    "Shares the signature/band code (and the oracle CTE prefix) with "
+    "dd03 so the audited pipeline is literally the production one.",
+    tags=("dedup", "llm", "minhash", "audit"),
+)
+def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).cache()
+    sig.count()  # three downstream consumers (bands + both estimate sides)
+    cand = lsh_candidate_pairs(sig)
+    # exact tier, restricted to candidate docs then candidate pairs
+    sh = _word_shingles(docs)
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b"))
+    ).distinct()
+    # Cache: the candidate-restricted shingle frame is tiny (dup-suspect
+    # docs only) and BOTH the pair-intersection join and the per-doc size
+    # aggregate consume it — uncached, the explode + semi-join runs twice.
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").cache()
+    a = sh_c.alias("ca")
+    b = sh_c.alias("cb")
+    common = (
+        cand.join(a, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("cb.doc_id"))
+            & (F.col("ca.sh") == F.col("cb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sz = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.signature"), F.col("sb.signature"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / _N_HASHES,
+        6,
+    )
+    nc = F.coalesce(F.col("nc"), F.lit(0))
+    exact = F.round(nc.cast("double") / (F.col("za.n") + F.col("zb.n") - nc), 6)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .join(F.broadcast(sz.alias("za")), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(sz.alias("zb")), F.col("doc_b") == F.col("zb.doc_id"))
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
     )
