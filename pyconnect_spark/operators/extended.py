@@ -306,7 +306,7 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x14_dist_windows",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist()    OVER w, 6) AS cdist,
            first_value(c_custkey) OVER w AS richest_key,
@@ -334,7 +334,7 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.first("c_custkey").over(w).alias("richest_key"),

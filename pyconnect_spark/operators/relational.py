@@ -189,14 +189,17 @@ def b05(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS {MONEY}) * {_B03_DISC}) AS DOUBLE) AS revenue,
-           CAST(o_orderdate AS DATE) AS o_orderdate
+           -- string date: identical rendering (and pandas dtype) in both
+           -- engines — DATE exports as datetime64 from DuckDB but as
+           -- datetime.date objects from Spark
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    GROUP BY l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
@@ -213,7 +216,7 @@ def b06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")

@@ -337,7 +337,8 @@ def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
     )
-    SELECT f.cohort_date, CAST(a.day_offset AS BIGINT) AS day_offset,
+    SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(a.day_offset AS BIGINT) AS day_offset,
            COUNT(*) AS n_users
     FROM first_seen f JOIN activity a ON f.user_id = a.user_id
     GROUP BY f.cohort_date, a.day_offset
@@ -367,9 +368,11 @@ def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return activity.groupBy("cohort_date", "day_offset").agg(
-        F.count("*").alias("n_users")
-    )
+    return activity.groupBy(
+        # string date: identical rendering and pandas dtype in both engines
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        "day_offset",
+    ).agg(F.count("*").alias("n_users"))
 
 
 @REGISTRY.register(
@@ -430,7 +433,7 @@ def ts08(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     "ts09_rollup_cascade",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
@@ -462,7 +465,8 @@ def ts09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "minute").alias("hour"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
     day = hour.groupBy(
-        F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type",
     ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
     return day.select(
         "day",

@@ -366,7 +366,11 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     "x23_tpch_q18",
     oracle=f"""
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    SELECT c_name, c_custkey, o_orderkey,
+           -- string timestamp: identical rendering and pandas dtype in
+           -- both engines (Spark exports ns, DuckDB us resolution)
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_totalprice,
            CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -396,7 +400,13 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "_ok"), F.col("l_orderkey") == F.col("_ok"), "left_semi")
         .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_totalprice",
+        )
         .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
     )
 
@@ -523,7 +533,9 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     "x27_latest_per_key",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -556,6 +568,7 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") == 1)
         .drop("rk")
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
     )
 
 
