@@ -844,3 +844,37 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(late).cast("double") / F.count("*"), 6).alias("late_share"),
         )
     )
+
+
+@REGISTRY.register(
+    "x35_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT: each BUILDING "
+    "customer's two largest orders. Catalyst decorrelates the lateral "
+    "into an equi join + per-key group limit — no per-customer subquery "
+    "execution, no repeated orders scans; the same plan a hand-written "
+    "window row_number() <= 2 produces, but declared in the SQL form "
+    "users port from other engines. Ties break on the unique order key "
+    "so the LIMIT 2 set is deterministic in both engines.",
+    tags=("lateral", "subquery", "topk", "join"),
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("pc_x35_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pc_x35_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM pc_x35_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM pc_x35_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

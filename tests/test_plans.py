@@ -222,3 +222,12 @@ def test_ts15_zscore_single_exchange(spark):
     import re
     text = explain_str(_Q["ts15_zscore_anomaly"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text
+
+
+def test_x35_lateral_decorrelates_to_join_group_limit(spark):
+    # the correlated LATERAL (ORDER BY + LIMIT 2) must decorrelate into an
+    # equi join + WindowGroupLimit — never a per-row subquery or cartesian
+    text = explain_str(_Q["x35_lateral_topk"](spark, SF))
+    assert "WindowGroupLimit" in text
+    assert "BroadcastHashJoin" in text or "SortMergeJoin" in text
+    assert "CartesianProduct" not in text
