@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """End-to-end LLM training-data pipeline over the documents/embeddings
 tables: quality gate → exact dedup → near-dup clustering (MinHash LSH →
-connected components, keep-first) → text feature columns, plus an ANN
-neighbor lookup. Run: python examples/llm_pipeline.py [sf_dir]
+connected components, keep-first) → text feature columns → sequence
+packing, plus the audit tier (MinHash calibration, distributed ANN
+recall) and an ANN neighbor lookup.
+Run: python examples/llm_pipeline.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -20,8 +22,9 @@ from pyconnect_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from pyconnect_spark.operators.text import tx01, tx04
-from pyconnect_spark.operators.similarity import sm01
+from pyconnect_spark.operators.dedup import dd10
+from pyconnect_spark.operators.similarity import sm01, sm09
+from pyconnect_spark.operators.text import tx01, tx04, tx12, tx13
 from pyconnect_spark.session import get_spark
 
 
@@ -50,13 +53,31 @@ def main() -> None:
     docs = docs.join(keep, "doc_id")
     n3 = docs.count()
 
-    # 4. feature columns for the survivors
-    feats = tx01(spark, sf_dir).join(docs.select("doc_id"), "doc_id")
+    # 4. feature columns for the survivors (+ char entropy quality signal)
+    feats = (
+        tx01(spark, sf_dir)
+        .join(tx13(spark, sf_dir).select("doc_id", "char_entropy"), "doc_id")
+        .join(docs.select("doc_id"), "doc_id")
+    )
     print(feats.orderBy("doc_id").limit(5).toPandas().to_string(index=False))
     print(f"pipeline: {n0} docs -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
 
-    # 5. ANN: top-5 cosine neighbors of vec_id=1
+    # 5. audit tier: was the sketch trustworthy? (estimate vs exact Jaccard)
+    cal = dd10(spark, sf_dir)
+    print("minhash calibration (worst 3 by abs error):")
+    print(cal.orderBy(F.desc("abs_err"), "doc_a", "doc_b").limit(3)
+          .toPandas().to_string(index=False))
+
+    # 6. pack survivors into ~2048-token training sequences
+    packed = tx12(spark, sf_dir)
+    print("packing summary (first 3 sequences):")
+    print(packed.limit(3).toPandas().to_string(index=False))
+
+    # 7. ANN: top-5 cosine neighbors of vec_id=1, and the distributed
+    #    recall audit of the IVF index
     print(sm01(spark, sf_dir).toPandas().to_string(index=False))
+    print("IVF recall@5 per query (computed in-engine):")
+    print(sm09(spark, sf_dir).orderBy("q_id").toPandas().to_string(index=False))
     spark.stop()
 
 
