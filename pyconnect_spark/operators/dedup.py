@@ -436,7 +436,13 @@ def connected_components(
 
     nodes(node) ∪ edges(a, b) → (node, root) where root = min node id in
     the component. Each iteration: every node takes the min of its own
-    label and its neighbors' labels; stops when no label changes. The
+    label and its neighbors' labels. Should convergence not arrive within
+    the first few rounds (deep, path-like components), a pointer-doubling
+    shortcut (root := root's root) kicks in so labels start traveling
+    2^k hops per round — convergence is O(log diameter) and the default
+    cap covers any realistic component, at zero extra cost for the
+    shallow graphs near-dup clustering actually produces. Stops early
+    when no label changes. The
     label frame has its lineage truncated each round (an unbounded
     iterative plan otherwise re-executes from the source every iteration
     and eventually overwhelms the optimizer): via reliable checkpoint()
@@ -471,7 +477,16 @@ def connected_components(
     # at 100 TB the label frame is |dup-suspects|, not |corpus|.
     edge_nodes = _truncate(sym.select(F.col("a").alias("node")).distinct())
     labels = edge_nodes.select("node", F.col("node").alias("root"))
-    for _ in range(max_iter):
+    # Near-dup graphs are shallow, so plain one-hop propagation converges
+    # in a handful of rounds with one join each. If a component is deeper
+    # than _DOUBLING_AFTER hops (path-like graphs), switch on pointer
+    # doubling (the "shortcut" step of large/small-star CC: root := the
+    # root's root), which moves labels 2^k hops after k rounds — so the
+    # cap covers diameters up to ~2^max_iter rather than max_iter.
+    # Without the doubling fallback, any component with diameter >
+    # max_iter silently converged to WRONG labels.
+    _DOUBLING_AFTER = 6
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(sym.a.alias("node"))
@@ -485,6 +500,20 @@ def connected_components(
                 (F.col("nroot") < F.col("root")).alias("_changed"),
             )
         )
+        if it >= _DOUBLING_AFTER:
+            parent = new_labels.select(
+                F.col("node").alias("p_node"), F.col("root").alias("p_root")
+            )
+            new_labels = (
+                new_labels.join(parent, new_labels.root == F.col("p_node"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("root"), F.coalesce(F.col("p_root"), F.col("root"))
+                    ).alias("root"),
+                    (F.col("_changed") | (F.col("p_root") < F.col("root"))).alias("_changed"),
+                )
+            )
         new_labels = _truncate(new_labels)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")

@@ -207,3 +207,52 @@ def test_mllib_lsh_ann_agrees_with_bruteforce_ranks(spark):
     assert not violations, f"rerank put wrong vec at rank 1: {violations}"
     # cosine from unit-sphere distance must be in [-1, 1]
     assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rows)
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: distributed CC equals a reference union-find on
+    random graphs — including long path graphs, whose diameter exceeds
+    the iteration cap unless pointer doubling is in effect."""
+    import random
+
+    def union_find_roots(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label semantics: root of each component = min node id
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(members) for members in comp.values() for v in members}
+
+    rng = random.Random(7)
+    cases = []
+    # long path: 60 hops > the 20-iteration cap (the regression this guards)
+    cases.append((61, [(i, i + 1) for i in range(60)]))
+    # random sparse graphs
+    for _ in range(3):
+        n = rng.randint(10, 40)
+        m = rng.randint(0, n)
+        cases.append((n, [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]))
+
+    from pyconnect_spark.operators.dedup import connected_components
+
+    for n, edges in cases:
+        nodes = spark.range(n).selectExpr("id AS node")
+        edges = [(a, b) for a, b in edges if a != b]
+        if edges:
+            edf = spark.createDataFrame(edges, "a long, b long")
+        else:
+            edf = spark.createDataFrame([], "a long, b long")
+        got = {r["node"]: r["root"] for r in connected_components(nodes, edf).collect()}
+        want = union_find_roots(n, edges)
+        assert got == want, f"n={n} edges={edges}"
