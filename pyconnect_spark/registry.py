@@ -1,13 +1,12 @@
 """Aggregate query registry: every declared operator across modules.
 
 Ordering matters: the external driver's correctness harness checks the
-FIRST 50 entries of ``queries()`` in dict order (round 1 truncated at
-x24, leaving every dd/sm/tx/ts/mm query driver-unverified). The explicit
-priority list below puts the families that have not yet earned a
-driver-green row — plus the two rows that were red in round 1 (b21, x08)
-and a flagship re-check from each core family — inside that window.
-Everything else (driver-green in CORRECTNESS_r01) follows in module
-order, so nothing is ever dropped from the declared surface.
+FIRST 50 entries of ``queries()`` in dict order. The priority list below
+rotates by staleness: queries that have never had a driver row lead,
+then the round-3 merges (new names), then everything whose last green
+row is oldest. Queries verified last round follow the window in module
+order — nothing is ever dropped from the declared surface, and with
+~100 declared queries the whole surface re-verifies every 2 rounds.
 """
 
 from __future__ import annotations
