@@ -47,6 +47,14 @@ _PRIORITY = [
     "x21_late_supplier", "x22_tpch_q22", "x23_tpch_q18", "x24_tpch_q10",
 ]
 
+# ROUND-4 ROTATION PLAN: swap _PRIORITY for the 54 queries currently
+# AFTER the window — the 50 r02-greens (x25–x28, ts01–ts07, ts09,
+# ts11–ts14, tx01–tx07, tx10, tx12, dd01–dd08, sm01–sm08, mm03, b21,
+# x08, x29, plus merged ts08/tx08/mm02) and the round-3 additions that
+# have no driver row yet (tx13, tx14, ts15, x34, sm09, dd10, x35 —
+# put these SEVEN first; the 4 lowest-risk r02-greens spill to round 5).
+# Everything green in round 3's CORRECTNESS_r03 then follows the window.
+
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()
 for _name in _PRIORITY:
