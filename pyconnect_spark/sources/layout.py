@@ -103,3 +103,50 @@ def _partition_dirs(path: str) -> list[str]:
     for root, dirs, _ in os.walk(path):
         names.extend(d for d in dirs if "=" in d)
     return names
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Compact a small-file parquet dataset into ~``target_file_bytes``
+    files; returns the output file count.
+
+    The small-file problem is the classic operational failure of long-
+    running ingestion at scale: a streaming sink or frequent batch
+    appends leave thousands of KB-sized files, and every downstream scan
+    pays per-file open/footer costs (and the driver pays listing costs).
+    Compaction is a rewrite: size the output file count from the INPUT's
+    on-disk bytes (a driver-side metadata walk — no data read), then one
+    round-robin repartition to that count so output files are even.
+
+    ``repartition`` (a shuffle) rather than ``coalesce``: coalesce would
+    avoid the exchange but inherits input skew — one fat output file
+    stalls later scans, which is what compaction exists to fix. At
+    100 TB you compact per partition directory (pass ``partition_by``
+    so directory layout is preserved), typically from a scheduled job
+    compacting only partitions whose file count exceeds a threshold.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for name in files:
+            if not name.startswith("_") and not name.startswith("."):
+                total += os.path.getsize(os.path.join(root, name))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
+    written = 0
+    for root, _dirs, files in os.walk(dst):
+        written += sum(
+            1 for f in files if not f.startswith("_") and not f.startswith(".")
+        )
+    return written

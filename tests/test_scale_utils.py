@@ -150,3 +150,34 @@ def test_training_shard_layout(spark, tmp_path):
     manifest = json.load(open(mpath))
     assert sum(m["rows"] for m in manifest) == staged.count()
     assert all("split" in m and "lang" in m for m in manifest)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files dataset into few even files
+    with identical content — the scheduled-maintenance counterpart of the
+    sharded writer."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compact")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    # fragment: ~60 files of ~100 rows each
+    li.repartition(4).write.option("maxRecordsPerFile", 100).parquet(src)
+    n_in = sum(
+        1 for f in __import__("os").listdir(src)
+        if f.endswith(".parquet")
+    )
+    assert n_in > 20  # genuinely fragmented
+
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 20)
+    assert n_out < n_in / 4  # materially fewer files
+    # content identical (row count + a value checksum)
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    from pyspark.sql import functions as F
+    agg = lambda d: d.agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    assert agg(a) == agg(b)
