@@ -256,3 +256,51 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r["node"]: r["root"] for r in connected_components(nodes, edf).collect()}
         want = union_find_roots(n, edges)
         assert got == want, f"n={n} edges={edges}"
+
+
+def test_tx12_packing_matches_python_replication(spark, tmp_path):
+    """Property check on random corpora: the distributed packing equals a
+    pure-Python replay (same md5 shard, same doc_id-ordered cumulative
+    fill), including single documents that overflow the 2048 budget."""
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    docs = []
+    for doc_id in range(120):
+        n_words = rng.choice([1, 5, 40, 300, 2500])  # incl. budget overflow
+        docs.append((doc_id, " ".join(f"w{rng.randrange(50)}" for _ in range(n_words))))
+
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "synth" / "documents.parquet")
+    )
+
+    from pyconnect_spark.operators.text import tx12
+
+    got = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"])
+        for r in tx12(spark, d).collect()
+    }
+
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        shard = int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % 16
+        shards.setdefault(shard, []).append((doc_id, len(text.strip().split())))
+    want: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for shard, members in shards.items():
+        cum = 0
+        for doc_id, n_tok in sorted(members):
+            seq = cum // 2048
+            cum += n_tok
+            want.setdefault((shard, seq), []).append((doc_id, n_tok))
+    want_agg = {
+        k: (
+            len(v),
+            sum(n for _, n in v),
+            min(i for i, _ in v),
+            max(i for i, _ in v),
+        )
+        for k, v in want.items()
+    }
+    assert got == want_agg
