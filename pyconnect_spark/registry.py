@@ -18,42 +18,51 @@ _MERGED = QueryRegistry()
 for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal):
     _MERGED.merge(mod.REGISTRY)
 
-# First 50 = the driver's verification window for round 3. Composition:
-# (a) the 7 queries that have NEVER had a driver row (added late in r2),
-# (b) the 5 round-3 merged queries (new names -> need their first row),
-# (c) the 38 queries whose last green row is round 1 (staleness order).
-# Everything verified green in round 2 (CORRECTNESS_r02) sits after the
-# window and becomes round 4's window — with 100 declared queries and a
-# 50-row window, every query is re-verified on a strict 2-round cadence.
+# First 50 = the driver's verification window for round 4. Composition:
+# (a) the 7 round-3 additions that have NEVER had a driver row,
+# (b) the 3 queries REBUILT in round 3 after their last (r2) driver row,
+# (c) the queries whose last green row is round 2 (CORRECTNESS_r02),
+#     oldest evidence first. Four lowest-risk r02-greens (map-only
+#     scan-tier: tx03 sha256 fingerprint, tx06 builtin levenshtein,
+#     tx07 md5 hash-split, sm07 pure-column quantization) spill past
+#     the window to round 5. Everything green in round 3's
+#     CORRECTNESS_r03 (the old window) follows, so with ~104 declared
+#     queries every query re-verifies on a strict 2-round cadence.
 _PRIORITY = [
-    # -- (a) never driver-checked: TPC-H Q6/Q13/Q15/Q17 + round-2 stragglers
-    "x30_tpch_q6", "x31_tpch_q13", "x32_tpch_q15", "x33_tpch_q17",
-    "tx11_tfidf_keywords", "tx12_sequence_pack", "dd09_semantic_dedup",
-    # -- (b) round-3 merges of near-duplicate declared queries
-    "b13_rollup_sets", "b19_set_union", "b20_intersect_except",
-    "b23_array_explode", "x03_stats_percentiles",
-    # -- (c) last green in round 1: relational core
-    "b01_filter_project", "b02_string_funcs", "b03_tpch_q1", "b04_date_agg",
-    "b05_join_agg", "b06_tpch_q3", "b07_left_join", "b08_semi_join",
-    "b09_anti_join", "b10_broadcast_join", "b11_range_join", "b12_distinct_agg",
-    "b14_cube", "b15_topk_per_group", "b16_window_running", "b17_range_frame",
-    "b18_global_topk", "b22_text_scalar", "b24_udf_tier",
-    # -- (c) last green in round 1: extended surface
-    "x02_pivot", "x04_conditional_null", "x05_math_funcs", "x06_date_funcs",
-    "x09_string_agg", "x10_map_funcs", "x11_unpivot", "x12_pandas_udaf",
-    "x14_dist_windows", "x15_exists_subquery", "x16_scalar_subquery",
-    # -- (c) last green in round 1: TPC-H adapted
-    "x17_tpch_q5", "x18_tpch_q7", "x19_tpch_q8", "x20_tpch_q19",
-    "x21_late_supplier", "x22_tpch_q22", "x23_tpch_q18", "x24_tpch_q10",
+    # -- (a) round-3 additions, never driver-checked
+    "tx13_char_entropy", "tx14_zipf_audit", "ts15_zscore_anomaly",
+    "x34_tpch_q12_late_shipments", "sm09_ann_recall_audit",
+    "dd10_minhash_calibration", "x35_lateral_topk",
+    # -- (b) rebuilt in round 3 after their r2 driver row (merged semantics)
+    "ts08_props_json", "tx08_quality_suite", "mm02_decode_pipeline",
+    # -- (c) last green in round 2: extended / TPC-H adapted
+    "b21_json_funcs", "x08_approx_stats", "x29_stratified_sample",
+    "x25_tpch_q14", "x26_value_share", "x27_latest_per_key",
+    "x28_skew_two_phase_agg",
+    # -- (c) last green in round 2: time-series
+    "ts01_tumbling_window", "ts02_sessionize", "ts03_asof_join",
+    "ts04_sliding_window", "ts05_session_window_agg", "ts06_funnel",
+    "ts07_retention", "ts09_rollup_cascade", "ts11_rolling_time_window",
+    "ts12_ewma", "ts13_ohlc_bars", "ts14_resample_ffill",
+    # -- (c) last green in round 2: text (tx03/tx06/tx07 spill to r5)
+    "tx01_text_stats", "tx02_lang_id", "tx04_quality_filter",
+    "tx05_winnow_fingerprint", "tx10_vocab_topk",
+    # -- (c) last green in round 2: dedup
+    "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh",
+    "dd04_simhash", "dd05_dedup_clusters", "dd06_keep_best",
+    "dd07_contamination", "dd08_split_decontamination",
+    # -- (c) last green in round 2: similarity (sm07 spills to r5)
+    "sm01_cosine_topk", "sm02_embedding_neardup", "sm03_ann_lsh",
+    "sm04_label_centroids", "sm05_ann_ivf", "sm06_ann_mllib_lsh",
+    "sm08_centroid_assign",
+    # -- (c) last green in round 2: multimodal
+    "mm03_frame_sample",
 ]
 
-# ROUND-4 ROTATION PLAN: swap _PRIORITY for the 54 queries currently
-# AFTER the window — the 50 r02-greens (x25–x28, ts01–ts07, ts09,
-# ts11–ts14, tx01–tx07, tx10, tx12, dd01–dd08, sm01–sm08, mm03, b21,
-# x08, x29, plus merged ts08/tx08/mm02) and the round-3 additions that
-# have no driver row yet (tx13, tx14, ts15, x34, sm09, dd10, x35 —
-# put these SEVEN first; the 4 lowest-risk r02-greens spill to round 5).
-# Everything green in round 3's CORRECTNESS_r03 then follows the window.
+# ROUND-5 ROTATION PLAN: window = the 4 spilled r02-greens (tx03, tx06,
+# tx07, sm07), any queries added in round 4 (no driver row yet), then
+# the round-3-green families (the b/x relational core verified in
+# CORRECTNESS_r03), oldest evidence first.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()
