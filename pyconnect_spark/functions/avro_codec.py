@@ -86,7 +86,10 @@ def encode(value: Any, schema: Any, buf: io.BytesIO | None = None) -> bytes:
     schema = _unwrap(schema)
     out = buf or io.BytesIO()
     if isinstance(schema, list):  # union — nullable only, like inference
-        if value is None:
+        # pandas renders a null in a numeric struct field as NaN (int64 →
+        # float64 coercion inside the Arrow batch), so NaN in a union
+        # position means SQL NULL, not the IEEE value.
+        if value is None or (isinstance(value, float) and value != value):
             idx = schema.index("null")
             _encode_long(out, idx)
         else:
