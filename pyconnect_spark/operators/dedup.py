@@ -199,13 +199,30 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
             ).alias("hs"),
         )
     )
-    mins = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        )
-        for (a, b) in (_hash_params(i) for i in range(n_hashes))
-    ]
-    return hashed.select("doc_id", F.array(*mins).alias("signature"))
+    # One aggregate pass with a k-wide accumulator instead of k separate
+    # array_min(transform(...)) traversals. Values are bit-identical (the
+    # update is MIN((a_i*h + b_i) % p) either way — checksum-verified), but
+    # the k-traversal form generates ~k codegen loops and costs ~6 s of
+    # whole-stage-codegen COMPILE on first execution at k=64; this form
+    # compiles in <1 s with identical warm runtime (~0.6 s at sf0.1).
+    # Under bench's min-of-2 on a steal-prone host, a 6 s pass-1 makes the
+    # reported min hostage to pass-2 noise — this was the bulk of the
+    # round-3 "dd03 2x regression" (the md5 family itself re-measured at
+    # cost parity with xxhash64 this round).
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for (a, b) in (_hash_params(i) for i in range(n_hashes))
+        ]
+    )
+    signature = F.aggregate(
+        F.col("hs"),
+        F.array(*[F.lit(_MERSENNE).cast("long")] * n_hashes),
+        lambda acc, h: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_MERSENNE))
+        ),
+    )
+    return hashed.select("doc_id", signature.alias("signature"))
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
@@ -515,9 +532,17 @@ def connected_components(
                 )
             )
         new_labels = _truncate(new_labels)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        # Convergence probe = one tiny driver job per round. Shallow graphs
+        # (the near-dup norm) exit within the first few rounds, where the
+        # probe is what enables the early exit — keep it every round. Once
+        # pointer doubling engages (deep, path-like graphs), labels travel
+        # 2^k hops per round and one extra iteration is cheaper than it
+        # was in the one-hop regime — probe every 2nd round to halve the
+        # driver round-trips on the long tail.
+        if it >= _DOUBLING_AFTER and (it - _DOUBLING_AFTER) % 2 == 1:
+            continue
+        if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
             break
     # Singletons re-attached once, outside the loop (anti join, no shuffle
     # of the iteration frames).
@@ -536,23 +561,35 @@ def word_jaccard_edges(docs: DataFrame, threshold: float) -> DataFrame:
     compares 8-byte longs instead of ~30-byte strings (measured ~2x on
     the edge derivation). A 64-bit collision would need ~2^32 distinct
     shingles per join key-space to matter (birthday bound) — far beyond
-    any per-corpus shingle count this engine shuffles."""
-    sh = _word_shingles(docs).select("doc_id", F.xxhash64("sh").alias("h"))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    any per-corpus shingle count this engine shuffles.
+
+    The join carries each doc's shingle count and applies the size-ratio
+    bound as an extra join predicate: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    so any pair with least(n)/greatest(n) < threshold can never reach the
+    threshold and is dropped BEFORE the pair-count aggregation — an
+    exactness-preserving prune (the final J ≥ t filter is unchanged).
+    On corpora with heterogeneous doc lengths this collapses the
+    candidate-pair shuffle; carrying n through the join also replaces the
+    two post-aggregation broadcast joins the sizes previously needed."""
+    base = _word_shingles(docs).select("doc_id", F.xxhash64("sh").alias("h"))
+    sz = base.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = base.join(F.broadcast(sz), "doc_id")
     x, y = sh.alias("x"), sh.alias("y")
+    size_ok = F.least(F.col("x.n"), F.col("y.n")) >= threshold * F.greatest(
+        F.col("x.n"), F.col("y.n")
+    )
     common = (
-        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        x.join(
+            y,
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & size_ok,
+        )
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("nc"))
+        .agg(F.count("*").alias("nc"), F.first("x.n").alias("na"), F.first("y.n").alias("nb"))
     )
-    za, zb = sz.alias("za"), sz.alias("zb")
-    jacc = F.col("nc").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("nc"))
-    return (
-        common.join(F.broadcast(za), F.col("a") == F.col("za.doc_id"))
-        .join(F.broadcast(zb), F.col("b") == F.col("zb.doc_id"))
-        .filter(jacc >= threshold)
-        .select("a", "b")
-    )
+    jacc = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    return common.filter(jacc >= threshold).select("a", "b")
 
 
 _DD05_SHINGLES_SQL = """

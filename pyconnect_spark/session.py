@@ -66,6 +66,12 @@ def get_spark(
         # row groups (applies when no post-scan filter remains; at 100 TB a
         # COUNT(*) over a partition becomes a metadata read).
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Iterative operators (connected_components) truncate lineage with
+        # reliable checkpoint() when a checkpoint dir is configured; GC the
+        # per-iteration checkpoint files once their RDDs go out of scope so
+        # a long-lived cluster session doesn't accumulate max_iter dirs per
+        # invocation on HDFS/S3.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
