@@ -170,7 +170,19 @@ def probe_cells(df: DataFrame, centroids: np.ndarray, n_probe: int, emb_col: str
     return df.withColumn("cells", cells_udf(F.col(emb_col)))
 
 
-_SM05_N_PROBE = 4
+# Round-4 sweep at sf0.1 (tools/ann_tune.py + numpy replication): with the
+# fixture's 10 natural label cells, recall@5 = 0.80/0.84/0.88/0.96 at
+# n_probe = 4/5/6/8 (candidate fraction 0.39/0.50/0.59/0.80). A finer
+# quantizer was tried and REJECTED: splitting each cell by residual
+# coordinate signs (20/40/80 cells) gave WORSE recall at equal candidate
+# fraction (0.72@0.39 vs 0.80@0.39) — this corpus has weak coarse-cluster
+# structure, so extra cells just scatter true neighbors. n_probe=8 buys
+# recall 0.96 at an honestly-documented 0.80 candidate fraction; on a
+# corpus this unclustered, IVF degrades toward brute force, which is why
+# docs/SCALE.md now recommends sm03 multiprobe LSH as the default ANN
+# path and reserves IVF partition-pruning for corpora whose sm09 audit
+# shows real cluster structure.
+_SM05_N_PROBE = 8
 
 _SM05_ORACLE = f"""
     WITH cells AS (
@@ -240,8 +252,9 @@ _SM05_ORACLE = f"""
     "JVM fold (same sequential accumulation DuckDB's list_aggregate "
     "uses, so the oracle replays the ENTIRE index build + probe + rerank "
     "— the only ANN design here that is fully oracle-checked); queries "
-    "probe their n_probe=4 nearest cells (FAISS nprobe — probe-one "
-    "recall@5 measured 0.16, boundary misses dominate; 0.8 at 4). At "
+    "probe their n_probe=8 nearest cells (FAISS nprobe — probe-one "
+    "recall@5 measured 0.16, boundary misses dominate; 0.80 at 4, 0.96 "
+    "at 8 — see the sweep note on _SM05_N_PROBE). At "
     "100 TB the corpus is written partitioned by cell so a query touches "
     "n_probe partitions, and with thousands of cells the assignment "
     "switches to the Arrow-batched BLAS matmul (assign_cells/probe_cells "

@@ -166,13 +166,15 @@ def test_multimodal_codec_stub_guards():
 
 
 def test_ivf_ann_sanity(spark):
-    """IVF ANN with n_probe=4: recall floor vs brute force, correct rerank
-    (true nearest at rank 1 when recalled), ranks well-formed."""
+    """IVF ANN with n_probe=8: recall floor vs brute force, correct rerank
+    (true nearest at rank 1 when recalled), ranks well-formed. The floor
+    pins the round-4 tuning point (recall@5 = 0.96 at sf0.1, candidate
+    fraction 0.80 — see the _SM05_N_PROBE sweep note)."""
     ivf = S.sm05(spark, SF).collect()
     assert len(ivf) > 0
     truth = _brute_force_topk(spark)
     recall, violations = _ann_quality(ivf, truth)
-    assert recall >= 0.5, f"recall@5={recall}"  # measured 0.76 at n_probe=4
+    assert recall >= 0.9, f"recall@5={recall}"
     assert not violations, f"rerank put wrong vec at rank 1: {violations}"
     # every query returns at most 5 ranked hits, ranks are 1..k
     from collections import Counter
