@@ -52,6 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (and a no-op on builds that read nanos as NTZ natively). Works
         # under ANY caller-provided SparkSession (e.g. the driver's).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->LTZ normalization below is exact ONLY under a UTC
+        # session time zone; under a non-UTC caller session, epoch-derived
+        # values (unix_micros, watermark alignment) would silently shift.
+        # Pin it here rather than trusting the caller — same rationale as
+        # the nanos conf: the events path owns its session prerequisites.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyconnect_spark.cachereg import track
 from pyconnect_spark.operators._util import t
 from pyconnect_spark.query import QueryRegistry
 
@@ -358,7 +359,7 @@ def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the estimate join) — uncached, the subtree re-executes 3x.
     # At 100 TB the equivalent move is materializing the signature table
     # once (write parquet, read thrice), which also survives the session.
-    sig = minhash_signatures(docs).cache()
+    sig = track(minhash_signatures(docs).cache())
     sig.count()  # materialize once; three downstream branches reuse the cache
     pairs = lsh_candidate_pairs(sig)
     a = sig.alias("sa")
@@ -970,7 +971,7 @@ def _dd10_oracle_sql() -> str:
 )
 def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).cache()
+    sig = track(minhash_signatures(docs).cache())
     sig.count()  # three downstream consumers (bands + both estimate sides)
     cand = lsh_candidate_pairs(sig)
     # exact tier, restricted to candidate docs then candidate pairs
@@ -981,7 +982,7 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache: the candidate-restricted shingle frame is tiny (dup-suspect
     # docs only) and BOTH the pair-intersection join and the per-doc size
     # aggregate consume it — uncached, the explode + semi-join runs twice.
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").cache()
+    sh_c = track(sh.join(F.broadcast(cand_docs), "doc_id").cache())
     a = sh_c.alias("ca")
     b = sh_c.alias("cb")
     common = (

@@ -500,7 +500,9 @@ def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint blocks are executor-memory-resident and unrecoverable.
     from pyspark import StorageLevel
 
-    unit = (
+    from pyconnect_spark.cachereg import track
+
+    unit = track(
         emb.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),

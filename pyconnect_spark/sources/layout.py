@@ -28,7 +28,7 @@ import json
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -126,10 +126,19 @@ def compact_parquet(
 
     ``repartition`` (a shuffle) rather than ``coalesce``: coalesce would
     avoid the exchange but inherits input skew — one fat output file
-    stalls later scans, which is what compaction exists to fix. At
-    100 TB you compact per partition directory (pass ``partition_by``
-    so directory layout is preserved), typically from a scheduled job
-    compacting only partitions whose file count exceeds a threshold.
+    stalls later scans, which is what compaction exists to fix.
+
+    With ``partition_by`` the round-robin form would re-fragment: each of
+    the n shuffle tasks holds rows of EVERY partition value, so the
+    partitioned writer emits up to n × |partitions| files. Instead the
+    shuffle key becomes (partition cols, salt), where each partition
+    value's salt width is its own size-proportional file budget — rows of
+    one partition value land in exactly that many tasks, so the directory
+    layout is preserved AND each directory gets ~size/target files. The
+    per-partition budgets come from one tiny aggregation (one row per
+    partition value) scaled by the input's measured bytes-per-row. At
+    100 TB this runs as a scheduled job compacting only partitions whose
+    file count exceeds a threshold.
     """
     import math
 
@@ -138,12 +147,37 @@ def compact_parquet(
         for name in files:
             if not name.startswith("_") and not name.startswith("."):
                 total += os.path.getsize(os.path.join(root, name))
-    n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
-    writer = df.repartition(n_files).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(dst)
+    if not partition_by:
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    else:
+        counts = df.groupBy(*partition_by).agg(F.count("*").alias("_rows"))
+        budget = counts.select(
+            *partition_by,
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("_rows")
+                    * F.lit(float(total))
+                    / F.lit(float(target_file_bytes))
+                    / F.sum("_rows").over(Window.partitionBy())
+                ),
+            )
+            .cast("int")
+            .alias("_files"),
+        )
+        n_out = budget.agg(F.sum("_files")).collect()[0][0]
+        data_cols = [c for c in df.columns if c not in partition_by]
+        salted = (
+            df.join(F.broadcast(budget), list(partition_by))
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_files"))
+            )
+            .repartition(int(n_out), *partition_by, F.col("_salt"))
+            .drop("_files", "_salt")
+        )
+        salted.write.mode("overwrite").partitionBy(*partition_by).parquet(dst)
     written = 0
     for root, _dirs, files in os.walk(dst):
         written += sum(

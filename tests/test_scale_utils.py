@@ -181,3 +181,45 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
     ).collect()[0]
     assert agg(a) == agg(b)
+
+
+def test_compact_parquet_partitioned_does_not_refragment(spark, tmp_path):
+    """Partitioned compaction must not multiply files by tasks: with a
+    round-robin shuffle every task holds every partition value and the
+    writer emits tasks x partitions files. The salted (partition, salt)
+    shuffle keeps each partition directory at its own size budget."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "tiny_part")
+    dst = str(tmp_path / "compact_part")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "flag", F.col("l_returnflag")
+    )
+    li.repartition(4).write.option("maxRecordsPerFile", 100).partitionBy(
+        "flag"
+    ).parquet(src)
+
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 20, partition_by=["flag"]
+    )
+    # 3 flag values, well under 1 MiB each -> one file per directory.
+    per_dir = {}
+    for root, _dirs, files in os.walk(dst):
+        data = [f for f in files if f.endswith(".parquet")]
+        if data:
+            per_dir[os.path.basename(root)] = len(data)
+    assert set(per_dir) == {"flag=A", "flag=N", "flag=R"}
+    assert all(n == 1 for n in per_dir.values()), per_dir
+    assert n_out == 3
+    # content identical
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    agg = lambda d: d.agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    assert agg(a) == agg(b)
