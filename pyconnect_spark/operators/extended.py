@@ -555,3 +555,43 @@ def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0)).cast("long").alias("n_sampled"),
         F.min(F.when(F.col("bucket") < 10, F.col("doc_id"))).cast("long").alias("first_sampled_id"),
     )
+
+
+@REGISTRY.register(
+    "x37_scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           o_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="SCD type-2 interval build: each customer's order stream becomes "
+    "half-open validity intervals [valid_from, valid_to) via lead() over "
+    "(o_orderdate, unique o_orderkey) — the standard warehouse pattern "
+    "for turning change events into as-of-queryable dimension history "
+    "(the open interval carries valid_to = NULL, is_current = 1). One "
+    "shuffle on o_custkey shared by the window; no joins, no "
+    "self-comparison — at 100 TB this is a single pass per key and the "
+    "natural partitioning for a subsequent as-of join (ts03) against "
+    "fact timestamps.",
+    tags=("scd", "intervals", "window"),
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        "o_totalprice",
+    )

@@ -779,3 +779,106 @@ def sm09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit").cast("double") / F.lit(5), 6).alias("recall_at_5"),
         )
     )
+
+
+_SM10_ORACLE = """
+    WITH cells AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (SELECT label, idx, round(AVG(val), 6) AS cv FROM cells GROUP BY 1, 2),
+    cv AS (SELECT label, list(cv ORDER BY idx) AS cvec FROM c GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label AS own_label, cv.label AS c_label,
+             round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * cvec[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(cvec, x -> x * x),
+                          'sum'))), 9) AS cos9
+      FROM embeddings e CROSS JOIN cv
+    ),
+    ab AS (
+      SELECT vec_id, own_label,
+             1 - MAX(CASE WHEN c_label = own_label THEN cos9 END) AS a_dist,
+             1 - MAX(CASE WHEN c_label <> own_label THEN cos9 END) AS b_dist
+      FROM scored GROUP BY vec_id, own_label
+    )
+    SELECT own_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG((b_dist - a_dist) / greatest(a_dist, b_dist)), 6)
+             AS avg_silhouette,
+           CAST(SUM(CASE WHEN b_dist < a_dist THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misassigned
+    FROM ab
+    WHERE greatest(a_dist, b_dist) > 0
+    GROUP BY own_label
+    """
+
+
+@REGISTRY.register(
+    "sm10_cluster_quality",
+    oracle=_SM10_ORACLE,
+    doc="Simplified-silhouette cluster-quality audit per label: a = cosine "
+    "distance to the own-label centroid, b = distance to the nearest "
+    "other centroid, silhouette = (b-a)/max(a,b) averaged per label, "
+    "plus the count of vectors sitting closer to a foreign centroid "
+    "(n_misassigned). This is the decision input docs/SCALE.md asks for "
+    "before committing embeddings to IVF partition-per-cell layout: "
+    "near-zero silhouettes mean cell pruning will not hold recall (the "
+    "round-4 sweep's weakly-clustered corpus) and the LSH path should "
+    "be used instead. Centroids are 6dp-rounded (sm04 convention) and "
+    "cosines 9dp-rounded so both engines agree bit-for-bit. Plan: "
+    "centroids broadcast against one corpus scan — no shuffle touches "
+    "the embedding vectors; the only aggregation keys are (vec_id) then "
+    "(label), both unskewed at any scale.",
+    tags=("similarity", "llm", "audit", "clustering"),
+)
+def sm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cvec = (
+        sm04(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        emb.select("vec_id", F.col("label").alias("own_label"), v.alias("v"))
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            "own_label",
+            "c_label",
+            F.round(dot / (nv * nc), 9).alias("cos9"),
+        )
+    )
+    ab = scored.groupBy("vec_id", "own_label").agg(
+        (1 - F.max(F.when(F.col("c_label") == F.col("own_label"), F.col("cos9")))).alias("a_dist"),
+        (1 - F.max(F.when(F.col("c_label") != F.col("own_label"), F.col("cos9")))).alias("b_dist"),
+    )
+    s = (F.col("b_dist") - F.col("a_dist")) / F.greatest("a_dist", "b_dist")
+    return (
+        ab.filter(F.greatest("a_dist", "b_dist") > 0)
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(s), 6).alias("avg_silhouette"),
+            F.sum(F.when(F.col("b_dist") < F.col("a_dist"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_misassigned"),
+        )
+    )

@@ -767,3 +767,82 @@ def ts15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 6).alias("max_abs_z"),
         )
     )
+
+
+@REGISTRY.register(
+    "ts16_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hr,
+             epoch_us(ts) AS t_us,
+             value,
+             LEAD(epoch_us(ts)) OVER w AS t_next,
+             LEAD(value)        OVER w AS v_next
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           round(SUM((t_next - t_us) * (value + v_next) / 2.0)
+                 / SUM(t_next - t_us), 6) AS twa
+    FROM stepped
+    WHERE t_next IS NOT NULL
+    GROUP BY event_type, hr
+    HAVING SUM(t_next - t_us) > 0
+    """,
+    doc="Time-weighted average per (event_type, hour): trapezoidal "
+    "integration over consecutive samples — the TimescaleDB/kdb-style "
+    "TWA that a plain AVG gets wrong on irregularly-spaced series "
+    "(a value held for 50 minutes must weigh more than one held for "
+    "10 seconds). lead() pairs each sample with its successor inside "
+    "the hour (deterministic order: ts, then unique event_id); the "
+    "weight is the inter-sample gap in epoch-µs, so both engines "
+    "integrate in exact integer time. Hours with a single sample or "
+    "zero total span carry no area and are excluded. One shuffle on "
+    "(event_type, hour) — the window and the aggregation share it; at "
+    "100 TB the key space is (types x hours), perfectly parallel and "
+    "unskewed. n_events counts samples (pairs + 1).",
+    tags=("timeseries", "twa", "window-frame"),
+)
+def ts16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # Project the hour bucket BEFORE the window so the window partition key
+    # and the downstream groupBy key are the same attribute — Catalyst then
+    # reuses one hash partitioning for both (1 exchange, not 2).
+    bucketed = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    stepped = bucketed.select(
+        "event_type",
+        "hr",
+        "t_us",
+        "value",
+        F.lead("t_us").over(w).alias("t_next"),
+        F.lead("value").over(w).alias("v_next"),
+    ).filter(F.col("t_next").isNotNull())
+    area = (F.col("t_next") - F.col("t_us")) * (F.col("value") + F.col("v_next")) / 2.0
+    span = F.col("t_next") - F.col("t_us")
+    return (
+        stepped.groupBy("event_type", "hr")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_events"),
+            F.sum(area).alias("_area"),
+            F.sum(span).alias("_span"),
+        )
+        .filter(F.col("_span") > 0)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            F.round(F.col("_area") / F.col("_span"), 6).alias("twa"),
+        )
+    )
