@@ -59,10 +59,11 @@ _PRIORITY = [
     "mm03_frame_sample",
 ]
 
-# ROUND-5 ROTATION PLAN: window = the 4 spilled r02-greens (tx03, tx06,
-# tx07, sm07), any queries added in round 4 (no driver row yet), then
-# the round-3-green families (the b/x relational core verified in
-# CORRECTNESS_r03), oldest evidence first.
+# ROUND-5 ROTATION PLAN: window = the round-4 additions with no driver
+# row yet (ts16_time_weighted_avg, x37_scd2_intervals,
+# sm10_cluster_quality), the 4 spilled r02-greens (tx03, tx06, tx07,
+# sm07), then the round-3-green families (the b/x relational core
+# verified in CORRECTNESS_r03), oldest evidence first.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()

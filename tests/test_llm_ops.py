@@ -306,3 +306,67 @@ def test_tx12_packing_matches_python_replication(spark, tmp_path):
         for k, v in want.items()
     }
     assert got == want_agg
+
+
+def test_ts16_twa_matches_python_replication(spark, tmp_path):
+    """Property check on random irregular series: distributed trapezoidal
+    TWA equals a pure-Python replay — including same-timestamp ties
+    (zero-width trapezoids), single-event hours (excluded), and
+    hour-boundary crossings (pairs never span buckets)."""
+    import datetime as dt
+    import math
+    import random
+
+    rng = random.Random(29)
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    for event_id in range(400):
+        # 0-5h span; bursts of ties via coarse second choices
+        secs = rng.choice([rng.randrange(5 * 3600), rng.randrange(60) * 60])
+        rows.append(
+            (
+                event_id,
+                base + dt.timedelta(seconds=secs),
+                rng.choice(["a", "b", "c"]),
+                round(rng.uniform(-100, 100), 3),
+            )
+        )
+
+    d = str(tmp_path / "synth_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "synth_ev" / "events.parquet"))
+
+    from pyconnect_spark.operators.timeseries import ts16
+
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n_events"], r["twa"])
+        for r in ts16(spark, d).collect()
+    }
+
+    groups: dict[tuple, list] = {}
+    for event_id, ts, etype, value in rows:
+        hr = ts.replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((etype, hr), []).append((ts, event_id, value))
+    want = {}
+    for (etype, hr), members in groups.items():
+        members.sort()
+        area = span = 0.0
+        for (t1, _, v1), (t2, _, v2) in zip(members, members[1:]):
+            dt_us = (t2 - t1) // dt.timedelta(microseconds=1)
+            area += dt_us * (v1 + v2) / 2.0
+            span += dt_us
+        if span > 0:
+            want[(etype, hr.strftime("%Y-%m-%d %H:%M:%S"))] = (
+                len(members),
+                area / span,
+            )
+
+    assert set(got) == set(want)
+    for k, (n, twa) in want.items():
+        assert got[k][0] == n, k
+        assert math.isclose(got[k][1], round(twa, 6), rel_tol=0, abs_tol=1e-6), (
+            k,
+            got[k][1],
+            twa,
+        )

@@ -231,3 +231,27 @@ def test_x35_lateral_decorrelates_to_join_group_limit(spark):
     assert "WindowGroupLimit" in text
     assert "BroadcastHashJoin" in text or "SortMergeJoin" in text
     assert "CartesianProduct" not in text
+
+
+def test_ts16_twa_single_exchange(spark):
+    # hour bucket is projected before the window, so the lead() window and
+    # the (event_type, hr) aggregation share one hash partitioning
+    import re
+    text = explain_str(_Q["ts16_time_weighted_avg"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text
+
+
+def test_x37_scd2_single_exchange_no_join(spark):
+    # interval build is one window pass per customer: one shuffle, no joins
+    import re
+    text = explain_str(_Q["x37_scd2_intervals"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text
+    assert "Join" not in text
+
+
+def test_sm10_broadcasts_centroids(spark):
+    # the corpus never shuffles: centroids broadcast against one scan;
+    # the only hash exchanges key on (label,idx)/(vec_id)/(label)
+    text = explain_str(_Q["sm10_cluster_quality"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text and "CartesianProduct" not in text
