@@ -1024,3 +1024,80 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+@REGISTRY.register(
+    "dd11_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+                 list_slice(string_split_regex(trim(text), '\s+'), 1, 8), ' '))
+                 AS fp
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared_fingerprints,
+           ca.n AS n_a, cb.n AS n_b,
+           round(CAST(p.shared_fingerprints AS DOUBLE)
+                 / (ca.n + cb.n - p.shared_fingerprints), 6) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.source = p.source_a
+    JOIN counts cb ON cb.source = p.source_b
+    """,
+    doc="Cross-source duplicate-leakage matrix: head fingerprints (md5 of "
+    "the first 8 whitespace tokens — the mirror-site heuristic: re-"
+    "crawled copies share their head even when trailing boilerplate "
+    "differs) intersected between every pair of sources, with "
+    "the pairwise Jaccard overlap of their distinct-fingerprint sets — "
+    "the corpus-level audit that catches mirror sites / re-crawled "
+    "feeds before they bias a training mix (doc-level dedup alone says "
+    "WHICH docs collide; this says which SOURCES systematically "
+    "overlap). One distinct on (source, 16-byte fp), a self-equi-join "
+    "on fp (never all-pairs of docs: only fingerprints present in >=2 "
+    "sources produce join matches), and a #sources^2-row result. The "
+    "tiny per-source count table joins broadcast. At 100 TB the fp "
+    "self-join shuffles fixed-width hashes once, and skew is bounded by "
+    "|sources| per fingerprint, not doc count.",
+    tags=("dedup", "llm", "audit", "contamination"),
+)
+def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    head = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    fp = docs.select("source", F.md5(head).alias("fp")).distinct()
+    counts = fp.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fingerprints",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_fingerprints").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_fingerprints")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

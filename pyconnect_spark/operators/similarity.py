@@ -882,3 +882,91 @@ def sm10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_misassigned"),
         )
     )
+
+
+@REGISTRY.register(
+    "sm11_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding, label AS true_label
+      FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+      SELECT q.q_id, q.true_label, e.label,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rk
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ),
+    votes AS (
+      SELECT q_id, true_label, label, COUNT(*) AS n
+      FROM sims WHERE rk <= 5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT q_id, true_label, label AS pred_label, n,
+             row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS pr
+      FROM votes
+    )
+    SELECT q_id, true_label, pred_label, CAST(n AS BIGINT) AS votes,
+           pred_label = true_label AS correct
+    FROM pred WHERE pr = 1
+    """,
+    doc="k-NN label classification (k=5, majority vote): for each of 10 "
+    "query vectors, the 5 exact-cosine nearest neighbors vote on the "
+    "label; ties break on the smaller label id, neighbor rank ties on "
+    "vec_id, so the prediction is fully deterministic. The 10-row query "
+    "set broadcasts; similarity is the JVM-side zip_with/aggregate fold "
+    "(no Python); per-query top-5 is a rank window that Spark executes "
+    "as WindowGroupLimit (partial top-k per partition before the "
+    "exchange), so the shuffle carries ~5 x #queries x #partitions rows, "
+    "not N x #queries. At 100 TB the same shape runs against an ANN "
+    "candidate set (sm03/sm05) instead of the full corpus — the voting "
+    "tail is identical.",
+    tags=("similarity", "llm", "knn", "classify"),
+)
+def sm11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "label",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("_cos"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("_cos"), "vec_id")
+    )
+    votes = (
+        sims.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .groupBy("q_id", "true_label", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    pr = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("n"), "label")
+    )
+    return (
+        votes.withColumn("pr", pr)
+        .filter(F.col("pr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.col("n").cast("long").alias("votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -764,3 +764,141 @@ def tx14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_rk), 6).alias("zipf_r2"),
     )
+
+
+# PII / deny-list redaction patterns. The e-mail / IPv4 / long-number
+# classes are the standard pre-training scrub set (C4 / RefinedWeb style);
+# the deny-term class is the same machinery pointed at a configurable
+# lexicon (here two corpus words, so the replacement path is actually
+# exercised by the fixture — the synthetic corpus contains no real PII).
+# Patterns are RE2-compatible and escape-free so Spark (Java regex) and
+# DuckDB (RE2) interpret them identically.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("number", r"\b\d{7,}\b", "[NUM]"),
+    ("term", r"\b(spark|hash)\b", "[TERM]"),
+)
+
+
+def _tx15_oracle() -> str:
+    red = "text"
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        p = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        )
+    return f"""
+    WITH red AS (
+      SELECT doc_id, {red} AS redacted, {', '.join(counts)}
+      FROM documents
+    )
+    SELECT doc_id, n_email, n_ip, n_number, n_term,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           sha256(redacted) AS redacted_sha,
+           (n_email + n_ip + n_number + n_term) = 0 AS clean
+    FROM red
+    """
+
+
+@REGISTRY.register(
+    "tx15_pii_redaction",
+    oracle=_tx15_oracle(),
+    doc="PII scrubbing pass: redact e-mail addresses, IPv4 addresses, long "
+    "digit runs (phone/account numbers) and a deny-listed term lexicon, "
+    "emitting per-class hit counts, the redacted text's length + sha256, "
+    "and a `clean` gate for docs needing no redaction. Pure chained "
+    "regexp_replace/regexp_count column expressions — map-only, zero "
+    "shuffles, whole-stage codegen; at 100 TB this is scan-tier work that "
+    "scales with input splits. Redaction order is fixed (email -> ip -> "
+    "number -> term) so both engines transform identical intermediates; "
+    "the sha256 of the redacted text makes the oracle compare the FULL "
+    "output string without hauling it through the hash comparison.",
+    tags=("text", "llm", "pii", "redaction"),
+)
+def tx15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    red = F.col("text")
+    cols = []
+    for name, pat, repl in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+        cols.append(F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}"))
+    step = docs.select("doc_id", *cols, red.alias("redacted"))
+    return step.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_number",
+        "n_term",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.sha2("redacted", 256).alias("redacted_sha"),
+        (F.col("n_email") + F.col("n_ip") + F.col("n_number") + F.col("n_term") == 0).alias(
+            "clean"
+        ),
+    )
+
+
+@REGISTRY.register(
+    "tx16_chunk_dedup",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, g*8+1, g*8+8), ' ')) AS chunk_key
+      FROM base,
+           LATERAL (SELECT unnest(range(0, CAST(floor(len(w)/8.0) AS BIGINT))) AS g)
+    ),
+    freq AS (
+      SELECT chunk_key, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           round(SUM(CASE WHEN f.df >= 2 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS shared_chunk_frac
+    FROM chunks c JOIN freq f USING (chunk_key)
+    GROUP BY 1
+    """,
+    doc="Paragraph/segment-level exact dedup (the sub-document analog of "
+    "dd01): split each doc into consecutive 8-word chunks, key each chunk "
+    "by md5, and score every doc by the fraction of its chunks that also "
+    "appear in at least one OTHER doc — the standard boilerplate / "
+    "cross-site template detector that document-level fingerprints miss. "
+    "Chunking is a shuffle-free array expression (slice over a sequence, "
+    "no Python); the two aggregations key on the 16-byte md5 and doc_id, "
+    "so at 100 TB the chunk-frequency exchange moves fixed-width hashes, "
+    "never chunk text. Docs shorter than one chunk drop out (consistent "
+    "in both engines).",
+    tags=("text", "llm", "dedup", "chunk"),
+)
+def tx16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    n_chunks = F.floor(F.size(w) / F.lit(8.0)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_keys = F.transform(
+        idx, lambda g: F.md5(F.concat_ws(" ", F.slice(w, g * 8 + 1, 8)))
+    )
+    chunks = docs.select("doc_id", F.explode(chunk_keys).alias("chunk_key"))
+    freq = chunks.groupBy("chunk_key").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    shared = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(freq, "chunk_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+            F.round(
+                F.sum(shared.cast("double")) / F.count("*"), 6
+            ).alias("shared_chunk_frac"),
+        )
+    )

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, Window
 
-from pyconnect_spark.operators._util import dsum, sql_dsum, t
+from pyconnect_spark.operators._util import davg, dsum, sql_dsum, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -845,4 +845,117 @@ def ts16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(F.col("_area") / F.col("_span"), 6).alias("twa"),
         )
+    )
+
+
+@REGISTRY.register(
+    "ts17_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS t0,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS t1
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS slot
+      FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS slot, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.event_type, g.slot, h.v,
+             COUNT(h.v) OVER (PARTITION BY g.event_type ORDER BY g.slot) AS grp,
+             COUNT(h.v) OVER (PARTITION BY g.event_type ORDER BY g.slot DESC) AS rgrp
+      FROM grid g
+      LEFT JOIN hourly h ON h.slot = g.slot AND h.event_type = g.event_type
+    ),
+    f AS (
+      SELECT event_type, slot, v,
+             first_value(v) OVER (PARTITION BY event_type, grp ORDER BY slot) AS pv,
+             first_value(slot) OVER (PARTITION BY event_type, grp ORDER BY slot)
+                 AS pslot,
+             first_value(v) OVER (PARTITION BY event_type, rgrp ORDER BY slot DESC)
+                 AS nv,
+             first_value(slot) OVER (PARTITION BY event_type, rgrp ORDER BY slot DESC)
+                 AS nslot
+      FROM j
+    )
+    SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_start,
+           v IS NULL AS interpolated,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(epoch(slot) - epoch(pslot) AS DOUBLE)
+                                 / (epoch(nslot) - epoch(pslot)))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 6) AS value_interp
+    FROM f
+    """,
+    doc="Resample to a 1-hour grid with LINEAR INTERPOLATION across gaps — "
+    "the companion to ts14's forward-fill (TimescaleDB "
+    "time_bucket_gapfill + interpolate(); pandas resample().interpolate"
+    "()). The previous known sample comes from ts14's count-over-nulls "
+    "run-group trick; the NEXT known sample comes from the same trick "
+    "run in reverse slot order — two window passes over the dense grid, "
+    "no UDF, no self-join, one shuffle on event_type. Leading/trailing "
+    "gaps (no sample on one side) degrade to nearest-fill. Grid rows "
+    "per group = #slots (corpus-independent), so at 100 TB the window "
+    "state is bounded by the time span, not the event volume; the fact "
+    "scan contributes only the hourly pre-aggregate (map-side combine). "
+    "Interpolation weights are integer-second ratios of exact decimal "
+    "means, rounded at 6 dp so both engines emit identical doubles.",
+    tags=("timeseries", "resample", "gapfill", "interpolate"),
+)
+def ts17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(davg("value").alias("v"))
+        .select(F.col("w.start").alias("slot"), "event_type", "v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.crossJoin(ev.select("event_type").distinct()).select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
+    )
+    j = grid.join(hourly, ["slot", "event_type"], "left")
+    wf = Window.partitionBy("event_type").orderBy("slot")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("slot"))
+    j = j.withColumn("grp", F.count("v").over(wf)).withColumn(
+        "rgrp", F.count("v").over(wr)
+    )
+    wg = Window.partitionBy("event_type", "grp").orderBy("slot")
+    wrg = Window.partitionBy("event_type", "rgrp").orderBy(F.desc("slot"))
+    f = (
+        j.withColumn("pv", F.first("v").over(wg))
+        .withColumn("pslot", F.first("slot").over(wg))
+        .withColumn("nv", F.first("v").over(wrg))
+        .withColumn("nslot", F.first("slot").over(wrg))
+    )
+    frac = (
+        (F.unix_timestamp("slot") - F.unix_timestamp("pslot")).cast("double")
+        / (F.unix_timestamp("nslot") - F.unix_timestamp("pslot")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return f.select(
+        "event_type",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+        F.col("v").isNull().alias("interpolated"),
+        F.round(interp, 6).alias("value_interp"),
     )

@@ -878,3 +878,47 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@REGISTRY.register(
+    "x36_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (order priority checking; reference category: decision-"
+    "support queries), adapted to the fixture: no l_commitdate/"
+    "l_receiptdate, so the lateness witness is l_shipdate more than 60 "
+    "days after o_orderdate — same shape as the official Q4: a quarter-"
+    "window scan of orders, an EXISTS decorrelated by Catalyst into a "
+    "LEFT SEMI join on orderkey, and a tiny grouped count. The date "
+    "filter prunes orders BEFORE the join (PushedFilters on the scan), "
+    "so the semi join probes only the quarter's orders; the correlated "
+    "non-equi term (shipdate vs THIS order's date) rides along as the "
+    "semi-join's extra condition, not a separate pass. At 100 TB both "
+    "sides shuffle once on orderkey (or bucket-join shuffle-free); the "
+    "semi join short-circuits per key, so the build side never "
+    "materializes duplicate matches.",
+    tags=("tpch", "exists", "semi-join", "agg"),
+)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pc_x36_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pc_x36_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM pc_x36_orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM pc_x36_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )

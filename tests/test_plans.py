@@ -255,3 +255,52 @@ def test_sm10_broadcasts_centroids(spark):
     text = explain_str(_Q["sm10_cluster_quality"](spark, SF))
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text and "CartesianProduct" not in text
+
+
+def test_tx15_redaction_map_only(spark):
+    # PII scrub is scan-tier: no exchange, no join — one codegen stage
+    import re
+
+    df = _Q["tx15_pii_redaction"](spark, SF)
+    text = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 0, text
+    assert "Join" not in text
+    assert set(read_schema(df)) == {"doc_id", "text"}  # only what it needs
+
+
+def test_tx16_chunk_dedup_shuffles_hashes_not_text(spark):
+    # the chunk-frequency exchange must carry the 16-byte md5 key, never
+    # the chunk text or the source document text
+    text = explain_str(_Q["tx16_chunk_dedup"](spark, SF))
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange[^(]*Input \[\d+\]: \[([^\]]*)\]", text)
+    for cols in exchanges:
+        assert "text" not in cols.split(", "), cols
+
+
+def test_x36_q4_semi_join_and_date_pushdown(spark):
+    df = _Q["x36_tpch_q4"](spark, SF)
+    text = explain_str(df)
+    assert "LeftSemi" in text  # EXISTS decorrelated, no duplicate matches
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_sm11_knn_broadcasts_queries_group_limit(spark):
+    # 10-row query set broadcasts; per-query top-5 prunes partially per
+    # partition (WindowGroupLimit) instead of sorting N x 10 rows globally
+    text = explain_str(_Q["sm11_knn_classify"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "WindowGroupLimit" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_dd11_source_overlap_no_text_in_exchange(spark):
+    # fp self-join shuffles (source, 16-byte md5) pairs only
+    import re
+
+    text = explain_str(_Q["dd11_source_overlap"](spark, SF))
+    exchanges = re.findall(r"\(\d+\) Exchange[^(]*Input \[\d+\]: \[([^\]]*)\]", text)
+    assert exchanges, text
+    for cols in exchanges:
+        assert "text" not in cols.split(", "), cols
