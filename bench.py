@@ -70,6 +70,17 @@ HEADLINE = [
     "sm06_ann_mllib_lsh",
     "sm09_ann_recall_audit",
     "mm03_frame_sample",
+    # round-4 additions (not in BENCH_r03's 45-query basis; diff rounds on
+    # the common subset)
+    "tx15_pii_redaction",
+    "tx16_chunk_dedup",
+    "x36_tpch_q4",
+    "ts16_time_weighted_avg",
+    "ts17_interpolate",
+    "x37_scd2_intervals",
+    "sm10_cluster_quality",
+    "sm11_knn_classify",
+    "dd11_source_overlap",
 ]
 
 
