@@ -902,3 +902,106 @@ def tx16(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_chunk_frac"),
         )
     )
+
+
+@REGISTRY.register(
+    "tx17_bpe_pair_freq",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    pairs AS (
+      SELECT word[i:i+1] AS pair
+      FROM words,
+           LATERAL (SELECT unnest(range(1, CAST(length(word) AS BIGINT))) AS i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="BPE merge-candidate counting: the corpus-wide frequency of every "
+    "adjacent character pair inside words, top-20 — the inner loop of "
+    "byte-pair-encoding tokenizer training (Sennrich et al. 2016): each "
+    "BPE iteration merges the argmax of exactly this table. One explode "
+    "per word into length-1 two-char slices (shuffle-free array "
+    "expression), one combiner-shrunk count keyed on the pair (alphabet"
+    "^2-bounded key space — the exchange moves a few KB regardless of "
+    "corpus size), and TakeOrderedAndProject for the top-20. At 100 TB "
+    "this is the canonical map-side-combine aggregation: per-task "
+    "partial counts over a tiny key domain, one fixed-size exchange. "
+    "Ties break on the pair string so both engines pick the same set.",
+    tags=("text", "llm", "tokenizer", "bpe"),
+)
+def tx17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+    )
+    # sequence(1, 0) would DESCEND in Spark (not return empty), so words of
+    # length < 2 must be excluded before the pair expansion
+    idx = F.when(
+        F.length("word") >= 2, F.sequence(F.lit(1), F.length("word") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        F.explode(
+            F.transform(idx, lambda i: F.substring(F.col("word"), i, F.lit(2)))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@REGISTRY.register(
+    "tx18_length_buckets",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             least(CAST(floor(n_tokens/16.0) AS BIGINT), 8) AS bucket
+      FROM d
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                       / (COUNT(*) * MAX(n_tokens)), 6) AS pad_waste_frac
+    FROM b GROUP BY 1
+    """,
+    doc="Length-bucketed batching audit: assign every doc to a 16-token-"
+    "wide length bucket (capped at bucket 8) and report per-bucket doc "
+    "count, max/sum token counts, and the pad-to-max waste fraction — "
+    "the number that decides between static length-bucketed batching "
+    "and tx12's sequence packing for a training run (waste ≈ tokens "
+    "burned on padding if each bucket pads to its max). Scan-tier "
+    "tokenize + one combiner-shrunk aggregation on a 9-value key: at "
+    "100 TB the exchange carries 9 rows per task. The bucket cap bounds "
+    "the key domain so a single pathological long doc cannot create a "
+    "singleton bucket per length.",
+    tags=("text", "llm", "batching", "audit"),
+)
+def tx18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE))
+    b = docs.select(
+        n_tokens.alias("n_tokens"),
+        F.least(F.floor(n_tokens / F.lit(16.0)), F.lit(8)).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.count("*") * F.max("n_tokens")),
+            6,
+        ).alias("pad_waste_frac"),
+    )

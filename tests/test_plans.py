@@ -304,3 +304,11 @@ def test_dd11_source_overlap_no_text_in_exchange(spark):
     assert exchanges, text
     for cols in exchanges:
         assert "text" not in cols.split(", "), cols
+
+
+def test_tx17_bpe_pairs_topk_no_global_sort(spark):
+    # top-20 pairs via TakeOrderedAndProject (partial top-k per partition);
+    # the count aggregation partial-aggregates before its exchange
+    text = explain_str(_Q["tx17_bpe_pair_freq"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+    assert "partial_count" in text or "HashAggregate" in text
