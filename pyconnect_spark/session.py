@@ -79,3 +79,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def runtime_filter_conf(*, test_scale: bool = False) -> dict[str, str]:
+    """Conf block enabling runtime bloom-filter pushdown on shuffle joins.
+
+    When a join's build side is selective (a filtered dimension) but too
+    big to broadcast, Spark 3.3+ can inject a ``bloom_filter_agg`` on the
+    build side's join key and semi-filter the probe side's SCAN with it —
+    at 100 TB this prunes most of a fact-table shuffle for
+    dim-filter-then-join shapes, the same effect DPP gives on partition
+    columns but for arbitrary keys.
+
+    The stock thresholds are sized for clusters (probe side > 10 GB); the
+    ``test_scale`` variant lowers them so the mechanism is exercisable on
+    fixture-sized data (see tests/test_scale_utils.py), which is how this
+    repo proves the plan shape without a cluster.
+    """
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # ~100 MB creation-side cap: a filtered dim slice of a 100 TB join
+        # typically lands well under this; bigger build sides would make
+        # the bloom filter itself shuffle-expensive.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    if test_scale:
+        conf["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = "1KB"
+        conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    return conf

@@ -370,3 +370,82 @@ def test_ts16_twa_matches_python_replication(spark, tmp_path):
             got[k][1],
             twa,
         )
+
+
+def test_ts17_interpolate_matches_python_replication(spark, tmp_path):
+    """Property check on random gappy series: distributed linear
+    interpolation equals a pure-Python replay — interior gaps linearly
+    interpolated by slot distance, leading/trailing gaps nearest-filled,
+    present slots passed through, grid bounds global (shared by every
+    event_type)."""
+    import datetime as dt
+    import math
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(31)
+    base = dt.datetime(2025, 4, 1, 0, 0, 0)
+    # sparse hour choices over a 15-hour span ⇒ guaranteed interior gaps
+    # and per-type leading/trailing gaps
+    hour_menu = {"a": [0, 1, 6, 7, 14], "b": [3, 4, 5, 11], "c": [2, 9, 10]}
+    rows = []
+    for event_id in range(300):
+        etype = rng.choice("abc")
+        h = rng.choice(hour_menu[etype])
+        rows.append(
+            (
+                event_id,
+                base + dt.timedelta(hours=h, seconds=rng.randrange(3600)),
+                etype,
+                round(rng.uniform(-100, 100), 2),  # 2-dp: decimal-exact mean
+            )
+        )
+
+    d = str(tmp_path / "synth_ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "synth_ev" / "events.parquet"))
+
+    from pyconnect_spark.operators.timeseries import ts17
+
+    got = {
+        (r["event_type"], r["slot_start"]): (r["interpolated"], r["value_interp"])
+        for r in ts17(spark, d).collect()
+    }
+
+    hourly: dict[tuple, list] = {}
+    for _, ts, etype, value in rows:
+        hourly.setdefault((etype, ts.replace(minute=0, second=0, microsecond=0)), []).append(
+            Fraction(round(value * 100)) / 100
+        )
+    means = {k: float(sum(v) / len(v)) for k, v in hourly.items()}
+    t0 = min(ts for _, ts, _, _ in rows).replace(minute=0, second=0, microsecond=0)
+    t1 = max(ts for _, ts, _, _ in rows).replace(minute=0, second=0, microsecond=0)
+    n_slots = int((t1 - t0) / dt.timedelta(hours=1)) + 1
+    want = {}
+    for etype in {e for _, _, e, _ in rows}:
+        slots = [t0 + dt.timedelta(hours=i) for i in range(n_slots)]
+        present = [s for s in slots if (etype, s) in means]
+        for s in slots:
+            if (etype, s) in means:
+                v, interp = means[(etype, s)], False
+            else:
+                interp = True
+                prev = max((p for p in present if p < s), default=None)
+                nxt = min((p for p in present if p > s), default=None)
+                if prev is not None and nxt is not None:
+                    pv, nv = means[(etype, prev)], means[(etype, nxt)]
+                    frac = (s - prev) / (nxt - prev)
+                    v = pv + (nv - pv) * frac
+                elif prev is not None:
+                    v = means[(etype, prev)]
+                else:
+                    v = means[(etype, nxt)]
+            want[(etype, s.strftime("%Y-%m-%d %H:%M:%S"))] = (interp, v)
+
+    assert set(got) == set(want)
+    for k, (interp, v) in want.items():
+        assert got[k][0] == interp, k
+        assert math.isclose(got[k][1], round(v, 6), rel_tol=0, abs_tol=1e-6), (
+            k, got[k][1], v,
+        )

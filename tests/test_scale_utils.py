@@ -223,3 +223,34 @@ def test_compact_parquet_partitioned_does_not_refragment(spark, tmp_path):
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
     ).collect()[0]
     assert agg(a) == agg(b)
+
+
+def test_runtime_bloom_filter_prunes_probe_side():
+    """A selective dimension filter on a non-broadcastable join must inject
+    a runtime bloom filter (bloom_filter_agg on the build side's key,
+    might_contain semi-filter on the probe scan) — the arbitrary-key
+    analog of dynamic partition pruning. Thresholds are lowered to
+    fixture scale; the conf block is the documented 100 TB setting
+    (session.runtime_filter_conf)."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.session import get_spark, runtime_filter_conf
+
+    spark = get_spark("bloom-test", cores="8", extra_conf=runtime_filter_conf(test_scale=True))
+    try:
+        sf = "/root/testdata/sf0.01"
+        orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+        li = load_table(spark, sf, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        # restore the default-broadcast session for the other tests
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
