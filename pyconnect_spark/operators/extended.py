@@ -595,3 +595,89 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
         "o_totalprice",
     )
+
+
+@REGISTRY.register(
+    "x38_source_cap_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS s
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(least(1.0, 0.6 * (nn / s) / n_docs) * 10000) AS BIGINT)
+                 AS rate_bp
+      FROM counts CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT d.source,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10000 < r.rate_bp
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT k.source, r.n_docs, CAST(SUM(k.keep) AS BIGINT) AS n_kept, r.rate_bp,
+           round(CAST(SUM(k.keep) AS DOUBLE) / (SELECT SUM(keep) FROM kept), 6)
+               AS achieved_share
+    FROM kept k JOIN rates r USING (source)
+    GROUP BY 1, 2, 4
+    """,
+    doc="Training-mixture de-domination sampling: cap every source at 60% "
+    "of the mean per-source share, selecting survivors by a "
+    "deterministic md5 threshold on doc_id (no RNG — the same doc "
+    "survives on every run/engine/partitioning, and rates are quantized "
+    "to integer basis points so the keep decision is an integer compare "
+    "in both engines). This is the Pile/C4-style move that stops one "
+    "giant crawl from dominating a training mix; x29's stratified "
+    "sampler picks WITHIN a stratum, this one reweights ACROSS sources. "
+    "Per-source rates come from a tiny counts aggregate broadcast "
+    "against the corpus scan; the only corpus-sized work is one "
+    "scan + one map-side-combined count — the doc text is never read. "
+    "At 100 TB the rate table is |sources| rows and the plan is "
+    "scan-bound.",
+    tags=("sampling", "llm", "mixture", "dedup"),
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("nn"),
+        F.count("*").cast("double").alias("s"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.least(F.lit(1.0), 0.6 * (F.col("nn") / F.col("s")) / F.col("n_docs"))
+            * 10000
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10000
+    kept = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "n_docs",
+        "rate_bp",
+        F.when(frac < F.col("rate_bp"), 1).otherwise(0).alias("keep"),
+    )
+    agg = kept.groupBy("source", "n_docs", "rate_bp").agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    )
+    total_kept = agg.agg(F.sum("n_kept").cast("double").alias("tk"))
+    return agg.crossJoin(F.broadcast(total_kept)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "rate_bp",
+        F.round(F.col("n_kept").cast("double") / F.col("tk"), 6).alias(
+            "achieved_share"
+        ),
+    )

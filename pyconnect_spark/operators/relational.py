@@ -702,3 +702,62 @@ def b24(spark: SparkSession, sf_dir: str) -> DataFrame:
         return "high"
 
     return t(spark, sf_dir, "customer").select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+@REGISTRY.register(
+    "b27_full_outer_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_jan FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-02-01'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_feb FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-02-01'
+        AND o_orderdate < TIMESTAMP '1995-03-01'
+      GROUP BY 1
+    )
+    SELECT o_custkey,
+           coalesce(n_jan, 0) AS n_jan,
+           coalesce(n_feb, 0) AS n_feb,
+           CASE WHEN n_jan IS NOT NULL AND n_feb IS NOT NULL THEN 'both'
+                WHEN n_jan IS NOT NULL THEN 'only_jan'
+                ELSE 'only_feb' END AS activity
+    FROM a FULL JOIN b USING (o_custkey)
+    """,
+    doc="Full outer join (the one join type the b05-b10 family didn't "
+    "declare): January-1995 vs February-1995 active customers, with the "
+    "USING-key coalesced and a both/only-left/only-right activity class "
+    "— the month-over-month churn/retention frame. Both inputs pre-"
+    "aggregate to one row per key BEFORE the join (the exchange carries "
+    "per-customer counts, not order rows) and the date filters push to "
+    "the scans. Full outer cannot broadcast either side in Spark, so the "
+    "plan is the honest co-partitioned sort-merge — at 100 TB both "
+    "sides shuffle once on the key, same as the big-big equi join.",
+    tags=("join", "full-outer", "agg"),
+)
+def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def month(n: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"1995-{n:02d}-01")
+                & (F.col("o_orderdate") < f"1995-{n + 1:02d}-01")
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").cast("long").alias(f"n_{'jan' if n == 1 else 'feb'}"))
+        )
+
+    j = month(1).join(month(2), ["o_custkey"], "full_outer")
+    return j.select(
+        "o_custkey",
+        F.coalesce("n_jan", F.lit(0)).alias("n_jan"),
+        F.coalesce("n_feb", F.lit(0)).alias("n_feb"),
+        F.when(F.col("n_jan").isNotNull() & F.col("n_feb").isNotNull(), "both")
+        .when(F.col("n_jan").isNotNull(), "only_jan")
+        .otherwise("only_feb")
+        .alias("activity"),
+    )

@@ -312,3 +312,22 @@ def test_tx17_bpe_pairs_topk_no_global_sort(spark):
     text = explain_str(_Q["tx17_bpe_pair_freq"](spark, SF))
     assert "TakeOrderedAndProject" in text
     assert "partial_count" in text or "HashAggregate" in text
+
+
+def test_b27_full_outer_preaggregates_before_join(spark):
+    # both sides reduce to one row per key before the join: the plan has a
+    # FullOuter sort-merge join fed by partial-aggregated counts, and the
+    # month filters reach the scans
+    df = _Q["b27_full_outer_join"](spark, SF)
+    text = explain_str(df)
+    assert "FullOuter" in text
+    assert "partial_count" in text  # pre-agg upstream of the join
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_x38_cap_sample_broadcasts_rates_never_reads_text(spark):
+    # the per-source rate table broadcasts against the corpus scan and the
+    # wide text column is never read (scan-bound plan)
+    df = _Q["x38_source_cap_sample"](spark, SF)
+    assert has_broadcast_join(df)
+    assert "text" not in read_schema(df)
