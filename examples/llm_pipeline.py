@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """End-to-end LLM training-data pipeline over the documents/embeddings
-tables: quality gate → exact dedup → near-dup clustering (MinHash LSH →
-connected components, keep-first) → text feature columns → sequence
-packing, plus the audit tier (MinHash calibration, distributed ANN
-recall) and an ANN neighbor lookup.
+tables: PII scrub → quality gate → exact dedup → near-dup clustering
+(MinHash LSH → connected components, keep-first) → source de-domination
+→ text feature columns → sequence packing, plus the audit tier (MinHash
+calibration, cross-source overlap, distributed ANN recall) and an ANN
+neighbor lookup.
 Run: python examples/llm_pipeline.py [sf_dir]
 """
 
@@ -22,9 +23,10 @@ from pyconnect_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from pyconnect_spark.operators.dedup import dd10
+from pyconnect_spark.operators.dedup import dd10, dd11
+from pyconnect_spark.operators.extended import x38
 from pyconnect_spark.operators.similarity import sm01, sm09
-from pyconnect_spark.operators.text import tx01, tx04, tx12, tx13
+from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13
 from pyconnect_spark.session import get_spark
 
 
@@ -34,6 +36,11 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0. PII / deny-list scrub (map-only; same pack runs on a stream, S20)
+    scrubbed = redact_frame(docs)
+    n_dirty = scrubbed.filter(~F.col("clean")).count()
+    print(f"scrub: {n_dirty}/{n0} docs needed redaction")
 
     # 1. quality gate (pure column expressions — scan-speed filtering)
     kept_ids = tx04(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
@@ -62,7 +69,18 @@ def main() -> None:
     print(feats.orderBy("doc_id").limit(5).toPandas().to_string(index=False))
     print(f"pipeline: {n0} docs -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
 
+    # 4b. source de-domination: cap any one source's share of the mix
+    mix = x38(spark, sf_dir)
+    print("post-cap source mix (top 3 by share):")
+    print(mix.orderBy(F.desc("achieved_share"), "source").limit(3)
+          .toPandas().to_string(index=False))
+
     # 5. audit tier: was the sketch trustworthy? (estimate vs exact Jaccard)
+    #    plus: do any two sources systematically mirror each other?
+    overlap = dd11(spark, sf_dir)
+    print("top cross-source overlaps:")
+    print(overlap.orderBy(F.desc("jaccard"), "source_a", "source_b").limit(3)
+          .toPandas().to_string(index=False))
     cal = dd10(spark, sf_dir)
     print("minhash calibration (worst 3 by abs error):")
     print(cal.orderBy(F.desc("abs_err"), "doc_a", "doc_b").limit(3)

@@ -819,7 +819,14 @@ def _tx15_oracle() -> str:
     tags=("text", "llm", "pii", "redaction"),
 )
 def tx15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    return redact_frame(t(spark, sf_dir, "documents"))
+
+
+def redact_frame(docs: DataFrame) -> DataFrame:
+    """The tx15 projection over any frame with (doc_id, text) — batch or
+    STREAMING: pure stateless column expressions, so the same pack runs
+    unchanged inside a Structured Streaming micro-batch (parity pinned by
+    test_s20)."""
     red = F.col("text")
     cols = []
     for name, pat, repl in _PII_PATTERNS:

@@ -983,3 +983,38 @@ def test_s19_rocksdb_state_store_provider(spark, tmp_path):
         for r in spark.sql("SELECT * FROM s19_out").collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_s20_stream_pii_scrub_equals_batch(spark, tmp_path):
+    """The tx15 redaction pack is stateless column logic, so it must run
+    UNCHANGED inside a Structured Streaming micro-batch and produce
+    byte-identical results to the batch pass — the scan-tier scrub
+    deployed on an ingest stream instead of a backfill."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators.text import redact_frame
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    staged = str(tmp_path / "docs-parquet")
+    docs.repartition(4).write.parquet(staged)
+
+    batch = {
+        r["doc_id"]: (r["n_term"], r["redacted_sha"], r["clean"])
+        for r in redact_frame(spark.read.parquet(staged)).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    q = (
+        redact_frame(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s20_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_term"], r["redacted_sha"], r["clean"])
+        for r in spark.sql("SELECT * FROM s20_out").collect()
+    }
+    assert got == batch
+    assert len(got) == docs.count()
