@@ -1101,3 +1101,82 @@ def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _dd12_oracle() -> str:
+    from pyconnect_spark.operators.similarity import _SM05_INDEX_CTES
+
+    return f"""
+    WITH RECURSIVE {_SM05_INDEX_CTES},
+    edges AS (
+      SELECT ca.vec_id AS a, cb.vec_id AS b
+      FROM corpus ca
+      JOIN corpus cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN embeddings a ON a.vec_id = ca.vec_id
+      JOIN embeddings b ON b.vec_id = cb.vec_id
+      WHERE round({_DD09_COS_SQL}, 9) >= 0.45
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS vec_id, MIN(root) AS cluster_root,
+           CAST(CASE WHEN node = MIN(root) THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@REGISTRY.register(
+    "dd12_semantic_dedup_ivf",
+    oracle=_dd12_oracle(),
+    doc="Semantic dedup, SCALE tier — the production shape of dd09: "
+    "candidate edges come from the IVF index (vectors sharing an "
+    "argmax-cosine cell, same quantizer as sm05 via the shared "
+    "ivf_ranked_cells/_SM05_INDEX_CTES), cosine >= 0.45 applies only "
+    "within cells, then the shared connected-components + keep-first "
+    "machinery. Because the IVF assignment is a JVM fold replayed "
+    "bit-for-bit by DuckDB, this scale tier is FULLY oracle-checked — "
+    "the usual trade (exact tier auditable, scale tier trusted) doesn't "
+    "apply here: both tiers are checked, and dd09-vs-dd12 cluster "
+    "disagreement measures exactly what the cell pruning loses "
+    "(cross-cell near-dups). At 100 TB the corpus never self-joins "
+    "all-pairs: the edge join is per-cell (write the corpus partitioned "
+    "by cell and it is shuffle-free), edges grow with true duplicate "
+    "density, and components iterate over edge-touching nodes only.",
+    tags=("dedup", "llm", "semantic", "components", "ann", "scale-tier"),
+)
+def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.similarity import cosine, ivf_ranked_cells
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = (
+        ivf_ranked_cells(spark, sf_dir)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(cos, 9).alias("c9"),
+        )
+        .filter(F.col("c9") >= 0.45)
+        .select("a", "b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("root").alias("cluster_root"),
+        F.when(F.col("node") == F.col("root"), 1).otherwise(0).cast("long").alias("keep"),
+    )

@@ -184,8 +184,11 @@ def probe_cells(df: DataFrame, centroids: np.ndarray, n_probe: int, emb_col: str
 # shows real cluster structure.
 _SM05_N_PROBE = 8
 
-_SM05_ORACLE = f"""
-    WITH cells AS (
+# The IVF index-build CTEs (label-centroid quantizer + argmax-cos cell
+# assignment) are shared verbatim by sm05's probe oracle and dd12's
+# candidate-edge oracle, so the audited index IS the production index.
+_SM05_INDEX_CTES = """
+    cells AS (
       SELECT label, unnest(range(1, len(embedding) + 1)) AS idx,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings
@@ -213,7 +216,10 @@ _SM05_ORACLE = f"""
                           'sum'))), 9) DESC, cv.label) AS rk
       FROM embeddings e CROSS JOIN cv
     ),
-    corpus AS (SELECT vec_id, cell FROM scored WHERE rk = 1),
+    corpus AS (SELECT vec_id, cell FROM scored WHERE rk = 1)"""
+
+_SM05_ORACLE = f"""
+    WITH {_SM05_INDEX_CTES},
     probes AS (
       SELECT vec_id AS q_id, cell AS q_cell FROM scored
       WHERE rk <= {_SM05_N_PROBE} AND vec_id < 5
@@ -243,25 +249,11 @@ _SM05_ORACLE = f"""
     """
 
 
-@REGISTRY.register(
-    "sm05_ann_ivf",
-    oracle=_SM05_ORACLE,
-    doc="ANN via IVF with multi-cell probe: label-centroids (sm04, rounded "
-    "to 6dp so both engines agree bit-for-bit) act as the coarse "
-    "quantizer; each vector is assigned to its highest-cosine cell by a "
-    "JVM fold (same sequential accumulation DuckDB's list_aggregate "
-    "uses, so the oracle replays the ENTIRE index build + probe + rerank "
-    "— the only ANN design here that is fully oracle-checked); queries "
-    "probe their n_probe=8 nearest cells (FAISS nprobe — probe-one "
-    "recall@5 measured 0.16, boundary misses dominate; 0.80 at 4, 0.96 "
-    "at 8 — see the sweep note on _SM05_N_PROBE). At "
-    "100 TB the corpus is written partitioned by cell so a query touches "
-    "n_probe partitions, and with thousands of cells the assignment "
-    "switches to the Arrow-batched BLAS matmul (assign_cells/probe_cells "
-    "helpers) — same cells up to float-ulp ties, chosen per deployment.",
-    tags=("similarity", "llm", "ann", "ivf"),
-)
-def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build, shared by sm05 (probe path) and dd12 (candidate
+    edges): every vector scored against every label centroid by the JVM
+    fold, ranked per vector — rk=1 is the cell assignment, rk<=n_probe
+    the probe list. Oracle twin: _SM05_INDEX_CTES."""
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
@@ -295,7 +287,32 @@ def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos9"), "cell")
-    ranked_cells = scored.withColumn("rk", F.row_number().over(wcell))
+    return scored.withColumn("rk", F.row_number().over(wcell))
+
+
+@REGISTRY.register(
+    "sm05_ann_ivf",
+    oracle=_SM05_ORACLE,
+    doc="ANN via IVF with multi-cell probe: label-centroids (sm04, rounded "
+    "to 6dp so both engines agree bit-for-bit) act as the coarse "
+    "quantizer; each vector is assigned to its highest-cosine cell by a "
+    "JVM fold (same sequential accumulation DuckDB's list_aggregate "
+    "uses, so the oracle replays the ENTIRE index build + probe + rerank "
+    "— the only ANN design here that is fully oracle-checked); queries "
+    "probe their n_probe=8 nearest cells (FAISS nprobe — probe-one "
+    "recall@5 measured 0.16, boundary misses dominate; 0.80 at 4, 0.96 "
+    "at 8 — see the sweep note on _SM05_N_PROBE). At "
+    "100 TB the corpus is written partitioned by cell so a query touches "
+    "n_probe partitions, and with thousands of cells the assignment "
+    "switches to the Arrow-batched BLAS matmul (assign_cells/probe_cells "
+    "helpers) — same cells up to float-ulp ties, chosen per deployment.",
+    tags=("similarity", "llm", "ann", "ivf"),
+)
+def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    ranked_cells = ivf_ranked_cells(spark, sf_dir)
     corpus = ranked_cells.filter(F.col("rk") == 1).select("vec_id", "embedding", "cell")
     probes = (
         ranked_cells.filter((F.col("rk") <= _SM05_N_PROBE) & (F.col("vec_id") < 5))

@@ -449,3 +449,19 @@ def test_ts17_interpolate_matches_python_replication(spark, tmp_path):
         assert math.isclose(got[k][1], round(v, 6), rel_tol=0, abs_tol=1e-6), (
             k, got[k][1], v,
         )
+
+
+def test_dd12_scale_tier_agrees_with_exact_dd09(spark):
+    """The IVF-candidate scale tier must reproduce the exact all-pairs
+    semantic-dedup decision for nearly every vector — the disagreement IS
+    the cross-cell near-dup loss the SCALE.md tier table documents.
+    Measured 0.976 keep/root agreement at sf0.01; pin a floor of 0.95 so
+    index changes that crater the candidate quality fail loudly."""
+    from pyconnect_spark.operators.dedup import dd09, dd12
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"]: (r["cluster_root"], r["keep"]) for r in dd09(spark, sf).collect()}
+    scale = {r["vec_id"]: (r["cluster_root"], r["keep"]) for r in dd12(spark, sf).collect()}
+    assert set(exact) == set(scale)  # every vector classified by both tiers
+    agree = sum(1 for k in exact if exact[k] == scale[k]) / len(exact)
+    assert agree >= 0.95, agree
