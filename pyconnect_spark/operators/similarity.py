@@ -987,3 +987,52 @@ def sm11(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@REGISTRY.register(
+    "sm12_embedding_health",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT CAST(idx AS BIGINT) AS dim,
+           round(AVG(val), 6) AS mean_val,
+           round(stddev_pop(val), 6) AS std_val,
+           round(CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS zero_frac,
+           round(MIN(val), 6) AS min_val,
+           round(MAX(val), 6) AS max_val
+    FROM dims GROUP BY 1
+    """,
+    doc="Per-dimension embedding-health audit: mean, population stddev, "
+    "exact-zero fraction, min/max for every embedding coordinate — the "
+    "production check that catches dead dimensions (std ~ 0), scale "
+    "drift between embedding-model versions, and truncation artifacts "
+    "before they poison ANN indexes or quantization (sm07's int8 scale "
+    "is chosen from exactly these stats). posexplode fans each vector "
+    "into (dim, value) rows and one combiner-friendly aggregation keys "
+    "on the dimension index — the exchange carries |dims| x partial "
+    "states, never the vectors; at 100 TB this is the canonical "
+    "narrow-key map-side-combine shape.",
+    tags=("similarity", "llm", "audit", "embedding"),
+)
+def sm12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        )
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "val")
+    return dims.groupBy("dim").agg(
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.round(F.stddev_pop("val"), 6).alias("std_val"),
+        F.round(
+            F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("zero_frac"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )

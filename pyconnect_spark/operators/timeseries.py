@@ -959,3 +959,86 @@ def ts17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("interpolated"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+@REGISTRY.register(
+    "ts18_cusum_change",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS slot,
+             round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM hourly GROUP BY 1
+    ),
+    devs AS (
+      SELECT h.event_type, list(round(m - mu, 6) ORDER BY slot) AS dev
+      FROM hourly h JOIN mu USING (event_type) GROUP BY 1
+    ),
+    walk(event_type, i, s, mx) AS (
+      SELECT event_type, 1, greatest(0, dev[1]), greatest(0, dev[1]) FROM devs
+      UNION ALL
+      SELECT w.event_type, w.i + 1,
+             greatest(0, w.s + d.dev[w.i + 1]),
+             greatest(w.mx, greatest(0, w.s + d.dev[w.i + 1]))
+      FROM walk w JOIN devs d USING (event_type) WHERE w.i < len(d.dev)
+    )
+    SELECT w.event_type, CAST(len(d.dev) AS BIGINT) AS n_slots,
+           round(w.mx, 6) AS max_cusum, round(w.s, 6) AS final_cusum
+    FROM walk w JOIN devs d USING (event_type) WHERE w.i = len(d.dev)
+    """,
+    doc="One-sided CUSUM change detection per event_type (Page 1954): fold "
+    "S_i = max(0, S_{i-1} + (m_i - mu)) over the hourly-mean series and "
+    "report the peak — the classic drift/level-shift detector that "
+    "per-window z-scores (ts15) miss because it ACCUMULATES small "
+    "persistent deviations. The recurrence is ts12's no-UDF ordered-"
+    "left-fold pattern extended to a STRUCT accumulator (running value + "
+    "running max in one pass); the oracle replays it with a recursive-"
+    "CTE walk, so the order-sensitive recurrence is still bit-checked. "
+    "Per-type state is one #slots-long array (bounded by the time span, "
+    "not event volume) and the plan is one event_type exchange; inputs "
+    "are 6dp-pinned so both engines fold identical doubles.",
+    tags=("timeseries", "cusum", "changepoint", "fold"),
+)
+def ts18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.round(davg("value"), 6).alias("m"))
+        .select("event_type", F.col("w.start").alias("slot"), "m")
+    )
+    mu = hourly.groupBy("event_type").agg(
+        (F.sum(F.col("m").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mu")
+    )
+    devs = (
+        hourly.join(mu, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("slot", F.round(F.col("m") - F.col("mu"), 6).alias("d"))
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("dev")
+        )
+    )
+    zero = F.lit(0.0)
+    step = lambda acc, x: F.struct(  # noqa: E731 — inline fold step
+        F.greatest(zero, acc["s"] + x).alias("s"),
+        F.greatest(acc["m"], F.greatest(zero, acc["s"] + x)).alias("m"),
+    )
+    fold = F.aggregate(
+        "dev", F.struct(zero.alias("s"), zero.alias("m")), step
+    )
+    return devs.select(
+        "event_type",
+        F.size("dev").cast("long").alias("n_slots"),
+        F.round(fold["m"], 6).alias("max_cusum"),
+        F.round(fold["s"], 6).alias("final_cusum"),
+    )
