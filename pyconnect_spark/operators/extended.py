@@ -681,3 +681,80 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_share"
         ),
     )
+
+
+@REGISTRY.register(
+    "x39_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med,
+             round(quantile_cont(value, 0.01), 6) AS p01,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, m.p01, m.p99,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(d.med) AS med,
+           ANY_VALUE(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ANY_VALUE(d.p01) AS p01,
+           ANY_VALUE(d.p99) AS p99,
+           round(AVG(greatest(d.p01, least(d.p99, d.value))), 6)
+               AS winsorized_mean
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1
+    """,
+    doc="Robust statistics per event_type: median, MAD (median absolute "
+    "deviation), robust-z outlier count (|x - med| > 3 x 1.4826 x MAD), "
+    "and the p01/p99-winsorized mean — the outlier-resistant alternative "
+    "to ts15's mean/stddev z-scores, which a single corrupted batch can "
+    "drag (median/MAD have a 50% breakdown point vs 0% for the mean). "
+    "Two grouped exact-percentile passes (median first, then the MAD on "
+    "re-derived deviations) with the tiny per-type quantile tables "
+    "broadcast back against the fact — at 100 TB each pass is one "
+    "combiner-friendly exchange, and the approximate path swaps in "
+    "percentile_approx exactly as x08 documents for x03. Quantiles are "
+    "6dp-pinned before the deviation pass so both engines threshold "
+    "identical doubles.",
+    tags=("agg", "robust", "percentile", "outlier"),
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.any_value("med").alias("med"),
+        F.any_value("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.any_value("p01").alias("p01"),
+        F.any_value("p99").alias("p99"),
+        F.round(
+            F.avg(F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value")))), 6
+        ).alias("winsorized_mean"),
+    )
