@@ -81,6 +81,17 @@ HEADLINE = [
     "sm10_cluster_quality",
     "sm11_knn_classify",
     "dd11_source_overlap",
+    "tx17_bpe_pair_freq",
+    "tx18_length_buckets",
+    "b27_full_outer_join",
+    "x38_source_cap_sample",
+    "ts18_cusum_change",
+    "sm12_embedding_health",
+    "x39_robust_stats",
+    # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the
+    # other exact/quadratic tiers (dd02, dd09): at sf0.1 the fixture's 10
+    # fixed label-cells make its per-cell pair blocks bench-dominating;
+    # see BASELINE.md round-4 scale note (the knob is n_cells ~ sqrt(N)).
 ]
 
 

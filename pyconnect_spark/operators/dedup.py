@@ -1144,7 +1144,13 @@ def _dd12_oracle() -> str:
     "(cross-cell near-dups). At 100 TB the corpus never self-joins "
     "all-pairs: the edge join is per-cell (write the corpus partitioned "
     "by cell and it is shuffle-free), edges grow with true duplicate "
-    "density, and components iterate over edge-touching nodes only.",
+    "density, and components iterate over edge-touching nodes only. "
+    "THE SCALE KNOB IS n_cells: per-cell candidate pairs grow "
+    "quadratically in cell population, so the quantizer's cell count "
+    "must grow with the corpus (FAISS sizes nlist ~ sqrt(N)); the "
+    "fixture's 10 fixed label-cells deliberately expose that failure "
+    "mode in BASELINE.md's 10x experiment (22.7x measured at fixed "
+    "cells) — a production run re-trains the quantizer as N grows.",
     tags=("dedup", "llm", "semantic", "components", "ann", "scale-tier"),
 )
 def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
