@@ -191,3 +191,53 @@ def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.chars").cast("long").alias("meta_chars"),
         )
     )
+
+
+@REGISTRY.register(
+    "mm04_media_manifest",
+    oracle=f"""
+    SELECT source, lang AS media_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)
+               AS n_distinct_payloads,
+           CAST(SUM(greatest(CAST(ceil(length(text) / {_FRAME_CHARS}.0)
+                                  AS BIGINT), 1)) AS BIGINT) AS n_frames_total
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Media-manifest audit per (source, language): asset counts, total/"
+    "max payload bytes, distinct-content payload count (content-hash "
+    "dedup across the binary column), and total decodable frames (mm03's "
+    "frame model) — the numbers that size a media shard layout "
+    "(sources/layout.py) and catch duplicate-blob bloat before a "
+    "training run ships redundant bytes. Byte stats and sha256 compute "
+    "on the BINARY payload column (the real media path — here the "
+    "deterministic text-encoded stand-in), all map-side: one "
+    "combiner-shrunk aggregation on a (source, lang) key, fixed-width "
+    "hashes in the distinct — at 100 TB this is manifest-tier metadata "
+    "work riding the media scan.",
+    tags=("multimodal", "binary", "audit", "manifest"),
+)
+def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_frames = F.greatest(
+        F.ceil(F.length("text") / F.lit(float(_FRAME_CHARS))).cast("long"), F.lit(1)
+    )
+    staged = docs.select(
+        "source",
+        F.col("lang").alias("media_lang"),
+        payload.alias("payload"),
+        n_frames.alias("n_frames"),
+    )
+    return staged.groupBy("source", "media_lang").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+        F.count_distinct(F.sha2("payload", 256)).cast("long").alias(
+            "n_distinct_payloads"
+        ),
+        F.sum("n_frames").cast("long").alias("n_frames_total"),
+    )

@@ -254,3 +254,47 @@ def test_runtime_bloom_filter_prunes_probe_side():
         # restore the default-broadcast session for the other tests
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    """Incremental backfill pattern: with partitionOverwriteMode=dynamic, a
+    mode('overwrite') write replaces ONLY the partitions present in the
+    incoming frame — re-running a day's job is idempotent and every other
+    day's data survives. This is how the rollup cascade (ts09) and
+    training-shard layout stay maintainable at 100 TB: recompute one
+    partition, never truncate the table (static mode would wipe it)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "daily")
+    base = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("day"), F.col("id").alias("v")
+    )
+    base.write.partitionBy("day").parquet(out)
+    before = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # re-run "day 2" with corrected data (half the rows)
+        fixed = spark.range(50, 100).select(
+            F.lit(2).cast("int").alias("day"), (F.col("id") * 10).alias("v")
+        )
+        fixed.write.mode("overwrite").partitionBy("day").parquet(out)
+        after = {
+            r["day"]: r["n"]
+            for r in spark.read.parquet(out).groupBy("day").agg(F.count("*").alias("n")).collect()
+        }
+        assert after[2] == 50  # day 2 replaced
+        for d in (0, 1, 3):
+            assert after[d] == before[d]  # untouched partitions survive
+        # idempotence: running the same job again changes nothing
+        fixed.write.mode("overwrite").partitionBy("day").parquet(out)
+        again = {
+            r["day"]: r["n"]
+            for r in spark.read.parquet(out).groupBy("day").agg(F.count("*").alias("n")).collect()
+        }
+        assert again == after
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
