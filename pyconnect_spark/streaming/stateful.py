@@ -50,6 +50,63 @@ def _running_totals(
     )
 
 
+CUSUM_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cusum", T.DoubleType()),
+        T.StructField("max_cusum", T.DoubleType()),
+    ]
+)
+CUSUM_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+    ]
+)
+
+
+def cusum_per_key(stream: DataFrame, mu: float) -> DataFrame:
+    """Streaming twin of ts18's one-sided CUSUM: per event_type, fold
+    S_i = max(0, S_{i-1} + (value - mu)) across micro-batches, carrying
+    (count, running statistic, running max) in the state store. The
+    reference mean ``mu`` is a fixed SPC target supplied a priori (the
+    batch operator derives it from history; a monitor pins it). The fold
+    is order-sensitive, so rows are sorted by (ts, event_id) WITHIN each
+    batch — the result matches the batch fold whenever batch boundaries
+    respect event-time order, which is the deployment contract for any
+    streaming ordered fold (same caveat as EWMA's streaming twin S08)."""
+
+    def _cusum(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n, s, m) = state.get if state.exists else (0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            s = max(0.0, s + (float(v) - mu))
+            m = max(m, s)
+        n += len(rows)
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "cusum": [round(s, 6)],
+                "max_cusum": [round(m, 6)],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _cusum,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_per_user(stream: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value)) maintained in the state store;
     emits the updated running totals for every key seen in each batch."""

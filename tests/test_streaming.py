@@ -1018,3 +1018,61 @@ def test_s20_stream_pii_scrub_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == docs.count()
+
+
+def test_s21_streaming_cusum_equals_ordered_fold(spark, tmp_path):
+    """Streaming CUSUM (ts18's twin): per-type state carries (n, S, max S)
+    across micro-batches AND a restart; the final statistic equals a
+    pure-Python fold over the full event-time-ordered sequence."""
+    from pyconnect_spark.streaming.stateful import cusum_per_key
+
+    mu = 5.0
+    d = tmp_path / "cusum-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "cusum-ckpt")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def rows_for(hours, base_id):
+        out = []
+        for i, h in enumerate(hours):
+            for j, v in enumerate([3.0, 9.5, 6.25, 1.0]):
+                out.append(
+                    {
+                        "event_id": base_id + i * 10 + j,
+                        "ts": f"2024-02-01 {h:02d}:{j:02d}:00",
+                        "event_type": "a" if j % 2 == 0 else "b",
+                        "value": v,
+                    }
+                )
+        return out
+
+    def run_once(fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        collected = []
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = (
+            cusum_per_key(stream, mu)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, eid: collected.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["event_type"]: (r["n_seen"], r["cusum"], r["max_cusum"]) for r in collected}
+
+    chunk1 = rows_for([0, 1, 2], 0)
+    chunk2 = rows_for([3, 4], 1000)
+    run_once("c1.jsonl", chunk1)
+    got = run_once("c2.jsonl", chunk2)  # same checkpoint: state restored
+
+    # pure-Python replay over the full ordered sequence
+    want = {}
+    for r in sorted(chunk1 + chunk2, key=lambda r: (r["ts"], r["event_id"])):
+        n, s, m = want.get(r["event_type"], (0, 0.0, 0.0))
+        s = max(0.0, s + (r["value"] - mu))
+        want[r["event_type"]] = (n + 1, s, max(m, s))
+    for k, (n, s, m) in want.items():
+        assert got[k] == (n, round(s, 6), round(m, 6)), (k, got[k], (n, s, m))
