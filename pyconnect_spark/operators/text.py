@@ -1012,3 +1012,88 @@ def tx18(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste_frac"),
     )
+
+
+@REGISTRY.register(
+    "tx19_split_oov",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    words AS (
+      SELECT split, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM split
+    ),
+    train_vocab AS (
+      SELECT DISTINCT word FROM words WHERE split = 'train'
+    ),
+    scored AS (
+      SELECT w.split, w.word,
+             CASE WHEN t.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words w LEFT JOIN train_vocab t ON w.word = t.word
+      WHERE w.split <> 'train'
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_tokens,
+           round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_token_rate,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN word END) AS BIGINT)
+               AS n_oov_types,
+           round(CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN word END) AS DOUBLE)
+                 / COUNT(DISTINCT word), 6) AS oov_type_rate
+    FROM scored GROUP BY 1
+    """,
+    doc="Out-of-vocabulary audit across splits: token- and type-level OOV "
+    "rates of the val/test splits against the TRAIN split's vocabulary, "
+    "using tx07's deterministic md5 content split — the number that "
+    "predicts eval-time tokenizer fallback/UNK rates and catches a split "
+    "whose distribution drifted from train (a high type-OOV with low "
+    "token-OOV means rare-word drift; both high means domain drift). "
+    "Composition of existing primitives: hash split (tx07) + vocab "
+    "derivation (tx10's wordcount shape) + a membership join. The vocab "
+    "side is distinct words (combiner-shrunk); the membership join keys "
+    "on the word — at 100 TB both sides shuffle once on the word (or "
+    "the vocab broadcasts when it fits, the common case at ~10^6 "
+    "types), and the per-split aggregates are 2-key combiner work.",
+    tags=("text", "llm", "vocab", "split", "audit"),
+)
+def tx19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    words = docs.select(
+        split.alias("split"),
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word"),
+    )
+    train_vocab = words.filter(F.col("split") == "train").select("word").distinct()
+    scored = (
+        words.filter(F.col("split") != "train")
+        .join(
+            train_vocab.withColumn("_in_vocab", F.lit(1)),
+            "word",
+            "left",
+        )
+        .select(
+            "split", "word", F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("oov")
+        )
+    )
+    oov_word = F.when(F.col("oov") == 1, F.col("word"))
+    return scored.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov_tokens"),
+        F.round(F.sum("oov").cast("double") / F.count("*"), 6).alias("oov_token_rate"),
+        F.count_distinct("word").cast("long").alias("n_types"),
+        F.count_distinct(oov_word).cast("long").alias("n_oov_types"),
+        F.round(
+            F.count_distinct(oov_word).cast("double") / F.count_distinct("word"), 6
+        ).alias("oov_type_rate"),
+    )
