@@ -1,0 +1,90 @@
+"""Avro OCF as a registered Spark DataSource (Spark 4 Python DataSource
+API) — ``spark.read.format("pyconnect_avro").load(dir)``.
+
+The streaming side of the reference's pluggable-source contract already
+has a Python DataSource (`streaming/pysource.py`); this is the BATCH
+counterpart, wrapping the jar-free OCF codec (`sources/avro_ocf.py`) in
+the first-class reader API so Avro datasets compose with the normal
+reader chain (``.schema()``, ``.load()``, post-scan filters, AQE) instead
+of a helper function.
+
+Split model: one :class:`~pyspark.sql.datasource.InputPartition` per
+``.avro`` file — identical to ``read_avro``'s binaryFile task-per-file
+model and to the reference's one-consumer-per-partition layout. Each
+partition streams its file's blocks through the pure-Python decoder on an
+executor; the driver touches only the first file's header (schema probe,
+no data blocks).
+
+The schema probe globs the driver-visible filesystem (``file:`` paths) —
+the common staging case this source exists for; for object stores, pass
+an explicit ``.schema(...)`` and the probe is skipped entirely, or use
+``read_avro`` (binaryFile handles any Hadoop filesystem).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from pyconnect_spark.functions.avro import avro_to_spark_type
+from pyconnect_spark.sources.avro_ocf import iter_records, parse_header
+
+
+def _list_files(options) -> list[str]:
+    path = options.get("path")
+    if not path:
+        raise ValueError("pyconnect_avro: .load(path) is required")
+    pattern = options.get("pathGlobFilter", "*.avro")
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, pattern)))
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    if not files:
+        raise FileNotFoundError(f"no OCF files under {path!r} matching {pattern!r}")
+    return files
+
+
+class _OcfFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroOcfReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._files = _list_files(options)
+
+    def partitions(self):
+        return [_OcfFilePartition(p) for p in self._files]
+
+    def read(self, partition: _OcfFilePartition) -> Iterator[tuple]:
+        cols = [f.name for f in self._schema.fields]
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        for rec in iter_records(data):
+            yield tuple(rec.get(c) for c in cols)
+
+
+class AvroOcfDataSource(DataSource):
+    """``spark.dataSource.register(AvroOcfDataSource)`` then
+    ``spark.read.format("pyconnect_avro").load(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyconnect_avro"
+
+    def schema(self) -> StructType:
+        first = _list_files(self.options)[0]
+        with open(first, "rb") as fh:
+            header = fh.read(64 * 1024)  # header only — no data blocks
+        avro_schema, _, _ = parse_header(io.BytesIO(header))
+        spark_type, _ = avro_to_spark_type(avro_schema)
+        return spark_type
+
+    def reader(self, schema: StructType) -> AvroOcfReader:
+        return AvroOcfReader(schema, self.options)

@@ -113,3 +113,34 @@ def test_schema_metadata_json(spark, tmp_path):
         schema, codec, _ = parse_header(io.BytesIO(fh.read(65536)))
     assert json.dumps(schema)  # valid JSON object
     assert {x["name"] for x in schema["fields"]} == set(src.columns)
+
+
+def test_avro_datasource_reads_what_write_avro_wrote(spark, tmp_path):
+    """The registered batch DataSource (format 'pyconnect_avro') reads the
+    OCF directory write_avro produced: same rows as read_avro, one input
+    partition per file, and post-scan filters compose on the reader chain."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
+    from pyconnect_spark.sources.avro_ocf import read_avro, write_avro
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.5).alias("x"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    ).repartition(4)
+    out = str(tmp_path / "ocf")
+    n = write_avro(df, out)
+    assert n == 200
+
+    spark.dataSource.register(AvroOcfDataSource)
+    got = spark.read.format("pyconnect_avro").load(out)
+    assert sorted(got.columns) == ["k", "s", "x"]
+    want = {tuple(r) for r in read_avro(spark, out).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    assert got.count() == 200
+    # one partition per file (the split model the docstring promises)
+    n_files = len([f for f in __import__("os").listdir(out) if f.endswith(".avro")])
+    assert got.rdd.getNumPartitions() == n_files
+    # post-scan filter composes on the reader chain
+    assert got.filter(F.col("k") < 10).count() == 10
