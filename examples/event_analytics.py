@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Event-analytics walkthrough over the events table: ordered funnel,
-retention cohorts, the minute→hour→day rollup cascade, and a streaming
-twin of the tumbling-window aggregate drained with availableNow.
+retention cohorts, the minute→hour→day rollup cascade, anomaly tiers
+(robust median/MAD outliers, CUSUM drift detection, interpolated
+gap-fill), and a streaming twin of the tumbling-window aggregate
+drained with availableNow.
 Run: python examples/event_analytics.py [sf_dir]
 """
 
@@ -17,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pyconnect_spark.catalog import load_table
-from pyconnect_spark.operators.timeseries import ts06, ts07, ts09
+from pyconnect_spark.operators.extended import x39
+from pyconnect_spark.operators.timeseries import ts06, ts07, ts09, ts17, ts18
 from pyconnect_spark.session import get_spark
 
 
@@ -33,6 +36,17 @@ def main() -> None:
 
     print("== rollup cascade: day-level from minute partials ==")
     ts09(spark, sf_dir).orderBy("day", "event_type").show(10)
+
+    print("== anomaly tiers: robust outliers (median/MAD) per type ==")
+    x39(spark, sf_dir).orderBy("event_type").show()
+
+    print("== drift: one-sided CUSUM over hourly means ==")
+    ts18(spark, sf_dir).orderBy("event_type").show()
+
+    print("== gap-fill: linear interpolation on the hourly grid (sample) ==")
+    ts17(spark, sf_dir).filter(F.col("interpolated")).orderBy(
+        "event_type", "slot_start"
+    ).show(5)
 
     print("== streaming twin: tumbling 5-min counts via availableNow ==")
     tmp = tempfile.mkdtemp(prefix="example-events-")
