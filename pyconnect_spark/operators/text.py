@@ -1097,3 +1097,65 @@ def tx19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(oov_word).cast("double") / F.count_distinct("word"), 6
         ).alias("oov_type_rate"),
     )
+
+
+@REGISTRY.register(
+    "tx20_bigram_perplexity",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, word[i:i+1] AS pair
+      FROM words,
+           LATERAL (SELECT unnest(range(1, CAST(length(word) AS BIGINT))) AS i)
+    ),
+    freq AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM freq)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(-SUM(log2(f.n / t.nn)) / COUNT(*), 6) AS bits_per_bigram
+    FROM pairs p JOIN freq f USING (pair) CROSS JOIN tot t
+    GROUP BY 1
+    """,
+    doc="Character-bigram cross-entropy quality score: a unigram-over-"
+    "bigrams language model trained on the corpus itself scores every "
+    "document by average -log2 p(bigram) — the simplified form of the "
+    "CCNet/RefinedWeb LM-perplexity quality tier (docs whose character "
+    "statistics diverge from the corpus — binary junk, foreign scripts, "
+    "codes — score high bits/bigram; typical text sits near the corpus "
+    "entropy). Reuses tx17's pair expansion; the bigram model is an "
+    "alphabet²-bounded frequency table that joins BROADCAST back to the "
+    "per-doc pair stream, so at 100 TB the only corpus-sized work is "
+    "the scan-side expansion and a doc_id-keyed combiner aggregation — "
+    "the 'LM' itself is a few KB, exactly why this tier is so cheap to "
+    "run corpus-wide. A real deployment swaps in a KenLM scorer behind "
+    "the same join-free per-partition shape.",
+    tags=("text", "llm", "quality", "perplexity"),
+)
+def tx20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+    )
+    idx = F.when(
+        F.length("word") >= 2, F.sequence(F.lit(1), F.length("word") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.substring(F.col("word"), i, F.lit(2)))
+        ).alias("pair"),
+    )
+    freq = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+    tot = freq.agg(F.sum("n").cast("double").alias("nn"))
+    scored = pairs.join(F.broadcast(freq), "pair").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.log2(F.col("n") / F.col("nn"))) / F.count("*"), 6
+        ).alias("bits_per_bigram"),
+    )

@@ -1042,3 +1042,75 @@ def ts18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold["m"], 6).alias("max_cusum"),
         F.round(fold["s"], 6).alias("final_cusum"),
     )
+
+
+@REGISTRY.register(
+    "ts19_seasonal_residual",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS slot,
+             hour(ts) AS hod,
+             round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(value), 6) AS m
+      FROM events GROUP BY 1, 2, 3
+    ),
+    profile AS (
+      SELECT event_type, hod,
+             CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS prof
+      FROM hourly GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT h.event_type, strftime(h.slot, '%Y-%m-%d %H:%M:%S') AS slot_start,
+             round(h.m - p.prof, 6) AS residual,
+             row_number() OVER (PARTITION BY h.event_type
+                                ORDER BY abs(round(h.m - p.prof, 6)) DESC,
+                                         h.slot) AS rk
+      FROM hourly h
+      JOIN profile p ON h.event_type = p.event_type AND h.hod = p.hod
+    )
+    SELECT event_type, slot_start, residual FROM resid WHERE rk <= 3
+    """,
+    doc="Seasonal-baseline anomaly detection: build each event_type's "
+    "hour-of-day profile (the seasonal-naive forecast — mean of that "
+    "hour-of-day's hourly means across days), subtract it, and report "
+    "the top-3 absolute residuals per type. Catches the anomaly class "
+    "both z-scores (ts15) and CUSUM (ts18) mis-handle: a spike that is "
+    "NORMAL at 18:00 but anomalous at 04:00 — deviation is measured "
+    "against the seasonal profile, not a global or rolling mean. The "
+    "24-row-per-type profile joins broadcast back to the hourly frame; "
+    "the top-3 rank window prunes partially (WindowGroupLimit). At "
+    "100 TB the fact contributes only the hourly pre-aggregate — "
+    "everything after is profile-sized. 6dp-pinned means + exact "
+    "decimal profile averages keep both engines' residuals identical.",
+    tags=("timeseries", "seasonal", "anomaly", "profile"),
+)
+def ts19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.round(davg("value"), 6).alias("m"))
+        .select("event_type", F.col("w.start").alias("slot"), "hod", "m")
+    )
+    profile = hourly.groupBy("event_type", "hod").agg(
+        (F.sum(F.col("m").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "prof"
+        )
+    )
+    resid = hourly.join(F.broadcast(profile), ["event_type", "hod"]).select(
+        "event_type",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+        F.round(F.col("m") - F.col("prof"), 6).alias("residual"),
+        F.col("slot"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.abs(F.col("residual")).desc(), "slot")
+    )
+    return (
+        resid.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "slot_start", "residual")
+    )

@@ -66,7 +66,8 @@ _PRIORITY = [
 # dd11_source_overlap, tx17_bpe_pair_freq, tx18_length_buckets,
 # b27_full_outer_join, x38_source_cap_sample,
 # dd12_semantic_dedup_ivf, ts18_cusum_change, sm12_embedding_health,
-# x39_robust_stats, mm04_media_manifest, tx19_split_oov),
+# x39_robust_stats, mm04_media_manifest, tx19_split_oov,
+# ts19_seasonal_residual, tx20_bigram_perplexity),
 # the 4 spilled r02-greens (tx03, tx06, tx07,
 # sm07), then the round-3-green families (the b/x relational core
 # verified in CORRECTNESS_r03), oldest evidence first.
