@@ -86,8 +86,12 @@ HEADLINE = [
     "b27_full_outer_join",
     "x38_source_cap_sample",
     "ts18_cusum_change",
+    "ts19_seasonal_residual",
     "sm12_embedding_health",
     "x39_robust_stats",
+    "mm04_media_manifest",
+    "tx19_split_oov",
+    "tx20_bigram_perplexity",
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the
     # other exact/quadratic tiers (dd02, dd09): at sf0.1 the fixture's 10
     # fixed label-cells make its per-cell pair blocks bench-dominating;

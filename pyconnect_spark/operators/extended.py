@@ -758,3 +758,94 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value")))), 6
         ).alias("winsorized_mean"),
     )
+
+
+@REGISTRY.register(
+    "x40_cooccurrence_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+    ),
+    nb AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    ),
+    pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                     AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+    )
+    SELECT p.item_a, p.item_b, p.n_baskets,
+           round(p.n_baskets / t.n, 6) AS support,
+           round(CAST(p.n_baskets AS DOUBLE) / ia.n, 6) AS conf_a_to_b,
+           round(p.n_baskets * t.n / (ia.n * CAST(ib.n AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN items ia ON ia.event_type = p.item_a
+    JOIN items ib ON ib.event_type = p.item_b
+    CROSS JOIN nb t
+    """,
+    doc="Market-basket co-occurrence with support/confidence/lift over "
+    "(user, day) activity baskets — frequent-pattern mining's pair tier "
+    "(the 2-itemset slice of Apriori/FP-Growth, which covers most "
+    "production association-rule use): which event types co-occur in a "
+    "session-day more (lift > 1) or less (lift < 1) than independence "
+    "predicts. Baskets come from one distinct (a combiner-shrunk "
+    "(user, day, type) exchange); the pair self-join keys on the basket "
+    "id so co-basket items join WITHOUT an all-pairs blowup — per-basket "
+    "cost is |types-in-basket|², bounded by the (small) item vocabulary, "
+    "never by basket count. The per-item and basket-count tables are "
+    "item-vocabulary-sized and broadcast. At 100 TB this is one distinct "
+    "+ one co-partitioned self-join + tiny broadcasts — the canonical "
+    "co-occurrence shape recommendation engines run daily.",
+    tags=("agg", "association", "cooccurrence", "basket"),
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").cast("double").alias("nbk")
+    )
+    items = baskets.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    ia = items.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))
+    ib = items.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.round(F.col("n_baskets") / F.col("nbk"), 6).alias("support"),
+            F.round(F.col("n_baskets").cast("double") / F.col("n_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("n_baskets") * F.col("nbk") / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

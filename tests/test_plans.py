@@ -331,3 +331,19 @@ def test_x38_cap_sample_broadcasts_rates_never_reads_text(spark):
     df = _Q["x38_source_cap_sample"](spark, SF)
     assert has_broadcast_join(df)
     assert "text" not in read_schema(df)
+
+
+def test_ts19_profile_broadcast_group_limit(spark):
+    # the 24-row-per-type seasonal profile broadcasts back to the hourly
+    # frame; top-3 residual rank prunes partially before the exchange
+    text = explain_str(_Q["ts19_seasonal_residual"](spark, SF))
+    assert "BroadcastHashJoin" in text
+    assert "WindowGroupLimit" in text
+
+
+def test_tx20_bigram_model_broadcasts(spark):
+    # the alphabet²-bounded bigram model and its total join broadcast; the
+    # doc-keyed aggregation partial-aggregates map-side
+    text = explain_str(_Q["tx20_bigram_perplexity"](spark, SF))
+    assert "BroadcastHashJoin" in text
+    assert "partial_count" in text
