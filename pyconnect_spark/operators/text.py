@@ -1159,3 +1159,71 @@ def tx20(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(F.log2(F.col("n") / F.col("nn"))) / F.count("*"), 6
         ).alias("bits_per_bigram"),
     )
+
+
+@REGISTRY.register(
+    "tx21_word_dropout",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id,
+             list_filter(list_transform(range(1, len(toks) + 1),
+                 i -> CASE WHEN CAST(('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':' ||
+                               CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                               % 10 <> 0
+                           THEN toks[CAST(i AS INT)] END),
+                 x -> x IS NOT NULL) AS aug,
+             len(toks) AS n_orig
+      FROM w
+    )
+    SELECT doc_id, CAST(n_orig AS BIGINT) AS n_tokens,
+           CAST(len(aug) AS BIGINT) AS n_kept,
+           md5(array_to_string(aug, ' ')) AS aug_md5
+    FROM kept
+    """,
+    doc="Deterministic data augmentation: 10% word dropout where the mask "
+    "comes from md5(doc_id:position) instead of RNG — the augmentation "
+    "counterpart of tx07's hash split, giving reproducible augmented "
+    "corpora (same doc -> same augmented text on every run, engine, and "
+    "partitioning, so training jobs are re-runnable and augmented dedup "
+    "is meaningful). Emits per-doc original/kept token counts and the "
+    "md5 of the augmented text so the oracle checks the full output "
+    "string. Pure array expressions in one codegen stage — zero "
+    "shuffles, scan-tier cost; a seed column swap gives fresh epochs "
+    "(md5(seed:doc:pos)) with the same machinery.",
+    tags=("text", "llm", "augmentation", "dropout"),
+)
+def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    staged = docs.select("doc_id", toks.alias("toks"))
+    keep = lambda i: (  # noqa: E731 — md5-derived positional mask
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        != 0
+    )
+    aug = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.when(keep(i), F.element_at("toks", i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(aug).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", aug)).alias("aug_md5"),
+    )

@@ -6,7 +6,9 @@ rotates by staleness: queries that have never had a driver row lead,
 then the round-3 merges (new names), then everything whose last green
 row is oldest. Queries verified last round follow the window in module
 order — nothing is ever dropped from the declared surface, and with
-~100 declared queries the whole surface re-verifies every 2 rounds.
+~126 declared queries the whole surface re-verifies every ~2.5 rounds
+(the rotation always puts never-checked and oldest-evidence queries
+first, so staleness is bounded even as the surface grows).
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ _PRIORITY = [
 # dd12_semantic_dedup_ivf, ts18_cusum_change, sm12_embedding_health,
 # x39_robust_stats, mm04_media_manifest, tx19_split_oov,
 # ts19_seasonal_residual, tx20_bigram_perplexity,
-# x40_cooccurrence_lift),
+# x40_cooccurrence_lift, tx21_word_dropout),
 # the 4 spilled r02-greens (tx03, tx06, tx07,
 # sm07), then the round-3-green families (the b/x relational core
 # verified in CORRECTNESS_r03), oldest evidence first.
