@@ -165,6 +165,12 @@ class BaseConfig(BaseModel):
     schema_registry: Optional[str] = None
     offset_commit_interval: timedelta = timedelta(minutes=30)
     sink_commit_retry_count: int = 2
+    # In-place retry of a failed user flush before the batch is declared
+    # failed (0 = fail fast; the uncommitted batch replays on restart
+    # either way). Distinct from sink_commit_retry_count, which in the
+    # reference guards the Kafka offset commit — here the commit is the
+    # checkpoint write. See SparkSink._flush_wrapper.
+    sink_flush_retry_count: int = 0
     hash_sensitive_values: bool = True
     kafka_opts: Dict[str, str] = Field(default_factory=dict)
     # Spark-native additions:
@@ -186,6 +192,7 @@ class BaseConfig(BaseModel):
     SANITY_CHECKS: ClassVar[tuple[str, ...]] = (
         "{offset_commit_interval} > 0",
         "{sink_commit_retry_count} >= 0",
+        "{sink_flush_retry_count} >= 0",
     )
 
     @model_validator(mode="after")

@@ -28,7 +28,7 @@ import os
 import shutil
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -93,7 +93,25 @@ class SparkSink(BaseConnector):
         return query
 
     def _flush_wrapper(self, batch: DataFrame, epoch_id: int) -> None:
-        self.on_flush(batch, epoch_id)
+        # Bounded in-place flush retry, opt-in via sink_flush_retry_count
+        # (default 0 = reference-parity semantics: one flush failure
+        # crashes the sink, the uncommitted batch replays on restart —
+        # test_s03). The reference's sink_commit_retry_count guards its
+        # OFFSET COMMIT to Kafka; in this engine the commit is the
+        # checkpoint write, whose transient-failure retries live in the
+        # filesystem client, so the user-facing knob here is flush retry:
+        # a transient on_flush failure (throttled object store, connection
+        # blip) retries in place before the batch is declared failed.
+        retries = getattr(self.config, "sink_flush_retry_count", 0) or 0
+        attempt = 0
+        while True:
+            try:
+                self.on_flush(batch, epoch_id)
+                return
+            except Exception:
+                attempt += 1
+                if attempt > retries:
+                    raise
 
 
 class FileSink(SparkSink):
@@ -207,6 +225,53 @@ def memory_sink(df: DataFrame, name: str, *, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+class DlqFileSink(SparkSink):
+    """Dead-letter-queue sink: per batch, rows failing a validation
+    predicate are routed to a DLQ directory (JSON-lines, with the failure
+    reason and epoch id attached) instead of failing the query — the
+    Kafka-Connect errors.tolerance=all + DLQ-topic pattern. Valid rows
+    append to the main output; both writes complete before the batch's
+    offsets commit, so neither side can be lost (at-least-once on both
+    paths). The predicate and reason are Column expressions evaluated
+    executor-side — no row ever reaches the driver."""
+
+    def __init__(
+        self,
+        *args,
+        out_path: str,
+        dlq_path: str,
+        valid: Column,
+        reason: Column,
+        **kw,
+    ):
+        super().__init__(*args, **kw)
+        self.out_path = out_path
+        self.dlq_path = dlq_path
+        self._valid = valid
+        self._reason = reason
+        self.n_good = 0
+        self.n_dlq = 0
+
+    def on_flush(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        flagged = batch.withColumn("_valid", self._valid).cache()
+        try:
+            good = flagged.filter(F.col("_valid")).drop("_valid")
+            bad = (
+                flagged.filter(~F.col("_valid"))
+                .drop("_valid")
+                .withColumn("_dlq_reason", self._reason)
+                .withColumn("_dlq_epoch", F.lit(epoch_id))
+            )
+            good.write.mode("append").json(self.out_path)
+            bad.write.mode("append").json(self.dlq_path)
+            self.n_good += good.count()
+            self.n_dlq += bad.count()
+        finally:
+            flagged.unpersist()
 
 
 class CallbackSink(SparkSink):

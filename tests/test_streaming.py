@@ -1076,3 +1076,95 @@ def test_s21_streaming_cusum_equals_ordered_fold(spark, tmp_path):
         want[r["event_type"]] = (n + 1, s, max(m, s))
     for k, (n, s, m) in want.items():
         assert got[k] == (n, round(s, 6), round(m, 6)), (k, got[k], (n, s, m))
+
+
+def test_s22_flush_retry_bounded(spark, tmp_path):
+    """Reference parity (sink_commit_retry_count): a transient flush
+    failure is retried in-place up to N times before the batch fails;
+    with enough retries the query completes and the batch commits once."""
+    from pyconnect_spark.config import SinkConfig
+    from pyconnect_spark.streaming.sink import SparkSink
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    with open(topic / "r.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"key": f"k{i}", "value": f"v{i}"}) + "\n")
+
+    class FlakySink(SparkSink):
+        def __init__(self, *a, fail_times: int, **kw):
+            super().__init__(*a, **kw)
+            self.fail_times = fail_times
+            self.attempts = 0
+            self.flushed: list[int] = []
+
+        def on_flush(self, batch, epoch_id):
+            self.attempts += 1
+            if self.attempts <= self.fail_times:
+                raise RuntimeError("transient flush failure")
+            self.flushed.append(batch.count())
+
+    cfg = SinkConfig(
+        bootstrap_servers="localhost:9092",
+        topics=[str(topic)],
+        checkpoint_location=str(tmp_path / "ckpt-ok"),
+        sink_flush_retry_count=2,
+    )
+    sink = FlakySink(spark, cfg, fail_times=2)
+    sink.run()
+    assert sink.attempts == 3  # two failures + one success, same batch
+    assert sum(sink.flushed) == 5  # flushed exactly once after retries
+
+    # with retries exhausted the query must fail (batch stays uncommitted)
+    cfg2 = SinkConfig(
+        bootstrap_servers="localhost:9092",
+        topics=[str(topic)],
+        checkpoint_location=str(tmp_path / "ckpt-fail"),
+        sink_flush_retry_count=1,
+    )
+    sink2 = FlakySink(spark, cfg2, fail_times=5)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink2.run()
+    assert sink2.attempts == 2  # initial + 1 retry, then give up
+
+
+def test_s23_dead_letter_queue_routes_bad_rows(spark, tmp_path):
+    """DLQ pattern (Kafka Connect errors.tolerance=all): rows failing
+    validation land in the DLQ with a reason, valid rows in the main
+    output, and the query completes instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.config import SinkConfig
+    from pyconnect_spark.streaming.sink import DlqFileSink
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    rows = [{"key": f"k{i}", "value": (f"v{i}" if i % 3 else "")} for i in range(9)]
+    with open(topic / "r.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    sink = DlqFileSink(
+        spark,
+        SinkConfig(
+            bootstrap_servers="localhost:9092",
+            topics=[str(topic)],
+            checkpoint_location=str(tmp_path / "ckpt"),
+        ),
+        out_path=out,
+        dlq_path=dlq,
+        valid=F.length("value") > 0,
+        reason=F.lit("empty value"),
+    )
+    sink.run()
+    good = spark.read.json(out)
+    bad = spark.read.json(dlq)
+    assert sink.n_good == good.count() == 6
+    assert sink.n_dlq == bad.count() == 3
+    assert {r["key"] for r in bad.collect()} == {"k0", "k3", "k6"}
+    assert set(bad.columns) >= {"key", "value", "_dlq_reason", "_dlq_epoch"}
+    assert bad.filter(F.col("_dlq_reason") == "empty value").count() == 3
