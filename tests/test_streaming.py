@@ -1168,3 +1168,71 @@ def test_s23_dead_letter_queue_routes_bad_rows(spark, tmp_path):
     assert {r["key"] for r in bad.collect()} == {"k0", "k3", "k6"}
     assert set(bad.columns) >= {"key", "value", "_dlq_reason", "_dlq_epoch"}
     assert bad.filter(F.col("_dlq_reason") == "empty value").count() == 3
+
+
+def test_s24_corrupt_records_route_to_dlq(spark, tmp_path):
+    """Schema-drift ingestion: PERMISSIVE JSON parsing surfaces unparseable
+    lines in _corrupt_record, and the DLQ sink routes them aside while
+    clean rows flow — bad input degrades to a DLQ entry, never a crashed
+    query or a silently dropped line."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pyconnect_spark.config import SinkConfig
+    from pyconnect_spark.streaming.sink import DlqFileSink
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    lines = [
+        json.dumps({"key": "k0", "value": "v0"}),
+        '{"key": "k1", "value": ',  # truncated — unparseable
+        json.dumps({"key": "k2", "value": "v2"}),
+        "not json at all",
+    ]
+    with open(topic / "r.jsonl", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+
+    class CorruptTolerantSink(DlqFileSink):
+        def read_stream(self):
+            [t] = self.config.topics
+            return (
+                self.spark.readStream.schema(schema)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .json(t)
+            )
+
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    sink = CorruptTolerantSink(
+        spark,
+        SinkConfig(
+            bootstrap_servers="localhost:9092",
+            topics=[str(topic)],
+            checkpoint_location=str(tmp_path / "ckpt"),
+        ),
+        out_path=out,
+        dlq_path=dlq,
+        valid=F.col("_corrupt_record").isNull(),
+        reason=F.lit("unparseable json"),
+        schema=schema,
+    )
+    sink.run()
+    good = spark.read.json(out)
+    # NB: reading back a field literally named _corrupt_record collides
+    # with the JSON reader's internal corrupt-column name (it comes back
+    # null); point the internal name elsewhere to read it as plain data.
+    bad = spark.read.option("columnNameOfCorruptRecord", "_cr_internal").json(dlq)
+    assert {r["key"] for r in good.collect()} == {"k0", "k2"}
+    assert bad.count() == 2
+    # the DLQ preserves the raw offending line for replay/debugging
+    raw = {r["_corrupt_record"] for r in bad.collect()}
+    assert "not json at all" in raw
