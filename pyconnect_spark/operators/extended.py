@@ -849,3 +849,67 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@REGISTRY.register(
+    "x41_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                 AS first_purchase
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (
+      SELECT day,
+             CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT)
+                 AS lag_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lag_us, 0.5) / 1e6, 6) AS p50_lag_s,
+           round(quantile_cont(lag_us, 0.9) / 1e6, 6) AS p90_lag_s,
+           CAST(MIN(lag_us) AS BIGINT) AS min_lag_us
+    FROM lags GROUP BY 1
+    """,
+    doc="Funnel timing: per day, the distribution (p50/p90/min) of the lag "
+    "from a user's first 'view' to their first 'purchase' that day — "
+    "ts06 counts WHO converts, this measures HOW FAST, the other half "
+    "of funnel analysis (SLAs, campaign latency). The conditional-MIN "
+    "pivot computes both first-touch timestamps in ONE grouped pass over "
+    "the fact (no per-step self-joins — the same single-pass trick as "
+    "ts06), then the day-level percentile aggregation runs on one row "
+    "per converting (user, day). At 100 TB: one (user_id, day) exchange "
+    "with map-side combine, then a |days|-key percentile pass over the "
+    "tiny conversion frame. Integer-second lags keep quantile_cont "
+    "interpolation exact in both engines.",
+    tags=("timeseries", "funnel", "percentile", "conversion"),
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lags = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "day",
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).cast("long").alias("lag_us"),
+    )
+    return lags.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.round(F.percentile("lag_us", F.lit(0.5)) / 1e6, 6).alias("p50_lag_s"),
+        F.round(F.percentile("lag_us", F.lit(0.9)) / 1e6, 6).alias("p90_lag_s"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+    )
