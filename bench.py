@@ -92,6 +92,11 @@ HEADLINE = [
     "mm04_media_manifest",
     "tx19_split_oov",
     "tx20_bigram_perplexity",
+    "x40_cooccurrence_lift",
+    "x41_conversion_lag",
+    "tx21_word_dropout",
+    # x42 (Python UDTF chunking) is the documented slow tier, like b24's
+    # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the
     # other exact/quadratic tiers (dd02, dd09): at sf0.1 the fixture's 10
     # fixed label-cells make its per-cell pair blocks bench-dominating;

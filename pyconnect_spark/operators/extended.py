@@ -913,3 +913,39 @@ def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_us", F.lit(0.9)) / 1e6, 6).alias("p90_lag_s"),
         F.min("lag_us").cast("long").alias("min_lag_us"),
     )
+
+
+@REGISTRY.register(
+    "x42_udtf_chunks",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    )
+    SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+           md5(array_to_string(list_slice(w, g*8+1, g*8+8), ' ')) AS chunk_key
+    FROM base,
+         LATERAL (SELECT unnest(range(0, CAST(floor(len(w)/8.0) AS BIGINT))) AS g)
+    """,
+    doc="Python UDTF tier (the table-function counterpart of b24's row-UDF "
+    "parity query): documents fan out to 8-word chunks via a LATERAL "
+    "Python UDTF (`chunk_text`, functions/udtf.py) — one input row to N "
+    "output rows from plain Python, the Spark-4 extension point for "
+    "row-expanding logic that genuinely needs Python libraries. "
+    "Deliberately the same chunk contract as tx16's JVM array "
+    "expression, so the oracle (and a pytest cross-check) verify the "
+    "UDTF machinery against the codegen form bit-for-bit. The hot path "
+    "REMAINS tx16: a UDTF pays the Python-worker round trip per row, "
+    "which is exactly the trade this pair of queries documents.",
+    tags=("udf", "udtf", "text", "parity"),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("pc_x42_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, md5(c.chunk_text) AS chunk_key
+        FROM pc_x42_docs d, LATERAL chunk_text(d.text, 8) c
+        """
+    )

@@ -70,7 +70,8 @@ _PRIORITY = [
 # dd12_semantic_dedup_ivf, ts18_cusum_change, sm12_embedding_health,
 # x39_robust_stats, mm04_media_manifest, tx19_split_oov,
 # ts19_seasonal_residual, tx20_bigram_perplexity,
-# x40_cooccurrence_lift, tx21_word_dropout, x41_conversion_lag),
+# x40_cooccurrence_lift, tx21_word_dropout, x41_conversion_lag,
+# x42_udtf_chunks),
 # the 4 spilled r02-greens (tx03, tx06, tx07,
 # sm07), then the round-3-green families (the b/x relational core
 # verified in CORRECTNESS_r03), oldest evidence first.
