@@ -28,11 +28,18 @@ import io
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from pyconnect_spark.functions.avro import avro_to_spark_type
-from pyconnect_spark.sources.avro_ocf import iter_records, parse_header
+from pyconnect_spark.functions.avro import spark_type_to_avro
+from pyconnect_spark.sources.avro_ocf import iter_records, parse_header, write_container
 
 
 def _list_files(options) -> list[str]:
@@ -88,3 +95,57 @@ class AvroOcfDataSource(DataSource):
 
     def reader(self, schema: StructType) -> AvroOcfReader:
         return AvroOcfReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "AvroOcfWriter":
+        return AvroOcfWriter(schema, self.options, overwrite)
+
+
+class _OcfCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class AvroOcfWriter(DataSourceWriter):
+    """One `.avro` container file per input partition (the same split
+    model as the read side and as `write_avro`); empty partitions emit no
+    file. Each task writes to a `.tmp` name and atomically renames, so
+    readers never observe a partial container."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self._avro_schema = spark_type_to_avro(schema, name="value")
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("pyconnect_avro: .save(path) is required")
+        if overwrite and os.path.isdir(self._path):
+            for f in os.listdir(self._path):
+                if f.endswith(".avro"):
+                    os.remove(os.path.join(self._path, f))
+        os.makedirs(self._path, exist_ok=True)
+
+    def write(self, iterator) -> _OcfCommit:
+        import itertools
+        import uuid
+
+        # Stream rows through the block encoder — a multi-GB partition is
+        # never materialized as a Python list. Peek one row so empty
+        # partitions emit no file (same contract as write_avro).
+        records = (r.asDict(recursive=True) for r in iterator)
+        try:
+            head = next(records)
+        except StopIteration:
+            return _OcfCommit("", 0)
+        n = 0
+
+        def counted():
+            nonlocal n
+            for rec in itertools.chain([head], records):
+                n += 1
+                yield rec
+
+        payload = write_container(counted(), self._avro_schema, codec="null")
+        fname = os.path.join(self._path, f"part-{uuid.uuid4().hex}.avro")
+        with open(fname + ".tmp", "wb") as fh:
+            fh.write(payload)
+        os.replace(fname + ".tmp", fname)
+        return _OcfCommit(fname, n)

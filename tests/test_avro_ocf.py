@@ -144,3 +144,30 @@ def test_avro_datasource_reads_what_write_avro_wrote(spark, tmp_path):
     assert got.rdd.getNumPartitions() == n_files
     # post-scan filter composes on the reader chain
     assert got.filter(F.col("k") < 10).count() == 10
+
+
+def test_avro_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('pyconnect_avro') emits one container per partition
+    (streamed, not materialized), mode('overwrite') replaces prior .avro
+    files, and the registered reader + read_avro both read it back."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
+    from pyconnect_spark.sources.avro_ocf import read_avro
+
+    spark.dataSource.register(AvroOcfDataSource)
+    out = str(tmp_path / "ocf-w")
+    df = spark.range(120).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("x")
+    ).repartition(3)
+    df.write.format("pyconnect_avro").mode("overwrite").save(out)
+    import os as _os
+
+    files = [f for f in _os.listdir(out) if f.endswith(".avro")]
+    assert len(files) == 3  # one container per partition
+    want = {tuple(r) for r in df.collect()}
+    assert {tuple(r) for r in spark.read.format("pyconnect_avro").load(out).collect()} == want
+    assert {tuple(r) for r in read_avro(spark, out).collect()} == want
+    # overwrite replaces, never appends
+    df.limit(10).write.format("pyconnect_avro").mode("overwrite").save(out)
+    assert spark.read.format("pyconnect_avro").load(out).count() == 10
