@@ -347,3 +347,45 @@ def test_tx20_bigram_model_broadcasts(spark):
     text = explain_str(_Q["tx20_bigram_perplexity"](spark, SF))
     assert "BroadcastHashJoin" in text
     assert "partial_count" in text
+
+
+def test_x39_robust_stats_broadcasts_quantile_tables(spark):
+    # both per-type quantile tables (median/p01/p99, then MAD) broadcast
+    # back against the fact — never a sort-merge join on the event stream
+    text = explain_str(_Q["x39_robust_stats"](spark, SF))
+    assert text.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in text
+
+
+def test_x40_cooccurrence_broadcasts_item_tables(spark):
+    # the item-count and basket-count tables broadcast; the only big joins
+    # key on the basket id (co-partitioned self-join), never a cartesian
+    text = explain_str(_Q["x40_cooccurrence_lift"](spark, SF))
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_x41_conversion_lag_single_fact_pass(spark):
+    # both first-touch timestamps come from ONE conditional-MIN pass: the
+    # events fact is scanned exactly once
+    text = explain_str(_Q["x41_conversion_lag"](spark, SF))
+    assert text.count("events.parquet") == 1, text
+
+
+def test_sm12_embedding_health_partial_aggregates(spark):
+    # the per-dimension stats partial-aggregate map-side; the exchange
+    # carries |dims| partial states, and no join appears anywhere
+    text = explain_str(_Q["sm12_embedding_health"](spark, SF))
+    assert "partial_avg" in text or "partial_min" in text or "HashAggregate" in text
+    assert "Join" not in text
+
+
+def test_tx21_word_dropout_map_only(spark):
+    # augmentation is scan-tier: no exchange, no join, minimal read schema
+    import re
+
+    df = _Q["tx21_word_dropout"](spark, SF)
+    text = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 0, text
+    assert "Join" not in text
+    assert set(read_schema(df)) == {"doc_id", "text"}
