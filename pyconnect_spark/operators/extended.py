@@ -949,3 +949,177 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pc_x42_docs d, LATERAL chunk_text(d.text, 8) c
         """
     )
+
+
+@REGISTRY.register(
+    "x43_recursive_hierarchy",
+    oracle=f"""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION ALL
+      SELECT node, anc // 8, depth + 1 FROM walk WHERE anc >= 8
+    ),
+    roots AS (
+      SELECT node, anc AS root_key, depth FROM walk WHERE anc < 8
+    )
+    SELECT r.root_key, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(r.depth) AS INT) AS max_depth,
+           {sql_dsum('p.p_retailprice')} AS subtree_retail
+    FROM roots r JOIN part p ON p.p_partkey = r.node
+    GROUP BY r.root_key
+    """,
+    doc="Recursive CTE hierarchy walk (Spark 4's WITH RECURSIVE, the "
+    "BOM-explosion / org-chart / category-tree staple): every part keys "
+    "into a synthetic 8-ary forest (parent = partkey DIV 8, roots 1-7), "
+    "each node walks ancestor pointers up to its root inside the "
+    "recursion, and the result rolls up subtree size, depth, and exact-"
+    "decimal retail value per root. The recursion carries only (node, "
+    "current-ancestor, depth) — fixed-width rows, no payload — and "
+    "terminates in ceil(log8(max key)) iterations (~7 at 100 TB key "
+    "ranges), so each UnionLoop step is a short co-partitioned pass; "
+    "the payload join happens ONCE after the loop, against the final "
+    "root rows only. That carry-pointers-not-payload shape is exactly "
+    "how the iterative operators here scale (dd05's label propagation "
+    "is the hand-rolled analog from before Spark had recursion). "
+    "Decimal-exact money keeps the rollup bitwise-stable under any "
+    "partitioning.",
+    tags=("sql", "recursive", "hierarchy", "iterative"),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "part").createOrReplaceTempView("pc_x43_part")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM pc_x43_part
+          UNION ALL
+          SELECT node, anc DIV 8, depth + 1 FROM walk WHERE anc >= 8
+        ),
+        roots AS (
+          SELECT node, anc AS root_key, depth FROM walk WHERE anc < 8
+        )
+        SELECT r.root_key, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MAX(r.depth) AS INT) AS max_depth,
+               {sql_dsum('p.p_retailprice')} AS subtree_retail
+        FROM roots r JOIN pc_x43_part p ON p.p_partkey = r.node
+        GROUP BY r.root_key
+        """
+    )
+
+
+@REGISTRY.register(
+    "x44_data_quality_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS pk_dupes,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS null_cust,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nonpos_price
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS qty_oob,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS disc_oob
+      FROM lineitem
+    ),
+    ofk AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ),
+    lfk AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphans FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT * FROM (
+      SELECT 'orders.row_count' AS check, n AS metric FROM o
+      UNION ALL SELECT 'orders.o_orderkey.pk_duplicates', pk_dupes FROM o
+      UNION ALL SELECT 'orders.o_custkey.null_count', null_cust FROM o
+      UNION ALL SELECT 'orders.o_totalprice.nonpositive_count',
+                       nonpos_price FROM o
+      UNION ALL SELECT 'orders.o_custkey.fk_orphans', orphans FROM ofk
+      UNION ALL SELECT 'lineitem.row_count', n FROM l
+      UNION ALL SELECT 'lineitem.l_quantity.out_of_range', qty_oob FROM l
+      UNION ALL SELECT 'lineitem.l_discount.out_of_range', disc_oob FROM l
+      UNION ALL SELECT 'lineitem.l_orderkey.fk_orphans', orphans FROM lfk
+    )
+    """,
+    doc="Deequ-style data-quality constraint audit — the validation gate "
+    "every production pipeline runs before training data ships: row "
+    "counts, primary-key uniqueness, completeness (null counts), value-"
+    "range checks, and referential integrity, emitted as one tall "
+    "(check, metric) report table. All row-local constraints per table "
+    "compute in a SINGLE conditional-aggregation scan (one pass over "
+    "orders, one over lineitem — no per-check scans, the mistake naive "
+    "validators make at 100 TB); each referential check is one left-"
+    "anti-shaped NOT EXISTS against the parent keys (broadcast for "
+    "dims, co-partitioned for fact-fact). The report is 9 fixed rows "
+    "regardless of data size, so it can run per-partition-load as a "
+    "cheap CI gate; a failing check is a WHERE metric > 0 on this "
+    "frame.",
+    tags=("quality", "audit", "constraints", "integrity"),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+    o = orders.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("double").alias("pk_dupes"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("double").alias("null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("double").alias("nonpos_price"),
+    )
+    l = lineitem.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int"))
+        .cast("double")
+        .alias("qty_oob"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int"))
+        .cast("double")
+        .alias("disc_oob"),
+    )
+    ofk = orders.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count("*").cast("double").alias("orphans"))
+    lfk = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).agg(F.count("*").cast("double").alias("orphans"))
+    # stack() fans each single agg row out to (check, metric) rows, so every
+    # table's conditional-agg scan executes exactly once — selecting the agg
+    # frame once per union branch would re-run the scan per branch
+    o_rows = o.select(
+        F.expr(
+            "stack(4, 'orders.row_count', n,"
+            " 'orders.o_orderkey.pk_duplicates', pk_dupes,"
+            " 'orders.o_custkey.null_count', null_cust,"
+            " 'orders.o_totalprice.nonpositive_count', nonpos_price)"
+            " AS (check, metric)"
+        )
+    )
+    l_rows = l.select(
+        F.expr(
+            "stack(3, 'lineitem.row_count', n,"
+            " 'lineitem.l_quantity.out_of_range', qty_oob,"
+            " 'lineitem.l_discount.out_of_range', disc_oob)"
+            " AS (check, metric)"
+        )
+    )
+    fk_rows = ofk.select(
+        F.lit("orders.o_custkey.fk_orphans").alias("check"),
+        F.col("orphans").alias("metric"),
+    ).unionAll(
+        lfk.select(
+            F.lit("lineitem.l_orderkey.fk_orphans").alias("check"),
+            F.col("orphans").alias("metric"),
+        )
+    )
+    return o_rows.unionAll(l_rows).unionAll(fk_rows)

@@ -1227,3 +1227,83 @@ def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(aug).cast("long").alias("n_kept"),
         F.md5(F.concat_ws(" ", aug)).alias("aug_md5"),
     )
+
+
+@REGISTRY.register(
+    "tx22_boilerplate_removal",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, g AS chunk_idx,
+             array_to_string(list_slice(w, g*8+1, g*8+8), ' ') AS ctext
+      FROM base,
+           LATERAL (SELECT unnest(range(0, CAST(floor(len(w)/8.0) AS BIGINT))) AS g)
+    ),
+    freq AS (
+      SELECT md5(ctext) AS chunk_key, COUNT(DISTINCT doc_id) AS df
+      FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(md5(string_agg(c.ctext, ' ' ORDER BY c.chunk_idx)
+                            FILTER (WHERE f.df < 2)),
+                    md5('')) AS clean_md5
+    FROM chunks c JOIN freq f ON f.chunk_key = md5(c.ctext)
+    GROUP BY 1
+    """,
+    doc="Corpus-frequency boilerplate REMOVAL — the write side of tx16's "
+    "detector (C4's 'discard any line seen more than once' rule, Raffel "
+    "et al. 2020, applied at the 8-word-chunk granularity this corpus "
+    "supports): every chunk whose md5 appears in >= 2 distinct docs is "
+    "cut, the surviving chunks are re-joined IN ORIGINAL ORDER, and the "
+    "cleaned text is emitted as counts + md5 so the oracle verifies the "
+    "exact reconstructed string without shipping full texts through the "
+    "compare. Chunking is the same shuffle-free array expression as "
+    "tx16/x42; the df table keys on the 16-byte md5 (combiner-shrunk "
+    "exchange); reassembly is collect_list of (idx, text) structs under "
+    "a doc_id agg — array_sort makes the order deterministic under ANY "
+    "shuffle partitioning, which is what makes the md5 comparable at "
+    "all. At 100 TB the chunk-frequency frame is the only corpus-wide "
+    "exchange (fixed-width keys), and the per-doc reassembly shuffles "
+    "each doc's surviving chunk texts once — the same cost profile as "
+    "the dedup pass a crawl pipeline already runs. Docs shorter than "
+    "one chunk drop out (consistent in both engines).",
+    tags=("text", "llm", "boilerplate", "dedup", "c4"),
+)
+def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    n_chunks = F.floor(F.size(w) / F.lit(8.0)).cast("int")
+    # sequence(0, -1) would DESCEND in Spark, so guard the empty case
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_structs = F.transform(
+        idx,
+        lambda g: F.struct(
+            g.alias("chunk_idx"), F.concat_ws(" ", F.slice(w, g * 8 + 1, 8)).alias("ctext")
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.inline(chunk_structs)
+    )
+    freq = chunks.groupBy(F.md5("ctext").alias("chunk_key")).agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    kept = F.col("df") < 2
+    joined = chunks.withColumn("chunk_key", F.md5("ctext")).join(freq, "chunk_key")
+    # collect_list drops the NULLs when() leaves for removed chunks, so the
+    # sorted survivor array reassembles the cleaned text deterministically
+    surv = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("chunk_idx", "ctext")))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(surv, lambda s: s["ctext"]), " ")
+        ).alias("clean_md5"),
+    )

@@ -21,60 +21,64 @@ for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, mul
     _MERGED.merge(mod.REGISTRY)
 
 # First 50 = the driver's verification window for round 4. Composition:
-# (a) the 7 round-3 additions that have NEVER had a driver row,
-# (b) the 3 queries REBUILT in round 3 after their last (r2) driver row,
-# (c) the queries whose last green row is round 2 (CORRECTNESS_r02),
-#     oldest evidence first. Four lowest-risk r02-greens (map-only
-#     scan-tier: tx03 sha256 fingerprint, tx06 builtin levenshtein,
-#     tx07 md5 hash-split, sm07 pure-column quantization) spill past
-#     the window to round 5. Everything green in round 3's
-#     CORRECTNESS_r03 (the old window) follows, so with ~104 declared
-#     queries every query re-verifies on a strict 2-round cadence.
+# (a) every query with NO driver row in CORRECTNESS_r01∪r02∪r03 — the
+#     7 round-3 additions plus the 26 round-4 additions (33 total);
+# (b) the 2 queries REBUILT in round 3 after their last (r2) driver row
+#     (merged semantics, so the r2 row covers an old query body);
+# (c) 15 refresh slots for CORRECTNESS_r02-era greens, prioritizing the
+#     operators whose implementations were MODIFIED during round 4
+#     (dd03 signature codegen cut, dd05 edge/probe overhead cut, sm05
+#     n_probe=8, sm06 persist lifecycle) — their r2 evidence predates
+#     the change — then the riskiest unchanged r2-greens (b21's former
+#     hash-bug site, x08 sketches, the quadratic ground-truth tiers,
+#     the ordered-fold/cogroup time-series).
+# Rationale: a never-checked query is a bigger evidence gap than a
+# 2-round-stale green, so first rows win the slots. The spilled
+# r2-greens (x25-x29, ts01-ts14 tumbling/session family, tx01-tx10
+# scan-tier, dd01, sm01/03/04/08, mm03, tx03/06/07, sm07) are
+# unchanged since their green row and lead the round-5 window below.
 _PRIORITY = [
     # -- (a) round-3 additions, never driver-checked
     "tx13_char_entropy", "tx14_zipf_audit", "ts15_zscore_anomaly",
     "x34_tpch_q12_late_shipments", "sm09_ann_recall_audit",
-    "dd10_minhash_calibration", "x35_lateral_topk",
+    "dd10_minhash_calibration", "x35_lateral_topk", "tx08_quality_suite",
+    # -- (a) round-4 additions, never driver-checked
+    "x36_tpch_q4", "x37_scd2_intervals", "x38_source_cap_sample",
+    "x39_robust_stats", "x40_cooccurrence_lift", "x41_conversion_lag",
+    "x42_udtf_chunks", "b27_full_outer_join",
+    "ts16_time_weighted_avg", "ts17_interpolate", "ts18_cusum_change",
+    "ts19_seasonal_residual",
+    "tx15_pii_redaction", "tx16_chunk_dedup", "tx17_bpe_pair_freq",
+    "tx18_length_buckets", "tx19_split_oov", "tx20_bigram_perplexity",
+    "tx21_word_dropout",
+    "dd11_source_overlap", "dd12_semantic_dedup_ivf",
+    "sm10_cluster_quality", "sm11_knn_classify", "sm12_embedding_health",
+    "mm04_media_manifest",
     # -- (b) rebuilt in round 3 after their r2 driver row (merged semantics)
-    "ts08_props_json", "tx08_quality_suite", "mm02_decode_pipeline",
-    # -- (c) last green in round 2: extended / TPC-H adapted
-    "b21_json_funcs", "x08_approx_stats", "x29_stratified_sample",
-    "x25_tpch_q14", "x26_value_share", "x27_latest_per_key",
-    "x28_skew_two_phase_agg",
-    # -- (c) last green in round 2: time-series
-    "ts01_tumbling_window", "ts02_sessionize", "ts03_asof_join",
-    "ts04_sliding_window", "ts05_session_window_agg", "ts06_funnel",
-    "ts07_retention", "ts09_rollup_cascade", "ts11_rolling_time_window",
-    "ts12_ewma", "ts13_ohlc_bars", "ts14_resample_ffill",
-    # -- (c) last green in round 2: text (tx03/tx06/tx07 spill to r5)
-    "tx01_text_stats", "tx02_lang_id", "tx04_quality_filter",
-    "tx05_winnow_fingerprint", "tx10_vocab_topk",
-    # -- (c) last green in round 2: dedup
-    "dd01_exact_dedup", "dd02_ngram_jaccard", "dd03_minhash_lsh",
-    "dd04_simhash", "dd05_dedup_clusters", "dd06_keep_best",
-    "dd07_contamination", "dd08_split_decontamination",
-    # -- (c) last green in round 2: similarity (sm07 spills to r5)
-    "sm01_cosine_topk", "sm02_embedding_neardup", "sm03_ann_lsh",
-    "sm04_label_centroids", "sm05_ann_ivf", "sm06_ann_mllib_lsh",
-    "sm08_centroid_assign",
-    # -- (c) last green in round 2: multimodal
-    "mm03_frame_sample",
+    "ts08_props_json", "mm02_decode_pipeline",
+    # -- (c) refresh: r2-green but MODIFIED in round 4
+    "dd03_minhash_lsh", "dd05_dedup_clusters", "sm05_ann_ivf",
+    "sm06_ann_mllib_lsh",
+    # -- (c) refresh: riskiest unchanged r2-greens
+    "b21_json_funcs", "x08_approx_stats", "dd02_ngram_jaccard",
+    "dd04_simhash", "dd06_keep_best", "dd07_contamination",
+    "dd08_split_decontamination", "sm02_embedding_neardup",
+    "ts03_asof_join", "ts06_funnel", "ts12_ewma",
 ]
 
-# ROUND-5 ROTATION PLAN: window = the round-4 additions with no driver
-# row yet (ts16_time_weighted_avg, x37_scd2_intervals,
-# sm10_cluster_quality, tx15_pii_redaction, tx16_chunk_dedup,
-# x36_tpch_q4, ts17_interpolate, sm11_knn_classify,
-# dd11_source_overlap, tx17_bpe_pair_freq, tx18_length_buckets,
-# b27_full_outer_join, x38_source_cap_sample,
-# dd12_semantic_dedup_ivf, ts18_cusum_change, sm12_embedding_health,
-# x39_robust_stats, mm04_media_manifest, tx19_split_oov,
-# ts19_seasonal_residual, tx20_bigram_perplexity,
-# x40_cooccurrence_lift, tx21_word_dropout, x41_conversion_lag,
-# x42_udtf_chunks),
-# the 4 spilled r02-greens (tx03, tx06, tx07,
-# sm07), then the round-3-green families (the b/x relational core
-# verified in CORRECTNESS_r03), oldest evidence first.
+# ROUND-5 ROTATION PLAN: window = any round-5 additions first, then the
+# r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
+# x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
+# ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
+# ts05_session_window_agg, ts07_retention, ts09_rollup_cascade,
+# ts11_rolling_time_window, ts13_ohlc_bars, ts14_resample_ffill,
+# tx01_text_stats, tx02_lang_id, tx04_quality_filter,
+# tx05_winnow_fingerprint, tx10_vocab_topk, tx03_fingerprint,
+# tx06_edit_distance, tx07_hash_split, dd01_exact_dedup,
+# sm01_cosine_topk, sm03_ann_lsh, sm04_label_centroids,
+# sm07_int8_quantize, sm08_centroid_assign, mm03_frame_sample — 29,
+# by then 3 rounds stale), then the r3/r4-green families, oldest
+# evidence first.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()
