@@ -95,6 +95,11 @@ HEADLINE = [
     "x40_cooccurrence_lift",
     "x41_conversion_lag",
     "tx21_word_dropout",
+    # round-4 late additions (x43 recursive CTE, x44 quality audit, tx22
+    # boilerplate removal)
+    "x43_recursive_hierarchy",
+    "x44_data_quality_audit",
+    "tx22_boilerplate_removal",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -986,6 +986,15 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "recursive", "hierarchy", "iterative"),
 )
 def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark guards runaway recursion with a TOTAL-rows-produced valve
+    # (spark.sql.cteRecursionRowLimit, default 1e6). This loop emits one
+    # row per (node, ancestor-level) = N * ~log8(N) rows, so the default
+    # trips at ~150k parts (the 10x replication test caught exactly this).
+    # Size the valve to the workload like any memory knob: depth is
+    # log-bounded, so 64 * |part| overshoots every realistic key range
+    # while still catching a genuinely non-terminating recursion.
+    n_part = t(spark, sf_dir, "part").count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 64 * n_part)))
     t(spark, sf_dir, "part").createOrReplaceTempView("pc_x43_part")
     return spark.sql(
         f"""

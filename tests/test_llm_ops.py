@@ -465,3 +465,59 @@ def test_dd12_scale_tier_agrees_with_exact_dd09(spark):
     assert set(exact) == set(scale)  # every vector classified by both tiers
     agree = sum(1 for k in exact if exact[k] == scale[k]) / len(exact)
     assert agree >= 0.95, agree
+
+
+def test_tx22_boilerplate_matches_python_replication(spark, tmp_path):
+    """Property check on a synthetic corpus with planted boilerplate: the
+    distributed removal equals a pure-Python replay — same 8-word chunk
+    grid, same >=2-distinct-doc cut rule, same order-preserving
+    reassembly (verified through the md5 of the cleaned text)."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    boiler = " ".join(f"b{i}" for i in range(8))  # one exact 8-word chunk
+    docs = []
+    for doc_id in range(60):
+        n_words = rng.choice([0, 3, 8, 19, 64])
+        words = [f"w{rng.randrange(30)}" for _ in range(n_words)]
+        if doc_id % 3 == 0 and n_words >= 8:
+            words[:8] = boiler.split()  # plant the shared chunk at offset 0
+        docs.append((doc_id, " ".join(words)))
+
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "synth" / "documents.parquet")
+    )
+
+    from pyconnect_spark.operators.text import tx22
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_md5"])
+        for r in tx22(spark, d).collect()
+    }
+
+    # pure-Python replay
+    chunked: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        w = text.strip().split()
+        chunked[doc_id] = [
+            " ".join(w[g * 8 : g * 8 + 8]) for g in range(len(w) // 8)
+        ]
+    from collections import Counter
+
+    df_count = Counter()
+    for doc_id, chunks in chunked.items():
+        for ck in set(chunks):
+            df_count[ck] += 1
+    expect = {}
+    for doc_id, chunks in chunked.items():
+        if not chunks:
+            continue  # sub-chunk docs drop out, same as the oracle
+        kept = [c for c in chunks if df_count[c] < 2]
+        expect[doc_id] = (
+            len(chunks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == expect

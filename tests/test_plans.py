@@ -389,3 +389,30 @@ def test_tx21_word_dropout_map_only(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 0, text
     assert "Join" not in text
     assert set(read_schema(df)) == {"doc_id", "text"}
+
+
+def test_x43_recursive_cte_uses_union_loop(spark):
+    # the recursion lowers to Spark's loop operator (not an unrolled plan),
+    # and the payload join against part happens once, after the loop
+    text = explain_str(_Q["x43_recursive_hierarchy"](spark, SF))
+    assert "UnionLoop" in text or "CTERepeatable" in text or "Recursion" in text, text
+
+
+def test_x44_audit_scans_each_table_bounded_times(spark):
+    # the 9-row report must NOT re-scan per union branch: orders appears in
+    # its conditional-agg pass + the two referential checks (<= 3 scans),
+    # lineitem in its pass + the fk probe (<= 2); the customer parent-key
+    # check broadcasts
+    df = _Q["x44_data_quality_audit"](spark, SF)
+    text = explain_str(df)
+    assert text.count("orders.parquet") <= 3, text
+    assert text.count("lineitem.parquet") <= 2, text
+    assert has_broadcast_join(df)
+
+
+def test_tx22_boilerplate_reads_only_id_and_text(spark):
+    # chunk expansion happens after a 2-column pruned scan; the frequency
+    # exchange carries md5 chunk keys (chunk_key), never raw text
+    df = _Q["tx22_boilerplate_removal"](spark, SF)
+    assert set(read_schema(df)) == {"doc_id", "text"}
+    assert "Join" in explain_str(df)
