@@ -100,6 +100,8 @@ HEADLINE = [
     "x43_recursive_hierarchy",
     "x44_data_quality_audit",
     "tx22_boilerplate_removal",
+    "tx23_vocab_coverage",
+    "tx24_textrank_keywords",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1307,3 +1307,189 @@ def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(surv, lambda s: s["ctext"]), " ")
         ).alias("clean_md5"),
     )
+
+
+@REGISTRY.register(
+    "tx23_vocab_coverage",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS r FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN r <= 1 THEN n ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN r <= 4 THEN n ELSE 0 END) AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN r <= 8 THEN n ELSE 0 END) AS BIGINT) AS c8,
+             CAST(SUM(CASE WHEN r <= 16 THEN n ELSE 0 END) AS BIGINT) AS c16
+      FROM ranked
+    )
+    SELECT k, covered_tokens, total_tokens,
+           round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS k, c1 AS covered_tokens, total_tokens FROM agg
+      UNION ALL SELECT 4, c4, total_tokens FROM agg
+      UNION ALL SELECT 8, c8, total_tokens FROM agg
+      UNION ALL SELECT 16, c16, total_tokens FROM agg
+    )
+    """,
+    doc="Vocabulary-coverage curve: the fraction of all token occurrences "
+    "covered by the top-k most frequent words, at a ladder of cutoffs — "
+    "THE sizing input for tokenizer vocab selection and for tx19's UNK "
+    "analysis (pick the k where the curve's marginal gain collapses; "
+    "real corpora ladder 32k/64k/128k — the fixture's 31-word soup uses "
+    "1/4/8/16 so the curve actually bends). One combiner-shrunk word "
+    "count, then ALL cutoffs evaluate in a single conditional-agg pass "
+    "over the vocab-sized frame — the rank window runs on the vocabulary "
+    "(items), never the corpus (occurrences), so its single-partition "
+    "sort is |vocab| log |vocab| regardless of corpus size, the same "
+    "shape as tx10's top-k. Ties rank by (count desc, word) so both "
+    "engines pick identical prefixes.",
+    tags=("text", "llm", "tokenizer", "vocab", "coverage"),
+)
+def tx23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    ranked = counts.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), "word")).alias("r")
+    )
+    ks = (1, 4, 8, 16)
+    agg = ranked.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in ks
+        ],
+    )
+    tall = agg.select(
+        F.expr(
+            "stack(4, CAST(1 AS BIGINT), c1, CAST(4 AS BIGINT), c4,"
+            " CAST(8 AS BIGINT), c8, CAST(16 AS BIGINT), c16)"
+            " AS (k, covered_tokens)"
+        ),
+        "total_tokens",
+    )
+    return tall.select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def _textrank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain: r0..r{n_iter} — PageRank needs
+    an aggregate per step, which recursive CTEs disallow, so the oracle
+    unrolls the fixed iteration count instead (bit-comparable after 6dp
+    rounding)."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT nodes.word AS word,
+             {1 - damping:.2f}/nn.n + {damping:.2f}*COALESCE(c.c, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT t.dst AS word, SUM(t.p * r{i-1}.r) AS c
+        FROM trans t JOIN r{i-1} ON r{i-1}.word = t.src GROUP BY 1
+      ) c USING (word)
+    )"""
+        )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, w[CAST(i AS INT)] AS word
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+    ),
+    edges AS (
+      SELECT a.word AS src, b.word AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND a.word <> b.word
+       AND b.pos - a.pos IN (-2, -1, 1, 2)
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+              FROM edges e JOIN outw o USING (src)),
+    nodes AS (SELECT DISTINCT src AS word FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT word, 1.0/nn.n AS r FROM nodes CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT word, round(r, 6) AS pagerank FROM r{n_iter}
+    """
+
+
+@REGISTRY.register(
+    "tx24_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword centrality (Mihalcea & Tarau 2004): PageRank "
+    "over the word co-occurrence graph (edges = word pairs within a "
+    "±2-token window, weighted by co-occurrence count; damping 0.85, 5 "
+    "power iterations from a uniform start) — the unsupervised keyword/ "
+    "keyphrase scorer that needs no training data, and the third "
+    "keyword tier here after tx10's raw counts and tx11's TF-IDF. "
+    "Distribution shape: tokenization + windowed pair expansion are "
+    "scan-tier array ops; the edge aggregation keys on word pairs "
+    "(vocab²-bounded exchange, like tx17); each power iteration is one "
+    "broadcast-sized join + one vocab-keyed aggregation over the "
+    "TRANSITION table, never the corpus — iteration cost is graph-"
+    "sized, so 100 TB of documents pay only the one edge-extraction "
+    "pass, exactly the shape of dd05's label propagation and x43's "
+    "recursive walk. The oracle unrolls the 5 iterations as chained "
+    "CTEs (aggregates are illegal in recursive CTEs), so the whole "
+    "fixed-point computation is value-checked in DuckDB.",
+    tags=("text", "llm", "keywords", "graph", "pagerank"),
+)
+def tx24(spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(w).alias("pos", "word"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") != F.col("b.word"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(-2, -1, 1, 2),
+        )
+        .groupBy(F.col("a.word").alias("src"), F.col("b.word").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select("word", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("word", "src"), "src")
+            .groupBy(F.col("dst").alias("word"))
+            .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(1 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("word", F.round("r", 6).alias("pagerank"))

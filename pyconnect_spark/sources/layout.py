@@ -184,3 +184,147 @@ def compact_parquet(
             1 for f in files if not f.startswith("_") and not f.startswith(".")
         )
     return written
+
+
+def zorder_value(cols: Sequence[str], stats: dict[str, tuple[float, float]], n_bits: int = 16):
+    """Morton (Z-order) key as a pure column expression: each column is
+    linearly quantized to ``n_bits`` against its (min, max) from ``stats``,
+    then the quantized values are bit-interleaved. Rows close in Z-value
+    are close in EVERY interleaved dimension, so sorting by it clusters a
+    file's min/max ranges on all the columns at once — multi-column
+    data-skipping from one sort key (the Delta/Iceberg OPTIMIZE ZORDER
+    idea, expressed as plain Spark expressions).
+
+    ``stats`` comes from one agg pass (see :func:`write_zordered`); linear
+    quantization is the standard trade — heavy skew in a column wastes its
+    low bits (the known ZORDER caveat; percentile-based binning is the
+    remedy when it matters)."""
+    terms = []
+    for ci, c in enumerate(cols):
+        lo, hi = stats[c]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << n_bits) - 1),
+            ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << n_bits) - 1))
+            .cast("long"),
+        )
+        for b in range(n_bits):
+            # bit b of column ci lands at interleaved position b*len(cols)+ci
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(cols) + ci
+                )
+            )
+    z = terms[0]
+    for t_ in terms[1:]:
+        z = z.bitwiseOR(t_)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: Sequence[str],
+    n_files: int = 8,
+    n_bits: int = 16,
+) -> dict[str, tuple[float, float]]:
+    """Write ``df`` clustered by a Z-order key over ``zorder_by``: one
+    stats pass (min/max per column), one range exchange on the Z-value,
+    one within-partition sort, one write. Each output file then covers a
+    tight min/max range on ALL the z-ordered columns, so parquet
+    row-group/file pruning skips most files for a predicate on ANY of
+    them — the layout move that turns a full scan into a few-file read at
+    100 TB. Returns the stats used, so incremental writers can reuse the
+    same quantization grid (stable Z-values across backfills)."""
+    stats_row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"{c}__min") for c in zorder_by],
+        *[F.max(F.col(c).cast("double")).alias(f"{c}__max") for c in zorder_by],
+    ).collect()[0]
+    stats = {c: (stats_row[f"{c}__min"], stats_row[f"{c}__max"]) for c in zorder_by}
+    z = zorder_value(zorder_by, stats, n_bits=n_bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return stats
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> int:
+    """MERGE-style upsert into a parquet dataset without a table format:
+    rows in ``updates`` replace target rows with the same key; new keys
+    insert. Returns the number of rows written.
+
+    Without Delta/Iceberg, parquet has no row-level MERGE INTO — the
+    engine-native move is *partition-scoped rewrite*: find the partitions
+    the updates touch (one tiny distinct over the updates), read ONLY
+    those partitions back (partition pruning on the target scan), anti-
+    join out the superseded keys, union the updates, and rewrite just
+    those directories via dynamic partitionOverwriteMode. Untouched
+    partitions are never read OR written — at 100 TB an upsert batch
+    touching 0.1% of partitions costs 0.1% of a full rewrite, which is
+    the entire point of partitioning the target by an update-locality
+    column (ingest date, source). The final exchange keys on the
+    partition columns so each directory is written by tasks that own it.
+
+    Unpartitioned targets degrade to a full rewrite (documented, same as
+    Hive's INSERT OVERWRITE semantics) — partition the target if upserts
+    are a steady workload.
+    """
+    import glob as _glob
+
+    existing = bool(
+        _glob.glob(os.path.join(target, "*")) or _glob.glob(os.path.join(target, "**", "*"))
+    )
+    if not existing:
+        w = updates.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+        return updates.count()
+
+    tgt = spark.read.parquet(target)
+    if partition_by:
+        touched = updates.select(*partition_by).distinct()
+        # partition pruning: the semi join narrows the target scan to the
+        # touched directories (tiny broadcast of partition values)
+        scoped = tgt.join(F.broadcast(touched), list(partition_by), "left_semi")
+    else:
+        scoped = tgt
+    keep = scoped.join(
+        F.broadcast(updates.select(*key_cols).distinct()), list(key_cols), "left_anti"
+    )
+    merged = keep.select(*updates.columns).unionAll(updates)
+    # The merged plan READS the target — materialize it to a staging dir
+    # before overwriting, or the write would consume the files it is
+    # replacing. The staging write holds only the touched partitions'
+    # worth of data, so this is small relative to the target.
+    staging = target.rstrip("/") + ".staging-merge"
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        w = staged.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+    finally:
+        spark.conf.set(mode_key, prev)
+    n = staged.count()
+    import shutil as _shutil
+
+    _shutil.rmtree(staging, ignore_errors=True)
+    return n

@@ -298,3 +298,128 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
         assert again == after
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_zorder_value_matches_python_replay(spark):
+    """The Morton key equals a bit-interleave replay in plain Python."""
+    from pyconnect_spark.sources.layout import zorder_value
+
+    rows = [(float(x), float(y)) for x in (0, 3, 7, 10) for y in (0, 5, 10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    stats = {"x": (0.0, 10.0), "y": (0.0, 10.0)}
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_value(["x", "y"], stats, n_bits=4).alias("z")
+        ).collect()
+    ]
+
+    def replay(x, y):
+        qx = min(15, int(x / 10.0 * 15))
+        qy = min(15, int(y / 10.0 * 15))
+        z = 0
+        for b in range(4):
+            z |= ((qx >> b) & 1) << (b * 2)
+            z |= ((qy >> b) & 1) << (b * 2 + 1)
+        return z
+
+    assert got == [replay(x, y) for x, y in rows]
+
+
+def test_zorder_write_tightens_file_ranges_on_both_columns(spark, tmp_path):
+    """Z-ordered files must cover tight min/max ranges on BOTH clustered
+    columns simultaneously — a single-column sort clusters one column and
+    leaves the other's per-file range at ~the full span. This is the
+    data-skipping property the writer exists for: parquet pruning skips
+    files whose (min, max) excludes the predicate on EITHER column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zdir = str(tmp_path / "zordered")
+    write_zordered(ev, zdir, zorder_by=["user_id", "value"], n_files=8)
+
+    sdir = str(tmp_path / "sorted-one-col")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(sdir)
+
+    def avg_range_fraction(d, col):
+        spans, total_lo, total_hi = [], None, None
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            spans.append((lo, hi))
+            total_lo = lo if total_lo is None else min(total_lo, lo)
+            total_hi = hi if total_hi is None else max(total_hi, hi)
+        full = float(total_hi - total_lo) or 1.0
+        return sum((hi - lo) / full for lo, hi in spans) / len(spans)
+
+    # single-column sort: user_id tight, value spans most of the range
+    # per file (tail files clip the extremes, so ~0.7, not 1.0)
+    assert avg_range_fraction(sdir, "user_id") < 0.5
+    assert avg_range_fraction(sdir, "value") > 0.6
+    # z-order: BOTH columns' per-file spans shrink below the full range
+    zu = avg_range_fraction(zdir, "user_id")
+    zv = avg_range_fraction(zdir, "value")
+    assert zu < 0.8 and zv < 0.8, (zu, zv)
+    assert zu + zv < avg_range_fraction(sdir, "user_id") + avg_range_fraction(sdir, "value")
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE semantics (update wins, new keys insert) AND the scale
+    contract: directories of untouched partitions keep their original
+    files byte-for-byte — the upsert's write cost tracks the touched
+    slice, not the table."""
+    import glob
+    import os
+
+    from pyconnect_spark.sources.layout import merge_upsert
+
+    target = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    merge_upsert(spark, target, base, key_cols=["id"], partition_by=["part"])
+
+    def files_with_mtime(part):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{target}/part={part}/*.parquet")
+        }
+
+    before_b, before_c = files_with_mtime("b"), files_with_mtime("c")
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "a", 50.0)], "id long, part string, v double"
+    )
+    n = merge_upsert(spark, target, updates, key_cols=["id"], partition_by=["part"])
+
+    got = {
+        r["id"]: (r["part"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("a", 99.0),  # updated
+        3: ("b", 30.0),
+        4: ("c", 40.0),
+        5: ("a", 50.0),  # inserted
+    }
+    assert n == 3  # rewritten rows = touched partition 'a' only
+    # untouched partition directories were not rewritten
+    assert files_with_mtime("b") == before_b
+    assert files_with_mtime("c") == before_c
+    # no staging residue
+    assert not glob.glob(str(tmp_path / "tgt.staging-merge"))

@@ -1236,3 +1236,41 @@ def test_s24_corrupt_records_route_to_dlq(spark, tmp_path):
     # the DLQ preserves the raw offending line for replay/debugging
     raw = {r["_corrupt_record"] for r in bad.collect()}
     assert "not json at all" in raw
+
+
+def test_s25_stream_minhash_signatures_equal_batch(spark, tmp_path):
+    """dd03's MinHash signature stage is a stateless map-only transform
+    (shingle -> hash -> k-wide fold), so it must run UNCHANGED inside a
+    Structured Streaming micro-batch and produce bit-identical
+    signatures to the batch pass — near-dup sketching deployed at INGEST
+    time (each new doc gets its signature as it lands; the band/bucket
+    join against the historical index then runs as a stream-static join
+    or a periodic batch, both downstream of this stage)."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    staged = str(tmp_path / "docs-parquet")
+    docs.repartition(4).write.parquet(staged)
+
+    batch = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(spark.read.parquet(staged)).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    q = (
+        minhash_signatures(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s25_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in spark.sql("SELECT * FROM s25_out").collect()
+    }
+    assert got == batch
+    assert len(got) == docs.count()
