@@ -25,8 +25,10 @@ from pyconnect_spark.operators.dedup import (
 )
 from pyconnect_spark.operators.dedup import dd10, dd11
 from pyconnect_spark.operators.extended import x38
+from pyconnect_spark.operators.dedup import dd13
 from pyconnect_spark.operators.similarity import sm01, sm09
-from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13
+from pyconnect_spark.operators.multimodal import mm05
+from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13, tx22, tx23, tx24
 from pyconnect_spark.session import get_spark
 
 
@@ -96,6 +98,48 @@ def main() -> None:
     print(sm01(spark, sf_dir).toPandas().to_string(index=False))
     print("IVF recall@5 per query (computed in-engine):")
     print(sm09(spark, sf_dir).orderBy("q_id").toPandas().to_string(index=False))
+
+    # 8. write-side refinements: strip corpus-frequent boilerplate chunks,
+    #    attach soft-dedup sampling weights (down-weight instead of drop),
+    #    and audit the text<->embedding pairing before the paired shards ship
+    bp = tx22(spark, sf_dir)
+    print("boilerplate removal (most-affected 3 docs):")
+    print(bp.withColumn("removed", F.col("n_chunks") - F.col("n_kept"))
+          .orderBy(F.desc("removed"), "doc_id").limit(3)
+          .select("doc_id", "n_chunks", "n_kept")
+          .toPandas().to_string(index=False))
+    wts = dd13(spark, sf_dir)
+    print("soft-dedup weights (lowest 3 = most duplicated):")
+    print(wts.orderBy("weight", "doc_id").limit(3).toPandas().to_string(index=False))
+    print("modality pairing audit:")
+    print(mm05(spark, sf_dir).toPandas().to_string(index=False))
+
+    # 9. tokenizer planning: vocab-coverage curve + TextRank keywords
+    print("vocab coverage at top-k cutoffs:")
+    print(tx23(spark, sf_dir).orderBy("k").toPandas().to_string(index=False))
+    print("TextRank top-5 corpus keywords:")
+    print(tx24(spark, sf_dir).orderBy(F.desc("pagerank"), "word").limit(5)
+          .toPandas().to_string(index=False))
+
+    # 10. ship the curated corpus: Z-order the (lang, quality-signal)
+    #     layout for multi-column file skipping, then upsert a late
+    #     correction batch touching one partition only
+    import tempfile
+
+    from pyconnect_spark.sources.layout import merge_upsert, write_zordered
+
+    out = tempfile.mkdtemp(prefix="curated-")
+    curated = docs.join(wts.select("doc_id", "weight"), "doc_id").join(
+        tx13(spark, sf_dir).select("doc_id", "char_entropy"), "doc_id"
+    )
+    write_zordered(
+        curated.select("doc_id", "lang", "source", "text", "weight", "char_entropy"),
+        f"{out}/corpus",
+        zorder_by=["doc_id", "char_entropy"],
+        n_files=4,
+    )
+    n_shipped = spark.read.parquet(f"{out}/corpus").count()
+    print(f"shipped {n_shipped} curated docs (z-ordered on doc_id x entropy)")
     spark.stop()
 
 

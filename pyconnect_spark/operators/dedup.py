@@ -1186,3 +1186,86 @@ def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("root").alias("cluster_root"),
         F.when(F.col("node") == F.col("root"), 1).otherwise(0).cast("long").alias("keep"),
     )
+
+
+@REGISTRY.register(
+    "dd13_soft_dedup_weights",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS f FROM documents
+    ),
+    ex AS (
+      SELECT fp.doc_id, c.n_exact
+      FROM fp JOIN (SELECT f, COUNT(*) AS n_exact FROM fp GROUP BY 1) c
+      USING (f)
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, g*8+1, g*8+8), ' ')) AS chunk_key
+      FROM base,
+           LATERAL (SELECT unnest(range(0, CAST(floor(len(w)/8.0) AS BIGINT))) AS g)
+    ),
+    freq AS (
+      SELECT chunk_key, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ),
+    sf AS (
+      SELECT c.doc_id,
+             SUM(CASE WHEN f.df >= 2 THEN 1.0 ELSE 0 END) / COUNT(*) AS shared_frac
+      FROM chunks c JOIN freq f USING (chunk_key) GROUP BY 1
+    )
+    SELECT e.doc_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           round(COALESCE(s.shared_frac, 0), 6) AS shared_frac,
+           round((1.0 / e.n_exact) * (1 - COALESCE(s.shared_frac, 0) / 2), 6)
+               AS weight
+    FROM ex e LEFT JOIN sf s USING (doc_id)
+    """,
+    doc="Soft deduplication: per-document SAMPLING WEIGHTS instead of "
+    "binary drop decisions — the SoftDedup idea (down-weight duplicated "
+    "content in the training sampler rather than discarding it, which "
+    "preserves rare-but-repeated text at reduced influence). Two "
+    "duplication signals compose: exact-copy multiplicity (weight "
+    "1/n_exact splits a cluster's total influence to one doc's worth) "
+    "and tx16's chunk-level shared fraction (a further (1 - frac/2) "
+    "discount for partially-boilerplate docs). Exact multiplicity is "
+    "computed on md5 fingerprints, so the count exchange moves 16-byte "
+    "keys, never document text — at 100 TB this is the same two "
+    "hash-keyed aggregations the dedup pass already runs, emitting a "
+    "weight column the shard writer carries to the data loader.",
+    tags=("dedup", "llm", "weights", "soft"),
+)
+def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    counts = fp.groupBy("f").agg(F.count("*").alias("n_exact"))
+    ex = fp.join(counts, "f").select("doc_id", "n_exact")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor(F.size(w) / F.lit(8.0)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_keys = F.transform(idx, lambda g: F.md5(F.concat_ws(" ", F.slice(w, g * 8 + 1, 8))))
+    chunks = docs.select("doc_id", F.explode(chunk_keys).alias("chunk_key"))
+    freq = chunks.groupBy("chunk_key").agg(F.count_distinct("doc_id").alias("df"))
+    shared = F.when(F.col("df") >= 2, 1.0).otherwise(0.0)
+    sf = (
+        chunks.join(freq, "chunk_key")
+        .groupBy("doc_id")
+        .agg((F.sum(shared) / F.count("*")).alias("shared_frac"))
+    )
+    return (
+        ex.join(sf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.coalesce("shared_frac", F.lit(0.0)), 6).alias("shared_frac"),
+            F.round(
+                (F.lit(1.0) / F.col("n_exact"))
+                * (F.lit(1.0) - F.coalesce("shared_frac", F.lit(0.0)) / 2),
+                6,
+            ).alias("weight"),
+        )
+    )

@@ -241,3 +241,68 @@ def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_frames").cast("long").alias("n_frames_total"),
     )
+
+
+@REGISTRY.register(
+    "mm05_pairing_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id, len(embedding) AS dim FROM embeddings),
+    paired AS (SELECT COUNT(*) AS n FROM d JOIN e ON e.vec_id = d.doc_id),
+    d_un AS (SELECT COUNT(*) AS n FROM d
+             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d.doc_id)),
+    e_un AS (SELECT COUNT(*) AS n FROM e
+             WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id)),
+    dims AS (SELECT COUNT(DISTINCT dim) AS n_dims,
+                    CAST(MIN(dim) AS BIGINT) AS min_dim,
+                    CAST(MAX(dim) AS BIGINT) AS max_dim FROM e)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vecs,
+           CAST(paired.n AS BIGINT) AS n_paired,
+           CAST(d_un.n AS BIGINT) AS docs_unpaired,
+           CAST(e_un.n AS BIGINT) AS vecs_unpaired,
+           CAST(dims.n_dims AS BIGINT) AS n_distinct_dims,
+           dims.min_dim, dims.max_dim
+    FROM paired, d_un, e_un, dims
+    """,
+    doc="Cross-modality pairing audit — the first gate of any paired "
+    "(text, embedding) / (image, caption) training set: every example "
+    "must have BOTH halves, and the vector side must be "
+    "dimension-uniform, or batch collation breaks mid-epoch. Emits "
+    "paired/orphan counts from the two anti-join directions plus the "
+    "embedding-dimension span (n_distinct_dims > 1 = a mixed-encoder "
+    "ingestion bug caught before the GPU does). Both sides reduce to "
+    "their id columns before any join, so the audit shuffles 8-byte "
+    "keys; the dim stats are one map-side-combinable aggregation over "
+    "len(embedding) — no vector data moves. Run per ingestion batch at "
+    "100 TB: cost tracks the id columns, not the payload bytes.",
+    tags=("multimodal", "audit", "pairing", "llm"),
+)
+def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dim")
+    )
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    n_vecs = e.agg(F.count("*").cast("long").alias("n_vecs"))
+    paired = d.join(e, d["doc_id"] == e["vec_id"]).agg(
+        F.count("*").cast("long").alias("n_paired")
+    )
+    d_un = d.join(e, d["doc_id"] == e["vec_id"], "left_anti").agg(
+        F.count("*").cast("long").alias("docs_unpaired")
+    )
+    e_un = e.join(d, e["vec_id"] == d["doc_id"], "left_anti").agg(
+        F.count("*").cast("long").alias("vecs_unpaired")
+    )
+    dims = e.agg(
+        F.count_distinct("dim").cast("long").alias("n_distinct_dims"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+    )
+    return (
+        n_docs.crossJoin(n_vecs)
+        .crossJoin(paired)
+        .crossJoin(d_un)
+        .crossJoin(e_un)
+        .crossJoin(dims)
+    )

@@ -1114,3 +1114,79 @@ def ts19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("event_type", "slot_start", "residual")
     )
+
+
+@REGISTRY.register(
+    "ts20_churn_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS last_ts,
+             quantile_cont(gap_us, 0.5) AS median_gap_us
+      FROM gaps GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    horizon AS (SELECT MAX(ts) AS h FROM events)
+    SELECT p.user_id, p.n_events,
+           strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           p.median_gap_us,
+           CAST(epoch_us(horizon.h) - epoch_us(p.last_ts) AS BIGINT)
+               AS silence_us,
+           CAST(CASE WHEN epoch_us(horizon.h) - epoch_us(p.last_ts)
+                          > 3 * p.median_gap_us
+                     THEN 1 ELSE 0 END AS BIGINT) AS churned
+    FROM per_user p CROSS JOIN horizon
+    """,
+    doc="Churn detection from inter-event gap statistics: a user whose "
+    "silence since their last event exceeds 3x their OWN median "
+    "inter-event gap has broken their personal rhythm — the "
+    "per-entity-baseline churn rule (a global inactivity cutoff "
+    "misclassifies both daily and monthly users; ts15/ts19 apply the "
+    "same own-baseline idea to values, this applies it to TIMING). One "
+    "(user_id) exchange computes lag gaps, the event count, last-seen, "
+    "and the median gap in a single partition pass; the corpus horizon "
+    "(max ts) is a scalar broadcast. Gaps stay in integer "
+    "microseconds END TO END (the 0.5-quantile midpoint of two longs is "
+    "exact in double, and the churn comparison runs in the us domain), "
+    "so no value ever sits on a rounding boundary; ties in the event "
+    "order break on event_id. At 100 TB this is the sessionize "
+    "shuffle (ts02) with a percentile instead of a gap threshold — "
+    "same single-exchange shape, user-count-bounded output.",
+    tags=("timeseries", "churn", "gaps", "percentile"),
+)
+def ts20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("long").alias("gap_us"),
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    silence_us = F.unix_micros("h") - F.unix_micros("last_ts")
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "median_gap_us",
+        silence_us.cast("long").alias("silence_us"),
+        F.when(silence_us > 3 * F.col("median_gap_us"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("churned"),
+    )

@@ -66,11 +66,12 @@ _PRIORITY = [
     "ts03_asof_join", "ts06_funnel", "ts12_ewma",
 ]
 
-# ROUND-5 ROTATION PLAN: window = the 5 late-round-4 additions that
+# ROUND-5 ROTATION PLAN: window = the 8 late-round-4 additions that
 # landed after this window was frozen (x43_recursive_hierarchy,
 # x44_data_quality_audit, tx22_boilerplate_removal,
-# tx23_vocab_coverage, tx24_textrank_keywords) and any round-5
-# additions first, then the
+# tx23_vocab_coverage, tx24_textrank_keywords,
+# dd13_soft_dedup_weights, mm05_pairing_audit, ts20_churn_gaps) and
+# any round-5 additions first, then the
 # r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
 # ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
