@@ -1472,7 +1472,17 @@ def tx24(spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.8
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     trans = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-    nodes = edges.select(F.col("src").alias("word")).distinct()
+    # Materialize the graph ONCE: every power iteration references trans
+    # and nodes, and an uncached lazy plan would re-run the corpus
+    # self-join PER REFERENCE (~44 document scans for 5 iterations — the
+    # plan test pins this closed). The cached frames are vocab²-bounded,
+    # which is the whole reason iteration cost is graph-sized; at 100 TB
+    # the equivalent move is writing the edge table to parquet once.
+    from pyconnect_spark.cachereg import track
+
+    trans = track(trans.cache())
+    trans.count()
+    nodes = track(trans.select(F.col("src").alias("word")).distinct().cache())
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select("word", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(n_iter):

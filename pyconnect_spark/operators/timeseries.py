@@ -1190,3 +1190,72 @@ def ts20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned"),
     )
+
+
+@REGISTRY.register(
+    "ts21_trend_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    origin AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    idx AS (
+      SELECT d.event_type,
+             CAST(date_diff('day', o.d0, d.day) AS DOUBLE) AS x, d.n
+      FROM daily d CROSS JOIN origin o
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             regr_slope(n, x) AS slope,
+             regr_intercept(n, x) AS intercept,
+             MAX(x) AS x_max
+      FROM idx GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(slope, 6) AS slope_per_day,
+           round(intercept + slope * (x_max + 1), 6) AS next_day_forecast
+    FROM fit
+    """,
+    doc="Per-series trend forecast: ordinary-least-squares fit of daily "
+    "event volume against the day index via the regr_* moment "
+    "aggregates, extrapolated one step ahead — the capacity-planning / "
+    "volume-alerting baseline every pipeline dashboard starts from "
+    "(and the drift detector ts18 complements: CUSUM finds WHEN volume "
+    "broke, this says WHERE it is heading). The daily pre-aggregation "
+    "is one (type, day) combiner-shrunk exchange; the regression then "
+    "runs on |types| x |days| rows via single-pass moment formulas "
+    "(regr_slope/intercept are sum-of-products aggregates — no "
+    "iteration, no matrix solve), so at 100 TB the fit costs one "
+    "scan + a tiny second agg, like ts09's rollup. Day indices are "
+    "exact integers from a shared origin so both engines' moments "
+    "agree to rounding.",
+    tags=("timeseries", "forecast", "regression", "trend"),
+)
+def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    origin = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    idx = daily.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("double").alias("x"),
+        "n",
+    )
+    fit = idx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.regr_slope("n", "x").alias("slope"),
+        F.regr_intercept("n", "x").alias("intercept"),
+        F.max("x").alias("x_max"),
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round(F.col("intercept") + F.col("slope") * (F.col("x_max") + 1), 6).alias(
+            "next_day_forecast"
+        ),
+    )

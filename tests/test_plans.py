@@ -416,3 +416,55 @@ def test_tx22_boilerplate_reads_only_id_and_text(spark):
     df = _Q["tx22_boilerplate_removal"](spark, SF)
     assert set(read_schema(df)) == {"doc_id", "text"}
     assert "Join" in explain_str(df)
+
+
+def test_tx23_rank_window_on_vocab_not_corpus(spark):
+    # the row_number sort runs AFTER the word-count aggregation: the
+    # window's input is the vocab-sized count frame, never token rows
+    text = explain_str(_Q["tx23_vocab_coverage"](spark, SF))
+    agg_pos = text.find("HashAggregate")
+    win_pos = text.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "Generate" in text  # the token explode feeds the agg
+
+
+def test_tx24_textrank_iterations_are_graph_sized(spark):
+    # the 5 power iterations must reference the CACHED transition table
+    # (InMemoryTableScan), not re-run the corpus self-join: an uncached
+    # plan shows ~44 documents.parquet scans, the cached one <= 4 (the
+    # two self-join sides echoed inside the InMemoryRelation description)
+    text = explain_str(_Q["tx24_textrank_keywords"](spark, SF))
+    assert "InMemoryTableScan" in text
+    assert text.count("documents.parquet") <= 4, text
+
+
+def test_dd13_weights_shuffle_hashes_not_text(spark):
+    # both duplication signals key on md5 output; document text must not
+    # appear in any exchange's output schema
+    df = _Q["dd13_soft_dedup_weights"](spark, SF)
+    text = explain_str(df)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_mm05_pairing_never_reads_payload(spark):
+    # the audit joins id columns; neither text nor the embedding payload
+    # may survive into the join schema (size() prunes to a scalar)
+    df = _Q["mm05_pairing_audit"](spark, SF)
+    assert "text" not in read_schema(df)
+
+
+def test_ts20_single_user_exchange(spark):
+    # lag gaps, count, last-seen and the median all compute under ONE
+    # user_id exchange; the horizon is a broadcast scalar
+    text = explain_str(_Q["ts20_churn_gaps"](spark, SF))
+    import re
+
+    big = [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n[^\n]*", text)
+        if "SinglePartition" not in m.group(0)
+    ]
+    assert len(big) <= 2, text  # one for the window pass, one for the agg

@@ -1274,3 +1274,115 @@ def test_s25_stream_minhash_signatures_equal_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == docs.count()
+
+
+def test_s26_ingest_dedup_against_history(spark, tmp_path):
+    """Ingest-time exact dedup: a stream of arriving docs left-anti joins
+    (stream-static) a historical fingerprint table, so known content
+    never re-enters the corpus. The static side re-resolves per batch
+    (same mechanism as S13), and the join keys on md5 fingerprints —
+    16-byte keys, no text in the exchange. Result must equal the batch
+    anti-join over the same inputs."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("f")
+    )
+    hist_path = str(tmp_path / "history")
+    history.write.parquet(hist_path)
+
+    arriving = str(tmp_path / "arriving")
+    docs.repartition(3).write.parquet(arriving)
+
+    hist_static = spark.read.parquet(hist_path)
+    batch = {
+        r["doc_id"]
+        for r in spark.read.parquet(arriving)
+        .withColumn("f", F.md5("text"))
+        .join(hist_static, "f", "left_anti")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(arriving)
+    q = (
+        stream.withColumn("f", F.md5("text"))
+        .join(hist_static, "f", "left_anti")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s26_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM s26_out").collect()}
+    assert got == batch
+    assert got  # odd-id docs (and any even-id docs with unique text) survive
+
+
+def test_s27_ingest_boilerplate_score_against_static_freq(spark, tmp_path):
+    """Ingest-time boilerplate scoring: arriving docs compute their
+    8-word-chunk keys in the micro-batch (stateless array expressions)
+    and join a STATIC corpus chunk-frequency table to get their shared-
+    chunk fraction — tx16's detector deployed at the ingest boundary,
+    with the historical frequency table refreshed offline. Scores must
+    equal the batch computation against the same frequency table."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def chunk_frame(df):
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        n = F.floor(F.size(w) / F.lit(8.0)).cast("int")
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        keys = F.transform(idx, lambda g: F.md5(F.concat_ws(" ", F.slice(w, g * 8 + 1, 8))))
+        return df.select("doc_id", F.explode(keys).alias("chunk_key"))
+
+    freq_path = str(tmp_path / "chunk-freq")
+    chunk_frame(docs).groupBy("chunk_key").agg(
+        F.count_distinct("doc_id").alias("df")
+    ).write.parquet(freq_path)
+    freq = spark.read.parquet(freq_path)
+
+    arriving = str(tmp_path / "arriving")
+    docs.limit(100).repartition(2).write.parquet(arriving)
+
+    def score(df):
+        return (
+            chunk_frame(df)
+            .join(freq, "chunk_key", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)) / F.count("*"), 6
+                ).alias("shared_frac")
+            )
+        )
+
+    batch = {
+        r["doc_id"]: r["shared_frac"]
+        for r in score(spark.read.parquet(arriving)).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(arriving)
+    q = (
+        score(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s27_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r["shared_frac"]
+        for r in spark.sql("SELECT * FROM s27_out").collect()
+    }
+    assert got == batch
+    assert any(v > 0 for v in got.values())
