@@ -1132,3 +1132,48 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o_rows.unionAll(l_rows).unionAll(fk_rows)
+
+
+@REGISTRY.register(
+    "x45_value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CAST(LEAST(9, CAST(floor((e.value - b.lo) / (b.hi - b.lo) * 10)
+                                AS BIGINT)) AS BIGINT) AS bin
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2
+    """,
+    doc="Equal-width histogram profiling: 10 bins over the global value "
+    "range, counted per event_type — the data-profiling staple behind "
+    "every distribution dashboard and the binning primitive drift "
+    "metrics (PSI) build on. The global bounds are a scalar broadcast "
+    "from one min/max pass; binning is then a pure column expression, "
+    "and the count exchange carries |types| x 10 keys with map-side "
+    "combine — at 100 TB: two scans (bounds + bin-count), a fixed-size "
+    "exchange, output bounded by the bin grid. Both engines evaluate "
+    "the identical double expression, so bin edges agree bitwise.",
+    tags=("agg", "histogram", "profiling"),
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast(
+                "long"
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -1036,3 +1036,77 @@ def sm12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+@REGISTRY.register(
+    "sm13_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, vec_id % 2 = 1 AS cur, u.dim - 1 AS dim, u.v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ),
+    stats AS (
+      SELECT dim,
+             AVG(CASE WHEN NOT cur THEN v END) AS mean_ref,
+             AVG(CASE WHEN cur THEN v END) AS mean_cur,
+             var_samp(CASE WHEN NOT cur THEN v END) AS var_ref,
+             var_samp(CASE WHEN cur THEN v END) AS var_cur
+      FROM e GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           round(mean_ref, 6) AS mean_ref,
+           round(mean_cur, 6) AS mean_cur,
+           round((mean_cur - mean_ref) / sqrt((var_ref + var_cur) / 2), 6)
+               AS smd,
+           round(var_cur / var_ref, 6) AS var_ratio,
+           CAST(CASE WHEN abs((mean_cur - mean_ref)
+                              / sqrt((var_ref + var_cur) / 2)) > 0.1
+                       OR var_cur / var_ref < 0.8
+                       OR var_cur / var_ref > 1.25
+                     THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM stats
+    """,
+    doc="Embedding distribution drift audit: per-dimension standardized "
+    "mean difference and variance ratio between a reference and a "
+    "current snapshot (deterministic vec_id parity split stands in for "
+    "the two snapshots at fixture scale; production passes two table "
+    "paths) — the encoder-regression / retrain trigger sm12's single-"
+    "snapshot health stats cannot see (each snapshot can look healthy "
+    "while the two disagree). Cohen's-d-style SMD > 0.1 or a variance "
+    "ratio outside [0.8, 1.25] flags the dim. One posexplode + one "
+    "dim-keyed conditional aggregation: the exchange carries |dims| "
+    "partial moment states per task, so 100 TB of vectors cost one "
+    "scan — same shape as sm12, twice the conditional columns.",
+    tags=("similarity", "embedding", "drift", "audit", "llm"),
+)
+def sm13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2 == 1).alias("cur"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    ref_v = F.when(~F.col("cur"), F.col("v"))
+    cur_v = F.when(F.col("cur"), F.col("v"))
+    stats = e.groupBy("dim").agg(
+        F.avg(ref_v).alias("mean_ref"),
+        F.avg(cur_v).alias("mean_cur"),
+        F.var_samp(ref_v).alias("var_ref"),
+        F.var_samp(cur_v).alias("var_cur"),
+    )
+    smd = (F.col("mean_cur") - F.col("mean_ref")) / F.sqrt(
+        (F.col("var_ref") + F.col("var_cur")) / 2
+    )
+    vr = F.col("var_cur") / F.col("var_ref")
+    return stats.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round("mean_ref", 6).alias("mean_ref"),
+        F.round("mean_cur", 6).alias("mean_cur"),
+        F.round(smd, 6).alias("smd"),
+        F.round(vr, 6).alias("var_ratio"),
+        F.when((F.abs(smd) > 0.1) | (vr < 0.8) | (vr > 1.25), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("drifted"),
+    )
