@@ -108,6 +108,7 @@ HEADLINE = [
     "ts21_trend_forecast",
     "sm13_embedding_drift",
     "x45_value_histogram",
+    "dd14_prefix_filter_join",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -521,3 +521,51 @@ def test_tx22_boilerplate_matches_python_replication(spark, tmp_path):
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
     assert got == expect
+
+
+def test_dd14_prefix_filter_is_lossless_vs_quadratic(spark, tmp_path):
+    """Prefix filtering must return EXACTLY the pairs the quadratic
+    all-pairs computation returns — including edge cases the fixture
+    lacks: empty docs, docs shorter than one shingle, exact duplicates,
+    and pairs hovering at the 0.5 threshold."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    base = "abcdefghij" * 6
+    docs = [
+        (0, ""),                      # empty
+        (1, "ab"),                    # shorter than one 3-gram
+        (2, base),
+        (3, base),                    # exact dup of 2
+        (4, base[:30] + "XYZ" * 12),  # partial overlap
+        (5, "zz" + base[5:55]),       # high-overlap variant
+    ]
+    for i in range(6, 40):
+        docs.append((i, "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randrange(0, 80)))))
+
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "synth" / "documents.parquet")
+    )
+
+    from pyconnect_spark.operators.dedup import dd14
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd14(spark, d).collect()
+    }
+
+    def shingles(text):
+        return {text[i : i + 3] for i in range(max(len(text) - 2, 0))}
+
+    expect = {}
+    sets = {i: shingles(t) for i, t in docs}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert (2, 3) in expect  # the planted exact dup surfaced
