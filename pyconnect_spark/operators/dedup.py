@@ -1273,11 +1273,12 @@ def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register(
     "dd14_prefix_filter_join",
-    oracle="""
+    oracle=r"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(length(text) - 2, 0) + 1),
-               i -> substr(text, CAST(i AS INT), 3)))) AS sh
+               range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 4, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+                                               CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))) AS sh
       FROM documents
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1291,11 +1292,12 @@ def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sz za ON za.doc_id = doc_a
     JOIN sz zb ON zb.doc_id = doc_b
-    WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.5
+    WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
     """,
     doc="EXACT set-similarity join via prefix filtering (AllPairs/PPJoin, "
     "Bayardo et al. WWW'07; Xiao et al. WWW'08): every doc pair with "
-    "3-gram Jaccard >= 0.5, WITHOUT the quadratic self-join and WITHOUT "
+    "word-5-gram Jaccard >= 0.8, WITHOUT the quadratic self-join and "
+    "WITHOUT "
     "approximation — the lossless middle tier between dd02 (quadratic "
     "exact) and dd03 (sketch). Why it is lossless: order each doc's "
     "shingles by ascending global frequency; if two sets reach Jaccard "
@@ -1308,14 +1310,23 @@ def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys on the rarest tokens (smallest posting lists — candidate "
     "volume tracks true near-dups, not pair count), the frequency table "
     "is one combiner-shrunk agg, and verification touches candidate "
-    "pairs only — the published exact-join at web scale.",
+    "pairs only — the published exact-join at web scale. Shingle and "
+    "threshold choice MATTER on a vocabulary-dense corpus (measured "
+    "here): char 3-grams at t=0.5 made the ANSWER quadratic (4.6M "
+    "pairs = 37% of all pairs at sf0.1), and even at t=0.8 every "
+    "3-gram's posting list spanned thousands of docs, so candidate "
+    "generation stayed corpus-quadratic — no exact algorithm beats "
+    "its own candidate/output volume. Word 5-grams restore the "
+    "Zipfian rare-token premise (posting lists ~1 except true dups) "
+    "and 0.8 matches dd03's banding threshold (~0.77); run dd01 "
+    "exact dedup first so identical texts collapse before the join.",
     tags=("dedup", "llm", "jaccard", "prefix-filter", "exact"),
 )
-def dd14(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def dd14(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _word_shingles(docs, 5)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     ranked = sh.join(freq, "sh").select(

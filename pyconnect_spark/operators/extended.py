@@ -945,7 +945,8 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "documents").createOrReplaceTempView("pc_x42_docs")
     return spark.sql(
         """
-        SELECT d.doc_id, c.chunk_idx, md5(c.chunk_text) AS chunk_key
+        SELECT d.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+               md5(c.chunk_text) AS chunk_key
         FROM pc_x42_docs d, LATERAL chunk_text(d.text, 8) c
         """
     )

@@ -526,23 +526,27 @@ def test_tx22_boilerplate_matches_python_replication(spark, tmp_path):
 def test_dd14_prefix_filter_is_lossless_vs_quadratic(spark, tmp_path):
     """Prefix filtering must return EXACTLY the pairs the quadratic
     all-pairs computation returns — including edge cases the fixture
-    lacks: empty docs, docs shorter than one shingle, exact duplicates,
-    and pairs hovering at the 0.5 threshold."""
+    lacks: empty docs, docs shorter than one 5-word shingle, exact
+    duplicates, and pairs hovering at the 0.8 threshold."""
     import itertools
     import random
+    import re
 
     rng = random.Random(99)
-    base = "abcdefghij" * 6
+    base = " ".join(f"w{i % 12}" for i in range(40))
+    words = base.split()
     docs = [
-        (0, ""),                      # empty
-        (1, "ab"),                    # shorter than one 3-gram
+        (0, ""),                            # empty -> one '' token
+        (1, "only two"),                    # shorter than one 5-gram
         (2, base),
-        (3, base),                    # exact dup of 2
-        (4, base[:30] + "XYZ" * 12),  # partial overlap
-        (5, "zz" + base[5:55]),       # high-overlap variant
+        (3, base),                          # exact dup of 2
+        (4, " ".join(words[:38] + ["X", "Y"])),  # high overlap near 0.8
+        (5, " ".join(["z"] + words[1:])),   # one-word substitution
     ]
     for i in range(6, 40):
-        docs.append((i, "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randrange(0, 80)))))
+        docs.append(
+            (i, " ".join(f"r{rng.randrange(20)}" for _ in range(rng.randrange(0, 30))))
+        )
 
     d = str(tmp_path / "synth")
     spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
@@ -556,16 +560,17 @@ def test_dd14_prefix_filter_is_lossless_vs_quadratic(spark, tmp_path):
     }
 
     def shingles(text):
-        return {text[i : i + 3] for i in range(max(len(text) - 2, 0))}
+        # mirror _word_shingles(n=5): split yields [''] for empty text,
+        # docs shorter than 5 words emit one partial shingle
+        toks = re.split(r"\s+", text.strip())
+        return {" ".join(toks[i : i + 5]) for i in range(max(len(toks) - 4, 1))}
 
     expect = {}
     sets = {i: shingles(t) for i, t in docs}
     for a, b in itertools.combinations(sorted(sets), 2):
         sa, sb = sets[a], sets[b]
-        if not sa or not sb:
-            continue
         j = len(sa & sb) / len(sa | sb)
-        if j >= 0.5:
+        if j >= 0.8:
             expect[(a, b)] = round(j, 6)
     assert got == expect
     assert (2, 3) in expect  # the planted exact dup surfaced
