@@ -109,6 +109,7 @@ HEADLINE = [
     "sm13_embedding_drift",
     "x45_value_histogram",
     "dd14_prefix_filter_join",
+    "ts22_holt_smoothing",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1259,3 +1259,83 @@ def ts21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_day_forecast"
         ),
     )
+
+
+@REGISTRY.register(
+    "ts22_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(y ORDER BY day) AS ys
+      FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    walk(event_type, i, l, b) AS (
+      SELECT event_type, 2, ys[2]*0.5 + (ys[1] + (ys[2]-ys[1]))*0.5,
+             ((ys[2]*0.5 + (ys[1] + (ys[2]-ys[1]))*0.5) - ys[1])*0.25
+               + (ys[2]-ys[1])*0.75
+      FROM series
+      UNION ALL
+      SELECT w.event_type, w.i + 1,
+             s.ys[w.i + 1]*0.5 + (w.l + w.b)*0.5,
+             ((s.ys[w.i + 1]*0.5 + (w.l + w.b)*0.5) - w.l)*0.25 + w.b*0.75
+      FROM walk w JOIN series s USING (event_type) WHERE w.i < len(s.ys)
+    )
+    SELECT w.event_type, CAST(len(s.ys) AS BIGINT) AS n_days,
+           round(w.l, 6) AS level, round(w.b, 6) AS trend,
+           round(w.l + 7 * w.b, 6) AS forecast_7d
+    FROM walk w JOIN series s USING (event_type) WHERE w.i = len(s.ys)
+    """,
+    doc="Holt's linear (double-exponential) smoothing per event_type over "
+    "daily volume — forecasting tier 2: unlike ts21's global OLS line, "
+    "the level/trend pair adapts to recent data, which is what "
+    "operational forecasts actually use (alpha=0.5, beta=0.25 — "
+    "binary-exact constants, so both engines' folds are bit-identical "
+    "with NO input rounding; daily counts are exact integers). The "
+    "coupled recurrence l_t = a*y + (1-a)(l+b), b_t = g*(l_t - l) + "
+    "(1-g)*b is ts12/ts18's no-UDF ordered-left-fold with a 2-field "
+    "struct accumulator; the oracle replays it as a recursive-CTE walk "
+    "so the order-sensitive recurrence is value-checked end to end. "
+    "Per-type state is one #days-long array (time-span-bounded); one "
+    "(type, day) combiner exchange, then a |types|-row fold — at "
+    "100 TB the fold input is the pre-aggregated daily frame, never "
+    "events.",
+    tags=("timeseries", "forecast", "smoothing", "fold"),
+)
+def ts22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 2)
+    )
+    y1 = F.element_at("ys", 1)
+    y2 = F.element_at("ys", 2)
+    l2 = y2 * 0.5 + (y1 + (y2 - y1)) * 0.5
+    b2 = (l2 - y1) * 0.25 + (y2 - y1) * 0.75
+    init = F.struct(l2.alias("l"), b2.alias("b"))
+    step = lambda acc, y: F.struct(  # noqa: E731 — Holt update
+        (y * 0.5 + (acc["l"] + acc["b"]) * 0.5).alias("l"),
+        (((y * 0.5 + (acc["l"] + acc["b"]) * 0.5) - acc["l"]) * 0.25 + acc["b"] * 0.75).alias(
+            "b"
+        ),
+    )
+    rest = F.expr("slice(ys, 3, greatest(size(ys) - 2, 0))")
+    fold = F.aggregate(rest, init, step)
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + 7 * fold["b"], 6).alias("forecast_7d"),
+    )

@@ -574,3 +574,50 @@ def test_dd14_prefix_filter_is_lossless_vs_quadratic(spark, tmp_path):
             expect[(a, b)] = round(j, 6)
     assert got == expect
     assert (2, 3) in expect  # the planted exact dup surfaced
+
+
+def test_ts22_holt_fold_matches_python_replication(spark, tmp_path):
+    """The distributed Holt fold is bit-identical to a pure-Python replay
+    (binary-exact alpha/beta, no input rounding) on random integer
+    series — including the 2-point minimum."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    series = {}
+    for t_i in range(6):
+        et = f"t{t_i}"
+        days = rng.randrange(2, 25)
+        ys = [float(rng.randrange(1, 500)) for _ in range(days)]
+        series[et] = ys
+        for d, y in enumerate(ys):
+            for k in range(int(y)):
+                rows.append((len(rows), f"2024-03-{d+1:02d} 00:00:00", et))
+
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", (F.col("event_id") % 7).cast("long")
+    ).withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(
+        str(tmp_path / "synth" / "events.parquet")
+    )
+
+    from pyconnect_spark.operators.timeseries import ts22
+
+    got = {
+        r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_7d"])
+        for r in ts22(spark, d).collect()
+    }
+
+    expect = {}
+    for et, ys in series.items():
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            nl = y * 0.5 + (l + b) * 0.5
+            b = (nl - l) * 0.25 + b * 0.75
+            l = nl
+        expect[et] = (len(ys), round(l, 6), round(b, 6), round(l + 7 * b, 6))
+    assert got == expect
