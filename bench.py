@@ -110,6 +110,7 @@ HEADLINE = [
     "x45_value_histogram",
     "dd14_prefix_filter_join",
     "ts22_holt_smoothing",
+    "dd15_weighted_sample",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1378,3 +1378,95 @@ def dd14(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
         .filter(jacc >= threshold)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+@REGISTRY.register(
+    "dd15_weighted_sample",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS f FROM documents
+    ),
+    ex AS (
+      SELECT fp.doc_id, c.n_exact
+      FROM fp JOIN (SELECT f, COUNT(*) AS n_exact FROM fp GROUP BY 1) c
+      USING (f)
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, g*8+1, g*8+8), ' ')) AS chunk_key
+      FROM base,
+           LATERAL (SELECT unnest(range(0, CAST(floor(len(w)/8.0) AS BIGINT))) AS g)
+    ),
+    freq AS (
+      SELECT chunk_key, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ),
+    sf AS (
+      SELECT c.doc_id,
+             SUM(CASE WHEN f.df >= 2 THEN 1.0 ELSE 0 END) / COUNT(*) AS shared_frac
+      FROM chunks c JOIN freq f USING (chunk_key) GROUP BY 1
+    ),
+    wts AS (
+      SELECT e.doc_id,
+             (1.0 / e.n_exact) * (1 - round(COALESCE(s.shared_frac, 0), 6) / 2)
+                 AS weight,
+             CAST(('0x' || substr(md5(CAST(e.doc_id AS VARCHAR) || ':sample'),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS u
+      FROM ex e LEFT JOIN sf s USING (doc_id)
+    ),
+    docs2 AS (SELECT d.doc_id, d.source, w.weight, w.u
+              FROM documents d JOIN wts w USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(weight), 6) AS expected_docs,
+           CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+    FROM docs2 GROUP BY 1
+    """,
+    doc="Duplication-aware weighted sampling — the consumption side of "
+    "dd13: each doc is kept with probability equal to its soft-dedup "
+    "weight, but the coin flip is md5(doc_id:'sample') mapped to [0,1) "
+    "instead of an RNG, so the SAMPLED CORPUS ITSELF is deterministic — "
+    "re-runs, retries, and engines all select the identical subset "
+    "(tx07's hash-split idea applied to Bernoulli sampling; change the "
+    "salt to draw an independent epoch). Report: per source, the doc "
+    "count, the expected post-sampling size (sum of weights — what the "
+    "sampler is converging to), and the realized sample count. Weight "
+    "computation reuses dd13's two hash-keyed aggregations; the "
+    "sampling predicate is a pure column expression — at 100 TB the "
+    "sample materializes in the same pass that computes it, no second "
+    "shuffle.",
+    tags=("dedup", "llm", "sampling", "weights", "deterministic"),
+)
+def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wts = dd13(spark, sf_dir).select(
+        "doc_id",
+        # recompute unrounded weight components? dd13 rounds to 6dp; the
+        # oracle here uses UNROUNDED weights, so derive them identically:
+        # weight = (1/n_exact) * (1 - shared_frac/2) from dd13's columns
+        # would double-round. Instead use dd13's exact inputs:
+        "n_exact",
+        "shared_frac",
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    weight = (F.lit(1.0) / F.col("n_exact")) * (
+        F.lit(1.0) - F.col("shared_frac") / 2
+    )
+    joined = docs.select("doc_id", "source").join(wts, "doc_id").select(
+        "source", weight.alias("weight"), u.alias("u")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.sum("weight"), 6).alias("expected_docs"),
+        F.sum((F.col("u") < F.col("weight")).cast("int")).cast("long").alias("n_sampled"),
+    )
