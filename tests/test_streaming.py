@@ -1386,3 +1386,70 @@ def test_s27_ingest_boilerplate_score_against_static_freq(spark, tmp_path):
     }
     assert got == batch
     assert any(v > 0 for v in got.values())
+
+
+def test_s28_streaming_cdc_apply_via_merge_upsert(spark, tmp_path):
+    """Streaming CDC apply: micro-batches of change records upsert into a
+    parquet target via merge_upsert inside foreachBatch — the
+    no-table-format version of MERGE-based CDC sinks. Batches arrive in
+    file order (maxFilesPerTrigger=1), each batch rewrites only the
+    partitions it touches, and the final table equals applying the same
+    changes sequentially in batch."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.sources.layout import merge_upsert
+
+    target = str(tmp_path / "cdc-target")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, part string, v double",
+    )
+    merge_upsert(spark, target, base, key_cols=["id"], partition_by=["part"])
+
+    # two CDC batches staged as separate files; second supersedes first for id=2
+    ind = tmp_path / "changes"
+    ind.mkdir()
+    batches = [
+        [(2, "a", 20.0), (4, "c", 40.0)],
+        [(2, "a", 200.0), (3, "b", 30.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(ind / f"batch-{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps({"id": r[0], "part": r[1], "v": r[2]}) + "\n")
+
+    schema = "id long, part string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ind))
+    )
+
+    def apply_batch(df, _epoch):
+        merge_upsert(
+            df.sparkSession,
+            target,
+            df.select("id", "part", "v"),
+            key_cols=["id"],
+            partition_by=["part"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("a", 1.0),
+        2: ("a", 200.0),  # second batch wins
+        3: ("b", 30.0),
+        4: ("c", 40.0),
+    }
+    assert not glob.glob(str(tmp_path / "cdc-target.staging-merge"))
