@@ -1229,6 +1229,40 @@ def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remove_boilerplate(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Frame-level boilerplate removal: returns (doc_id, n_chunks, n_kept,
+    clean_text) with corpus-frequent chunks (md5 seen in >= min_df
+    distinct docs) cut and survivors re-joined in original order — the
+    reusable pipeline stage behind tx22 (which hashes clean_text for the
+    oracle compare). Same plan shape: one md5-keyed frequency exchange +
+    one per-doc reassembly."""
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    n_chunks = F.floor(F.size(w) / F.lit(8.0)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_structs = F.transform(
+        idx,
+        lambda g: F.struct(
+            g.alias("chunk_idx"), F.concat_ws(" ", F.slice(w, g * 8 + 1, 8)).alias("ctext")
+        ),
+    )
+    chunks = docs.select("doc_id", F.inline(chunk_structs))
+    freq = chunks.groupBy(F.md5("ctext").alias("chunk_key")).agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    kept = F.col("df") < min_df
+    joined = chunks.withColumn("chunk_key", F.md5("ctext")).join(freq, "chunk_key")
+    surv = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("chunk_idx", "ctext")))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.array_join(F.transform(surv, lambda s: s["ctext"]), " ").alias("clean_text"),
+    )
+
+
 @REGISTRY.register(
     "tx22_boilerplate_removal",
     oracle=r"""
@@ -1274,38 +1308,9 @@ def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "boilerplate", "dedup", "c4"),
 )
 def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
-    n_chunks = F.floor(F.size(w) / F.lit(8.0)).cast("int")
-    # sequence(0, -1) would DESCEND in Spark, so guard the empty case
-    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunk_structs = F.transform(
-        idx,
-        lambda g: F.struct(
-            g.alias("chunk_idx"), F.concat_ws(" ", F.slice(w, g * 8 + 1, 8)).alias("ctext")
-        ),
-    )
-    chunks = docs.select(
-        "doc_id", F.inline(chunk_structs)
-    )
-    freq = chunks.groupBy(F.md5("ctext").alias("chunk_key")).agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    kept = F.col("df") < 2
-    joined = chunks.withColumn("chunk_key", F.md5("ctext")).join(freq, "chunk_key")
-    # collect_list drops the NULLs when() leaves for removed chunks, so the
-    # sorted survivor array reassembles the cleaned text deterministically
-    surv = F.array_sort(
-        F.collect_list(F.when(kept, F.struct("chunk_idx", "ctext")))
-    )
-    return joined.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_chunks"),
-        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
-        F.md5(
-            F.array_join(F.transform(surv, lambda s: s["ctext"]), " ")
-        ).alias("clean_md5"),
+    cleaned = remove_boilerplate(t(spark, sf_dir, "documents"))
+    return cleaned.select(
+        "doc_id", "n_chunks", "n_kept", F.md5("clean_text").alias("clean_md5")
     )
 
 
