@@ -423,3 +423,56 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert files_with_mtime("c") == before_c
     # no staging residue
     assert not glob.glob(str(tmp_path / "tgt.staging-merge"))
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's runtime skew-join handling must actually engage: a join where
+    one key owns ~90% of the rows gets its oversized shuffle partition
+    SPLIT at runtime (the executed SMJ reports isSkew=true) once the
+    skew thresholds are at fixture scale. This is the zero-code-change
+    tier of the skew strategy (functions/skew.py's salting is the
+    explicit tier for aggregations and for joins AQE cannot rewrite,
+    e.g. when the skewed side also needs a co-partitioned downstream)."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(80_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    b_path, s_path = str(tmp_path / "big"), str(tmp_path / "small")
+    big.write.parquet(b_path)
+    small.write.parquet(s_path)
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        j = spark.read.parquet(b_path).join(spark.read.parquet(s_path), "k")
+        # materialize THIS DataFrame's own execution so the AQE final plan
+        # (isFinalPlan=true) is inspectable — count() would execute a
+        # different query tree and leave j's plan un-finalized
+        n = len(j.collect())
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
