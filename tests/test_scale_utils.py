@@ -476,3 +476,53 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a date-partitioned fact to a FILTERED dimension must inject
+    a dynamic partition pruning subquery (dynamicpruning expression on
+    the fact's PartitionFilters) so only the dim-selected partitions are
+    scanned — the partition-column counterpart of the runtime bloom
+    filter, and the reason SCALE.md partitions facts by date."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(fact_path)
+    dim_path = str(tmp_path / "dim_days")
+    ev.select("day").distinct().write.parquet(dim_path)
+
+    keys = (
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        # fixture-size tables fall below DPP's cost heuristics (broadcast
+        # reuse + stats-estimated benefit); neutralize them so the
+        # mechanism itself is assertable at test scale — at 100 TB the
+        # stock heuristics fire on their own
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false"
+        )
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000"
+        )
+        fact = spark.read.parquet(fact_path)
+        # the pruning-side predicate must be comparison-shaped: DPP's
+        # isLikelySelective heuristic ignores bare boolean attributes
+        d = spark.read.parquet(dim_path).filter(F.dayofmonth("day") <= 2)
+        j = fact.join(d, "day").groupBy("event_type").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        physical = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "dynamicpruning" in plan or "dynamicpruning" in physical, physical[:3000]
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
