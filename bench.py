@@ -111,6 +111,8 @@ HEADLINE = [
     "dd14_prefix_filter_join",
     "ts22_holt_smoothing",
     "dd15_weighted_sample",
+    "x46_markov_transitions",
+    "tx25_effective_tokens",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1178,3 +1178,52 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+@REGISTRY.register(
+    "x46_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    outs AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY 1)
+    SELECT p.cur AS cur_event, p.nxt AS next_event, p.n,
+           round(CAST(p.n AS DOUBLE) / o.tot, 6) AS prob
+    FROM pairs p JOIN outs o USING (cur)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), estimated from lead() "
+    "pairs — the behavioral model behind next-action prediction, "
+    "funnel-shortcut detection (transitions that skip expected steps), "
+    "and bot detection (near-deterministic rows where organic users "
+    "are diffuse). One user-keyed window pass forms the adjacent "
+    "pairs; the count and the row-normalizing total both aggregate on "
+    "the |types|²-bounded pair/type keys, so at 100 TB the only "
+    "corpus-scale cost is the sessionize-shaped exchange ts02 already "
+    "prices; ties order by event_id so both engines chain identical "
+    "sequences.",
+    tags=("agg", "markov", "sequence", "behavior"),
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    outs = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return pairs.join(outs, "cur").select(
+        F.col("cur").alias("cur_event"),
+        F.col("nxt").alias("next_event"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
+    )

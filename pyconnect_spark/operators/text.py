@@ -1508,3 +1508,63 @@ def tx24(spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.8
             )
         )
     return ranks.select("word", F.round("r", 6).alias("pagerank"))
+
+
+@REGISTRY.register(
+    "tx25_effective_tokens",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS f,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+      FROM documents
+    ),
+    uniq AS (
+      SELECT source, f, MIN(n_tok) AS n_tok, MIN(doc_id) AS keeper
+      FROM base GROUP BY 1, 2
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_tok) AS BIGINT) AS raw_tokens,
+           CAST((SELECT SUM(u.n_tok) FROM uniq u WHERE u.source = b.source)
+                AS BIGINT) AS effective_tokens,
+           round(1 - (SELECT SUM(u.n_tok) FROM uniq u
+                      WHERE u.source = b.source) * 1.0 / SUM(b.n_tok), 6)
+               AS dup_token_frac
+    FROM base b GROUP BY 1
+    """,
+    doc="Effective-token accounting: per source, raw token volume vs the "
+    "token volume surviving exact dedup — THE number a training-data "
+    "plan is sized from (epochs and mixture weights are quoted in "
+    "effective tokens, and a source whose dup_token_frac is high "
+    "contributes far less signal than its raw bytes suggest). Token "
+    "counts ride the same scan as the md5 fingerprint; the dedup "
+    "collapse aggregates on (source, 16-byte fp) — the dd01 exchange "
+    "with a token-sum payload — and identical texts are counted once "
+    "per source (keeper = min doc_id, deterministic). Raw and "
+    "effective sums come from one scan + one hash-keyed agg; no text "
+    "moves.",
+    tags=("text", "llm", "tokens", "dedup", "accounting"),
+)
+def tx25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.md5("text").alias("f"),
+        F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long").alias("n_tok"),
+    )
+    raw = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("raw_tokens"),
+    )
+    uniq = base.groupBy("source", "f").agg(F.min("n_tok").alias("n_tok"))
+    eff = uniq.groupBy("source").agg(F.sum("n_tok").cast("long").alias("effective_tokens"))
+    return raw.join(eff, "source").select(
+        "source",
+        "n_docs",
+        "raw_tokens",
+        "effective_tokens",
+        F.round(
+            1 - F.col("effective_tokens").cast("double") / F.col("raw_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
