@@ -1227,3 +1227,72 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
     )
+
+
+@REGISTRY.register(
+    "x47_last_touch_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_k
+      FROM ev
+    )
+    SELECT touch_k,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch attribution: every purchase is credited to the most "
+    "recent preceding 'click' campaign (the props.k id) in the same "
+    "user's event stream — the marketing-attribution staple, and the "
+    "third leg of the funnel family (ts06 counts WHO converts, x41 "
+    "times HOW FAST, this answers WHAT GETS CREDIT). The campaign id "
+    "carries forward via last_value(... IGNORE NULLS) over one "
+    "user-keyed ordered window — the as-of-join trick of ts03 without "
+    "a second table, so no join at all; purchases with no preceding "
+    "click land in the NULL credit row (unattributed — a number "
+    "attribution reports must show, not drop). One sessionize-shaped "
+    "exchange; revenue sums in exact decimal. Ties order by event_id "
+    "so both engines carry identical touches.",
+    tags=("timeseries", "attribution", "funnel", "window"),
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "touch_k",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("k")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy("touch_k")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            dsum("value").alias("revenue"),
+        )
+    )
