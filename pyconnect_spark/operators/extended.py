@@ -1296,3 +1296,111 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("revenue"),
         )
     )
+
+
+@REGISTRY.register(
+    "x48_graph_triangles",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, w[CAST(i AS INT)] AS word
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(a.word, b.word) AS u, GREATEST(a.word, b.word) AS v
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND a.word <> b.word
+       AND b.pos - a.pos IN (1, 2)
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    deg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS word FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           tri.n AS n_triangles,
+           round(3.0 * tri.n / agg.n_wedges, 6) AS clustering_coeff
+    FROM agg, tri
+    """,
+    doc="Triangle count + global clustering coefficient of the word "
+    "co-occurrence graph — the graph-analytics benchmark staple "
+    "(community structure, spam/bot subgraph detection) and the third "
+    "member of the iterative-graph family (dd05 components, tx24 "
+    "PageRank). Edges canonicalize to u<v once; the triangle join is "
+    "the ordered triple form e(u,v)⋈e(u,w)⋈e(v,w) with v<w, which "
+    "enumerates each triangle EXACTLY once — at 100 TB you additionally "
+    "orient edges low-degree→high-degree first (node-iterator++: wedge "
+    "work drops from Σd² to Σd^{3/2}-ish, the published bound) — and "
+    "the wedge denominator comes from the degree table, no second "
+    "corpus pass. All joins key on the vocab-bounded edge set; the "
+    "corpus is touched once to extract edges.",
+    tags=("graph", "triangles", "clustering", "agg"),
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") != F.col("b.word"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(1, 2),
+        )
+        .select(
+            F.least("a.word", "b.word").alias("u"),
+            F.greatest("a.word", "b.word").alias("v"),
+        )
+        .distinct()
+    )
+    from pyconnect_spark.cachereg import track
+
+    edges = track(edges.cache())
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("word"))
+        .unionAll(edges.select("v"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
