@@ -328,3 +328,61 @@ def merge_upsert(
 
     _shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+def delete_keys(
+    spark: SparkSession,
+    target: str,
+    keys: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Row-level DELETE on a parquet dataset (the right-to-be-forgotten /
+    retention-expiry primitive): rows matching ``keys`` are removed by
+    rewriting ONLY the partitions that contain them. Returns the number
+    of rows deleted.
+
+    Same partition-scoped shape as :func:`merge_upsert`: locate the
+    touched partitions (one semi join of the partition values against
+    the target scan — when the key is not the partition column, the
+    touched set comes from scanning just the key+partition columns),
+    anti-join the doomed keys out, rewrite those directories under
+    dynamic partitionOverwriteMode. Untouched partitions keep their
+    files byte-for-byte — a deletion request touching one user costs
+    one partition rewrite, not a table rewrite. A partition emptied of
+    ALL its rows still rewrites to an empty-but-present directory (the
+    overwrite replaces files; readers see zero rows for it).
+    """
+    tgt = spark.read.parquet(target)
+    if partition_by:
+        touched = (
+            tgt.join(F.broadcast(keys.select(*key_cols).distinct()), list(key_cols), "left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        scoped = tgt.join(F.broadcast(touched), list(partition_by), "left_semi")
+    else:
+        scoped = tgt
+    before = scoped.count()
+    keep = scoped.join(
+        F.broadcast(keys.select(*key_cols).distinct()), list(key_cols), "left_anti"
+    )
+    staging = target.rstrip("/") + ".staging-delete"
+    keep.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        w = staged.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+    finally:
+        spark.conf.set(mode_key, prev)
+    deleted = before - staged.count()
+    import shutil as _shutil
+
+    _shutil.rmtree(staging, ignore_errors=True)
+    return deleted

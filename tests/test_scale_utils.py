@@ -526,3 +526,38 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: deleting one user's rows rewrites only the
+    partitions holding them; untouched directories keep their files
+    byte-for-byte, and the deleted keys are gone everywhere."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.sources.layout import delete_keys
+
+    target = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (1, "b", 3.0), (3, "b", 4.0), (4, "c", 5.0)],
+        "uid long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(target)
+
+    def files(part):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{target}/part={part}/*.parquet")
+        }
+
+    before_c = files("c")
+    doomed = spark.createDataFrame([(1,)], "uid long")
+    n = delete_keys(spark, target, doomed, key_cols=["uid"], partition_by=["part"])
+    assert n == 2  # uid=1 appeared in partitions a and b
+
+    left = {(r["uid"], r["part"]) for r in spark.read.parquet(target).collect()}
+    assert left == {(2, "a"), (3, "b"), (4, "c")}
+    assert files("c") == before_c  # partition c never touched
+    assert not glob.glob(str(tmp_path / "tgt.staging-delete"))
