@@ -115,6 +115,7 @@ HEADLINE = [
     "tx25_effective_tokens",
     "x47_last_touch_attribution",
     "x48_graph_triangles",
+    "x49_hll_mergeable_rollup",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

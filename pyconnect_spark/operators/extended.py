@@ -1404,3 +1404,48 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (Apache DataSketches HLL via
+    Spark 3.5+'s hll_sketch_agg / hll_union_agg): per-(type, day) user
+    sketches aggregate once, then UNION to per-type totals — the
+    re-aggregable distinct that approx_count_distinct cannot provide
+    (its per-group estimates cannot merge), and the mechanism behind
+    pre-aggregated distinct-user dashboards at 100 TB: store the daily
+    sketch table (bytes per group, not users), answer any date-range
+    distinct by unioning sketches, never rescan the fact. Emits exact
+    alongside estimate; the tolerance contract (<= 5% rel. error) is
+    pinned by test_hll_rollup_tolerance. Estimator output is
+    engine-specific -> rows-only driver check (same tier as x08's
+    sketches)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        "est_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+REGISTRY.register(
+    "x49_hll_mergeable_rollup",
+    oracle=None,
+    doc=x49.__doc__,
+    tags=("agg", "sketch", "hll", "mergeable", "approx"),
+)(x49)

@@ -56,3 +56,15 @@ def test_no_oracle_smoke(spark, name):
     df = q.builder(spark, SF_ORACLE)
     assert df.columns  # stable schema
     assert df.count() >= 0
+
+
+def test_hll_rollup_tolerance(spark):
+    """Unioned daily HLL sketches estimate per-type distinct users within
+    5% of exact — the mergeability contract x49 exists for (per-group
+    approx_count_distinct values cannot merge; sketches can)."""
+    from pyconnect_spark.operators.extended import x49
+
+    rows = x49(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
