@@ -68,3 +68,18 @@ def test_hll_rollup_tolerance(spark):
     assert rows
     for r in rows:
         assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
+
+
+def test_registry_window_invariants():
+    """The driver checks the FIRST 50 entries of queries() in dict order —
+    protect the window from registry edits: the priority list must hold
+    exactly 50 unique, existing names, and every declared query must be
+    reachable (no orphaned priority entries, no duplicate registrations)."""
+    from pyconnect_spark.registry import ALL, _PRIORITY
+
+    names = list(ALL.queries().keys())
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert set(_PRIORITY) <= set(names)
+    assert names[:50] == _PRIORITY
+    assert len(names) == len(set(names))
