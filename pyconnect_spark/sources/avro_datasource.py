@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -98,6 +99,53 @@ class AvroOcfDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "AvroOcfWriter":
         return AvroOcfWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "AvroOcfStreamReader":
+        return AvroOcfStreamReader(schema, self.options)
+
+
+class AvroOcfStreamReader(SimpleDataSourceStreamReader):
+    """Tail an append-only OCF directory as a stream:
+    ``spark.readStream.format("pyconnect_avro").load(dir)``.
+
+    Offsets are ``{"idx": n}`` over the NAME-SORTED file list — each
+    micro-batch decodes the files that appeared since the last committed
+    offset, and Spark's checkpoint makes restarts resume exactly there
+    (the same offset contract as streaming/pysource.py, applied to the
+    batch DataSource's format). The append-only, monotonic-name layout
+    (part-0001.avro, part-0002.avro, ...) is exactly what AvroOcfWriter
+    and every staging producer emit; files must be complete when they
+    become visible (write-then-rename, which the writer does)."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._options = options
+
+    def _files(self) -> list[str]:
+        return _list_files(self._options)
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _decode(self, paths: list[str]) -> list[tuple]:
+        cols = [f.name for f in self._schema.fields]
+        rows: list[tuple] = []
+        for path in paths:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            for rec in iter_records(data):
+                rows.append(tuple(rec.get(c) for c in cols))
+        return rows
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["idx"]
+        batch = self._decode(files[i:])
+        return iter(batch), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return iter(self._decode(files[start["idx"] : end["idx"]]))
 
 
 class _OcfCommit(WriterCommitMessage):

@@ -171,3 +171,58 @@ def test_avro_datasource_write_roundtrip(spark, tmp_path):
     # overwrite replaces, never appends
     df.limit(10).write.format("pyconnect_avro").mode("overwrite").save(out)
     assert spark.read.format("pyconnect_avro").load(out).count() == 10
+
+
+def test_avro_datasource_stream_reader_tails_directory(spark, tmp_path):
+    """The pyconnect_avro DataSource streams an append-only OCF directory:
+    the first drain reads the existing files; files appended afterwards
+    are picked up by a RESTARTED query from the checkpointed offset —
+    no re-delivery of already-committed files."""
+    from pyconnect_spark.functions.avro import spark_type_to_avro
+    from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
+    from pyconnect_spark.sources.avro_ocf import write_container
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("n", LongType())]
+    )
+    avro_schema = spark_type_to_avro(schema)
+    d = tmp_path / "stream-ocf"
+    d.mkdir()
+
+    def emit(name, lo, hi):
+        payload = write_container(
+            [{"k": f"k{i}", "n": i} for i in range(lo, hi)], avro_schema
+        )
+        tmp = d / (name + ".tmp")
+        tmp.write_bytes(payload)
+        tmp.rename(d / name)  # write-then-rename: complete when visible
+
+    emit("part-0001.avro", 0, 5)
+    emit("part-0002.avro", 5, 8)
+
+    spark.dataSource.register(AvroOcfDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        # a durable sink (memory sink cannot recover from a checkpoint)
+        q = (
+            spark.readStream.format("pyconnect_avro")
+            .schema(schema)
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["n"] for r in spark.read.parquet(out).collect()}
+
+    assert drain() == set(range(8))
+
+    emit("part-0003.avro", 8, 12)
+    # restarted query resumes from the checkpointed offset: the sink now
+    # holds all rows, each file delivered exactly once
+    assert drain() == set(range(12))

@@ -561,3 +561,22 @@ def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
     assert left == {(2, "a"), (3, "b"), (4, "c")}
     assert files("c") == before_c  # partition c never touched
     assert not glob.glob(str(tmp_path / "tgt.staging-delete"))
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Long-lived datasets evolve: later partitions add columns. A
+    mergeSchema read must surface the union schema with nulls for the
+    missing column in old files — the no-table-format schema-evolution
+    contract ingestion pipelines rely on."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p + "/batch=0")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=1")
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score", "batch"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
