@@ -1339,3 +1339,71 @@ def ts22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold["b"], 6).alias("trend"),
         F.round(fold["l"] + 7 * fold["b"], 6).alias("forecast_7d"),
     )
+
+
+@REGISTRY.register(
+    "ts23_session_facts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS converted,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY 1, 2
+    """,
+    doc="Session fact table — the materialized artifact sessionization "
+    "exists to produce (ts02 counts sessions; this EMITS them): one row "
+    "per (user, session) with start, duration, event volume, type "
+    "breadth, a conversion flag, and exact-decimal session value — the "
+    "grain funnels, LTV models, and engagement dashboards all join "
+    "against. The 30-minute-gap rule is ts02's; the session id is the "
+    "running sum of new-session flags under the SAME user-keyed ordered "
+    "window, so numbering adds no exchange — one user_id shuffle end to "
+    "end, then a (user, session) agg with map-side combine. Durations "
+    "in integer microseconds; ties order by event_id.",
+    tags=("timeseries", "session", "facts", "ltv"),
+)
+def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy(
+        "user_id", F.col("session_no").cast("long").alias("session_no")
+    ).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+        dsum("value").alias("session_value"),
+    )
