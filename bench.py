@@ -117,6 +117,7 @@ HEADLINE = [
     "x48_graph_triangles",
     "x49_hll_mergeable_rollup",
     "ts23_session_facts",
+    "sm14_jl_projection",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1110,3 +1110,147 @@ def sm13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drifted"),
     )
+
+
+@REGISTRY.register(
+    "sm14_jl_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, u.dim - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim) u
+      WHERE vec_id < 40
+    ),
+    signs AS (
+      SELECT d.dim, j.j,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.dim AS VARCHAR) || ':'
+                           || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT DISTINCT dim FROM e) d,
+           (SELECT unnest(range(0, 16)) AS j) j
+    ),
+    proj AS (
+      SELECT e.vec_id, s.j, SUM(e.v * s.s) AS p
+      FROM e JOIN signs s ON s.dim = e.dim
+      GROUP BY 1, 2
+    ),
+    pn AS (SELECT vec_id, sqrt(SUM(p*p)) AS n FROM proj GROUP BY 1),
+    en (vec_id, n) AS (SELECT vec_id, sqrt(SUM(v*v)) FROM e GROUP BY 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb FROM pn a JOIN pn b
+      ON a.vec_id < b.vec_id
+    ),
+    exact_cos AS (
+      SELECT p.va, p.vb,
+             SUM(ea.v * eb.v) / (na.n * nb.n) AS c
+      FROM pairs p
+      JOIN e ea ON ea.vec_id = p.va
+      JOIN e eb ON eb.vec_id = p.vb AND eb.dim = ea.dim
+      JOIN en na ON na.vec_id = p.va
+      JOIN en nb ON nb.vec_id = p.vb
+      GROUP BY 1, 2, na.n, nb.n
+    ),
+    proj_cos AS (
+      SELECT p.va, p.vb,
+             SUM(pa.p * pb.p) / (na.n * nb.n) AS c
+      FROM pairs p
+      JOIN proj pa ON pa.vec_id = p.va
+      JOIN proj pb ON pb.vec_id = p.vb AND pb.j = pa.j
+      JOIN pn na ON na.vec_id = p.va
+      JOIN pn nb ON nb.vec_id = p.vb
+      GROUP BY 1, 2, na.n, nb.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(abs(e.c - q.c)), 6) AS mean_abs_err,
+           round(MAX(abs(e.c - q.c)), 6) AS max_abs_err
+    FROM exact_cos e JOIN proj_cos q ON q.va = e.va AND q.vb = e.vb
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+    "cosine-preservation audit: the projection matrix is ±1 signs "
+    "derived from md5(dim:j) — deterministic, shippable as an "
+    "expression, and REPLAYABLE IN SQL, so unlike the Gaussian ANN "
+    "projections (sm03/sm06) this sketch is fully oracle-checked. "
+    "Emits mean/max absolute cosine error over all pairs of a 40-vector "
+    "slice — the dimensionality-reduction quality gate (4x cheaper "
+    "similarity at a measured cosine distortion; the audit IS the "
+    "operator, run before adopting projected vectors for dedup "
+    "candidates). Projection is one explode + sign-join + (vec, j) agg "
+    "— 100 TB of vectors project in one scan; the pairwise audit runs "
+    "on a bounded sample, never the corpus.",
+    tags=("similarity", "jl", "projection", "audit", "llm"),
+)
+def sm14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    e = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id", "dim", F.col("v").cast("double").alias("v")
+    )
+    k = 16
+    signs = (
+        e.select("dim")
+        .distinct()
+        .crossJoin(spark.range(k).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "dim",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("dim").cast("string"), F.lit(":"), F.col("j").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("s"),
+        )
+    )
+    proj = (
+        e.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("p"))
+    )
+    pn = proj.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("n"))
+    en = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
+    def pair_cos(frame, key_col, val, norms):
+        # dense vectors: every ordered pair shares every component key, so
+        # joining on the component directly enumerates all pairs
+        fa = frame.select(
+            F.col("vec_id").alias("va"), F.col(key_col).alias("kk"), F.col(val).alias("xa")
+        )
+        fb = frame.select(
+            F.col("vec_id").alias("vb"), F.col(key_col).alias("kk"), F.col(val).alias("xb")
+        )
+        na = norms.select(F.col("vec_id").alias("va"), F.col("n").alias("na"))
+        nb = norms.select(F.col("vec_id").alias("vb"), F.col("n").alias("nb"))
+        return (
+            fa.join(fb, "kk")
+            .filter(F.col("va") < F.col("vb"))
+            .groupBy("va", "vb")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+            .join(na, "va")
+            .join(nb, "vb")
+            .select("va", "vb", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("c"))
+        )
+
+    exact_cos = pair_cos(e, "dim", "v", en)
+    proj_cos = pair_cos(proj, "j", "p", pn)
+    joined = exact_cos.alias("x").join(
+        proj_cos.alias("q"), (F.col("x.va") == F.col("q.va")) & (F.col("x.vb") == F.col("q.vb"))
+    )
+    err = F.abs(F.col("x.c") - F.col("q.c"))
+    return joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )
