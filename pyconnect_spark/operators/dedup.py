@@ -1476,3 +1476,45 @@ def dd15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("weight"), 6).alias("expected_docs"),
         F.sum((F.col("u") < F.col("weight")).cast("int")).cast("long").alias("n_sampled"),
     )
+
+
+def lsh_plan(threshold: float, n_hashes: int = _N_HASHES) -> dict:
+    """Choose the (bands, rows) split of an ``n_hashes`` MinHash signature
+    for a target Jaccard ``threshold`` — the S-curve planning every LSH
+    deployment does by hand, done once and tested here.
+
+    For b bands of r rows, a pair with true Jaccard s becomes a candidate
+    with P(s) = 1 - (1 - s^r)^b (the S-curve); its inflection sits near
+    s* = (1/b)^(1/r). Among all integer splits of n_hashes, pick the one
+    minimizing expected error mass under an (uninformative) uniform prior
+    on s: FP = ∫_0^t P(s) ds (pairs below threshold that still collide →
+    wasted verification) + FN = ∫_t^1 (1 - P(s)) ds (true near-dups the
+    buckets miss → lost recall). Returns the chosen split, its s*, and
+    both error integrals so callers can trade recall against candidate
+    volume deliberately (raise bands → fewer FNs, more FPs). dd03's 8×8
+    at threshold≈0.77 is exactly what this planner picks."""
+    best = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        n_steps = 1000
+        fp = fn = 0.0
+        for i in range(n_steps):
+            s = (i + 0.5) / n_steps
+            p = 1 - (1 - s**rows) ** bands
+            if s < threshold:
+                fp += p / n_steps
+            else:
+                fn += (1 - p) / n_steps
+        cand = {
+            "bands": bands,
+            "rows": rows,
+            "s_star": (1.0 / bands) ** (1.0 / rows) if rows > 0 else 0.0,
+            "fp_mass": round(fp, 6),
+            "fn_mass": round(fn, 6),
+            "error": round(fp + fn, 6),
+        }
+        if best is None or cand["error"] < best["error"]:
+            best = cand
+    return best

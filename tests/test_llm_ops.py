@@ -621,3 +621,23 @@ def test_ts22_holt_fold_matches_python_replication(spark, tmp_path):
             l = nl
         expect[et] = (len(ys), round(l, 6), round(b, 6), round(l + 7 * b, 6))
     assert got == expect
+
+
+def test_lsh_plan_recovers_the_production_banding():
+    """The S-curve planner must pick dd03's 8x8 split for its ~0.77
+    candidate threshold, shift toward more bands (higher recall) for
+    lower thresholds, and report decreasing FN mass as bands grow."""
+    from pyconnect_spark.operators.dedup import lsh_plan
+
+    p77 = lsh_plan(0.77, 64)
+    assert (p77["bands"], p77["rows"]) == (8, 8), p77
+
+    p5 = lsh_plan(0.5, 64)
+    assert p5["bands"] > p77["bands"], (p5, p77)  # lower threshold -> more bands
+    assert abs(p5["s_star"] - 0.5) < 0.15
+
+    # more bands at fixed rows -> higher collision probability everywhere
+    for s in (0.6, 0.77, 0.9):
+        p8 = 1 - (1 - s**8) ** 8
+        p16 = 1 - (1 - s**8) ** 16
+        assert p16 > p8
