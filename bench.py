@@ -118,6 +118,7 @@ HEADLINE = [
     "x49_hll_mergeable_rollup",
     "ts23_session_facts",
     "sm14_jl_projection",
+    "ts24_active_time",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

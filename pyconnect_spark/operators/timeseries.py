@@ -1407,3 +1407,78 @@ def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("converted"),
         dsum("value").alias("session_value"),
     )
+
+
+@REGISTRY.register(
+    "ts24_active_time",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 60000000 AS e,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, grp, MAX(e) - MIN(s) AS span_us
+      FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_active_periods,
+           CAST(SUM(span_us) AS BIGINT) AS active_us
+    FROM merged GROUP BY 1
+    """,
+    doc="Interval-union active time: each event opens a 1-minute activity "
+    "window; overlapping windows merge, and the user's active time is "
+    "the union length — the engagement metric raw event counts inflate "
+    "(100 events in one minute is one active minute). The merge is the "
+    "classic sweep: an interval starts a NEW group iff its start "
+    "exceeds the running max of all previous ends (cummax over a "
+    "1-PRECEDING frame), groups number by running sum, and each "
+    "group's span is max(end)-min(start) — three window passes and two "
+    "aggs, ALL under one user_id exchange, no self-join (the naive "
+    "interval-overlap join is quadratic per user). Integer-microsecond "
+    "arithmetic end to end; ties order by event_id. The same sweep "
+    "merges ad-break schedules, maintenance windows, and speech "
+    "segments at 100 TB — anything needing coverage length, keyed by "
+    "any entity.",
+    tags=("timeseries", "intervals", "union", "engagement"),
+)
+def ts24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 60_000_000).alias("e"),
+        "event_id",
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new", F.when(prev_max_e >= F.col("s"), 0).otherwise(1)
+    )
+    w_grp = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grouped = flagged.withColumn("grp", F.sum("is_new").over(w_grp))
+    merged = grouped.groupBy("user_id", "grp").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_active_periods"),
+        F.sum("span_us").cast("long").alias("active_us"),
+    )
