@@ -119,6 +119,8 @@ HEADLINE = [
     "ts23_session_facts",
     "sm14_jl_projection",
     "ts24_active_time",
+    "ts25_cumulative_distinct",
+    "ts26_wow_change",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

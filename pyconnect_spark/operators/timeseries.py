@@ -1482,3 +1482,89 @@ def ts24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_active_periods"),
         F.sum("span_us").cast("long").alias("active_us"),
     )
+
+
+@REGISTRY.register(
+    "ts25_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    doc="Cumulative distinct users by day — the growth-curve staple that "
+    "CANNOT be computed as a window count-distinct (distinct is not "
+    "frame-decomposable): instead each user reduces to their first-seen "
+    "day (one user-keyed agg), first-seen days count into daily "
+    "new-user totals, and a running sum over the day-level frame gives "
+    "the exact cumulative curve. At 100 TB the only corpus-scale cost "
+    "is the first-seen aggregation (map-side combine on user_id); the "
+    "running sum runs on |days| rows. Same first-seen trick as ts07's "
+    "cohorts, pointed at the growth curve.",
+    tags=("timeseries", "distinct", "growth", "window"),
+)
+def ts25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@REGISTRY.register(
+    "ts26_wow_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           lag(n, 7) OVER w AS n_prev_week,
+           CAST(n - lag(n, 7) OVER w AS BIGINT) AS wow_delta,
+           round((n - lag(n, 7) OVER w) * 100.0 / lag(n, 7) OVER w, 6)
+               AS wow_pct
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    doc="Week-over-week change per series: daily volume joined to itself "
+    "7 rows back via lag(n, 7) — the reporting staple behind every "
+    "growth dashboard, done without the self-join most SQL ports write "
+    "(lag over the ordered day frame is one window pass on the "
+    "pre-aggregated |types|x|days| rows; a calendar self-join would "
+    "re-shuffle twice). First-week rows keep NULL deltas — honest "
+    "no-baseline, not zero. The day grid here is dense per type; for "
+    "sparse series compose with ts14's grid densification first so "
+    "lag(7) means seven CALENDAR days.",
+    tags=("timeseries", "wow", "growth", "window"),
+)
+def ts26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n", 7).over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        prev.alias("n_prev_week"),
+        (F.col("n") - prev).cast("long").alias("wow_delta"),
+        F.round((F.col("n") - prev) * 100.0 / prev, 6).alias("wow_pct"),
+    )
