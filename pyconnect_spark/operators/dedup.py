@@ -1518,3 +1518,65 @@ def lsh_plan(threshold: float, n_hashes: int = _N_HASHES) -> dict:
         if best is None or cand["error"] < best["error"]:
             best = cand
     return best
+
+
+@REGISTRY.register(
+    "dd16_bow_dedup",
+    oracle=r"""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split_regex(trim(text),
+                 '\s+')), ' ')) AS bow_key,
+             md5(text) AS exact_key
+      FROM documents
+    ),
+    grp AS (
+      SELECT bow_key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT exact_key) AS BIGINT) AS n_texts,
+             MIN(doc_id) AS keeper
+      FROM canon GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bow_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable,
+           CAST(SUM(CASE WHEN n_texts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reorder_only_groups
+    FROM grp
+    """,
+    doc="Reorder-invariant exact dedup: the canonical key is the md5 of "
+    "the SORTED token multiset, so documents that differ only by word "
+    "order — shuffled spam, template variable reordering, scraped "
+    "list-page permutations — collapse into one group where dd01's "
+    "raw-text key sees distinct docs. Reports group counts, removable "
+    "rows, and specifically the groups containing MORE THAN ONE "
+    "distinct raw text (n_reorder_only_groups: the dups only this tier "
+    "catches — the fixture's word-soup corpus has them). Sorting "
+    "happens inside a per-row array expression; the exchange carries "
+    "16-byte keys, identical cost profile to dd01. Between this and "
+    "dd03: bag-identical is EXACT (no threshold), shingle-based "
+    "near-dup is fuzzy — pipelines run both.",
+    tags=("dedup", "llm", "bow", "exact"),
+)
+def dd16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.split(F.trim(F.col("text")), r"\s+")))
+        ).alias("bow_key"),
+        F.md5("text").alias("exact_key"),
+    )
+    grp = canon.groupBy("bow_key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("exact_key").cast("long").alias("n_texts"),
+    )
+    return grp.agg(
+        F.count("*").cast("long").alias("n_bow_groups"),
+        F.sum((F.col("n_docs") > 1).cast("int")).cast("long").alias("n_dup_groups"),
+        F.sum(F.col("n_docs") - 1).cast("long").alias("n_removable"),
+        F.sum((F.col("n_texts") > 1).cast("int")).cast("long").alias(
+            "n_reorder_only_groups"
+        ),
+    )

@@ -1254,3 +1254,71 @@ def sm14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err), 6).alias("mean_abs_err"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+@REGISTRY.register(
+    "sm15_similarity_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, u.dim - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS dim) u
+      WHERE vec_id < 60
+    ),
+    en AS (SELECT vec_id, sqrt(SUM(v*v)) AS n FROM e GROUP BY 1),
+    cos AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(a.v * b.v) / (na.n * nb.n) AS c
+      FROM e a
+      JOIN e b ON b.dim = a.dim AND a.vec_id < b.vec_id
+      JOIN en na ON na.vec_id = a.vec_id
+      JOIN en nb ON nb.vec_id = b.vec_id
+      GROUP BY 1, 2, na.n, nb.n
+    )
+    SELECT CAST(LEAST(9, GREATEST(0,
+               CAST(floor((c + 1) * 5) AS BIGINT))) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MIN(c), 6) AS bin_min,
+           round(MAX(c), 6) AS bin_max
+    FROM cos GROUP BY 1
+    """,
+    doc="Pairwise-cosine distribution histogram over a bounded vector "
+    "sample (60 vecs -> 1770 pairs; 10 bins across [-1, 1]) — the "
+    "threshold-selection diagnostic every similarity-based dedup needs "
+    "BEFORE running: dd09's 0.9 cutoff, sm02's near-dup band, and the "
+    "LSH banding target are all chosen by looking at exactly this "
+    "shape (a well-separated bimodal histogram = safe threshold in the "
+    "valley; a unimodal blob = no threshold will behave). The sample "
+    "pairs compute via the dim-keyed join (bounded rows), never "
+    "all-pairs on the corpus — at 100 TB you histogram a deterministic "
+    "sample per source/snapshot, corpus-size-independent cost.",
+    tags=("similarity", "histogram", "threshold", "audit", "llm"),
+)
+def sm15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    e = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id", "dim", F.col("v").cast("double").alias("v")
+    )
+    en = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
+    fa = e.select(F.col("vec_id").alias("va"), "dim", F.col("v").alias("xa"))
+    fb = e.select(F.col("vec_id").alias("vb"), "dim", F.col("v").alias("xb"))
+    na = en.select(F.col("vec_id").alias("va"), F.col("n").alias("na"))
+    nb = en.select(F.col("vec_id").alias("vb"), F.col("n").alias("nb"))
+    cos = (
+        fa.join(fb, "dim")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        .join(na, "va")
+        .join(nb, "vb")
+        .select((F.col("dot") / (F.col("na") * F.col("nb"))).alias("c"))
+    )
+    bin_ = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor((F.col("c") + 1) * 5).cast("long"))
+    ).cast("long")
+    return cos.groupBy(bin_.alias("bin")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.min("c"), 6).alias("bin_min"),
+        F.round(F.max("c"), 6).alias("bin_max"),
+    )
