@@ -306,3 +306,70 @@ def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(e_un)
         .crossJoin(dims)
     )
+
+
+@REGISTRY.register(
+    "mm06_frame_dedup",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             greatest(CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS BIGINT), 1)
+                 AS n_frames,
+             text
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             md5(substr(text,
+                        CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INT)
+                            * {_FRAME_CHARS} + 1,
+                        {_FRAME_CHARS})) AS frame_md5
+      FROM f
+    ),
+    freq AS (
+      SELECT frame_md5, COUNT(DISTINCT doc_id) AS df FROM frames GROUP BY 1
+    )
+    SELECT fr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN q.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(SUM(CASE WHEN q.df >= 2 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS shared_frame_frac
+    FROM frames fr JOIN freq q USING (frame_md5)
+    GROUP BY 1
+    """,
+    doc="Cross-asset frame-level dedup — tx16's chunk detector applied to "
+    "MEDIA: frames sampled by mm03's Arrow-batched decoder key on their "
+    "content fingerprint, and every asset is scored by the fraction of "
+    "its frames appearing in at least one OTHER asset — the re-upload / "
+    "shared-intro / watermark-template detector video corpora need "
+    "(whole-file hashes miss re-encodes that share most frames). The "
+    "decode kernel is mm03's deterministic stub, so the ENTIRE media "
+    "pipeline — fan-out, fingerprinting, cross-asset frequency, "
+    "per-asset scoring — is oracle-checked; a real deployment swaps the "
+    "kernel (ffmpeg keyframes, perceptual pHash instead of md5) and "
+    "keeps the same frequency/scoring plan. The exchange carries "
+    "16-byte fingerprints, never frames.",
+    tags=("multimodal", "dedup", "frames", "llm"),
+)
+def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx long, n_frames long, frame_md5 string",
+    ).select("doc_id", "frame_md5")
+    freq = frames.groupBy("frame_md5").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    shared = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        frames.join(freq, "frame_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            F.round(F.sum(shared.cast("double")) / F.count("*"), 6).alias(
+                "shared_frame_frac"
+            ),
+        )
+    )
