@@ -3,12 +3,12 @@
 Ordering matters: the external driver's correctness harness checks the
 FIRST 50 entries of ``queries()`` in dict order. The priority list below
 rotates by staleness: queries that have never had a driver row lead,
-then the round-3 merges (new names), then everything whose last green
-row is oldest. Queries verified last round follow the window in module
-order — nothing is ever dropped from the declared surface, and with
-~126 declared queries the whole surface re-verifies every ~2.5 rounds
-(the rotation always puts never-checked and oldest-evidence queries
-first, so staleness is bounded even as the surface grows).
+then anything rebuilt since its last row, then everything whose last
+green row is oldest. Queries verified last round follow the window in
+module order — nothing is ever dropped from the declared surface, and
+with ~156 declared queries the whole surface re-verifies every ~3
+rounds (the rotation always puts never-checked and oldest-evidence
+queries first, so staleness is bounded even as the surface grows).
 """
 
 from __future__ import annotations
