@@ -124,6 +124,7 @@ HEADLINE = [
     "dd16_bow_dedup",
     "sm15_similarity_histogram",
     "mm06_frame_dedup",
+    "x50_decile_lift",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

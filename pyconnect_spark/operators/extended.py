@@ -1449,3 +1449,70 @@ REGISTRY.register(
     doc=x49.__doc__,
     tags=("agg", "sketch", "hll", "mergeable", "approx"),
 )(x49)
+
+
+@REGISTRY.register(
+    "x50_decile_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS purchased
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM per_user
+    ),
+    base AS (
+      SELECT SUM(purchased) * 1.0 / COUNT(*) AS rate FROM per_user
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+           round(SUM(purchased) * 1.0 / COUNT(*), 6) AS conv_rate,
+           round(SUM(purchased) * 1.0 / COUNT(*) / base.rate, 6) AS lift
+    FROM ranked CROSS JOIN base
+    GROUP BY 1, base.rate
+    """,
+    doc="Decile lift table — THE evaluation artifact for any targeting/"
+    "ranking model: users rank by a score (here engagement = view "
+    "count; swap in a model score column unchanged), split into "
+    "deciles, and each decile's conversion rate is compared with the "
+    "base rate. A useful score shows lift >> 1 in decile 1 decaying "
+    "toward 1; a flat table means the score carries no signal. The "
+    "ntile runs over (score DESC, user_id) — a total order, so both "
+    "engines assign identical deciles — on the user-level frame (one "
+    "combiner-shrunk fact pass), and the global window sorts |users| "
+    "rows, not events; at 100 TB swap ntile for a percentile-threshold "
+    "join if the user frame outgrows a single sort (same numbers, "
+    "two-pass).",
+    tags=("agg", "lift", "evaluation", "ranking"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("int")).cast("long").alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    ranked = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("score"), "user_id"))
+    )
+    base = per_user.agg(
+        (F.sum("purchased") / F.count("*")).alias("rate")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy(F.col("decile").cast("long").alias("decile"), "rate")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("purchased").cast("long").alias("n_purchasers"),
+            F.round(F.sum("purchased") / F.count("*"), 6).alias("conv_rate"),
+            F.round(F.sum("purchased") / F.count("*") / F.col("rate"), 6).alias("lift"),
+        )
+        .drop("rate")
+    )
