@@ -125,6 +125,8 @@ HEADLINE = [
     "sm15_similarity_histogram",
     "mm06_frame_dedup",
     "x50_decile_lift",
+    "ts27_peak_days",
+    "dd17_dedup_funnel",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

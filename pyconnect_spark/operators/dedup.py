@@ -1580,3 +1580,88 @@ def dd16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_reorder_only_groups"
         ),
     )
+
+
+@REGISTRY.register(
+    "dd17_dedup_funnel",
+    oracle=r"""
+    WITH keys AS (
+      SELECT doc_id, md5(text) AS exact_key,
+             md5(array_to_string(list_sort(string_split_regex(trim(text),
+                 '\s+')), ' ')) AS bow_key
+      FROM documents
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS raw,
+             CAST(COUNT(DISTINCT exact_key) AS DOUBLE) AS after_exact,
+             CAST(COUNT(DISTINCT bow_key) AS DOUBLE) AS after_bow
+      FROM keys
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 4, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+                                               CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))) AS sh
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    nd AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS pairs FROM (
+        SELECT a.doc_id, b.doc_id
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) * 1.0 /
+               ((SELECT n FROM sz WHERE doc_id = a.doc_id)
+                + (SELECT n FROM sz WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.8
+      )
+    )
+    SELECT * FROM (
+      SELECT 'raw_docs' AS stage, raw AS value FROM counts
+      UNION ALL SELECT 'after_exact_dedup', after_exact FROM counts
+      UNION ALL SELECT 'exact_removed', raw - after_exact FROM counts
+      UNION ALL SELECT 'after_bow_dedup', after_bow FROM counts
+      UNION ALL SELECT 'bow_removed_beyond_exact', after_exact - after_bow
+      FROM counts
+      UNION ALL SELECT 'neardup_pairs_t080', pairs FROM nd
+    )
+    """,
+    doc="Dedup funnel report — the one-page answer to 'how duplicated is "
+    "this corpus, and which tier earns its cost': raw docs, survivors "
+    "after exact (raw-text md5) and after bag-of-words "
+    "(reorder-invariant) dedup, the incremental removal each tier adds, "
+    "and the count of ≥0.8-Jaccard near-dup pairs the fuzzy tier would "
+    "still have to arbitrate — the numbers a pipeline owner reads "
+    "BEFORE deciding whether to run the expensive tiers at all (a "
+    "near-zero neardup_pairs row means dd03/dd14 can be skipped this "
+    "snapshot). The exact/bow stages are two distinct-counts over one "
+    "fingerprint scan; the near-dup pair count reuses dd14's exact "
+    "join. Six fixed rows regardless of corpus size.",
+    tags=("dedup", "llm", "funnel", "report"),
+)
+def dd17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.md5("text").alias("exact_key"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.split(F.trim(F.col("text")), r"\s+")))
+        ).alias("bow_key"),
+    )
+    counts = keys.agg(
+        F.count("*").cast("double").alias("raw"),
+        F.count_distinct("exact_key").cast("double").alias("after_exact"),
+        F.count_distinct("bow_key").cast("double").alias("after_bow"),
+    )
+    nd = dd14(spark, sf_dir).agg(F.count("*").cast("double").alias("pairs"))
+    stage_rows = counts.select(
+        F.expr(
+            "stack(5, 'raw_docs', raw,"
+            " 'after_exact_dedup', after_exact,"
+            " 'exact_removed', raw - after_exact,"
+            " 'after_bow_dedup', after_bow,"
+            " 'bow_removed_beyond_exact', after_exact - after_bow)"
+            " AS (stage, value)"
+        )
+    )
+    return stage_rows.unionAll(
+        nd.select(F.lit("neardup_pairs_t080").alias("stage"), F.col("pairs").alias("value"))
+    )

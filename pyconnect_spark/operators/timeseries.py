@@ -1568,3 +1568,58 @@ def ts26(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - prev).cast("long").alias("wow_delta"),
         F.round((F.col("n") - prev) * 100.0 / prev, 6).alias("wow_pct"),
     )
+
+
+@REGISTRY.register(
+    "ts27_peak_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(CASE WHEN n > COALESCE(lag(n) OVER w, -1)
+                      AND n > COALESCE(lead(n) OVER w, -1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_peak,
+           CAST(CASE WHEN n < COALESCE(lag(n) OVER w, n + 1)
+                      AND n < COALESCE(lead(n) OVER w, n + 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_trough
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    doc="Local peak/trough detection per series: a day is a peak iff it "
+    "strictly exceeds both calendar neighbors (edges count as peaks "
+    "against a -1 sentinel, troughs symmetrically) — the turning-point "
+    "annotation layered under every anomaly triage dashboard (ts15/x39 "
+    "say a value is EXTREME; this says it is a local EXTREMUM, which "
+    "needs neighbors, not distributions). One lag+lead window pass "
+    "over the |types|x|days| pre-aggregate — corpus cost is the daily "
+    "count exchange the other calendar operators already share. "
+    "COALESCE sentinels make edge semantics explicit and identical in "
+    "both engines.",
+    tags=("timeseries", "peaks", "anomaly", "window"),
+)
+def ts27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.coalesce(F.lag("n").over(w), F.lit(-1))
+    nxt = F.coalesce(F.lead("n").over(w), F.lit(-1))
+    prev_t = F.coalesce(F.lag("n").over(w), F.col("n") + 1)
+    nxt_t = F.coalesce(F.lead("n").over(w), F.col("n") + 1)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.when((F.col("n") > prev) & (F.col("n") > nxt), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_peak"),
+        F.when((F.col("n") < prev_t) & (F.col("n") < nxt_t), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_trough"),
+    )
