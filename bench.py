@@ -127,6 +127,7 @@ HEADLINE = [
     "x50_decile_lift",
     "ts27_peak_days",
     "dd17_dedup_funnel",
+    "x51_psi_drift",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1516,3 +1516,110 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("rate")
     )
+
+
+@REGISTRY.register(
+    "x51_psi_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi,
+             MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN CAST(e.ts AS DATE) <
+                       b.d0 + CAST(CAST(date_diff('day', b.d0, b.d1) AS BIGINT) / 2
+                                   AS INT)
+                  THEN 'a' ELSE 'b' END AS period,
+             LEAST(9, CAST(floor((e.value - b.lo) / (b.hi - b.lo) * 10)
+                           AS BIGINT)) AS bin
+      FROM events e CROSS JOIN bounds b
+    ),
+    grid AS (
+      SELECT t.event_type, g.bin,
+             CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      FROM (SELECT DISTINCT event_type FROM binned) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+      LEFT JOIN binned x ON x.event_type = t.event_type AND x.bin = g.bin
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb FROM grid GROUP BY 1
+    )
+    SELECT g.event_type,
+           round(SUM(((g.na + 0.5) / (t.ta + 5) - (g.nb + 0.5) / (t.tb + 5))
+                 * ln(((g.na + 0.5) / (t.ta + 5))
+                      / ((g.nb + 0.5) / (t.tb + 5)))), 6) AS psi,
+           CAST(t.ta AS BIGINT) AS n_first_half,
+           CAST(t.tb AS BIGINT) AS n_second_half
+    FROM grid g JOIN tot t USING (event_type)
+    GROUP BY 1, t.ta, t.tb
+    """,
+    doc="Population stability index of the value distribution between the "
+    "first and second half of the time range, per event_type — the "
+    "model-monitoring drift score (industry rules of thumb: <0.1 "
+    "stable, 0.1-0.25 watch, >0.25 shifted) built on x45's equal-width "
+    "bins, with Laplace smoothing (+0.5/bin) so empty bins never "
+    "produce infinite terms and both engines' logs agree after 6dp "
+    "rounding. The dense (type x 10-bin x 2-period) grid materializes "
+    "via a LEFT JOIN against the bin spine, so missing bins COUNT as "
+    "smoothed zeros instead of silently dropping — the subtle bug most "
+    "hand-rolled PSI jobs ship with. One fact pass + fixed-size "
+    "grid aggregation; sm13 is this operator's embedding-space "
+    "sibling.",
+    tags=("agg", "psi", "drift", "monitoring"),
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    mid_off = (F.datediff("d1", "d0").cast("long") / 2).cast("int")
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.date_add(F.col("d0"), mid_off), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast(
+                "long"
+            ),
+        ).alias("bin"),
+    )
+    types = binned.select("event_type").distinct()
+    spine = types.crossJoin(
+        binned.sparkSession.range(10).select(F.col("id").alias("bin"))
+    )
+    grid = (
+        spine.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum((F.col("period") == "a").cast("int")).cast("double").alias("na"),
+            F.sum((F.col("period") == "b").cast("int")).cast("double").alias("nb"),
+        )
+        .fillna({"na": 0.0, "nb": 0.0})
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 5)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 5)
+    return (
+        grid.join(tot, "event_type")
+        .groupBy("event_type", "ta", "tb")
+        .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+        .select(
+            "event_type",
+            "psi",
+            F.col("ta").cast("long").alias("n_first_half"),
+            F.col("tb").cast("long").alias("n_second_half"),
+        )
+    )
