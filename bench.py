@@ -128,6 +128,8 @@ HEADLINE = [
     "ts27_peak_days",
     "dd17_dedup_funnel",
     "x51_psi_drift",
+    "ts28_autocorrelation",
+    "x52_benford_audit",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

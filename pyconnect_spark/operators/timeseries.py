@@ -1623,3 +1623,59 @@ def ts27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_trough"),
     )
+
+
+@REGISTRY.register(
+    "ts28_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, n,
+             lag(n, 1) OVER w AS l1,
+             lag(n, 2) OVER w AS l2,
+             lag(n, 7) OVER w AS l7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(corr(n, l1), 6) AS acf_1,
+           round(corr(n, l2), 6) AS acf_2,
+           round(corr(n, l7), 6) AS acf_7
+    FROM lagged GROUP BY 1
+    """,
+    doc="Autocorrelation of daily volume at lags 1, 2, and 7 per series — "
+    "the seasonality detector that DECIDES which downstream model "
+    "applies: high acf_7 says weekly seasonality (use ts19's profile "
+    "baseline), high acf_1 says momentum (ts22's Holt trend), all-flat "
+    "says white noise (ts15's z-scores suffice). Lagged copies come "
+    "from one ordered window pass over the |types|x|days| "
+    "pre-aggregate; corr() is a single-pass moment aggregate (same "
+    "family as ts21's regr_*), and NULL lag rows drop out of each "
+    "pair's correlation exactly as the textbook ACF does. Corpus cost "
+    "is the shared daily-count exchange; the statistics run on "
+    "calendar-sized frames.",
+    tags=("timeseries", "acf", "seasonality", "stats"),
+)
+def ts28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 2).over(w).alias("l2"),
+        F.lag("n", 7).over(w).alias("l7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("n", "l1"), 6).alias("acf_1"),
+        F.round(F.corr("n", "l2"), 6).alias("acf_2"),
+        F.round(F.corr("n", "l7"), 6).alias("acf_7"),
+    )
