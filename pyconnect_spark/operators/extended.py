@@ -1692,3 +1692,135 @@ def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+@REGISTRY.register(
+    "x53_rfm_segments",
+    oracle=f"""
+    WITH horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    rfm AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), hz.h)
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_dsum('o.o_totalprice')} AS monetary
+      FROM orders o CROSS JOIN horizon hz
+      GROUP BY 1, hz.h
+    ),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation — the CRM workhorse: per customer, Recency "
+    "(days since last order vs the corpus horizon), Frequency (order "
+    "count), Monetary (exact-decimal lifetime value), each scored into "
+    "quintiles over a TOTAL order (ties break on custkey, so both "
+    "engines assign identical codes), then customers roll up into the "
+    "125-cell segment grid with headcount and value — champions "
+    "(1,1,1) to lost (5,5,5), the targeting input x50's lift table "
+    "evaluates. One customer-keyed fact aggregation, three ntile "
+    "windows over the |customers| frame (swap for percentile-threshold "
+    "joins past single-sort scale), one tiny grid rollup.",
+    tags=("agg", "rfm", "segmentation", "crm"),
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("h"))
+    rfm = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("o_custkey").alias("custkey"), "h")
+        .agg(
+            F.datediff("h", F.max(F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "segment_value"
+        ),
+    )
+
+
+@REGISTRY.register(
+    "x54_market_concentration",
+    oracle=f"""
+    WITH seg AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             {sql_dsum('o.o_totalprice')} AS v
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, SUM(v) AS t FROM seg GROUP BY 1)
+    SELECT s.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(SUM((s.v / t.t) * (s.v / t.t)) * 10000, 6) AS hhi,
+           round(MAX(s.v) / t.t, 6) AS top_share
+    FROM seg s JOIN tot t USING (nation)
+    GROUP BY 1, t.t
+    """,
+    doc="Market-concentration audit per nation: the Herfindahl-Hirschman "
+    "index (sum of squared customer revenue shares x 10000 — the "
+    "antitrust scale where <1500 is competitive and >2500 concentrated) "
+    "plus the single largest customer's share — the "
+    "revenue-concentration risk number (a nation whose revenue is one "
+    "customer is a churn time bomb; the same math scores supplier "
+    "dependency and corpus source dominance, cf. x38). Exact-decimal "
+    "revenue per (nation, customer), then shares against a broadcast "
+    "total — two hash aggregations and a tiny join, no window, no "
+    "sort.",
+    tags=("agg", "hhi", "concentration", "risk"),
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(dsum("o_totalprice").alias("v"))
+    )
+    tot = seg.groupBy("nation").agg(F.sum("v").alias("t"))
+    share = F.col("v") / F.col("t")
+    return (
+        seg.join(tot, "nation")
+        .groupBy("nation", "t")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum(share * share) * 10000, 6).alias("hhi"),
+            F.round(F.max("v") / F.col("t"), 6).alias("top_share"),
+        )
+        .drop("t")
+    )
