@@ -1679,3 +1679,110 @@ def ts28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("n", "l2"), 6).alias("acf_2"),
         F.round(F.corr("n", "l7"), 6).alias("acf_7"),
     )
+
+
+@REGISTRY.register(
+    "ts29_survival_curve",
+    oracle="""
+    WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+    users AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY 1
+    ),
+    spans AS (
+      SELECT u.user_id,
+             CASE WHEN u.tp IS NOT NULL AND u.tp >= u.t0
+                  THEN CAST(floor((epoch_us(u.tp) - epoch_us(u.t0)) / 86400e6)
+                            AS BIGINT)
+                  ELSE CAST(floor((epoch_us(hz.h) - epoch_us(u.t0)) / 86400e6)
+                            AS BIGINT) END AS day,
+             CASE WHEN u.tp IS NOT NULL AND u.tp >= u.t0 THEN 1 ELSE 0 END
+                 AS converted
+      FROM users u CROSS JOIN horizon hz
+      WHERE u.t0 IS NOT NULL
+    ),
+    daily AS (
+      SELECT day,
+             CAST(SUM(converted) AS DOUBLE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS leaving
+      FROM spans GROUP BY 1
+    ),
+    km AS (
+      SELECT day, d, leaving,
+             (SELECT COUNT(*) FROM spans) -
+             COALESCE(SUM(leaving) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_at_risk
+      FROM daily
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_converted,
+           CAST(leaving - d AS BIGINT) AS n_censored,
+           round(exp(SUM(ln(1 - d / n_at_risk))
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
+               AS survival
+    FROM km WHERE d > 0 OR leaving > d
+    """,
+    doc="Kaplan-Meier survival of first-view-to-purchase conversion with "
+    "RIGHT-CENSORING — the estimator that answers 'what fraction has "
+    "not yet converted by day d' WITHOUT the bias of dropping users "
+    "the observation window cut off (x41's lag percentiles use only "
+    "converters; this uses everyone, which is why survival curves are "
+    "the standard for time-to-event). Users reduce to (duration-days, "
+    "converted-flag) where non-converters censor at the corpus "
+    "horizon; the day-level at-risk counts come from a running sum of "
+    "prior departures, and S(d) = prod(1 - d_i/n_i) evaluates in the "
+    "log domain as exp(running-sum(ln)) — one ordered window over the "
+    "|days| frame, no iteration. Corpus cost is one user-keyed "
+    "conditional-MIN pass (ts06's trick); the estimator runs on "
+    "calendar-sized rows.",
+    tags=("timeseries", "survival", "kaplan-meier", "censoring"),
+)
+def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    users = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    conv = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    spans = (
+        users.crossJoin(F.broadcast(horizon))
+        .filter(F.col("t0").isNotNull())
+        .select(
+            F.when(
+                conv,
+                F.floor((F.unix_micros("tp") - F.unix_micros("t0")) / 86400e6),
+            )
+            .otherwise(F.floor((F.unix_micros("h") - F.unix_micros("t0")) / 86400e6))
+            .cast("long")
+            .alias("day"),
+            F.when(conv, 1).otherwise(0).alias("converted"),
+        )
+    )
+    n_total = spans.agg(F.count("*").cast("double").alias("nt"))
+    daily = spans.groupBy("day").agg(
+        F.sum("converted").cast("double").alias("d"),
+        F.count("*").cast("double").alias("leaving"),
+    )
+    w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km = daily.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_at_risk",
+        F.col("nt") - F.coalesce(F.sum("leaving").over(w_prior), F.lit(0.0)),
+    )
+    return (
+        km.filter((F.col("d") > 0) | (F.col("leaving") > F.col("d")))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_converted"),
+            (F.col("leaving") - F.col("d")).cast("long").alias("n_censored"),
+            F.round(
+                F.exp(F.sum(F.log(1 - F.col("d") / F.col("n_at_risk"))).over(w_run)), 6
+            ).alias("survival"),
+        )
+    )
