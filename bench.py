@@ -133,6 +133,7 @@ HEADLINE = [
     "x53_rfm_segments",
     "x54_market_concentration",
     "ts29_survival_curve",
+    "tx26_lang_leakage",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1568,3 +1568,53 @@ def tx25(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("effective_tokens").cast("double") / F.col("raw_tokens"), 6
         ).alias("dup_token_frac"),
     )
+
+
+@REGISTRY.register(
+    "tx26_lang_leakage",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS f, lang, doc_id FROM documents
+    ),
+    grp AS (
+      SELECT f,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM fp GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_lang_texts,
+           CAST(SUM(CASE WHEN n_langs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_docs_affected,
+           round(SUM(CASE WHEN n_langs > 1 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS leakage_frac
+    FROM grp
+    """,
+    doc="Language-label leakage audit: identical text appearing under "
+    "MORE THAN ONE language label — always a labeling bug (the same "
+    "bytes cannot be two languages), and a quiet poisoner of "
+    "per-language mixture weights, tx02-style lang-ID training "
+    "sets, and tx19's per-split vocabularies. One fingerprint "
+    "aggregation carrying a distinct-lang count (16-byte keys, the "
+    "dd01 exchange with a lang payload); reports affected distinct "
+    "texts, affected doc rows, and the leakage fraction. The same "
+    "shape audits ANY label column against content identity — swap "
+    "lang for source (dd11 does the pairwise version) or license tag.",
+    tags=("text", "llm", "lang", "audit", "labels"),
+)
+def tx26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grp = docs.groupBy(F.md5("text").alias("f")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    multi = F.col("n_langs") > 1
+    return grp.agg(
+        F.count("*").cast("long").alias("n_distinct_texts"),
+        F.sum(multi.cast("int")).cast("long").alias("n_cross_lang_texts"),
+        F.sum(F.when(multi, F.col("n_docs")).otherwise(0)).cast("long").alias(
+            "n_docs_affected"
+        ),
+        F.round(F.sum(multi.cast("double")) / F.count("*"), 6).alias("leakage_frac"),
+    )
