@@ -1711,9 +1711,8 @@ def ts28(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     km AS (
       SELECT day, d, leaving,
-             (SELECT COUNT(*) FROM spans) -
-             COALESCE(SUM(leaving) OVER (ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             SUM(leaving) OVER (ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                  AS n_at_risk
       FROM daily
     )
@@ -1763,17 +1762,17 @@ def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(conv, 1).otherwise(0).alias("converted"),
         )
     )
-    n_total = spans.agg(F.count("*").cast("double").alias("nt"))
     daily = spans.groupBy("day").agg(
         F.sum("converted").cast("double").alias("d"),
         F.count("*").cast("double").alias("leaving"),
     )
-    w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # at-risk = everyone who departs on this day or later: a SUFFIX sum
+    # over the same day frame — deriving it from a separate COUNT(*) agg
+    # would re-execute the whole user-reduction subtree (the plan test
+    # pins events at <= 2 scans: horizon + the conditional-MIN pass)
+    w_suffix = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    km = daily.crossJoin(F.broadcast(n_total)).withColumn(
-        "n_at_risk",
-        F.col("nt") - F.coalesce(F.sum("leaving").over(w_prior), F.lit(0.0)),
-    )
+    km = daily.withColumn("n_at_risk", F.sum("leaving").over(w_suffix))
     return (
         km.filter((F.col("d") > 0) | (F.col("leaving") > F.col("d")))
         .select(

@@ -468,3 +468,41 @@ def test_ts20_single_user_exchange(spark):
         if "SinglePartition" not in m.group(0)
     ]
     assert len(big) <= 2, text  # one for the window pass, one for the agg
+
+
+def test_ts24_interval_union_single_user_exchange(spark):
+    # the interval sweep (cummax flag, group numbering, span agg) must all
+    # run under one user_id exchange — no join anywhere
+    text = explain_str(_Q["ts24_active_time"](spark, SF))
+    assert "Join" not in text
+    import re
+
+    ex = [m.group(0) for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n[^\n]*", text)]
+    non_single = [e for e in ex if "SinglePartition" not in e]
+    assert len(non_single) <= 2, text  # window pass + final agg reuse
+
+
+def test_x53_rfm_windows_sort_users_not_orders(spark):
+    # the three ntile windows run AFTER the customer-level aggregation;
+    # the orders fact feeds exactly two scans (the scalar horizon and the
+    # per-customer reduction — at scale the horizon is a metadata-only
+    # max under parquet aggregate pushdown)
+    text = explain_str(_Q["x53_rfm_segments"](spark, SF))
+    assert text.count("orders.parquet") <= 2, text
+    assert "Window" in text
+
+
+def test_ts29_survival_runs_on_calendar_frame(spark):
+    # the KM estimator's windows evaluate on the day-level frame; the
+    # events fact feeds exactly two scans (horizon + the user reduction)
+    text = explain_str(_Q["ts29_survival_curve"](spark, SF))
+    assert text.count("events.parquet") <= 2, text
+
+
+def test_dd16_bow_exchange_carries_hashes_not_text(spark):
+    # the canonical-key aggregation must shuffle md5 output, never text
+    import re
+
+    text = explain_str(_Q["dd16_bow_dedup"](spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
+        assert "text#" not in m.group(0), m.group(0)
