@@ -1665,3 +1665,40 @@ def dd17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage_rows.unionAll(
         nd.select(F.lit("neardup_pairs_t080").alias("stage"), F.col("pairs").alias("value"))
     )
+
+
+@REGISTRY.register(
+    "dd18_cluster_sizes",
+    oracle="""
+    WITH grp AS (
+      SELECT md5(text) AS f, CAST(COUNT(*) AS BIGINT) AS size
+      FROM documents GROUP BY 1
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM grp GROUP BY 1
+    """,
+    doc="Duplicate cluster-size distribution: how many exact-dup clusters "
+    "exist at each size, the docs they hold, and the removable excess — "
+    "the histogram that tells you whether duplication is a few huge "
+    "template clusters (one hot fingerprint = a skew hazard for every "
+    "hash-keyed dedup shuffle; pre-aggregate or salt THAT key) or a "
+    "long tail of pairs (combiner-friendly, nothing to do). dd01 "
+    "reports the scalar totals; dd17 the funnel; this is the SHAPE, "
+    "which is what decides the physical plan at 100 TB. One 16-byte-"
+    "fingerprint aggregation plus a size-keyed rollup of the tiny "
+    "cluster frame.",
+    tags=("dedup", "llm", "histogram", "skew"),
+)
+def dd18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grp = docs.groupBy(F.md5("text").alias("f")).agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return grp.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("size") - 1) * F.count("*")).cast("long").alias("n_removable"),
+    )

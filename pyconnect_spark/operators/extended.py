@@ -1824,3 +1824,75 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+@REGISTRY.register(
+    "x55_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS partkey, {sql_dsum('l_extendedprice')} AS v
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT partkey, v,
+             SUM(v) OVER (ORDER BY v DESC, partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_v,
+             SUM(v) OVER () AS total_v
+      FROM rev
+    ),
+    classed AS (
+      SELECT partkey, v,
+             CASE WHEN cum_v / total_v <= 0.8 THEN 'A'
+                  WHEN cum_v / total_v <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS class_revenue,
+           round(MIN(v), 2) AS min_part_revenue
+    FROM classed GROUP BY 1
+    """,
+    doc="Pareto / ABC classification of parts by revenue — the inventory-"
+    "management staple (A = the vital few items carrying 80% of "
+    "revenue, B = next 15%, C = the trivial many) that drives stocking "
+    "policy, and the same cumulative-share math that sizes corpus "
+    "source curation (which sources carry 80% of tokens). Revenue "
+    "aggregates exactly per part (one fact exchange), the running "
+    "share comes from a cumulative window over the part-level frame "
+    "under a TOTAL order (ties on partkey, so class boundaries are "
+    "deterministic in both engines), and the class rollup is three "
+    "rows. The window sorts |parts|, never line items.",
+    tags=("agg", "pareto", "abc", "inventory"),
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum("l_extendedprice").alias("v")
+    )
+    w_cum = Window.orderBy(F.desc("v"), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "partkey",
+        "v",
+        (F.sum("v").over(w_cum) / F.sum("v").over(w_all)).alias("share"),
+    )
+    classed = ranked.select(
+        "v",
+        F.when(F.col("share") <= 0.8, "A")
+        .when(F.col("share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "class_revenue"
+        ),
+        F.round(F.min("v"), 2).alias("min_part_revenue"),
+    )
