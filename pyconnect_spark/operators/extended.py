@@ -1896,3 +1896,96 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("v"), 2).alias("min_part_revenue"),
     )
+
+
+@REGISTRY.register(
+    "x56_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey AS custkey,
+             date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    spend AS (
+      SELECT f.custkey, f.cohort,
+             CAST(date_diff('month', f.cohort,
+                  date_trunc('month', CAST(o.o_orderdate AS DATE)))
+                  AS BIGINT) AS offset_m,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o JOIN firsts f ON f.custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM firsts
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT cohort, offset_m,
+             SUM(SUM(CAST(rev AS DECIMAL(18,2)))) OVER (
+               PARTITION BY cohort ORDER BY offset_m
+               ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM spend GROUP BY cohort, offset_m
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort, c.offset_m,
+           z.cohort_users,
+           round(CAST(c.cum_rev AS DOUBLE), 2) AS cum_revenue,
+           round(CAST(c.cum_rev AS DOUBLE) / z.cohort_users, 6)
+               AS ltv_per_user
+    FROM cum c JOIN sizes z USING (cohort)
+    """,
+    doc="Cohort LTV curve: customers group by first-order month, and each "
+    "cohort's cumulative revenue per user unfolds by month offset — the "
+    "payback/LTV grid growth teams steer by (read down a column to "
+    "compare cohort quality at the same age; read along a row for the "
+    "maturation curve), and the revenue-weighted completion of ts07's "
+    "presence-only retention triangle. First-order months come from one "
+    "customer-keyed reduction; per-(cohort, offset) revenue aggregates "
+    "exactly in decimal, and the cumulative curve is a running DECIMAL "
+    "sum per cohort (exact at every prefix, so the curve is bitwise "
+    "stable under any partitioning — running DOUBLE sums would drift "
+    "between engines at some prefix). Window frames are cohort-grid "
+    "sized; the fact shuffles once.",
+    tags=("agg", "ltv", "cohort", "growth"),
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias("cohort")
+    )
+    spend = (
+        o.join(firsts, o["o_custkey"] == firsts["custkey"])
+        .groupBy(
+            "custkey",
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", F.col("o_orderdate").cast("date")))
+                 - F.year("cohort")) * 12
+                + F.month(F.date_trunc("month", F.col("o_orderdate").cast("date")))
+                - F.month("cohort")
+            )
+            .cast("long")
+            .alias("offset_m"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    per_cell = spend.groupBy("cohort", "offset_m").agg(
+        F.sum(F.col("rev").cast("decimal(18,2)")).alias("cell_rev")
+    )
+    w = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_cell.withColumn("cum_rev", F.sum("cell_rev").over(w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "offset_m",
+        "cohort_users",
+        F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+        F.round(F.col("cum_rev").cast("double") / F.col("cohort_users"), 6).alias(
+            "ltv_per_user"
+        ),
+    )
