@@ -1989,3 +1989,100 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+@REGISTRY.register(
+    "x57_growth_decomposition",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+             MAX(CAST(l_shipdate AS DATE)) AS d1
+      FROM lineitem
+    ),
+    per AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN CAST(l.l_shipdate AS DATE) <
+                       b.d0 + CAST(CAST(date_diff('day', b.d0, b.d1)
+                                   AS BIGINT) / 2 AS INT)
+                  THEN 'a' ELSE 'b' END AS period,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT brand,
+             SUM(CASE WHEN period = 'a' THEN qty END) AS qa,
+             SUM(CASE WHEN period = 'a' THEN rev END) AS ra,
+             SUM(CASE WHEN period = 'b' THEN qty END) AS qb,
+             SUM(CASE WHEN period = 'b' THEN rev END) AS rb
+      FROM per GROUP BY 1
+      HAVING SUM(CASE WHEN period = 'a' THEN qty END) > 0
+         AND SUM(CASE WHEN period = 'b' THEN qty END) > 0
+    )
+    SELECT brand,
+           round(rb - ra, 2) AS rev_delta,
+           round((qb - qa) * (ra / qa), 2) AS volume_effect,
+           round(qb * (rb / qb - ra / qa), 2) AS price_mix_effect
+    FROM wide
+    """,
+    doc="Revenue growth decomposition per brand between the first and "
+    "second half of the time range: delta-revenue splits EXACTLY into a "
+    "volume effect ((q_b - q_a) x old unit price) and a price/mix "
+    "effect (q_b x unit-price change) — the Laspeyres-style bridge "
+    "every revenue review walks ('did we sell more, or sell dearer?'), "
+    "and the two terms reconcile to the delta by construction (an "
+    "algebraic identity the oracle verifies numerically on every "
+    "brand). Quantities and revenues aggregate exactly in decimal per "
+    "(brand, period) — one fact pass with a broadcast part join — and "
+    "the decomposition is arithmetic on the |brands|-row frame.",
+    tags=("agg", "decomposition", "growth", "bridge"),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bounds = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("d0"),
+        F.max(F.col("l_shipdate").cast("date")).alias("d1"),
+    )
+    mid_off = (F.datediff("d1", "d0").cast("long") / 2).cast("int")
+    per = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.col("l_shipdate").cast("date") < F.date_add(F.col("d0"), mid_off), "a"
+            )
+            .otherwise("b")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    wide = (
+        per.groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", F.col("qty"))).alias("qa"),
+            F.sum(F.when(F.col("period") == "a", F.col("rev"))).alias("ra"),
+            F.sum(F.when(F.col("period") == "b", F.col("qty"))).alias("qb"),
+            F.sum(F.when(F.col("period") == "b", F.col("rev"))).alias("rb"),
+        )
+        .filter((F.col("qa") > 0) & (F.col("qb") > 0))
+    )
+    return wide.select(
+        "brand",
+        F.round(F.col("rb") - F.col("ra"), 2).alias("rev_delta"),
+        F.round((F.col("qb") - F.col("qa")) * (F.col("ra") / F.col("qa")), 2).alias(
+            "volume_effect"
+        ),
+        F.round(
+            F.col("qb") * (F.col("rb") / F.col("qb") - F.col("ra") / F.col("qa")), 2
+        ).alias("price_mix_effect"),
+    )

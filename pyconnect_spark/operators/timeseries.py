@@ -1785,3 +1785,54 @@ def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+@REGISTRY.register(
+    "ts30_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) AS g
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(g) AS BIGINT) AS n_gaps,
+           round(AVG(g) / 1e6, 6) AS mean_gap_s,
+           round(stddev_samp(g) / 1e6, 6) AS std_gap_s,
+           round(stddev_samp(g) / AVG(g), 6) AS cv,
+           round((stddev_samp(g) - AVG(g)) / (stddev_samp(g) + AVG(g)), 6)
+               AS burstiness
+    FROM gaps GROUP BY 1
+    """,
+    doc="Burstiness of each event stream from inter-arrival statistics: "
+    "the coefficient of variation of gaps and the Goh-Barabasi "
+    "burstiness index B = (sigma - mu)/(sigma + mu) — B near -1 is a "
+    "metronome (scheduled jobs), near 0 is Poisson (organic arrivals), "
+    "toward +1 is bursty (cascades, incidents, scrapers). This is the "
+    "PROCESS-character diagnostic that tells you whether ts01's fixed "
+    "windows or ts02's gap sessions fit the stream, and a bot signal "
+    "(machine traffic is far from Poisson in either direction). One "
+    "type-keyed ordered window for the gaps, then single-pass moment "
+    "aggregates — the sessionize exchange with statistics instead of "
+    "a threshold.",
+    tags=("timeseries", "burstiness", "poisson", "stats"),
+)
+def ts30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .cast("double")
+        .alias("g"),
+    )
+    mu = F.avg("g")
+    sd = F.stddev_samp("g")
+    return gaps.groupBy("event_type").agg(
+        F.count("g").cast("long").alias("n_gaps"),
+        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        F.round(sd / 1e6, 6).alias("std_gap_s"),
+        F.round(sd / mu, 6).alias("cv"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )

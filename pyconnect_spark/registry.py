@@ -81,7 +81,8 @@ _PRIORITY = [
 # x50_decile_lift, ts27_peak_days, dd17_dedup_funnel, x51_psi_drift,
 # ts28_autocorrelation, x52_benford_audit, x53_rfm_segments,
 # x54_market_concentration, ts29_survival_curve, tx26_lang_leakage,
-# x55_pareto_abc, dd18_cluster_sizes, x56_cohort_ltv) and
+# x55_pareto_abc, dd18_cluster_sizes, x56_cohort_ltv,
+# x57_growth_decomposition, ts30_burstiness) and
 # any round-5 additions first, then the
 # r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
