@@ -139,6 +139,7 @@ HEADLINE = [
     "x56_cohort_ltv",
     "x57_growth_decomposition",
     "ts30_burstiness",
+    "x58_basket_size",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -2086,3 +2086,45 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qb") * (F.col("rb") / F.col("qb") - F.col("ra") / F.col("qa")), 2
         ).alias("price_mix_effect"),
     )
+
+
+@REGISTRY.register(
+    "x58_basket_size",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             {sql_dsum('l_extendedprice')} AS order_value
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(order_value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_order_value,
+           round(CAST(SUM(CAST(order_value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM per_order GROUP BY 1
+    """,
+    doc="Basket-size distribution: orders histogram by line-item count "
+    "with average and total order value per basket size — the "
+    "merchandising curve (do bigger baskets carry superlinear value?) "
+    "and the operational input for picking batch sizes in fulfillment, "
+    "plus the retail twin of tx18's length-bucket audit. One orderkey "
+    "exchange builds the per-order frame (map-side combine on the "
+    "natural key); the histogram aggregates the |orders| frame on a "
+    "handful of size keys. Exact decimal throughout — AOV is an exact "
+    "sum divided by an exact count.",
+    tags=("agg", "basket", "histogram", "retail"),
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum("l_extendedprice").alias("order_value"),
+    )
+    dec_sum = F.sum(F.col("order_value").cast("decimal(18,2)")).cast("double")
+    return per_order.groupBy("n_items").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(dec_sum / F.count("*"), 6).alias("avg_order_value"),
+        F.round(dec_sum, 2).alias("total_value"),
+    )

@@ -1618,3 +1618,52 @@ def tx26(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(multi.cast("double")) / F.count("*"), 6).alias("leakage_frac"),
     )
+
+
+def tx27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality score (Arrow-batched pandas UDF): each
+    document's zlib-compressed size over raw size — the model-free
+    repetition/junk detector used across crawl pipelines (highly
+    compressible text is template/repeated filler even when tx08's
+    explicit n-gram counters miss the pattern; near-incompressible text
+    is often encoded blobs or noise — BOTH tails get flagged). zlib has
+    no SQL analog, so this is a declared rows-only query (same tier as
+    the Gaussian ANN projections) verified instead by a pytest replay
+    against direct python zlib on the same strings. The UDF is an
+    Arrow-batched pandas_udf (one python call per batch, not per row —
+    b24 documents the per-row cost this avoids); at 100 TB this is the
+    pattern every 'needs-a-C-library' scorer follows."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratios(texts):
+        import zlib
+
+        return texts.map(
+            lambda s: round(
+                len(zlib.compress(s.encode("utf-8"), 6)) / max(len(s.encode("utf-8")), 1), 6
+            )
+        )
+
+    # lambda form: under `from __future__ import annotations` the hinted
+    # form stringifies to 'pd.Series', which pyspark cannot resolve here
+    zratio = pandas_udf(_ratios, "double")
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", zratio("text").alias("zlib_ratio"))
+    flagged = scored.select(
+        "doc_id",
+        "zlib_ratio",
+        F.when((F.col("zlib_ratio") < 0.25) | (F.col("zlib_ratio") > 0.95), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("flagged"),
+    )
+    return flagged
+
+
+REGISTRY.register(
+    "tx27_compression_quality",
+    oracle=None,
+    doc=tx27.__doc__,
+    tags=("text", "llm", "quality", "compression", "udf"),
+)(tx27)

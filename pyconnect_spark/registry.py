@@ -82,7 +82,8 @@ _PRIORITY = [
 # ts28_autocorrelation, x52_benford_audit, x53_rfm_segments,
 # x54_market_concentration, ts29_survival_curve, tx26_lang_leakage,
 # x55_pareto_abc, dd18_cluster_sizes, x56_cohort_ltv,
-# x57_growth_decomposition, ts30_burstiness) and
+# x57_growth_decomposition, ts30_burstiness, x58_basket_size,
+# tx27_compression_quality) and
 # any round-5 additions first, then the
 # r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,

@@ -641,3 +641,26 @@ def test_lsh_plan_recovers_the_production_banding():
         p8 = 1 - (1 - s**8) ** 8
         p16 = 1 - (1 - s**8) ** 16
         assert p16 > p8
+
+
+def test_tx27_compression_matches_direct_zlib(spark):
+    """The Arrow-batched compression scorer equals direct python zlib on
+    the same strings (and the flag thresholds behave)."""
+    import zlib
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators.text import tx27
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: (r["zlib_ratio"], r["flagged"]) for r in tx27(spark, sf).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        raw = text.encode("utf-8")
+        expect = round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)
+        ratio, flagged = got[doc_id]
+        assert ratio == expect, doc_id
+        assert flagged == (1 if (ratio < 0.25 or ratio > 0.95) else 0)
