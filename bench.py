@@ -140,6 +140,8 @@ HEADLINE = [
     "x57_growth_decomposition",
     "ts30_burstiness",
     "x58_basket_size",
+    "ts31_transition_latency",
+    "dd19_novelty_rate",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

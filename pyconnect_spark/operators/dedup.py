@@ -1702,3 +1702,68 @@ def dd18(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("size") * F.count("*")).cast("long").alias("n_docs"),
         ((F.col("size") - 1) * F.count("*")).cast("long").alias("n_removable"),
     )
+
+
+@REGISTRY.register(
+    "dd19_novelty_rate",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(doc_id) + CAST(floor((MAX(doc_id) - MIN(doc_id)) / 2.0)
+                                AS BIGINT) AS mid
+      FROM documents
+    ),
+    snap AS (
+      SELECT d.source, md5(d.text) AS f,
+             CASE WHEN d.doc_id < b.mid THEN 'old' ELSE 'new' END AS snapshot
+      FROM documents d CROSS JOIN bounds b
+    ),
+    seen AS (SELECT DISTINCT f FROM snap WHERE snapshot = 'old')
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+           CAST(SUM(CASE WHEN seen.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen_before,
+           round(1 - SUM(CASE WHEN seen.f IS NOT NULL THEN 1.0 ELSE 0 END)
+                     / COUNT(*), 6) AS novelty_frac
+    FROM snap s LEFT JOIN seen ON seen.f = s.f
+    WHERE s.snapshot = 'new'
+    GROUP BY 1
+    """,
+    doc="Cross-snapshot novelty rate: what fraction of the NEW crawl "
+    "snapshot's documents carry content never seen in the OLD snapshot "
+    "(doc_id halves stand in for the two snapshots at fixture scale; "
+    "production passes two table paths) — the recrawl-budget metric: a "
+    "source whose novelty collapses toward zero is re-serving the same "
+    "pages and should be crawled less, the exact signal S26 enforces "
+    "row-by-row at ingest, aggregated to the per-source planning view. "
+    "Old-snapshot fingerprints reduce to a distinct 16-byte set, the "
+    "new snapshot left-joins it (broadcast when the old set is "
+    "dictionary-sized, shuffle-hash otherwise) — no text in any "
+    "exchange.",
+    tags=("dedup", "llm", "novelty", "crawl"),
+)
+def dd19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # explicit floor — Spark's double->long cast truncates, DuckDB's
+    # rounds half-even (the x52 lesson applied to the snapshot midpoint)
+    bounds = docs.agg(
+        (
+            F.min("doc_id")
+            + F.floor((F.max("doc_id") - F.min("doc_id")) / 2.0).cast("long")
+        ).alias("mid")
+    )
+    snap = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.md5("text").alias("f"),
+        F.when(F.col("doc_id") < F.col("mid"), "old").otherwise("new").alias("snapshot"),
+    )
+    seen = snap.filter(F.col("snapshot") == "old").select("f").distinct().withColumn(
+        "seen", F.lit(1)
+    )
+    new = snap.filter(F.col("snapshot") == "new").join(seen, "f", "left")
+    return new.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_new_docs"),
+        F.sum(F.col("seen").isNotNull().cast("int")).cast("long").alias("n_seen_before"),
+        F.round(
+            1 - F.sum(F.col("seen").isNotNull().cast("double")) / F.count("*"), 6
+        ).alias("novelty_frac"),
+    )

@@ -1836,3 +1836,52 @@ def ts30(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / mu, 6).alias("cv"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     )
+
+
+@REGISTRY.register(
+    "ts31_transition_latency",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur, ts,
+             lead(event_type) OVER w AS nxt,
+             CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+                 AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT cur AS cur_event, nxt AS next_event,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Transition latency distribution: for every adjacent event-type "
+    "pair in a user's stream, the median and p90 time between them — "
+    "x46 says WHICH transitions happen, this says HOW FAST (the "
+    "hesitation map: a slow view->click is friction, a sub-second "
+    "click->purchase is a bot), generalizing x41's single view->"
+    "purchase lag to the full transition matrix. Pairs and gaps come "
+    "from one lead() pass under the user exchange; percentiles "
+    "aggregate on |types|²-bounded keys in exact integer microseconds "
+    "(0.5/0.9 interpolation of longs is exact in double — ts20's "
+    "no-rounding-boundary rule).",
+    tags=("timeseries", "latency", "transitions", "percentile"),
+)
+def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .cast("long")
+        .alias("gap_us"),
+    ).filter(F.col("nxt").isNotNull())
+    return seq.groupBy(
+        F.col("cur").alias("cur_event"), F.col("nxt").alias("next_event")
+    ).agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_gap_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+    )
