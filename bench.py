@@ -142,6 +142,7 @@ HEADLINE = [
     "x58_basket_size",
     "ts31_transition_latency",
     "dd19_novelty_rate",
+    "x59_price_elasticity",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -2128,3 +2128,49 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec_sum / F.count("*"), 6).alias("avg_order_value"),
         F.round(dec_sum, 2).alias("total_value"),
     )
+
+
+@REGISTRY.register(
+    "x59_price_elasticity",
+    oracle="""
+    WITH lines AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_quantity) AS lq,
+             ln(l.l_extendedprice / l.l_quantity) AS lp
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(regr_slope(lq, lp), 6) AS elasticity,
+           round(regr_r2(lq, lp), 6) AS r2
+    FROM lines GROUP BY 1
+    """,
+    doc="Price-elasticity estimate per brand: the OLS slope of ln(quantity) "
+    "on ln(unit price) — the constant-elasticity demand model's "
+    "parameter (slope -1.2 reads 'a 1% price rise loses 1.2% volume'), "
+    "with R² reporting how much the log-log line actually explains "
+    "(near-zero R² = the fixture's independent generator, which the "
+    "audit states rather than hides — same honesty contract as x52). "
+    "One fact pass with a broadcast part join feeding regr_* moment "
+    "aggregates on |brands| keys; ln() outputs round at 6dp under the "
+    "transcendental rule. The economics twin of ts21's volume trend.",
+    tags=("agg", "elasticity", "regression", "economics"),
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    lines = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity")).alias("lq"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+        )
+    )
+    return lines.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.regr_slope("lq", "lp"), 6).alias("elasticity"),
+        F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
+    )
