@@ -2174,3 +2174,67 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("lq", "lp"), 6).alias("elasticity"),
         F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
     )
+
+
+@REGISTRY.register(
+    "x60_repeat_purchase_cycle",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                  lag(CAST(o_orderdate AS DATE)) OVER w,
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(gap_days) AS BIGINT) AS n_repeats,
+             quantile_cont(gap_days, 0.5) AS median_cycle_days
+      FROM gaps GROUP BY 1 HAVING COUNT(gap_days) >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+           round(AVG(median_cycle_days), 6) AS avg_median_cycle,
+           quantile_cont(median_cycle_days, 0.5) AS p50_cycle,
+           quantile_cont(median_cycle_days, 0.9) AS p90_cycle
+    FROM per_cust
+    """,
+    doc="Repeat-purchase cycle: each returning customer's median days "
+    "between consecutive orders, summarized across the base — the "
+    "replenishment-cadence number behind reorder reminders, churn "
+    "cutoffs (ts20's 3x rule needs exactly this baseline on the orders "
+    "grain), and inventory cycling. Per-customer gaps come from one "
+    "lag() pass under the customer exchange (ties on orderkey); "
+    "integer day gaps keep both engines' quantile interpolation exact "
+    "at .5 boundaries (the ts20 rule on the calendar grain). Single-"
+    "row corpus summary + the per-customer frame kept internal.",
+    tags=("agg", "cycle", "repeat", "crm"),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("long").alias("n_repeats"),
+            F.percentile("gap_days", F.lit(0.5)).alias("median_cycle_days"),
+        )
+        .filter(F.col("n_repeats") >= 1)
+    )
+    return per_cust.agg(
+        F.count("*").cast("long").alias("n_repeat_customers"),
+        F.round(F.avg("median_cycle_days"), 6).alias("avg_median_cycle"),
+        F.percentile("median_cycle_days", F.lit(0.5)).alias("p50_cycle"),
+        F.percentile("median_cycle_days", F.lit(0.9)).alias("p90_cycle"),
+    )

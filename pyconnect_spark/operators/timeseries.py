@@ -1885,3 +1885,56 @@ def ts31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", F.lit(0.5)).alias("p50_gap_us"),
         F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
     )
+
+
+@REGISTRY.register(
+    "ts32_weekday_weekend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(day) IN (0, 6) THEN 'weekend'
+                  ELSE 'weekday' END AS kind,
+             n
+      FROM daily
+    )
+    SELECT event_type,
+           round(AVG(CASE WHEN kind = 'weekday' THEN n END), 6)
+               AS weekday_avg,
+           round(AVG(CASE WHEN kind = 'weekend' THEN n END), 6)
+               AS weekend_avg,
+           round(AVG(CASE WHEN kind = 'weekend' THEN n END)
+                 / AVG(CASE WHEN kind = 'weekday' THEN n END), 6)
+               AS weekend_ratio
+    FROM split GROUP BY 1
+    """,
+    doc="Weekday-vs-weekend volume profile per series: average daily "
+    "count on each day class and their ratio — the coarse weekly-"
+    "seasonality summary (consumer traffic ratios > 1, B2B << 1) that "
+    "reads in one number what ts28's acf_7 detects statistically, and "
+    "the capacity-planning split behind weekday/weekend autoscaling "
+    "schedules. DuckDB's dayofweek is 0=Sunday while Spark's "
+    "dayofweek is 1=Sunday — the oracle encodes each engine's own "
+    "convention so the day classes align (a real cross-engine port "
+    "trap). One conditional-avg pass over the shared daily frame.",
+    tags=("timeseries", "seasonality", "profile", "capacity"),
+)
+def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    # Spark dayofweek: 1=Sunday..7=Saturday; weekend = {1, 7}
+    kind = F.when(F.dayofweek("day").isin(1, 7), "weekend").otherwise("weekday")
+    split = daily.select("event_type", kind.alias("kind"), "n")
+    wd = F.avg(F.when(F.col("kind") == "weekday", F.col("n")))
+    we = F.avg(F.when(F.col("kind") == "weekend", F.col("n")))
+    return split.groupBy("event_type").agg(
+        F.round(wd, 6).alias("weekday_avg"),
+        F.round(we, 6).alias("weekend_avg"),
+        F.round(we / wd, 6).alias("weekend_ratio"),
+    )
