@@ -145,6 +145,8 @@ HEADLINE = [
     "x59_price_elasticity",
     "ts32_weekday_weekend",
     "x60_repeat_purchase_cycle",
+    "x61_shipping_sla",
+    "ts33_rolling_wau",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

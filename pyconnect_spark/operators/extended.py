@@ -2238,3 +2238,55 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("median_cycle_days", F.lit(0.5)).alias("p50_cycle"),
         F.percentile("median_cycle_days", F.lit(0.9)).alias("p90_cycle"),
     )
+
+
+@REGISTRY.register(
+    "x61_shipping_sla",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(lag_days, 0.5) AS p50_lag_days,
+           quantile_cont(lag_days, 0.95) AS p95_lag_days,
+           round(SUM(CASE WHEN lag_days <= 30 THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS within_30d_frac
+    FROM lags GROUP BY 1
+    """,
+    doc="Shipping SLA compliance by order priority: order-to-ship lag "
+    "percentiles and the within-30-days fraction — the fulfillment "
+    "scorecard (URGENT lines missing the p95 target is an ops "
+    "escalation; a priority class whose curve matches the others means "
+    "the priority flag is decorative — exactly what this fixture "
+    "shows, and the audit proves it instead of assuming). One "
+    "co-partitioned orderkey join (the x34 shape) feeding percentile "
+    "aggs on 5 priority keys; integer day lags keep interpolation "
+    "exact at .5/.95 grid points of longs.",
+    tags=("agg", "sla", "fulfillment", "percentile"),
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lags = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate").cast("date") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    return lags.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.percentile("lag_days", F.lit(0.5)).alias("p50_lag_days"),
+        F.percentile("lag_days", F.lit(0.95)).alias("p95_lag_days"),
+        F.round(
+            F.sum((F.col("lag_days") <= 30).cast("double")) / F.count("*"), 6
+        ).alias("within_30d_frac"),
+    )

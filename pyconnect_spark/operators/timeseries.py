@@ -1938,3 +1938,51 @@ def ts32(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(we, 6).alias("weekend_avg"),
         F.round(we / wd, 6).alias("weekend_ratio"),
     )
+
+
+@REGISTRY.register(
+    "ts33_rolling_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    support AS (
+      SELECT user_id, day + CAST(o.off AS INT) AS window_end
+      FROM user_days,
+           LATERAL (SELECT unnest(range(0, 7)) AS off) o
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM user_days)
+    SELECT strftime(s.window_end, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS wau
+    FROM support s CROSS JOIN span
+    WHERE s.window_end BETWEEN span.d0 AND span.d1
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day active users per day — the WAU curve every product "
+    "dashboard shows, and a textbook trap: DISTINCT is not "
+    "frame-decomposable, so a window count-distinct over a 7-day frame "
+    "is impossible and daily-distinct sums overcount. The correct "
+    "decomposition: each (user, active-day) pair SUPPORTS the 7 window "
+    "ends it falls inside, so exploding user-days by offsets 0..6 and "
+    "distinct-counting per window end gives the exact answer — a "
+    "bounded 7x expansion of the deduplicated user-day frame (NOT raw "
+    "events), then one (day, user) distinct. Window ends clamp to the "
+    "observed span so partial leading windows keep honest semantics "
+    "(the first 6 days really do have fewer contributing days).",
+    tags=("timeseries", "wau", "distinct", "rolling"),
+)
+def ts33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    support = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("off").cast("int")).alias("window_end"))
+    span = user_days.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    return (
+        support.crossJoin(F.broadcast(span))
+        .filter(F.col("window_end").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
