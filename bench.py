@@ -147,6 +147,7 @@ HEADLINE = [
     "x60_repeat_purchase_cycle",
     "x61_shipping_sla",
     "ts33_rolling_wau",
+    "tx28_length_gini",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

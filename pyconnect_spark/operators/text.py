@@ -1667,3 +1667,64 @@ REGISTRY.register(
     doc=tx27.__doc__,
     tags=("text", "llm", "quality", "compression", "udf"),
 )(tx27)
+
+
+@REGISTRY.register(
+    "tx28_length_gini",
+    oracle=r"""
+    WITH lens AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                 AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tok, source) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(n_tok) OVER (PARTITION BY source) AS tot
+      FROM lens
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           round((2.0 * SUM(i * n_tok) / (MAX(n) * MAX(tot)))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked GROUP BY 1
+    """,
+    doc="Gini coefficient of token mass across documents, per source — "
+    "the inequality lens on corpus composition: gini near 0 means "
+    "uniform doc sizes (batching and packing behave), high gini means "
+    "a few giant documents carry the source's token mass (those docs "
+    "dominate training exposure, skew tx12's packing, and one of them "
+    "failing quality checks removes a chunk of the source). Uses the "
+    "rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over a "
+    "per-source sorted window (deterministic ties), so no pairwise "
+    "|x_i - x_j| blowup — one window pass on the per-doc length frame, "
+    "corpus cost is the token-count scan tx01 already prices.",
+    tags=("text", "llm", "gini", "inequality", "composition"),
+)
+def tx28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("double").alias("n_tok"),
+    )
+    wp = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "n_tok",
+        F.row_number().over(wp.orderBy("n_tok", "source")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("n_tok").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("n_tok")) / (F.max("n") * F.max("tot")))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
