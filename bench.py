@@ -148,6 +148,7 @@ HEADLINE = [
     "x61_shipping_sla",
     "ts33_rolling_wau",
     "tx28_length_gini",
+    "ts34_feed_continuity",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

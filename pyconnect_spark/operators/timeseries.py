@@ -1986,3 +1986,53 @@ def ts33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").cast("long").alias("wau"))
     )
+
+
+@REGISTRY.register(
+    "ts34_feed_continuity",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+    ),
+    gaps AS (
+      SELECT event_type, day,
+             CAST(date_diff('day', lag(day) OVER w, day) AS BIGINT) AS gap
+      FROM present WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS days_present,
+           CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+               AS span_days,
+           CAST(date_diff('day', MIN(day), MAX(day)) + 1 - COUNT(*) AS BIGINT)
+               AS days_missing,
+           CAST(COALESCE(MAX(gap), 1) AS BIGINT) AS longest_gap_days
+    FROM gaps GROUP BY 1
+    """,
+    doc="Feed-continuity audit per event stream: days present vs the "
+    "calendar span, missing-day count, and the longest day gap — the "
+    "data-SLA monitor that catches silently dead upstream feeds "
+    "(days_missing > 0 on a feed that should be daily is an incident, "
+    "and longest_gap tells you whether it was one blip or an outage; "
+    "x44 checks rows that ARRIVED, this checks rows that DIDN'T). The "
+    "distinct (type, day) frame is calendar-sized; gaps come from one "
+    "lag() pass, and the summary needs no calendar spine because "
+    "span - present = missing (the spine-join of ts14 is only needed "
+    "when you must LIST the missing days).",
+    tags=("timeseries", "continuity", "sla", "monitoring"),
+)
+def ts34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    present = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    gaps = present.withColumn(
+        "gap", F.datediff("day", F.lag("day").over(w)).cast("long")
+    )
+    span = F.datediff(F.max("day"), F.min("day")) + 1
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("days_present"),
+        span.cast("long").alias("span_days"),
+        (span - F.count("*")).cast("long").alias("days_missing"),
+        F.coalesce(F.max("gap"), F.lit(1)).cast("long").alias("longest_gap_days"),
+    )

@@ -86,7 +86,7 @@ _PRIORITY = [
 # tx27_compression_quality, ts31_transition_latency,
 # dd19_novelty_rate, x59_price_elasticity, ts32_weekday_weekend,
 # x60_repeat_purchase_cycle, x61_shipping_sla, ts33_rolling_wau,
-# tx28_length_gini) and
+# tx28_length_gini, ts34_feed_continuity) and
 # any round-5 additions first, then the
 # r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
