@@ -20,75 +20,48 @@ _MERGED = QueryRegistry()
 for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal):
     _MERGED.merge(mod.REGISTRY)
 
-# First 50 = the driver's verification window for round 4. Composition:
-# (a) every query with NO driver row in CORRECTNESS_r01∪r02∪r03 — the
-#     7 round-3 additions plus the 26 round-4 additions (33 total);
-# (b) the 2 queries REBUILT in round 3 after their last (r2) driver row
-#     (merged semantics, so the r2 row covers an old query body);
-# (c) 15 refresh slots for CORRECTNESS_r02-era greens, prioritizing the
-#     operators whose implementations were MODIFIED during round 4
-#     (dd03 signature codegen cut, dd05 edge/probe overhead cut, sm05
-#     n_probe=8, sm06 persist lifecycle) — their r2 evidence predates
-#     the change — then the riskiest unchanged r2-greens (b21's former
-#     hash-bug site, x08 sketches, the quadratic ground-truth tiers,
-#     the ordered-fold/cogroup time-series).
-# Rationale: a never-checked query is a bigger evidence gap than a
-# 2-round-stale green, so first rows win the slots. The spilled
-# r2-greens (x25-x29, ts01-ts14 tumbling/session family, tx01-tx10
-# scan-tier, dd01, sm01/03/04/08, mm03, tx03/06/07, sm07) are
-# unchanged since their green row and lead the round-5 window below.
+# First 50 = the driver's verification window for ROUND 5. Composition
+# (computed from CORRECTNESS_r01..r04 ledgers): the 55 queries with NO
+# green driver row in any round lead — the 53 round-4 late-wave
+# additions never sampled (the window was frozen before they landed)
+# plus sm03/sm06, whose `no_oracle` errors are fixed this round
+# (md5-deterministic projection bases, DuckDB-replayable). 55 > 50, so
+# the 5 structurally-simplest late additions (ts33/ts34/x60/x61/tx28 —
+# all judge-sweep-verified in r4) spill and lead the round-6 window
+# along with the 28 r2-stale greens listed below the window.
+# tx27/x49 stay in-window even though rows-only by design: a driver
+# rows-only row beats no row.
 _PRIORITY = [
-    # -- (a) round-3 additions, never driver-checked
-    "tx13_char_entropy", "tx14_zipf_audit", "ts15_zscore_anomaly",
-    "x34_tpch_q12_late_shipments", "sm09_ann_recall_audit",
-    "dd10_minhash_calibration", "x35_lateral_topk", "tx08_quality_suite",
-    # -- (a) round-4 additions, never driver-checked
-    "x36_tpch_q4", "x37_scd2_intervals", "x38_source_cap_sample",
-    "x39_robust_stats", "x40_cooccurrence_lift", "x41_conversion_lag",
-    "x42_udtf_chunks", "b27_full_outer_join",
-    "ts16_time_weighted_avg", "ts17_interpolate", "ts18_cusum_change",
-    "ts19_seasonal_residual",
-    "tx15_pii_redaction", "tx16_chunk_dedup", "tx17_bpe_pair_freq",
-    "tx18_length_buckets", "tx19_split_oov", "tx20_bigram_perplexity",
-    "tx21_word_dropout",
-    "dd11_source_overlap", "dd12_semantic_dedup_ivf",
-    "sm10_cluster_quality", "sm11_knn_classify", "sm12_embedding_health",
-    "mm04_media_manifest",
-    # -- (b) rebuilt in round 3 after their r2 driver row (merged semantics)
-    "ts08_props_json", "mm02_decode_pipeline",
-    # -- (c) refresh: r2-green but MODIFIED in round 4
-    "dd03_minhash_lsh", "dd05_dedup_clusters", "sm05_ann_ivf",
-    "sm06_ann_mllib_lsh",
-    # -- (c) refresh: riskiest unchanged r2-greens
-    "b21_json_funcs", "x08_approx_stats", "dd02_ngram_jaccard",
-    "dd04_simhash", "dd06_keep_best", "dd07_contamination",
-    "dd08_split_decontamination", "sm02_embedding_neardup",
-    "ts03_asof_join", "ts06_funnel", "ts12_ewma",
+    # -- formerly `err: no_oracle`, oracle-replayable as of round 5
+    "sm03_ann_lsh", "sm06_ann_mllib_lsh",
+    # -- never driver-checked round-4 late wave (module order)
+    "x43_recursive_hierarchy", "x44_data_quality_audit",
+    "x45_value_histogram", "x46_markov_transitions",
+    "x47_last_touch_attribution", "x48_graph_triangles",
+    "x49_hll_mergeable_rollup", "x50_decile_lift", "x51_psi_drift",
+    "x52_benford_audit", "x53_rfm_segments", "x54_market_concentration",
+    "x55_pareto_abc", "x56_cohort_ltv", "x57_growth_decomposition",
+    "x58_basket_size", "x59_price_elasticity",
+    "ts20_churn_gaps", "ts21_trend_forecast", "ts22_holt_smoothing",
+    "ts23_session_facts", "ts24_active_time", "ts25_cumulative_distinct",
+    "ts26_wow_change", "ts27_peak_days", "ts28_autocorrelation",
+    "ts29_survival_curve", "ts30_burstiness", "ts31_transition_latency",
+    "ts32_weekday_weekend",
+    "tx22_boilerplate_removal", "tx23_vocab_coverage",
+    "tx24_textrank_keywords", "tx25_effective_tokens",
+    "tx26_lang_leakage", "tx27_compression_quality",
+    "dd13_soft_dedup_weights", "dd14_prefix_filter_join",
+    "dd15_weighted_sample", "dd16_bow_dedup", "dd17_dedup_funnel",
+    "dd18_cluster_sizes", "dd19_novelty_rate",
+    "sm13_embedding_drift", "sm14_jl_projection",
+    "sm15_similarity_histogram",
+    "mm05_pairing_audit", "mm06_frame_dedup",
 ]
 
-# ROUND-5 ROTATION PLAN: window = the 8 late-round-4 additions that
-# landed after this window was frozen (x43_recursive_hierarchy,
-# x44_data_quality_audit, tx22_boilerplate_removal,
-# tx23_vocab_coverage, tx24_textrank_keywords,
-# dd13_soft_dedup_weights, mm05_pairing_audit, ts20_churn_gaps,
-# ts21_trend_forecast, sm13_embedding_drift, x45_value_histogram,
-# dd14_prefix_filter_join, ts22_holt_smoothing, dd15_weighted_sample,
-# x46_markov_transitions, tx25_effective_tokens,
-# x47_last_touch_attribution, x48_graph_triangles,
-# x49_hll_mergeable_rollup, ts23_session_facts, sm14_jl_projection,
-# ts24_active_time, ts25_cumulative_distinct, ts26_wow_change,
-# dd16_bow_dedup, sm15_similarity_histogram, mm06_frame_dedup,
-# x50_decile_lift, ts27_peak_days, dd17_dedup_funnel, x51_psi_drift,
-# ts28_autocorrelation, x52_benford_audit, x53_rfm_segments,
-# x54_market_concentration, ts29_survival_curve, tx26_lang_leakage,
-# x55_pareto_abc, dd18_cluster_sizes, x56_cohort_ltv,
-# x57_growth_decomposition, ts30_burstiness, x58_basket_size,
-# tx27_compression_quality, ts31_transition_latency,
-# dd19_novelty_rate, x59_price_elasticity, ts32_weekday_weekend,
-# x60_repeat_purchase_cycle, x61_shipping_sla, ts33_rolling_wau,
-# tx28_length_gini, ts34_feed_continuity) and
-# any round-5 additions first, then the
-# r2-greens that spilled past this window (x25_tpch_q14, x26_value_share,
+# ROUND-6 ROTATION PLAN: the 5 spilled never-checked queries
+# (ts33_rolling_wau, ts34_feed_continuity, x60_repeat_purchase_cycle,
+# x61_shipping_sla, tx28_length_gini) and any round-5 additions first,
+# then the 28 r2-stale greens (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
 # ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
 # ts05_session_window_agg, ts07_retention, ts09_rollup_cascade,
@@ -96,10 +69,9 @@ _PRIORITY = [
 # tx01_text_stats, tx02_lang_id, tx04_quality_filter,
 # tx05_winnow_fingerprint, tx10_vocab_topk, tx03_fingerprint,
 # tx06_edit_distance, tx07_hash_split, dd01_exact_dedup,
-# sm01_cosine_topk, sm03_ann_lsh, sm04_label_centroids,
-# sm07_int8_quantize, sm08_centroid_assign, mm03_frame_sample — 29,
-# by then 3 rounds stale), then the r3/r4-green families, oldest
-# evidence first.
+# sm01_cosine_topk, sm04_label_centroids, sm07_int8_quantize,
+# sm08_centroid_assign, mm03_frame_sample), then r3-green families,
+# oldest evidence first.
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()
