@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The driver captures only the LAST ~2000 chars of combined output, so the
+JSON line must (a) be the absolute last thing printed — after
+spark.stop(), so no shutdown logs trail it — and (b) stay under ~1.8 KB.
+The printed "queries" dict therefore carries only COMMON_45, the frozen
+cross-round comparison basis (BENCH_r03's exact key set); the full
+per-query detail for all ~120 headline queries is written to
+BENCH_DETAIL.json beside this script.
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 session warm-up query so JVM/codegen startup is not billed to q1. Every
@@ -22,6 +30,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyconnect_spark.registry import ALL
 from pyconnect_spark.session import get_spark
+
+# COMMON_45: the FROZEN cross-round comparison basis — exactly the key set
+# BENCH_r03 recorded. Never edit this list; rounds are compared on it
+# apples-to-apples even as HEADLINE grows. (stream_window_events is the
+# streaming unit timed by bench_streaming, not a registry query.)
+COMMON_45 = [
+    "b01_filter_project", "b03_tpch_q1", "b05_join_agg", "b06_tpch_q3",
+    "b07_left_join", "b10_broadcast_join", "b11_range_join",
+    "b12_distinct_agg", "b14_cube", "b15_topk_per_group",
+    "b16_window_running", "b18_global_topk", "b21_json_funcs",
+    "x17_tpch_q5", "x21_late_supplier", "x28_skew_two_phase_agg",
+    "ts01_tumbling_window", "ts02_sessionize", "ts03_asof_join",
+    "ts04_sliding_window", "ts09_rollup_cascade",
+    "ts11_rolling_time_window", "ts13_ohlc_bars", "ts14_resample_ffill",
+    "ts15_zscore_anomaly", "x34_tpch_q12_late_shipments",
+    "tx01_text_stats", "tx04_quality_filter", "tx03_fingerprint",
+    "tx07_hash_split", "tx08_quality_suite", "tx11_tfidf_keywords",
+    "tx13_char_entropy", "tx14_zipf_audit", "dd01_exact_dedup",
+    "dd03_minhash_lsh", "dd10_minhash_calibration", "dd05_dedup_clusters",
+    "sm01_cosine_topk", "sm03_ann_lsh", "sm04_label_centroids",
+    "sm06_ann_mllib_lsh", "sm09_ann_recall_audit", "mm03_frame_sample",
+    "stream_window_events",
+]
 
 # Headline set: the scan/agg/join/window/set-op core plus the LLM-pipeline
 # operators — the queries whose cost dominates real workloads.
@@ -291,7 +322,9 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         recall = {}
         errors["ann_recall_at_5"] = f"{type(exc).__name__}: {exc}"[:300]
-    out = {
+    common = {k: timings[k] for k in COMMON_45 if k in timings}
+    common_total = round(sum(common.values()), 3)
+    detail = {
         "metric": "headline_suite_wall_clock",
         # A partial total is not comparable to a full-suite total: when any
         # unit failed, report value=null (consumers diffing rounds see the
@@ -301,14 +334,25 @@ def main() -> None:
         "complete": not errors,
         "unit": "sec",
         "queries": timings,
+        "common45_sec": common_total if len(common) == len(COMMON_45) else None,
         "sf": sf,
         "ann_recall_at_5": recall,
     }
     if errors:
-        out["errors"] = errors
-        out["partial_total"] = total
-    print(json.dumps(out))
+        detail["errors"] = errors
+        detail["partial_total"] = total
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # The driver keeps only the last ~2000 chars of output, so the printed
+    # line carries the frozen COMMON_45 subset (≈1.6 KB) and must be the
+    # final output — print after spark.stop() so no shutdown logs trail it.
+    compact = dict(detail)
+    compact["queries"] = common
+    if errors:
+        compact.pop("errors")
+        compact["n_errors"] = len(errors)
     spark.stop()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
