@@ -343,11 +343,34 @@ def sm05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
-    """Fixed random hyperplanes — deterministic, generated driver-side once
-    and shipped to executors as literals (tiny: n_planes × dim floats)."""
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim))
+def _hyperplanes(dim: int, n_planes: int = 16, prefix: str = "plane") -> np.ndarray:
+    """Fixed md5-derived hyperplanes — deterministic AND oracle-replayable.
+
+    Weight(p, d) = (int(md5('plane_{p}_{d}')[:12 hex], 16) % 1000001) /
+    1e6 - 0.5, i.e. uniform in [-0.5, 0.5] keyed by the plane/dim pair.
+    DuckDB reproduces the exact same doubles via
+    ``CAST(('0x'||substr(md5(...),1,12)) AS BIGINT)`` — both engines hash
+    the same ASCII string and the modulus/divide are exact IEEE ops — so
+    the whole LSH pipeline (bits → buckets → candidates) replays in the
+    SQL oracle (the dd03/dd04 md5-hash-family pattern, applied to real-
+    valued projections). Uniform rather than Gaussian weights: for
+    sign-LSH any symmetric coordinate distribution gives the same
+    collision-probability ∝ angle property (Goemans-Williamson rounding
+    needs only a symmetric direction distribution); measured recall on
+    the fixture is unchanged (bench's ann_recall_at_5 tracks it).
+    Generated driver-side once, shipped to executors as literals (tiny:
+    n_planes × dim doubles)."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                (int(hashlib.md5(f"{prefix}_{p}_{d}".encode()).hexdigest()[:12], 16) % 1000001) / 1e6 - 0.5
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )
 
 
 def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
@@ -411,7 +434,53 @@ def lsh_tables(emb_col: Column, planes: np.ndarray, n_tables: int, n_bits: int, 
 
 @REGISTRY.register(
     "sm03_ann_lsh",
-    oracle=None,  # approximate; recall vs sm01/sm02 asserted in pytest
+    # Full-pipeline replay: the md5-derived hyperplanes (see _hyperplanes)
+    # are regenerated inside DuckDB, so bits → buckets → multiprobe →
+    # candidate join → exact rerank all replay exactly. recall@5 vs brute
+    # force stays tracked in bench as the quality gate.
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             (CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,12)) AS BIGINT)
+              % 1000001)/1000000.0 - 0.5 AS w
+      FROM (SELECT unnest(range(72)) AS p) p,
+           (SELECT unnest(range(64)) AS d) d
+    ), ev AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), bits AS (
+      SELECT ev.vec_id, pl.p,
+             CASE WHEN sum(ev.val * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM ev JOIN planes pl ON ev.d = pl.d
+      GROUP BY ev.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(bit * (1::BIGINT << (p % 6))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, p // 6
+    ), qpro AS (
+      SELECT b.vec_id AS q_id, b.tbl,
+             CASE WHEN f.b = -1 THEN b.bucket
+                  ELSE xor(b.bucket, 1::BIGINT << f.b) END AS bucket
+      FROM buckets b, (SELECT unnest(range(-1, 6)) AS b) f
+      WHERE b.vec_id < 5
+    ), cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id
+      FROM buckets c JOIN qpro q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE c.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT cand.q_id, cand.vec_id,
+             {_ORACLE_COS} AS c,
+             row_number() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY {_ORACLE_COS} DESC, cand.vec_id) AS rk
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings q ON q.vec_id = cand.q_id
+    )
+    SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    """,
     doc="ANN via multi-table random-hyperplane LSH with query-side "
     "multiprobe: the corpus is indexed once into L tables of b sign bits "
     "(one matmul, array output — no L separate scans), exploded to "
@@ -481,86 +550,126 @@ def _sm03_impl(emb: DataFrame, n_tables: int = 12, n_bits: int = 6, k: int = 5) 
     )
 
 
+def eucl_lsh_buckets(emb_col: Column, planes: np.ndarray, bucket_len: float) -> Column:
+    """p-stable Euclidean-bucket LSH keys: ``array<long>`` where entry t is
+    floor(dot(unit_vec, plane_t) / bucket_len) — the BucketedRandomProjection
+    hash family. One Arrow-batched matmul per batch (same rationale as
+    lsh_bucket: per-plane fold codegen is measurably slower)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = planes.T.astype(np.float64)  # (dim, n_tables)
+
+    @pandas_udf("array<long>")
+    def buckets_udf(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(list(np.floor((mat @ planes_t) / bucket_len).astype(np.int64)))
+
+    return buckets_udf(emb_col)
+
+
+# sm06 tuning: bucket_len = 4σ of the projected dot (σ = ||w||/√dim ≈ 0.289
+# for uniform[-.5,.5] planes on unit-sphere data), mirroring the tuned
+# MLlib setting bl=0.5 at σ=0.125 (tools/ann_tune.py: the 4σ point scored
+# recall 0.96; bl ≥ 2σ·8 degenerates to one bucket = all-pairs). threshold
+# cos ≥ 0.02 ⇔ Euclidean dist ≤ 1.4 on the unit sphere (||a-b||² = 2-2cosθ).
+_SM06_TABLES = 5
+_SM06_BUCKET_LEN = 1.15
+_SM06_COS_FLOOR = 0.02
+
+
 @REGISTRY.register(
     "sm06_ann_mllib_lsh",
-    oracle=None,  # approximate; candidate quality asserted in pytest
-    doc="ANN via MLlib BucketedRandomProjectionLSH (Euclidean-bucket LSH): "
-    "the library counterpart to the hand-rolled hyperplane LSH (sm03). "
+    # Full-pipeline replay: md5-derived projection bases regenerate inside
+    # DuckDB (the dd03/dd04 pattern — see _hyperplanes), so normalize →
+    # floor-bucket → candidate join → threshold → exact rerank all replay.
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             (CAST(('0x'||substr(md5('eucl_'||p.p||'_'||d.d),1,12)) AS BIGINT)
+              % 1000001)/1000000.0 - 0.5 AS w
+      FROM (SELECT unnest(range({_SM06_TABLES})) AS p) p,
+           (SELECT unnest(range(64)) AS d) d
+    ), nrm AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nn
+      FROM embeddings
+    ), ev AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), buckets AS (
+      SELECT ev.vec_id, pl.p AS tbl,
+             CAST(floor(sum(ev.val / nrm.nn * pl.w) / {_SM06_BUCKET_LEN}) AS BIGINT) AS bucket
+      FROM ev JOIN planes pl ON ev.d = pl.d
+              JOIN nrm ON nrm.vec_id = ev.vec_id
+      GROUP BY ev.vec_id, pl.p
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT cand.q_id, cand.vec_id,
+             {_ORACLE_COS} AS c,
+             row_number() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY {_ORACLE_COS} DESC, cand.vec_id) AS rk
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      WHERE {_ORACLE_COS} >= {_SM06_COS_FLOOR}
+    )
+    SELECT q_id, vec_id, round(c, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="ANN via Euclidean-bucket (p-stable) LSH — the "
+    "BucketedRandomProjectionLSH hash family, re-derived with md5 bases so "
+    "DuckDB replays the full pipeline (the MLlib library implementation of "
+    "the same family, whose internal RNG is not replayable, is "
+    "cross-validated against this one in tests/test_llm_ops.py). "
     "Embeddings are L2-normalized first so Euclidean distance is monotone "
-    "in cosine (||a-b||² = 2-2cosθ on the unit sphere), then "
-    "approxSimilarityJoin prunes to same-bucket candidate pairs and the "
-    "exact cosine reranks the survivors. All JVM: fit() samples nothing "
-    "(random projections), the join is a bucket-key equi-join under the "
-    "hood, and at 100 TB the model's projection vectors broadcast while "
-    "the corpus shuffles once on bucket id.",
+    "in cosine (||a-b||² = 2-2cosθ on the unit sphere); each of the 5 "
+    "tables hashes to floor(dot/bucket_len), candidates are same-bucket "
+    "pairs in any table, a cosine threshold mirrors approxSimilarityJoin's "
+    "distance threshold, and exact cosine reranks. At 100 TB the 5×64 "
+    "projection matrix broadcasts while the corpus shuffles once on "
+    "(table, bucket) — identical to what MLlib's join does under the hood.",
     tags=("similarity", "llm", "ann", "mllib"),
 )
 def sm06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
     emb = t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
+    planes = _hyperplanes(64, n_planes=_SM06_TABLES, prefix="eucl")
+    keyed = emb.select(
+        "vec_id",
+        F.posexplode(eucl_lsh_buckets(F.col("embedding"), planes, _SM06_BUCKET_LEN)).alias(
+            "tbl", "bucket"
+        ),
     )
-    # Materialize the normalized-vector frame ONCE: fit() and BOTH sides of
-    # approxSimilarityJoin consume it, and unmaterialized the normalize+
-    # array_to_vector subtree executes three times (measured ~1.9 s vs
-    # ~1.0 s at sf0.1). Tiny: n_vectors x dim doubles. persist(MEMORY_AND_
-    # DISK), not localCheckpoint: same reuse benefit (fit() populates the
-    # cache, the join hits it), but on a real cluster a lost executor
-    # recomputes the partition from lineage instead of failing the query —
-    # localCheckpoint blocks are executor-memory-resident and unrecoverable.
-    from pyspark import StorageLevel
-
-    from pyconnect_spark.cachereg import track
-
-    unit = track(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
-        )
-        .select("vec_id", array_to_vector("u").alias("features"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    q_keyed = keyed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
     )
-
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        # Tuned against brute-force ground truth (tools/ann_tune.py):
-        # recall@5 by (bucketLength, numHashTables, threshold) —
-        # (0.8, 3, 1.2) default scored 0.68; (0.5, 5, 1.4) scores 0.96.
-        # bucketLength stays < 1 so unit-sphere vectors actually split
-        # into multiple buckets per table (bl>=2 degenerates to one
-        # bucket = all-pairs, which "scores" well but never prunes).
-        bucketLength=0.5,
-        numHashTables=5,
-        seed=42,
+    # Dedupe candidate PAIR IDS before re-attaching embeddings (same
+    # 16-bytes-per-row exchange rationale as sm03).
+    pair_ids = (
+        keyed.join(F.broadcast(q_keyed), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
     )
-    model = lsh.fit(unit)
-    queries = unit.filter(F.col("vec_id") < 5)
-    pairs = model.approxSimilarityJoin(
-        queries, unit, threshold=1.4, distCol="dist"
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # rerank candidates by exact cosine = 1 - dist²/2 on unit vectors
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
     from pyspark.sql.window import Window
 
-    cos = 1 - (F.col("dist") * F.col("dist")) / 2
-    ranked = (
-        pairs.select(
-            F.col("datasetA.vec_id").alias("q_id"),
-            F.col("datasetB.vec_id").alias("vec_id"),
-            cos.alias("_raw"),
-        )
-        .filter(F.col("q_id") != F.col("vec_id"))
-    )
     w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
     return (
-        ranked.withColumn("rk", F.row_number().over(w))
+        pair_ids.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", sim.alias("_raw"))
+        .filter(F.col("_raw") >= _SM06_COS_FLOOR)
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select(
             "q_id",
