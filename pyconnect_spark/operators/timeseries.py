@@ -1418,7 +1418,7 @@ def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, s, e, event_id,
              CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING) >= s
@@ -1427,7 +1427,7 @@ def ts23(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grouped AS (
       SELECT user_id, s, e,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS UNBOUNDED PRECEDING) AS grp
       FROM flagged
     ),
@@ -1471,7 +1471,13 @@ def ts24(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = iv.withColumn(
         "is_new", F.when(prev_max_e >= F.col("s"), 0).otherwise(1)
     )
-    w_grp = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+    # Group numbering MUST share the is_new pass's total order (s,
+    # event_id): with (s, e) the e = s+60s construction ties completely at
+    # equal timestamps, so a tied is_new=0 row could order before its
+    # is_new=1 sibling and attach to the PREVIOUS activity period,
+    # inflating active_us across a silent gap (and letting engines
+    # diverge on the ambiguity).
+    w_grp = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     grouped = flagged.withColumn("grp", F.sum("is_new").over(w_grp))

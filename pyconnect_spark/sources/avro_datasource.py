@@ -43,7 +43,7 @@ from pyconnect_spark.functions.avro import spark_type_to_avro
 from pyconnect_spark.sources.avro_ocf import iter_records, parse_header, write_container
 
 
-def _list_files(options) -> list[str]:
+def _list_files(options, *, allow_empty: bool = False) -> list[str]:
     path = options.get("path")
     if not path:
         raise ValueError("pyconnect_avro: .load(path) is required")
@@ -51,8 +51,11 @@ def _list_files(options) -> list[str]:
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, pattern)))
     else:
-        files = sorted(_glob.glob(path)) or [path]
-    if not files:
+        files = sorted(_glob.glob(path)) or ([path] if not allow_empty else [])
+    if not files and not allow_empty:
+        # Batch reads fail fast on a bad path; the STREAM reader passes
+        # allow_empty — tailing a directory that starts empty is the
+        # normal tail case and must yield empty micro-batches, not crash.
         raise FileNotFoundError(f"no OCF files under {path!r} matching {pattern!r}")
     return files
 
@@ -122,7 +125,7 @@ class AvroOcfStreamReader(SimpleDataSourceStreamReader):
         self._options = options
 
     def _files(self) -> list[str]:
-        return _list_files(self._options)
+        return _list_files(self._options, allow_empty=True)
 
     def initialOffset(self) -> dict:
         return {"idx": 0}

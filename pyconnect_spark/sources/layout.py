@@ -199,14 +199,27 @@ def zorder_value(cols: Sequence[str], stats: dict[str, tuple[float, float]], n_b
     quantization is the standard trade — heavy skew in a column wastes its
     low bits (the known ZORDER caveat; percentile-based binning is the
     remedy when it matters)."""
+    # Interleaved bits must fit a signed long WITHOUT touching bit 63 (the
+    # sign bit — a high value landing there would sort before low values).
+    # With many columns, shrink per-column resolution instead of failing:
+    # 4 cols at the default 16 bits quietly becomes 4 × 15 = 60 bits.
+    n_bits = min(n_bits, 63 // max(len(cols), 1))
+    if n_bits < 1:
+        raise ValueError(f"zorder_value: too many columns ({len(cols)}) for a 63-bit key")
     terms = []
     for ci, c in enumerate(cols):
         lo, hi = stats[c]
         span = (hi - lo) or 1.0
-        q = F.least(
-            F.lit((1 << n_bits) - 1),
-            ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << n_bits) - 1))
-            .cast("long"),
+        # Clamp BOTH ends: incremental writers reuse an earlier run's stats
+        # (the documented grid-stability contract), so new data may fall
+        # below lo — an unclamped negative q shifts into garbage bits.
+        q = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit((1 << n_bits) - 1),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << n_bits) - 1))
+                .cast("long"),
+            ),
         )
         for b in range(n_bits):
             # bit b of column ci lands at interleaved position b*len(cols)+ci
@@ -296,7 +309,19 @@ def merge_upsert(
 
     tgt = spark.read.parquet(target)
     if partition_by:
-        touched = updates.select(*partition_by).distinct()
+        # Touched = the updates' NEW partition values UNION the partitions
+        # currently holding the updated keys: an update that moves a key to
+        # a different partition value must also rewrite the OLD directory,
+        # or the superseded row survives there as a duplicate. The key
+        # lookup scans only key+partition columns (column pruning).
+        upd_keys = updates.select(*key_cols).distinct()
+        touched = (
+            updates.select(*partition_by)
+            .unionByName(
+                tgt.join(F.broadcast(upd_keys), list(key_cols), "left_semi").select(*partition_by)
+            )
+            .distinct()
+        )
         # partition pruning: the semi join narrows the target scan to the
         # touched directories (tiny broadcast of partition values)
         scoped = tgt.join(F.broadcast(touched), list(partition_by), "left_semi")
@@ -306,6 +331,14 @@ def merge_upsert(
         F.broadcast(updates.select(*key_cols).distinct()), list(key_cols), "left_anti"
     )
     merged = keep.select(*updates.columns).unionAll(updates)
+    # A key moving OUT may empty its old partition entirely; dynamic
+    # overwrite only rewrites partitions present in the staged frame, so
+    # snapshot the touched partitions' current files for post-write cleanup.
+    old_files = (
+        _partition_files(spark, target, partition_by, [tuple(r) for r in touched.collect()])
+        if partition_by
+        else []
+    )
     # The merged plan READS the target — materialize it to a staging dir
     # before overwriting, or the write would consume the files it is
     # replacing. The staging write holds only the touched partitions'
@@ -323,11 +356,58 @@ def merge_upsert(
         w.parquet(target)
     finally:
         spark.conf.set(mode_key, prev)
+    _remove_stale_files(old_files)
     n = staged.count()
     import shutil as _shutil
 
     _shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+def _partition_files(
+    spark: SparkSession,
+    target: str,
+    partition_by: Sequence[str],
+    touched_rows: Sequence,
+) -> list[str]:
+    """Local filesystem paths of every parquet file in the touched
+    partitions — collected BEFORE a rewrite so emptied partitions can be
+    cleaned after. Metadata-scale: one path string per file, not per row,
+    over the touched slice only (the partition-value predicate prunes the
+    listing). A fresh single-source scan, because input_file_name() is
+    rejected on multi-source (joined) plans. (Local-FS form of what a
+    Hadoop FileSystem.listStatus pass does on HDFS/S3.)"""
+    from urllib.parse import unquote, urlparse
+
+    if not touched_rows:
+        return []
+    pred = None
+    for row in touched_rows:
+        c = None
+        for col, val in zip(partition_by, row):
+            e = F.col(col) == F.lit(val)
+            c = e if c is None else c & e
+        pred = c if pred is None else pred | c
+    return [
+        unquote(urlparse(r[0]).path)
+        for r in spark.read.parquet(target)
+        .filter(pred)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+
+
+def _remove_stale_files(old_files: Sequence[str]) -> None:
+    """Delete pre-rewrite files that survived a dynamic partition
+    overwrite. Partitions that received staged rows had their files
+    replaced (the old names are gone — skipped here); a partition whose
+    every row was removed appears in no staged row, so dynamic overwrite
+    never touches its directory and its old files must go explicitly, or
+    the deleted rows silently survive."""
+    for f in old_files:
+        if os.path.isfile(f):
+            os.remove(f)
 
 
 def delete_keys(
@@ -351,8 +431,11 @@ def delete_keys(
     dynamic partitionOverwriteMode. Untouched partitions keep their
     files byte-for-byte — a deletion request touching one user costs
     one partition rewrite, not a table rewrite. A partition emptied of
-    ALL its rows still rewrites to an empty-but-present directory (the
-    overwrite replaces files; readers see zero rows for it).
+    ALL its rows ends as an empty-but-present directory: dynamic
+    overwrite only rewrites partitions the staged frame still has rows
+    for, so the emptied directory's old files are deleted explicitly
+    (their paths are snapshotted from the scoped scan before the write —
+    without that step the doomed rows would silently survive).
     """
     tgt = spark.read.parquet(target)
     if partition_by:
@@ -365,6 +448,11 @@ def delete_keys(
     else:
         scoped = tgt
     before = scoped.count()
+    old_files = (
+        _partition_files(spark, target, partition_by, [tuple(r) for r in touched.collect()])
+        if partition_by
+        else []
+    )
     keep = scoped.join(
         F.broadcast(keys.select(*key_cols).distinct()), list(key_cols), "left_anti"
     )
@@ -381,6 +469,7 @@ def delete_keys(
         w.parquet(target)
     finally:
         spark.conf.set(mode_key, prev)
+    _remove_stale_files(old_files)
     deleted = before - staged.count()
     import shutil as _shutil
 

@@ -226,3 +226,47 @@ def test_avro_datasource_stream_reader_tails_directory(spark, tmp_path):
     # restarted query resumes from the checkpointed offset: the sink now
     # holds all rows, each file delivered exactly once
     assert drain() == set(range(12))
+
+
+def test_avro_stream_tail_starts_on_empty_directory(spark, tmp_path):
+    """The normal tail case: the stream starts against a directory that is
+    still EMPTY (the producer hasn't emitted yet). It must drain empty
+    micro-batches, not crash with FileNotFoundError; files appearing
+    later are delivered by the next drain from the checkpointed offset."""
+    from pyconnect_spark.functions.avro import spark_type_to_avro
+    from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
+    from pyconnect_spark.sources.avro_ocf import write_container
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType()), StructField("n", LongType())])
+    avro_schema = spark_type_to_avro(schema)
+    d = tmp_path / "tail-ocf"
+    d.mkdir()  # exists but EMPTY
+    spark.dataSource.register(AvroOcfDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("pyconnect_avro")
+            .schema(schema)
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import glob as g
+
+        files = g.glob(out + "/*.parquet")
+        return {r["n"] for r in spark.read.parquet(out).collect()} if files else set()
+
+    assert drain() == set()  # empty directory: empty batch, no crash
+
+    payload = write_container([{"k": f"k{i}", "n": i} for i in range(4)], avro_schema)
+    tmp = d / "part-0001.avro.tmp"
+    tmp.write_bytes(payload)
+    tmp.rename(d / "part-0001.avro")
+    assert drain() == {0, 1, 2, 3}

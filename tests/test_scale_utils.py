@@ -563,6 +563,85 @@ def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
     assert not glob.glob(str(tmp_path / "tgt.staging-delete"))
 
 
+def test_delete_keys_empties_whole_partition(spark, tmp_path):
+    """Deleting EVERY key of a partition must actually remove its rows:
+    dynamic partitionOverwriteMode never rewrites a partition the staged
+    frame has no rows for, so the emptied directory's old files must be
+    cleaned explicitly — the exact right-to-be-forgotten gap case."""
+    import glob
+
+    from pyconnect_spark.sources.layout import delete_keys
+
+    target = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+        "uid long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(target)
+    doomed = spark.createDataFrame([(1,), (2,)], "uid long")
+    n = delete_keys(spark, target, doomed, key_cols=["uid"], partition_by=["part"])
+    assert n == 2
+    left = {(r["uid"], r["part"]) for r in spark.read.parquet(target).collect()}
+    assert left == {(3, "b"), (4, "c")}  # partition a fully gone from reads
+    assert not glob.glob(f"{target}/part=a/*.parquet")  # files physically removed
+
+
+def test_merge_upsert_key_moving_partitions_leaves_no_duplicate(spark, tmp_path):
+    """An update that changes a key's PARTITION value must delete the stale
+    row from the old directory, not just write the new one — `touched`
+    must include the partitions currently holding the updated keys. Also
+    covers the emptied-old-partition case (id=4 was partition d's only
+    row)."""
+    from pyconnect_spark.sources.layout import merge_upsert
+
+    target = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "d", 4.0)],
+        "id long, part string, v double",
+    )
+    merge_upsert(spark, target, base, key_cols=["id"], partition_by=["part"])
+    updates = spark.createDataFrame(
+        [(3, "c", 33.0), (4, "a", 44.0)], "id long, part string, v double"
+    )
+    merge_upsert(spark, target, updates, key_cols=["id"], partition_by=["part"])
+    got = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("a", 1.0),
+        2: ("a", 2.0),
+        3: ("c", 33.0),  # moved b -> c, no stale b row
+        4: ("a", 44.0),  # moved d -> a; partition d emptied
+    }
+    n_rows = spark.read.parquet(target).count()
+    assert n_rows == 4  # no duplicates anywhere
+
+
+def test_zorder_value_clamps_below_stats_lo(spark):
+    """Values below the stats lo (the incremental-writer stats-reuse case)
+    must clamp to quantile 0, not shift a negative into garbage bits; and
+    4 columns at default n_bits=16 must not touch the sign bit (per-col
+    resolution shrinks to 15 bits, keys stay non-negative and ordered)."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(-50.0, 0.0), (0.0, 0.0), (100.0, 100.0)], "x double, y double"
+    )
+    stats = {"x": (0.0, 100.0), "y": (0.0, 100.0)}
+    z = [
+        r["z"]
+        for r in df.select(zorder_value(["x", "y"], stats, n_bits=4).alias("z"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert z[0] == z[1]  # below-lo clamps to the lo cell
+    assert z[0] >= 0 and z[2] >= 0
+    wide = spark.createDataFrame([(1e9, 1e9, 1e9, 1e9)], "a double, b double, c double, d double")
+    stats4 = {c: (0.0, 1e9) for c in "abcd"}
+    big = wide.select(zorder_value(list("abcd"), stats4).alias("z")).collect()[0]["z"]
+    assert 0 <= big < (1 << 63) - 1  # top value of 4 cols stays positive
+
+
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Long-lived datasets evolve: later partitions add columns. A
     mergeSchema read must surface the union schema with nulls for the
