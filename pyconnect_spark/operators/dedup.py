@@ -1104,14 +1104,14 @@ def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd12_oracle() -> str:
-    from pyconnect_spark.operators.similarity import _SM05_INDEX_CTES
+    from pyconnect_spark.operators.similarity import _SEED_IVF_CTES
 
     return f"""
-    WITH RECURSIVE {_SM05_INDEX_CTES},
+    WITH RECURSIVE {_SEED_IVF_CTES},
     edges AS (
       SELECT ca.vec_id AS a, cb.vec_id AS b
-      FROM corpus ca
-      JOIN corpus cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      FROM seedcells ca
+      JOIN seedcells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
       JOIN embeddings a ON a.vec_id = ca.vec_id
       JOIN embeddings b ON b.vec_id = cb.vec_id
       WHERE round({_DD09_COS_SQL}, 9) >= 0.45
@@ -1132,33 +1132,33 @@ def _dd12_oracle() -> str:
     "dd12_semantic_dedup_ivf",
     oracle=_dd12_oracle(),
     doc="Semantic dedup, SCALE tier — the production shape of dd09: "
-    "candidate edges come from the IVF index (vectors sharing an "
-    "argmax-cosine cell, same quantizer as sm05 via the shared "
-    "ivf_ranked_cells/_SM05_INDEX_CTES), cosine >= 0.45 applies only "
-    "within cells, then the shared connected-components + keep-first "
-    "machinery. Because the IVF assignment is a JVM fold replayed "
-    "bit-for-bit by DuckDB, this scale tier is FULLY oracle-checked — "
-    "the usual trade (exact tier auditable, scale tier trusted) doesn't "
-    "apply here: both tiers are checked, and dd09-vs-dd12 cluster "
-    "disagreement measures exactly what the cell pruning loses "
-    "(cross-cell near-dups). At 100 TB the corpus never self-joins "
-    "all-pairs: the edge join is per-cell (write the corpus partitioned "
-    "by cell and it is shuffle-free), edges grow with true duplicate "
-    "density, and components iterate over edge-touching nodes only. "
-    "THE SCALE KNOB IS n_cells: per-cell candidate pairs grow "
-    "quadratically in cell population, so the quantizer's cell count "
-    "must grow with the corpus (FAISS sizes nlist ~ sqrt(N)); the "
-    "fixture's 10 fixed label-cells deliberately expose that failure "
-    "mode in BASELINE.md's 10x experiment (22.7x measured at fixed "
-    "cells) — a production run re-trains the quantizer as N grows.",
+    "candidate edges come from an AUTO-SIZED IVF index (vectors sharing "
+    "an argmax-cosine cell over ceil(sqrt(N)) md5-picked seed centroids "
+    "— the FAISS nlist sizing convention, via seed_ivf_cells/"
+    "_SEED_IVF_CTES), cosine >= 0.45 applies only within cells, then "
+    "the shared connected-components + keep-first machinery. Because "
+    "the IVF assignment is a JVM fold replayed bit-for-bit by DuckDB, "
+    "this scale tier is FULLY oracle-checked — the usual trade (exact "
+    "tier auditable, scale tier trusted) doesn't apply here: both "
+    "tiers are checked, and dd09-vs-dd12 cluster disagreement measures "
+    "exactly what the cell pruning loses (cross-cell near-dups). At "
+    "100 TB the corpus never self-joins all-pairs: the edge join is "
+    "per-cell (write the corpus partitioned by cell and it is "
+    "shuffle-free), and components iterate over edge-touching nodes "
+    "only. n_cells GROWS WITH N automatically: per-cell candidate "
+    "pairs are quadratic in cell population, so the earlier fixed "
+    "10-cell quantizer measured 22.7x cost at 10x data (BASELINE.md); "
+    "auto-sqrt sizing holds the 10x replica to ~3x "
+    "(test_dd12_auto_nlist_scales_sublinearly). A production run "
+    "Lloyd-iterates the same seeds as N grows.",
     tags=("dedup", "llm", "semantic", "components", "ann", "scale-tier"),
 )
 def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyconnect_spark.operators.similarity import cosine, ivf_ranked_cells
+    from pyconnect_spark.operators.similarity import cosine, seed_ivf_cells
 
     emb = t(spark, sf_dir, "embeddings")
     corpus = (
-        ivf_ranked_cells(spark, sf_dir)
+        seed_ivf_cells(spark, sf_dir)
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", "cell")
     )
@@ -1367,14 +1367,22 @@ def dd14(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     )
     sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
     ca, cb = sh_c.alias("ca"), sh_c.alias("cb")
+    # Filter to candidate PAIRS before aggregating: two docs can co-occur
+    # in the candidate-doc set without being a candidate pair (each paired
+    # with some third doc), and aggregating their shingle matches first
+    # would push never-needed pairs through the verify shuffle. The
+    # broadcast of the 16-byte pair ids keeps the filter shuffle-free, so
+    # the groupBy's exchange carries candidate-pair rows only (map-side
+    # partial counts shrink it further).
     common = (
         ca.join(
             cb,
             (F.col("ca.sh") == F.col("cb.sh")) & (F.col("ca.doc_id") < F.col("cb.doc_id")),
         )
-        .groupBy(F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+        .select(F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("nc"))
-        .join(cand, ["doc_a", "doc_b"])  # candidate pairs only
     )
     za, zb = sz.alias("za"), sz.alias("zb")
     jacc = F.col("nc").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("nc"))

@@ -249,6 +249,80 @@ _SM05_ORACLE = f"""
     """
 
 
+# Auto-sized IVF quantizer CTEs (dd12's scale tier): n_cells grows with
+# the corpus as ceil(sqrt(N)) — the FAISS nlist sizing convention — so
+# per-cell populations stay ~sqrt(N) instead of N/10, and the per-cell
+# quadratic candidate-pair count stops exploding at fixed cell count
+# (the 22.7x-at-10x failure BASELINE.md measured). Centroids are SEED
+# VECTORS picked by md5 order (k-means with 0 iterations — deterministic
+# and oracle-replayable; a production run would Lloyd-iterate the same
+# seeds). Shared verbatim by dd12's oracle.
+_SEED_IVF_COS = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(s.seed_emb[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(s.seed_emb,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))), 9)"""
+
+_SEED_IVF_CTES = f"""
+    cnt AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS n_cells FROM embeddings),
+    seedrank AS (
+      SELECT vec_id AS seed_id, embedding AS seed_emb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
+      FROM embeddings
+    ),
+    seeds AS (SELECT seed_id, seed_emb, srk FROM seedrank, cnt WHERE srk <= cnt.n_cells),
+    sscored AS (
+      SELECT e.vec_id, s.srk, {_SEED_IVF_COS} AS cos9,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_SEED_IVF_COS} DESC, s.srk) AS rk
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    seedcells AS (SELECT vec_id, srk AS cell FROM sscored WHERE rk = 1)"""
+
+
+def seed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized IVF assignment (vec_id, embedding, cell, rk): the corpus
+    scored against ceil(sqrt(N)) md5-picked seed vectors; rk=1 is the
+    cell. Oracle twin: _SEED_IVF_CTES. The count() is one metadata-cheap
+    job; seed selection is TakeOrderedAndProject (per-partition top-k,
+    no global sort materialization) and the seed table broadcasts."""
+    import math
+
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = math.ceil(math.sqrt(emb.count()))
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("seed_emb"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "seed_id")
+        .limit(n_cells)
+    )
+    wseed = Window.orderBy("h", "seed_id")  # tiny frame: n_cells rows
+    seeds = seeds.withColumn("srk", F.row_number().over(wseed)).drop("h")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = F.transform("seed_emb", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, s, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    ns = F.sqrt(F.aggregate(s, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        F.col("srk").alias("cell"),
+        F.round(dot / (nv * ns), 9).alias("cos9"),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos9"), "cell")
+    return scored.withColumn("rk", F.row_number().over(wcell))
+
+
 def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build, shared by sm05 (probe path) and dd12 (candidate
     edges): every vector scored against every label centroid by the JVM

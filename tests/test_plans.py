@@ -506,3 +506,28 @@ def test_dd16_bow_exchange_carries_hashes_not_text(spark):
     text = explain_str(_Q["dd16_bow_dedup"](spark, SF))
     for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_dd14_verify_filters_candidates_before_aggregate(spark):
+    # the verify tier must intersect with the candidate-pair set BEFORE
+    # the intersection-count aggregate: the physical plan's broadcast
+    # pair-filter join has a HashAggregate for the nc count ABOVE it,
+    # not below — so the verify exchange carries candidate pairs only.
+    text = explain_str(_Q["dd14_prefix_filter_join"](spark, SF))
+    import re
+
+    # locate the count aggregate over (doc_a, doc_b) and the last
+    # broadcast join below it in the formatted tree: in formatted output
+    # operator ids increase downward (leaves have higher ids), so the
+    # aggregate's id must be SMALLER than some BroadcastHashJoin id that
+    # feeds it through the nc-count path.
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate", text)
+        if "count" in text
+    ]
+    bj_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) BroadcastHashJoin", text)]
+    assert agg_ids and bj_ids
+    # at least one broadcast join sits below (higher id than) the nc
+    # aggregate — the pair filter feeding the count
+    assert any(b > min(agg_ids) for b in bj_ids), text

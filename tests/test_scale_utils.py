@@ -642,6 +642,57 @@ def test_zorder_value_clamps_below_stats_lo(spark):
     assert 0 <= big < (1 << 63) - 1  # top value of 4 cols stays positive
 
 
+def test_dd12_auto_nlist_scales_sublinearly(spark, tmp_path):
+    """dd12's scale knob, automated: with n_cells = ceil(sqrt(N)) the
+    per-cell quadratic candidate-pair count grows ~N^1.5 instead of N²
+    — at 10x data pairs must grow far under the ~100x a fixed cell
+    count produced (BASELINE.md measured 22.7x wall-clock there). The
+    pin is structural (pair counts, not wall-clock) so it is exact and
+    host-independent; tools/scale_replicate.py measures the wall-clock
+    side for BASELINE.md."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators.similarity import seed_ivf_cells
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n1 = base.count()
+    d10 = tmp_path / "x10"
+    d10.mkdir()
+    parts = [base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000)) for i in range(10)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.write.parquet(str(d10 / "embeddings.parquet"))
+
+    def pairs_and_cells(sf_dir):
+        pops = (
+            seed_ivf_cells(spark, sf_dir)
+            .filter(F.col("rk") == 1)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .select(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+                    F.count("*").alias("n_cells"))
+            .collect()[0]
+        )
+        return int(pops["pairs"]), int(pops["n_cells"])
+
+    p1, c1 = pairs_and_cells("/root/testdata/sf0.001")
+    p10, c10 = pairs_and_cells(str(d10))
+    assert c1 == math.ceil(math.sqrt(n1))  # auto-sizing engaged
+    # Replication duplicates embeddings verbatim, so a seed whose identical
+    # twin has a lower seed rank wins no vectors — populated cells can be
+    # slightly under the seed count; what matters is growth with N.
+    assert 2 * c1 < c10 <= math.ceil(math.sqrt(10 * n1))
+    growth = p10 / max(p1, 1)
+    # theory: pairs ~ N^1.5 -> 10x data => ~31.6x pairs; fixed cells => ~100x.
+    assert growth < 45, f"pair growth {growth:.1f}x — auto-nlist not engaging"
+    # the quadratic is defeated: pairs per N² must SHRINK as N grows
+    assert p10 / (10 * n1) ** 2 < p1 / n1**2
+
+
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Long-lived datasets evolve: later partitions add columns. A
     mergeSchema read must surface the union schema with nulls for the
