@@ -55,25 +55,84 @@ def parse_timedelta(value: str | int | float | timedelta) -> timedelta:
     return timedelta(**kwargs)
 
 
+def csv_line_reader(
+    separator: str = ",",
+    quoter: str = '"',
+    escaper: str = "\\",
+    strip_chars: str = "\r\t\n ",
+):
+    """Quote/escape-aware CSV line parser (reference parity:
+    csv_line_reader, config.py:235-280).
+
+    Semantics: ``escaper`` makes the next char literal (and is dropped);
+    ``quoter`` toggles quoting — separators inside quotes do not split,
+    and the quote chars themselves are dropped; every field is stripped
+    of ``strip_chars`` at both ends (quoting does NOT protect against
+    stripping — the reference's documented caveat); an empty line parses
+    to ``[]``; a trailing escaper is swallowed.
+
+    >>> csv_line_reader()(r'"quoted,field",escaped\\,field, stripped ')
+    ['quoted,field', 'escaped,field', 'stripped']
+    """
+
+    def parse(line: str) -> List[str]:
+        if not line:
+            return []
+        fields: List[str] = []
+        buf: List[str] = []
+        in_quotes = False
+        chars = iter(line)
+        for ch in chars:
+            if ch == escaper:
+                buf.append(next(chars, ""))
+            elif ch == quoter:
+                in_quotes = not in_quotes
+            elif ch == separator and not in_quotes:
+                fields.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        fields.append("".join(buf))
+        return [f.strip(strip_chars) for f in fields]
+
+    return parse
+
+
 def csv_list(value: str | List[str]) -> List[str]:
-    """CSV string -> list (reference: csv_line_reader config.py:235-280)."""
+    """CSV string -> list via the quote/escape-aware reader (reference:
+    csv_line_reader config.py:235-280); empty fields are dropped, so
+    config values tolerate trailing commas."""
     if isinstance(value, list):
         return value
-    return [v.strip() for v in value.split(",") if v.strip()]
+    return [v for v in csv_line_reader()(value) if v]
 
 
 def hide_sensitive_values(
-    config: Dict[str, Any], algorithm: str = "sha256", iterations: int = 1000
+    config: Dict[str, Any],
+    algorithm: str = "sha256",
+    iterations: int = 100_000,
+    hash_sensitive_values: bool = True,
 ) -> Dict[str, Any]:
-    """Redact known secret keys before logging. With hashing enabled the
-    value becomes a salted PBKDF2 digest (diffable); otherwise '****'."""
+    """Redact known secret keys before logging (reference parity:
+    core.py:28-56). With ``hash_sensitive_values`` (default) each value
+    becomes a PBKDF2 digest under a fresh per-call random salt — the
+    logged string carries algorithm/salt/iterations, so an operator CAN
+    verify a suspected value against the log, but equal secrets hash
+    differently across log lines (no cross-log correlation). With
+    ``hash_sensitive_values=False`` the value is simply ``'****'``."""
     out = dict(config)
+    salt = os.urandom(32)
     for key in SENSITIVE_KEYS:
         if key in out and out[key] is not None:
-            digest = hashlib.pbkdf2_hmac(
-                algorithm, str(out[key]).encode(), b"pyconnect-spark", iterations
-            )
-            out[key] = f"$pbkdf2-{algorithm}$i={iterations}${digest.hex()[:32]}"
+            if hash_sensitive_values:
+                digest = hashlib.pbkdf2_hmac(
+                    algorithm, str(out[key]).encode(), salt, iterations
+                )
+                out[key] = (
+                    f"$pbkdf2-{algorithm}:{salt.hex()}:{iterations}${digest.hex()}"
+                )
+            else:
+                out[key] = "****"
     return out
 
 

@@ -78,13 +78,62 @@ def test_sink_source_configs():
 
 
 def test_secret_redaction():
+    """Mirrors the reference's hide_sensitive_values contract
+    (test_core.py:7-33): the hashed form is self-verifiable (the logged
+    string carries algo/salt/iterations and recomputing PBKDF2 matches),
+    the salt is per-call (equal secrets differ across calls — no
+    cross-log correlation), and the non-hash mode yields '****'."""
+    import hashlib
+    import re
+
     cfg = {"sasl.password": "hunter2", "other": "keep"}
     red = hide_sensitive_values(cfg)
     assert red["other"] == "keep"
     assert "hunter2" not in str(red["sasl.password"])
-    assert red["sasl.password"].startswith("$pbkdf2-")
-    # deterministic (diffable) like the reference's hashed variant
-    assert hide_sensitive_values(cfg) == red
+    m = re.match(
+        r"\$pbkdf2-(?P<algo>[^:]+):(?P<salt>[0-9a-f]+):(?P<iters>\d+)\$(?P<hash>[0-9a-f]+)",
+        red["sasl.password"],
+    )
+    assert m, red["sasl.password"]
+    recomputed = hashlib.pbkdf2_hmac(
+        m["algo"], b"hunter2", bytes.fromhex(m["salt"]), int(m["iters"])
+    )
+    assert recomputed.hex() == m["hash"]
+    # per-call salt: a second call must NOT produce the same digest
+    assert hide_sensitive_values(cfg)["sasl.password"] != red["sasl.password"]
+    # obfuscation mode
+    hidden = hide_sensitive_values(cfg, hash_sensitive_values=False)
+    assert hidden["sasl.password"] == "****" and hidden["other"] == "keep"
+    # non-sensitive-only config passes through untouched
+    plain = {"regular": "value"}
+    assert hide_sensitive_values(plain) == plain
+
+
+def test_csv_line_reader_quotes_escapes_strips():
+    """Reference parity for the quote/escape/strip line parser
+    (config.py:235-280 doctest semantics)."""
+    from pyconnect_spark.config import csv_line_reader
+
+    reader = csv_line_reader()
+    line = r'"quoted,field",escaped\,field, stripped field ," quoted \" escaped field"'
+    assert reader(line) == [
+        "quoted,field",
+        "escaped,field",
+        "stripped field",
+        'quoted " escaped field',
+    ]
+    assert reader("") == []
+    assert reader("a,,b") == ["a", "", "b"]
+    assert reader("trailing\\") == ["trailing"]  # dangling escaper swallowed
+    # quoting does not protect from stripping (documented caveat)
+    assert reader('" here I ",am') == ["here I", "am"]
+    # custom separator/quoter
+    assert csv_line_reader(separator=";", quoter="'")("'a;b';c") == ["a;b", "c"]
+
+
+def test_csv_list_is_quote_aware():
+    assert csv_list('"a,b",c') == ["a,b", "c"]
+    assert csv_list("a, b ,c,") == ["a", "b", "c"]
 
 
 # ---------------------------------------------------------------------------
