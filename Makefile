@@ -1,4 +1,18 @@
-.PHONY: test test-oracle test-streaming bench example lint
+.PHONY: test test-oracle test-streaming test-kafka kafka-up kafka-down bench example lint
+
+# Live-broker integration suites (skip cleanly without a broker).
+# Bring up Kafka + Schema Registry with `make kafka-up` (needs docker),
+# then `make test-kafka` runs the env-gated suites against them.
+kafka-up:
+	docker compose up -d --wait
+
+kafka-down:
+	docker compose down -v
+
+test-kafka:
+	PYCONNECT_KAFKA_BOOTSTRAP=localhost:9092 \
+	PYCONNECT_SCHEMA_REGISTRY=http://localhost:8081 \
+	python -m pytest tests/test_kafka_integration.py tests/test_schema_registry.py -q
 
 test:
 	python -m pytest tests/ -q
