@@ -180,6 +180,15 @@ HEADLINE = [
     "ts33_rolling_wau",
     "tx28_length_gini",
     "ts34_feed_continuity",
+    # round-5 additions
+    "sm16_pq_quantize",
+    "dd20_containment_join",
+    "dd21_source_precedence_dedup",
+    "ts35_dow_hour_heatmap",
+    "ts36_mad_anomaly",
+    "ts37_interarrival_quantiles",
+    "tx29_charset_profile",
+    "x62_order_aging_buckets",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

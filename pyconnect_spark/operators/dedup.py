@@ -1775,3 +1775,162 @@ def dd19(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.sum(F.col("seen").isNotNull().cast("double")) / F.count("*"), 6
         ).alias("novelty_frac"),
     )
+
+
+@REGISTRY.register(
+    "dd20_containment_join",
+    oracle=r"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 4, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+                                               CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))) AS sh
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(nc AS DOUBLE) / za.n, 6) AS containment
+    FROM common
+    JOIN sz za ON za.doc_id = doc_a
+    WHERE CAST(nc AS DOUBLE) / za.n >= 0.9
+    """,
+    doc="Asymmetric containment join (|A∩B| / |A| >= 0.9 on word "
+    "5-grams): finds docs SUBSUMED by others — quotes, excerpts, "
+    "boilerplate-wrapped reposts — which symmetric Jaccard (dd14) "
+    "misses whenever the container is much larger than the contained "
+    "doc (J = |A|/|B| can sit far below any Jaccard threshold while "
+    "containment is 1.0). Prefix filtering still applies but "
+    "asymmetrically (Xiao et al.'s PPJoin containment variant): a "
+    "contained doc can miss at most floor((1-t)*|A|) of its shingles, "
+    "so joining A's |A| - ceil(t*|A|) + 1 RAREST shingles against B's "
+    "FULL posting lists yields a lossless candidate superset — the "
+    "oracle is the quadratic form, so the hash-match proves "
+    "losslessness. The B side indexes every shingle (containment has "
+    "no length filter in the container direction — that asymmetry is "
+    "the algorithm, not an oversight); candidate volume still tracks "
+    "rare-token posting lists. At 100 TB: same staging as dd14 "
+    "(shingle table to parquet, partitioned by token hash), and pairs "
+    "whose containment ~1 with |B|>>|A| are the 'quoted inside' edges "
+    "a dedup policy usually DROPS the small side of.",
+    tags=("dedup", "llm", "containment", "prefix-filter", "exact"),
+)
+def dd20(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _word_shingles(docs, 5)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = sh.join(freq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("f", "sh"))
+        .alias("rk"),
+    )
+    # asymmetric prefix: only the CONTAINED side (A) is pruned to its
+    # rarest |A| - ceil(t*|A|) + 1 shingles; the container side joins full
+    pref_a = ranked.join(sz, "doc_id").filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    cand = (
+        pref_a.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    common = (
+        sh_c.alias("ca")
+        .join(
+            sh_c.alias("cb"),
+            (F.col("ca.sh") == F.col("cb.sh"))
+            & (F.col("ca.doc_id") != F.col("cb.doc_id")),
+        )
+        .select(F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    containment = F.col("nc").cast("double") / F.col("n")
+    return (
+        common.join(F.broadcast(sz), F.col("doc_a") == F.col("doc_id"))
+        .filter(containment >= threshold)
+        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )
+
+
+@REGISTRY.register(
+    "dd21_source_precedence_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(text) AS f FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, f,
+             row_number() OVER (PARTITION BY f ORDER BY source, doc_id) AS rk,
+             min(source) OVER (PARTITION BY f) AS keeper_source
+      FROM fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk > 1 AND source = keeper_source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_self_dup,
+           CAST(SUM(CASE WHEN rk > 1 AND source <> keeper_source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed
+    FROM ranked GROUP BY 1
+    """,
+    doc="Source-precedence exact dedup ledger: when corpora merge (crawl "
+    "snapshots, licensed dumps, curated sets), identical texts keep ONE "
+    "copy from the highest-precedence source (here: lexicographic "
+    "source order, ties by doc_id — swap in an explicit priority table "
+    "at will) and every source gets an audit row: docs kept, dupes of "
+    "its own keeper (n_self_dup), and docs SHADOWED by a higher-"
+    "precedence source — the number that tells you what a new source "
+    "actually added vs re-sent (dd11 measures pairwise overlap; this "
+    "resolves it into per-doc keep decisions under a total precedence "
+    "order). One shuffle on the 16-byte md5 fingerprint (text never "
+    "moves), two window passes under the same exchange, one per-source "
+    "rollup.",
+    tags=("dedup", "llm", "precedence", "audit"),
+)
+def dd21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", F.md5("text").alias("f"))
+    wf = Window.partitionBy("f")
+    ranked = fp.select(
+        "source",
+        F.row_number().over(wf.orderBy("source", "doc_id")).alias("rk"),
+        F.min("source").over(wf).alias("keeper_source"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when((F.col("rk") > 1) & (F.col("source") == F.col("keeper_source")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_self_dup"),
+        F.sum(
+            F.when((F.col("rk") > 1) & (F.col("source") != F.col("keeper_source")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shadowed"),
+    )

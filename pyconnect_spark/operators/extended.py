@@ -2290,3 +2290,66 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("lag_days") <= 30).cast("double")) / F.count("*"), 6
         ).alias("within_30d_frac"),
     )
+
+
+@REGISTRY.register(
+    "x62_order_aging_buckets",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_day FROM orders),
+    aged AS (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, ref_day) <= 30 THEN '0-30'
+                  WHEN date_diff('day', o_orderdate, ref_day) <= 90 THEN '31-90'
+                  WHEN date_diff('day', o_orderdate, ref_day) <= 365 THEN '91-365'
+                  ELSE '365+' END AS age_bucket,
+             o_totalprice
+      FROM orders, ref
+    )
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS total_value,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (
+                 PARTITION BY o_orderpriority), 6) AS priority_share
+    FROM aged GROUP BY 1, 2
+    """,
+    doc="Order-aging buckets by priority: each order's age against the "
+    "corpus max date, bucketed 0-30/31-90/91-365/365+, with count, "
+    "value, and within-priority share — the receivables/backlog-aging "
+    "report shape (same pattern ages tickets, inventory, or unlabeled "
+    "training samples against a snapshot date). The reference date is a "
+    "one-row broadcast (scalar-subquery shape, x16's pattern); bucketing "
+    "is a codegen CASE; one combiner-shrunk aggregate, and the share "
+    "window runs over the tiny (priority x bucket) result frame.",
+    tags=("relational", "aging", "buckets"),
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_day"))
+    age = F.datediff(F.col("ref_day"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    agg = (
+        orders.crossJoin(F.broadcast(ref))
+        .select("o_orderpriority", bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+    wpr = Window.partitionBy("o_orderpriority")
+    return agg.select(
+        "o_orderpriority",
+        "age_bucket",
+        F.col("n").cast("long").alias("n_orders"),
+        "total_value",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wpr), 6).alias(
+            "priority_share"
+        ),
+    )

@@ -1505,3 +1505,151 @@ def sm15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c"), 6).alias("bin_min"),
         F.round(F.max("c"), 6).alias("bin_max"),
     )
+
+
+@REGISTRY.register(
+    "sm16_pq_quantize",
+    oracle="""
+    WITH seedrank AS (
+      SELECT vec_id AS sid, embedding AS semb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT j.j, s.k,
+             list_transform(list_slice(s.semb, j.j*8 + 1, j.j*8 + 8),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT unnest(range(8)) AS j) j,
+           (SELECT k, semb FROM seedrank WHERE k <= 16) s
+    ),
+    xv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT xv.vec_id, cb.j, cb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS dist,
+             list_aggregate(list_transform(range(1, 9),
+               i -> x[CAST(cb.j*8 + i AS INT)] * cvec[CAST(i AS INT)]),
+               'sum') AS dotp,
+             list_aggregate(list_transform(cvec, c -> c * c), 'sum') AS cn2
+      FROM xv CROSS JOIN cb
+    ),
+    best AS (
+      SELECT vec_id, j, k, dotp, cn2,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, k) AS rk
+      FROM scored
+    ),
+    agg AS (
+      SELECT vec_id,
+             array_to_string(list(k ORDER BY j), '-') AS code_str,
+             SUM(dotp) AS sdot, SUM(cn2) AS scn2
+      FROM best WHERE rk = 1 GROUP BY 1
+    ),
+    nx AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id, a.code_str,
+           round(a.sdot / (n.nrm * sqrt(a.scn2)), 6) AS recon_cos
+    FROM agg a JOIN nx n USING (vec_id)
+    """,
+    doc="Product quantization (Jégou et al. PAMI'11 — the memory tier "
+    "under every production-scale ANN index): the 64-dim vector splits "
+    "into 8 subspaces of 8 dims; each subspace quantizes to the nearest "
+    "of 16 codewords (argmin L2, ties to the lower code id), so a "
+    "256-byte float vector compresses to 8 nibble codes (64x). "
+    "Codebooks are md5-picked seed-vector slices (k-means with zero "
+    "iterations — deterministic, so DuckDB replays assignment exactly; "
+    "production Lloyd-iterates per subspace from the same seeds). "
+    "Output: per-vector code string plus the reconstruction cosine "
+    "(original vs concatenated codewords) — the compression-quality "
+    "audit that decides if PQ candidates need exact re-rank. Plan "
+    "shape: the 128-row codebook broadcasts, per-(vec, subspace, code) "
+    "distances are JVM folds in one codegen stage, argmin is one "
+    "(vec_id, j) window under a single vec_id-keyed exchange, and at "
+    "100 TB this is exactly the map-side encode pass that writes the "
+    "code table next to the corpus (asymmetric-distance query scans "
+    "read codes, never raw vectors).",
+    tags=("similarity", "llm", "ann", "quantization", "pq"),
+)
+def sm16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    wseed = Window.orderBy("h", "sid")
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("sid"),
+            F.col("embedding").alias("semb"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "sid")
+        .limit(16)
+        .withColumn("k", F.row_number().over(wseed))
+    )
+    cb = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        "k",
+        F.col("semb").alias("semb"),
+    ).select(
+        "j",
+        "k",
+        F.transform(
+            F.slice("semb", F.col("j") * 8 + 1, 8), lambda x: x.cast("double")
+        ).alias("cvec"),
+    )
+    xv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    xj = F.slice("x", F.col("j") * 8 + 1, 8)
+    dist = F.aggregate(
+        F.zip_with(xj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dotp = F.aggregate(
+        F.zip_with(xj, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cn2 = F.aggregate(
+        F.col("cvec"), F.lit(0.0), lambda acc, c: acc + c * c
+    )
+    scored = xv.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "j", "k", dist.alias("dist"), dotp.alias("dotp"), cn2.alias("cn2")
+    )
+    wbest = Window.partitionBy("vec_id", "j").orderBy("dist", "k")
+    best = scored.withColumn("rk", F.row_number().over(wbest)).filter(F.col("rk") == 1)
+    agg = best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "k"))),
+                lambda s: s["k"].cast("string"),
+            ),
+        ).alias("code_str"),
+        F.sum("dotp").alias("sdot"),
+        F.sum("cn2").alias("scn2"),
+    )
+    nx = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    )
+    return agg.join(nx, "vec_id").select(
+        "vec_id",
+        "code_str",
+        F.round(F.col("sdot") / (F.col("nrm") * F.sqrt("scn2")), 6).alias("recon_cos"),
+    )

@@ -1728,3 +1728,55 @@ def tx28(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@REGISTRY.register(
+    "tx29_charset_profile",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) AS DOUBLE) AS n,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_n,
+             length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g')) AS ws_n,
+             length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS other_n
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(upper_n / n), 6) AS upper_ratio,
+           round(AVG(digit_n / n), 6) AS digit_ratio,
+           round(AVG(ws_n / n), 6) AS whitespace_ratio,
+           round(AVG(other_n / n), 6) AS symbol_ratio
+    FROM d GROUP BY 1
+    """,
+    doc="Character-class profile per source: mean uppercase / digit / "
+    "whitespace / non-alphanumeric-symbol ratios — the charset "
+    "fingerprint that separates prose from code dumps, shouting spam, "
+    "tables, and minified blobs BEFORE tokenization (a source whose "
+    "symbol_ratio jumps release-over-release usually changed its "
+    "extractor, not its content). Pure map-side expressions (four "
+    "regexp_replace lengths per doc inside one codegen stage) into one "
+    "combiner-shrunk per-source aggregate; no shuffle carries text. "
+    "Both engines strip with the same POSIX character classes so the "
+    "counts agree byte-for-byte on the fixture corpus.",
+    tags=("text", "llm", "quality", "charset"),
+)
+def tx29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("double")
+    cls = lambda pat: F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    d = docs.select(
+        "source",
+        (cls(r"[^A-Z]") / n).alias("ur"),
+        (cls(r"[^0-9]") / n).alias("dr"),
+        (cls("[^ \t\n\r]") / n).alias("wr"),
+        (cls("[A-Za-z0-9 \t\n\r]") / n).alias("sr"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("ur"), 6).alias("upper_ratio"),
+        F.round(F.avg("dr"), 6).alias("digit_ratio"),
+        F.round(F.avg("wr"), 6).alias("whitespace_ratio"),
+        F.round(F.avg("sr"), 6).alias("symbol_ratio"),
+    )

@@ -2042,3 +2042,157 @@ def ts34(spark: SparkSession, sf_dir: str) -> DataFrame:
         (span - F.count("*")).cast("long").alias("days_missing"),
         F.coalesce(F.max("gap"), F.lit(1)).cast("long").alias("longest_gap_days"),
     )
+
+
+@REGISTRY.register(
+    "ts35_dow_hour_heatmap",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM h
+    """,
+    doc="Weekly activity heatmap: event counts and corpus share by (ISO "
+    "day-of-week, hour) — the 7x24 seasonality fingerprint that traffic "
+    "shaping, capacity planning, and anomaly baselines all start from. "
+    "One combiner-shrunk aggregate over the fact (the heavy exchange "
+    "carries at most 168 buckets per map task); the share window runs on "
+    "the 168-row result, never the fact. Spark's dayofweek() is "
+    "Sunday=1, so ISO numbering is derived arithmetically to match the "
+    "oracle's isodow().",
+    tags=("timeseries", "seasonality", "heatmap"),
+)
+def ts35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    return agg.select(
+        "dow",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wall), 6).alias("share"),
+    )
+
+
+@REGISTRY.register(
+    "ts36_mad_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1
+    ),
+    mad AS (
+      SELECT d.event_type, m.med,
+             quantile_cont(abs(d.n - m.med), 0.5) AS mad
+      FROM daily d JOIN med m USING (event_type) GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(a.med, 6) AS med_daily,
+           round(a.mad, 6) AS mad_daily,
+           CAST(SUM(CASE WHEN abs(d.n - a.med) > 3 * a.mad AND a.mad > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM daily d JOIN mad a USING (event_type)
+    GROUP BY 1, a.med, a.mad
+    """,
+    doc="Robust daily-volume anomaly detection per event stream: median "
+    "and MAD (median absolute deviation) of daily counts, days flagged "
+    "where |count - median| > 3*MAD — the robust twin of ts15's "
+    "z-score (a single 100x spike day inflates a stddev enough to mask "
+    "itself; it cannot move a median). Two exact-median passes over the "
+    "DAILY frame (calendar-sized, not event-sized — the fact collapses "
+    "to (type, day) counts first with map-side combine); at 100 TB the "
+    "medians switch to approx_percentile sketches and the daily frame "
+    "is the rollup table ts09 maintains. MAD=0 (over half the days "
+    "share one count) disables flagging rather than flagging everything. "
+    "Integer counts keep both engines' interpolated medians on exact "
+    "dyadic values, so the > comparison cannot knife-edge diverge.",
+    tags=("timeseries", "anomaly", "robust", "monitoring"),
+)
+def ts36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(F.percentile("n", 0.5).alias("med"))
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad"))
+    )
+    return (
+        daily.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(
+                F.when(
+                    (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+                    & (F.col("mad") > 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("med", 6).alias("med_daily"),
+            F.round("mad", 6).alias("mad_daily"),
+            "n_anomalies",
+        )
+    )
+
+
+@REGISTRY.register(
+    "ts37_interarrival_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+           round(quantile_cont(gap_s, 0.99), 6) AS p99_s,
+           round(AVG(gap_s), 6) AS mean_s
+    FROM g WHERE gap_s IS NOT NULL
+    """,
+    doc="Inter-arrival time distribution: per-user event gaps (lag under "
+    "one user_id exchange, microsecond integers until the final divide) "
+    "summarized as exact p50/p90/p99/mean — the latency-profile shape "
+    "of user behavior (bursty vs paced) and the empirical basis for "
+    "session-timeout choices (ts02's 30-minute gap should sit far in "
+    "this distribution's tail). Exact percentile here is the "
+    "oracle-checkable tier: it buffers the gap column per partial "
+    "aggregate, so at 100 TB the production tier swaps in "
+    "approx_percentile (t-digest sketch, mergeable, same call shape) "
+    "while this exact form remains the small-slice auditor.",
+    tags=("timeseries", "interarrival", "percentiles"),
+)
+def ts37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 6).alias("p99_s"),
+        F.round(F.avg("gap_s"), 6).alias("mean_s"),
+    )

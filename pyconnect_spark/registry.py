@@ -60,7 +60,11 @@ _PRIORITY = [
 
 # ROUND-6 ROTATION PLAN: the 5 spilled never-checked queries
 # (ts33_rolling_wau, ts34_feed_continuity, x60_repeat_purchase_cycle,
-# x61_shipping_sla, tx28_length_gini) and any round-5 additions first,
+# x61_shipping_sla, tx28_length_gini) and the 8 round-5 additions
+# (sm16_pq_quantize, dd20_containment_join,
+# dd21_source_precedence_dedup, ts35_dow_hour_heatmap,
+# ts36_mad_anomaly, ts37_interarrival_quantiles, tx29_charset_profile,
+# x62_order_aging_buckets) first,
 # then the 28 r2-stale greens (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
 # ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
