@@ -531,3 +531,43 @@ def test_dd14_verify_filters_candidates_before_aggregate(spark):
     # at least one broadcast join sits below (higher id than) the nc
     # aggregate — the pair filter feeding the count
     assert any(b > min(agg_ids) for b in bj_ids), text
+
+
+def test_dd21_precedence_shuffles_hashes_not_text(spark):
+    # both window passes and the rollup key on the md5 fingerprint; the
+    # document text must never enter an exchange
+    import re
+
+    text = explain_str(_Q["dd21_source_precedence_dedup"](spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_sm16_codebook_broadcasts_single_vec_exchange(spark):
+    # the 128-row codebook must broadcast (never shuffle the corpus
+    # against it) and the whole encode runs under few hash exchanges
+    import re
+
+    df = _Q["sm16_pq_quantize"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) <= 2, text
+
+
+def test_tx29_charset_is_map_side_single_exchange(spark):
+    # four regexp counts are map-side expressions; only the per-source
+    # aggregate exchanges, and it carries ratios, not text
+    import re
+
+    text = explain_str(_Q["tx29_charset_profile"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_ts36_medians_run_on_daily_frame(spark):
+    # the MAD passes aggregate the (type, day) frame — the events fact
+    # feeds exactly one scan tree (Spark may re-scan for the self-join,
+    # but counts collapse before any join)
+    text = explain_str(_Q["ts36_mad_anomaly"](spark, SF))
+    assert text.count("events.parquet") <= 3, text
