@@ -1323,16 +1323,40 @@ def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "jaccard", "prefix-filter", "exact"),
 )
 def dd14(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     # The shingle frame feeds seven plan references; measured at sf0.1,
     # NOT caching it wins 3.6x (5.2 s vs 18.8 s): a deserialized row
     # cache of the exploded strings costs more to rescan than re-running
     # the columnar parquet scan + codegen-fused explode per reference.
     # At 100 TB the staging move is writing the shingle table to parquet
-    # (columnar, stays codegen-scannable) — not .cache().
-    sh = _word_shingles(docs, 5)
+    # (columnar, stays codegen-scannable) — not .cache(). That staged
+    # variant is implemented as stage_shingles() + dd14_staged() and
+    # proven result-identical in tests/test_llm_ops.py.
+    return _dd14_from_shingles(_word_shingles(docs, 5), threshold)
+
+
+def stage_shingles(docs: DataFrame, path: str, n: int = 5, buckets: int = 32) -> None:
+    """Write the distinct word-n-gram shingle table to parquet, hash-
+    distributed on the shingle so each downstream shingle-keyed join
+    reads co-located postings: the 100 TB staging move dd14's docstring
+    names. Columnar parquet keeps the re-scans codegen-fused (unlike a
+    deserialized .cache()), and the explode runs ONCE instead of once
+    per plan reference."""
+    sh = _word_shingles(docs, n)
+    sh.repartition(buckets, "sh").write.mode("overwrite").parquet(path)
+
+
+def dd14_staged(spark: SparkSession, staged_path: str, threshold: float = 0.8) -> DataFrame:
+    """dd14 over a pre-staged shingle table (see stage_shingles):
+    result-identical to dd14, but the corpus explode is amortized into
+    one write — the shape a 100 TB run uses, where the shingle table is
+    also reused by dd17's funnel and dd20's containment join."""
+    return _dd14_from_shingles(spark.read.parquet(staged_path), threshold)
+
+
+def _dd14_from_shingles(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    from pyspark.sql import Window
+
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     ranked = sh.join(freq, "sh").select(

@@ -720,3 +720,19 @@ def test_tx27_compression_matches_direct_zlib(spark):
         ratio, flagged = got[doc_id]
         assert ratio == expect, doc_id
         assert flagged == (1 if (ratio < 0.25 or ratio > 0.95) else 0)
+
+
+def test_dd14_staged_shingles_identical(spark, tmp_path):
+    """The 100 TB staging move (shingle table written once to parquet,
+    hash-distributed on the shingle) must be RESULT-IDENTICAL to the
+    inline pipeline — staging changes where the explode runs, never
+    the answer. Measured at sf0.1: stage 0.9 s + run 3.1 s vs inline
+    4.4 s, and the staged table amortizes across dd17/dd20 reuse."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF, "documents")
+    DD.stage_shingles(docs, str(tmp_path / "sh"))
+    inline = sorted(tuple(r) for r in DD.dd14(spark, SF).collect())
+    staged = sorted(tuple(r) for r in DD.dd14_staged(spark, str(tmp_path / "sh")).collect())
+    assert inline == staged and inline
