@@ -30,6 +30,7 @@ example:
 	python examples/file_connector.py
 	python examples/llm_pipeline.py
 	python examples/event_analytics.py
+	python examples/dedup_at_scale.py
 
 lint:
 	python -m compileall -q pyconnect_spark tests bench.py __spark_entry__.py

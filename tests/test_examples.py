@@ -44,3 +44,8 @@ def test_event_analytics_example():
 @pytest.mark.slow
 def test_streaming_ingest_example():
     _run("streaming_ingest.py")
+
+
+@pytest.mark.slow
+def test_dedup_at_scale_example():
+    _run("dedup_at_scale.py", "/root/testdata/sf0.001")
