@@ -1780,3 +1780,57 @@ def tx29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("wr"), 6).alias("whitespace_ratio"),
         F.round(F.avg("sr"), 6).alias("symbol_ratio"),
     )
+
+
+def normalize_text(col):
+    """Canonical text form for dedup keys: lowercase, every non-
+    alphanumeric run collapsed to one space, trimmed. Pure column
+    expression (one codegen stage) with an exact DuckDB twin, so
+    normalized fingerprints replay in oracles."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+@REGISTRY.register(
+    "tx30_normalization_gain",
+    oracle="""
+    WITH n AS (
+      SELECT source, md5(text) AS raw_f,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS norm_f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_f) AS BIGINT) AS distinct_raw,
+           CAST(COUNT(DISTINCT norm_f) AS BIGINT) AS distinct_norm,
+           CAST(COUNT(DISTINCT raw_f) - COUNT(DISTINCT norm_f) AS BIGINT)
+               AS extra_dupes_found
+    FROM n GROUP BY 1
+    """,
+    doc="Normalization gain audit: per source, how many additional "
+    "duplicate groups casing/punctuation/whitespace normalization "
+    "exposes over raw-byte fingerprints (distinct_raw - distinct_norm) "
+    "— the measurement that decides whether the dedup pipeline keys on "
+    "raw md5 (dd01) or normalized md5, and the first thing to check "
+    "when a crawl source re-encodes its output (gain jumps while "
+    "content is unchanged). Both fingerprints are 16-byte md5 columns "
+    "computed map-side from one scan; the aggregate's distinct counts "
+    "shuffle hashes, never text. At 100 TB this is the same one-pass "
+    "shape as dd01 with a second key column.",
+    tags=("text", "llm", "dedup", "normalization"),
+)
+def tx30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.select(
+        "source",
+        F.md5("text").alias("raw_f"),
+        F.md5(normalize_text(F.col("text"))).alias("norm_f"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("raw_f").cast("long").alias("distinct_raw"),
+        F.count_distinct("norm_f").cast("long").alias("distinct_norm"),
+        (F.count_distinct("raw_f") - F.count_distinct("norm_f"))
+        .cast("long")
+        .alias("extra_dupes_found"),
+    )
