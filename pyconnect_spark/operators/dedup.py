@@ -226,13 +226,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     return hashed.select("doc_id", signature.alias("signature"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """Banded LSH: hash each band of the signature, bucket-join within
-    (band, band_hash). Only co-bucketed docs ever meet — no full cross join."""
+def band_keys(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """(doc_id, band, bhash) band-bucket keys from minhash signatures.
+
+    Band key: md5 of "band:v0:...:v7" (same public-hash rationale as the
+    shingle hash — DuckDB replays the identical band buckets). Shared by
+    the batch candidate join (lsh_candidate_pairs) and the streaming
+    near-dup filter (streaming/neardup.py), so both tiers bucket
+    identically."""
     rows = _N_HASHES // n_bands
-    # Band key: md5 of "band:v0:...:v7" (same public-hash rationale as the
-    # shingle hash — DuckDB replays the identical band buckets).
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -257,6 +260,12 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             )
         ).alias("band", "bhash"),
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """Banded LSH: hash each band of the signature, bucket-join within
+    (band, band_hash). Only co-bucketed docs ever meet — no full cross join."""
+    bands = band_keys(sig, n_bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

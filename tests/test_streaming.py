@@ -14,7 +14,8 @@ batch OHLC (merge-compatible min_by/max_by) · S17 per-record callback
 migration shim (executor-side on_message_received) · S18 left-outer
 stream-stream join (null emission on watermark-driven state eviction) ·
 S19 RocksDB state-store provider parity (the 100 TB streaming-state
-configuration).
+configuration) · S29 streaming MinHash-LSH near-dup filter (persistent
+bucket store, deterministic md5 banding, at-least-once).
 """
 
 from __future__ import annotations
@@ -1453,3 +1454,50 @@ def test_s28_streaming_cdc_apply_via_merge_upsert(spark, tmp_path):
         4: ("c", 40.0),
     }
     assert not glob.glob(str(tmp_path / "cdc-target.staging-merge"))
+
+
+def test_s29_streaming_neardup_filter(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup filter (streaming/neardup.py): the
+    first drain accepts all distinct docs and claims their band
+    buckets; a later drain drops exact AND lightly-edited copies of
+    already-accepted docs (any-band-bucket collision) while passing
+    genuinely new docs; the checkpoint resumes across drains. Bucketing
+    is the md5-deterministic dd03 family, so the outcome is exact, not
+    probabilistic."""
+    from pyconnect_spark.streaming.neardup import neardup_stream
+
+    base_words = " ".join(f"w{i}" for i in range(200))
+    batch1 = [
+        (1, base_words),
+        (2, " ".join(f"x{i} y{i}" for i in range(120))),
+    ]
+    batch2 = [
+        (11, base_words),  # exact copy of doc 1 -> drop
+        (12, base_words.replace("w100", "EDited")),  # near copy -> drop
+        (13, " ".join(f"z{i} q{i} r{i}" for i in range(90))),  # new -> keep
+    ]
+    schema = "doc_id long, text string"
+    incoming = str(tmp_path / "incoming")
+    store = str(tmp_path / "bucket-store")
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(incoming)
+
+    def drain():
+        q = neardup_stream(
+            spark.readStream.schema(schema).parquet(incoming),
+            store_dir=store,
+            accepted_dir=accepted,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+
+    assert drain() == {1, 2}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(incoming)
+    got = drain()
+    assert 13 in got, "genuinely new doc must pass"
+    assert 11 not in got, "exact copy must be dropped"
+    assert 12 not in got, "near copy (1 word edited in 200) must be dropped"
+    assert got == {1, 2, 13}
