@@ -192,6 +192,7 @@ HEADLINE = [
     "tx30_normalization_gain",
     "sm17_pq_adc_topk",
     "dd22_lsh_tuning_curve",
+    "sm18_ivfadc",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

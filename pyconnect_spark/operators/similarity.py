@@ -1813,3 +1813,162 @@ def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@REGISTRY.register(
+    "sm18_ivfadc",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    probes AS (
+      SELECT vec_id AS q_id, srk AS cell FROM sscored
+      WHERE rk <= 8 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, c.vec_id
+      FROM seedcells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.q_id
+    ),
+    pqseed AS (
+      SELECT vec_id AS sid, embedding AS semb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+      FROM embeddings
+    ),
+    pqcb AS (
+      SELECT j.j, s.k,
+             list_transform(list_slice(s.semb, j.j*8 + 1, j.j*8 + 8),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT unnest(range(8)) AS j) j,
+           (SELECT k, semb FROM pqseed WHERE k <= 16) s
+    ),
+    xv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    pqscored AS (
+      SELECT xv.vec_id, pqcb.j, pqcb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (x[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (x[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS dist
+      FROM xv CROSS JOIN pqcb
+    ),
+    codes AS (
+      SELECT vec_id, j, k FROM (
+        SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rk
+        FROM pqscored
+      ) WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qx
+      FROM embeddings WHERE vec_id < 5
+    ),
+    lut AS (
+      SELECT q.q_id, pqcb.j, pqcb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (qx[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (qx[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS d
+      FROM q CROSS JOIN pqcb
+    ),
+    adc AS (
+      SELECT ca.q_id, ca.vec_id, round(SUM(l.d), 6) AS adc_dist
+      FROM cand ca
+      JOIN codes c ON c.vec_id = ca.vec_id
+      JOIN lut l ON l.q_id = ca.q_id AND l.j = c.j AND l.k = c.k
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS adc_rk
+        FROM adc
+      ) WHERE adc_rk <= 100
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT s.q_id, s.vec_id,
+             round({_ORACLE_COS}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY s.q_id
+                                ORDER BY {_ORACLE_COS} DESC, s.vec_id) AS rk
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.q_id
+    ) WHERE rk <= 5
+    """,
+    doc="IVFADC — the full FAISS-style production ANN architecture, "
+    "composed from the audited pieces: dd12's auto-sized seed "
+    "quantizer prunes to the query's 8 nearest cells (inverted-file "
+    "step), sm16's PQ code table supplies 8-int compressed vectors for "
+    "the ADC scan WITHIN those cells only, the ADC top-100 shortlist "
+    "reranks by exact cosine (sm17's tail). Every stage is "
+    "md5-deterministic, so the complete index — coarse quantizer, "
+    "codes, lookup tables, rerank — replays in the SQL oracle; there "
+    "is no other way to hash-check an IVFADC end to end. Per query "
+    "the raw corpus is touched only for ≤100 rerank rows: the cell "
+    "probe reads the (vec_id, cell) index, the ADC scan reads codes. "
+    "At 100 TB: corpus parquet partitioned by cell, codes stored "
+    "alongside, probes prune partitions, and the LUT (640 doubles) "
+    "broadcasts — the scan cost per query is n_probe/n_cells of the "
+    "CODE table, which auto-shrinks as ceil(sqrt(N)) cells grow.",
+    tags=("similarity", "llm", "ann", "ivf", "pq", "adc", "scale-tier"),
+)
+def sm18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    ranked = seed_ivf_cells(spark, sf_dir)
+    corpus_cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.filter((F.col("rk") <= 8) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    codes = pq_best_codes(emb).select("vec_id", "j", "k")
+    cb = pq_codebook(emb)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
+    )
+    qj = F.slice("qx", F.col("j") * 8 + 1, 8)
+    d = F.aggregate(
+        F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select("q_id", "j", "k", d.alias("d"))
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "j", "k"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rk") <= 100)
+        .select("q_id", "vec_id")
+    )
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", sim.alias("_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("_raw", 6).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

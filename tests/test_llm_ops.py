@@ -754,3 +754,19 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     # measured 0.64 with the top-100 shortlist on this no-structure corpus
     assert recall >= 0.5, f"PQ-ADC+rerank recall@5={recall}"
     assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rows)
+
+
+def test_ivfadc_recall_and_candidate_fraction(spark):
+    """sm18 (IVFADC): recall@5 vs exact ground truth with the candidate
+    fraction REPORTED — the composite must prune (candidates well under
+    all-pairs) while keeping usable recall on the no-structure corpus.
+    Both sides of that trade are pinned so a silent degeneration to
+    all-pairs (fraction→1) or to noise (recall→0) fails."""
+    truth = _brute_force_topk(spark)
+    rows = S.sm18(spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & set(top)) for q, top in truth.items())
+    recall = hits / (5 * len(truth))
+    assert recall >= 0.3, f"IVFADC recall@5={recall}"
