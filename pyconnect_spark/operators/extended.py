@@ -2353,3 +2353,64 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_share"
         ),
     )
+
+
+@REGISTRY.register(
+    "x63_top_session_paths",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY 1, 2
+    ),
+    paths AS (
+      SELECT array_to_string(list_slice(evs, 1, 4), '>') AS path
+      FROM sess
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    doc="Top user-journey paths: each (user, day) session's first four "
+    "event types joined into a path string, ranked by frequency with "
+    "corpus share — the clickstream path-mining report (x46's Markov "
+    "transitions give edge probabilities; this gives the actual "
+    "whole-journey heads). The path build is one collect_list under a "
+    "(user, day) exchange with an explicit (ts, event_id) sort — "
+    "collect_list order is partition-order-dependent unless pinned, "
+    "the classic silent nondeterminism — then a combiner-shrunk path "
+    "count and TakeOrderedAndProject for the top 20 (no global sort). "
+    "Truncating to 4 steps bounds path cardinality at scale "
+    "(|event_types|^4), keeping the count exchange small.",
+    tags=("relational", "paths", "clickstream", "topk"),
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("evs")
+        )
+    )
+    paths = sess.select(
+        F.concat_ws(">", F.slice("evs", 1, 4)).alias("path")
+    )
+    agg = paths.groupBy("path").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    return (
+        agg.select(
+            "path",
+            F.col("n").cast("long").alias("n_sessions"),
+            F.round(F.col("n").cast("double") / F.sum("n").over(wall), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

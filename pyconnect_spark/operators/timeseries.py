@@ -2196,3 +2196,64 @@ def ts37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.99)), 6).alias("p99_s"),
         F.round(F.avg("gap_s"), 6).alias("mean_s"),
     )
+
+
+@REGISTRY.register(
+    "ts38_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT month, day, COUNT(DISTINCT user_id) AS dau
+      FROM d GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY 1
+    )
+    SELECT a.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(AVG(a.dau), 6) AS avg_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(AVG(a.dau) / m.mau, 6) AS stickiness
+    FROM dau a JOIN mau m USING (month)
+    GROUP BY 1, m.mau
+    """,
+    doc="DAU/MAU stickiness per month: average daily active users over "
+    "monthly actives — the canonical engagement ratio (a product used "
+    "daily scores ~1, monthly ~1/30; movements week-over-week are the "
+    "retention early-warning). Two distinct-count aggregates over the "
+    "(month/day, user) projection — both combiner-shrunk, text never "
+    "moves — then a month-keyed join of calendar-sized frames. At "
+    "100 TB the daily frame comes from the ts09 rollup and the "
+    "distincts switch to x49's mergeable HLL sketches (union daily "
+    "sketches for the month instead of re-scanning).",
+    tags=("timeseries", "engagement", "dau-mau"),
+)
+def ts38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(F.count_distinct("user_id").alias("dau"))
+    mau = d.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.round(F.avg("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .select(
+            "month",
+            "n_days",
+            "avg_dau",
+            F.col("mau").cast("long").alias("mau"),
+            "stickiness",
+        )
+    )
