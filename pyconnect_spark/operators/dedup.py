@@ -1871,11 +1871,17 @@ def dd20(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
     pref_a = ranked.join(sz, "doc_id").filter(
         F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     )
+    # Candidate generation joins on xxhash64(sh) — an 8-byte exchange key
+    # instead of the shingle string. A hash collision can only ADD a
+    # candidate (superset preserved; equal shingles always hash equal),
+    # and the verify tier below intersects on the exact strings, so
+    # losslessness is untouched — the oracle hash-match still proves it.
     cand = (
-        pref_a.alias("a")
+        pref_a.select("doc_id", F.xxhash64("sh").alias("hs"))
+        .alias("a")
         .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
+            sh.select("doc_id", F.xxhash64("sh").alias("hs")).alias("b"),
+            (F.col("a.hs") == F.col("b.hs"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -2033,7 +2039,7 @@ def dd21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "lsh", "tuning"),
 )
 def dd22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pyconnect_spark.cachereg import track
 
     docs = t(spark, sf_dir, "documents")
     sample = (
@@ -2044,7 +2050,10 @@ def dd22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .drop("h")
     )
-    sh = _word_shingles(sample, 3)
+    # The shingle frame feeds three branches (sizes + both join sides);
+    # unpersisted, each branch re-runs the full-corpus TakeOrdered sample
+    # scan (measured 4.7 s vs 1.0 s at sf0.1 for a 30-doc audit).
+    sh = track(_word_shingles(sample, 3).persist())
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
