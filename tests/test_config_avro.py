@@ -271,3 +271,33 @@ def test_sanity_eval_injection_resistance():
 def test_sanity_check_in_sink_config():
     with pytest.raises(ValueError):
         SinkConfig(bootstrap_servers="b:9092", topics="t", poll_timeout="0s")
+
+
+def test_csv_line_reader_reference_golden():
+    """The reference's own csv_line_reader and host-splitting cases
+    (test_config.py:78-112), verbatim inputs."""
+    from pyconnect_spark.config import SinkConfig, csv_line_reader
+
+    line = (
+        'localhost,otherhost:1234/asdf, "yetanotherhost/blubb",'
+        " there-is-more/where/that/came%20/from "
+    )
+    assert csv_line_reader()(line) == [
+        "localhost",
+        "otherhost:1234/asdf",
+        "yetanotherhost/blubb",
+        "there-is-more/where/that/came%20/from",
+    ]
+    servers = (
+        'localhost,otherhost:1234/asdf, "user:pw@yetanotherhost/blubb",'
+        " there-is-more/where/that/came%20/from?blah=blubb&foo=bar "
+    )
+    cfg = SinkConfig(
+        bootstrap_servers=servers, topic="topics", group_id="groupid"
+    )
+    assert cfg.bootstrap_servers == [
+        "localhost",
+        "otherhost:1234/asdf",
+        "user:pw@yetanotherhost/blubb",
+        "there-is-more/where/that/came%20/from?blah=blubb&foo=bar",
+    ]
