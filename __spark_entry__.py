@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query — including
-    the MinHash/SimHash sketches and the IVF ANN index (md5-derived hash
-    families / JVM-fold cosine make DuckDB replay them bit-for-bit).
-    Only the two random-projection ANN queries (sm03, sm06) are omitted
-    -> rows-only check; their quality is tracked as recall@5 in bench."""
+    the MinHash/SimHash sketches, both LSH ANN pipelines (md5-derived
+    projection bases as of round 5), the IVF quantizers, and the full
+    IVFADC composite (md5 hash families / JVM-fold cosine make DuckDB
+    replay them bit-for-bit). Only tx27 (zlib pandas UDF) and x49
+    (DataSketches HLL) stay rows-only by design, each with a tolerance/
+    replay pytest."""
     return ALL.oracles()

@@ -78,3 +78,34 @@ def test_timedelta_parser_additive(parts):
 @given(st.lists(st.text(string.ascii_letters + string.digits, min_size=1, max_size=8), max_size=6))
 def test_csv_list_roundtrip(items):
     assert csv_list(",".join(items)) == items
+
+
+@given(
+    st.lists(
+        st.text(string.printable.strip() + " ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_csv_line_reader_escape_roundtrip(fields):
+    """Encoding ANY field by escaping every escaper/quoter/separator char
+    and parsing the joined line recovers the stripped fields — the
+    escape mechanism is complete, not just demo-deep."""
+    from pyconnect_spark.config import csv_line_reader
+
+    def enc(f: str) -> str:
+        out = []
+        for ch in f:
+            if ch in ('\\', '"', ','):
+                out.append('\\')
+            out.append(ch)
+        return "".join(out)
+
+    line = ",".join(enc(f) for f in fields)
+    if line == "":
+        # a lone empty field is indistinguishable from an empty line —
+        # the format's (and the upstream parser's) documented ambiguity
+        assert csv_line_reader()(line) == []
+        return
+    assert csv_line_reader()(line) == [f.strip("\r\t\n ") for f in fields]
