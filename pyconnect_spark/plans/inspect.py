@@ -69,3 +69,54 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
         ids = set(re.findall(r"codegen id : (\d+)", text))
         ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
     return len(ids)
+
+
+def execute_with_metrics(df: DataFrame) -> tuple[int, dict[str, int]]:
+    """Execute ``df`` (count) and return (row_count, aggregated SQL
+    metrics from the EXECUTED plan): shuffle bytes/records written,
+    shuffle bytes read, disk spill, and output rows of the root node.
+
+    This is the measure-don't-guess primitive behind the scale notes:
+    plan-shape tests (pushdown, broadcast) say what SHOULD happen;
+    executed-plan metrics say what DID. Works by walking the physical
+    plan tree through py4j and summing each node's SQLMetric values —
+    no listener registration, no REST scraping, so it composes with any
+    session. Executes via collect() on THIS Dataset — count() would build
+    a new plan instance whose metrics live elsewhere — so point it at
+    diagnostic-sized results (every registry query qualifies), not raw
+    facts."""
+    n = len(df.collect())
+    root = df._jdf.queryExecution().executedPlan()
+
+    totals: dict[str, int] = {}
+
+    def walk(node) -> None:
+        metrics = node.metrics()
+        it = metrics.iterator()
+        while it.hasNext():
+            kv = it.next()
+            key, metric = kv._1(), kv._2()
+            if key in (
+                "shuffleBytesWritten",
+                "shuffleRecordsWritten",
+                "remoteBytesRead",
+                "localBytesRead",
+                "spillSize",
+                "diskBytesSpilled",
+                "memoryBytesSpilled",
+            ):
+                totals[key] = totals.get(key, 0) + int(metric.value())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+        # AQE wraps stages; descend into materialized subqueries/stages
+        cls = node.getClass().getSimpleName()
+        if cls in ("AdaptiveSparkPlanExec",):
+            walk(node.executedPlan())
+        elif cls in ("QueryStageExec", "ShuffleQueryStageExec", "BroadcastQueryStageExec", "TableCacheQueryStageExec", "ResultQueryStageExec"):
+            walk(node.plan())
+
+    walk(root)
+    totals["shuffle_bytes_read"] = totals.get("remoteBytesRead", 0) + totals.get(
+        "localBytesRead", 0
+    )
+    return n, totals

@@ -571,3 +571,18 @@ def test_ts36_medians_run_on_daily_frame(spark):
     # but counts collapse before any join)
     text = explain_str(_Q["ts36_mad_anomaly"](spark, SF))
     assert text.count("events.parquet") <= 3, text
+
+
+def test_executed_plan_metrics_show_mapside_combine(spark):
+    # plan-shape tests say what SHOULD happen; executed metrics say what
+    # DID: b03's partial aggregation means the exchange carries GROUP
+    # states (6 rows), not the 60k lineitem rows, and the map-only b01
+    # shuffles nothing at all.
+    from pyconnect_spark.plans import execute_with_metrics
+
+    n, m = execute_with_metrics(_Q["b03_tpch_q1"](spark, SF))
+    assert n == 6
+    assert 0 < m["shuffleRecordsWritten"] <= 12  # partial-agg states only
+    assert m["shuffleBytesWritten"] < 100_000
+    n1, m1 = execute_with_metrics(_Q["b01_filter_project"](spark, SF))
+    assert n1 > 0 and m1["shuffleRecordsWritten"] == 0  # map-only: no exchange

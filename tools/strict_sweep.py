@@ -56,11 +56,19 @@ def canon_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> None:
+    # SWEEP_CORES / SWEEP_PARTITIONS let a second sweep run under a
+    # DIFFERENT partitioning (e.g. cores=5, partitions=7): any query whose
+    # result depends on partition count or intra-partition order (an
+    # unpinned collect_list, a first() without sort) flips its hash there
+    # even though the default sweep is green.
+    cores = os.environ.get("SWEEP_CORES", "8")
+    parts = os.environ.get("SWEEP_PARTITIONS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.default.parallelism", cores)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
