@@ -88,7 +88,16 @@ def execute_with_metrics(df: DataFrame) -> tuple[int, dict[str, int]]:
     n = len(df.collect())
     root = df._jdf.queryExecution().executedPlan()
 
-    totals: dict[str, int] = {}
+    # pre-seed so a plan with NO exchange still reports explicit zeros
+    totals: dict[str, int] = {
+        "shuffleBytesWritten": 0,
+        "shuffleRecordsWritten": 0,
+        "remoteBytesRead": 0,
+        "localBytesRead": 0,
+        "spillSize": 0,
+        "diskBytesSpilled": 0,
+        "memoryBytesSpilled": 0,
+    }
 
     def walk(node) -> None:
         metrics = node.metrics()
