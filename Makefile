@@ -23,6 +23,17 @@ test-oracle:
 test-streaming:
 	python -m pytest tests/test_streaming.py -q
 
+# Driver-style strict sweep of every query vs its DuckDB oracle, then the
+# same sweep under a DIFFERENT core/partition count — catches results that
+# depend on partitioning (unpinned collect_list order etc.).
+sweep:
+	python tools/strict_sweep.py
+	SWEEP_CORES=5 SWEEP_PARTITIONS=7 python tools/strict_sweep.py
+
+# Executed-plan shuffle/spill volumes for every headline query.
+shuffle-ledger:
+	python tools/shuffle_ledger.py > docs/SHUFFLE_LEDGER.md
+
 bench:
 	python bench.py
 

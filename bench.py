@@ -276,7 +276,13 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
 
     builders = ALL.builders()
     out = {}
-    for name in ("sm03_ann_lsh", "sm05_ann_ivf", "sm06_ann_mllib_lsh"):
+    for name in (
+        "sm03_ann_lsh",
+        "sm05_ann_ivf",
+        "sm06_ann_mllib_lsh",
+        "sm17_pq_adc_topk",
+        "sm18_ivfadc",
+    ):
         got: dict[int, set] = {}
         for r in builders[name](spark, sf_dir).collect():
             got.setdefault(r["q_id"], set()).add(r["vec_id"])
