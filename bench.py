@@ -195,6 +195,7 @@ HEADLINE = [
     "sm18_ivfadc",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",
+    "tx31_cms_heavy_hitters",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the

@@ -1834,3 +1834,96 @@ def tx30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("extra_dupes_found"),
     )
+
+
+@REGISTRY.register(
+    "tx31_cms_heavy_hitters",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    keyed AS (
+      SELECT word, r.r,
+             CAST(('0x' || substr(md5('cms' || r.r || ':' || word), 1, 15))
+                  AS BIGINT) % 1024 AS bucket
+      FROM w, (SELECT unnest(range(4)) AS r) r
+    ),
+    sketch AS (
+      SELECT r, bucket, COUNT(*) AS c FROM keyed GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+      ORDER BY n DESC, word LIMIT 20
+    ),
+    probes AS (
+      SELECT e.word, e.n, r.r,
+             CAST(('0x' || substr(md5('cms' || r.r || ':' || e.word), 1, 15))
+                  AS BIGINT) % 1024 AS bucket
+      FROM exact e, (SELECT unnest(range(4)) AS r) r
+    )
+    SELECT p.word, CAST(p.n AS BIGINT) AS exact_n,
+           CAST(MIN(s.c) AS BIGINT) AS cms_est,
+           round((MIN(s.c) - p.n) / CAST(p.n AS DOUBLE), 6) AS rel_overcount
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.word, p.n
+    """,
+    doc="Count-Min sketch heavy hitters: a 4x1024 CMS built in one "
+    "combiner-shrunk aggregate (≤4096 counters per map task reach the "
+    "exchange regardless of corpus size), then the true top-20 words' "
+    "estimates read back as min-over-rows, with the guaranteed-"
+    "nonnegative overcount reported. The md5-derived row hashes make "
+    "the sketch REPLAYABLE — DuckDB builds the identical counters, so "
+    "even the approximate tier is hash-checked (the x49-HLL trade, "
+    "where only a tolerance test is possible, doesn't apply). CMS is "
+    "the mergeable frequency sketch for streaming/sharded heavy "
+    "hitters at 100 TB: counters add across shards and days, the "
+    "ε=e/1024 overcount bound is corpus-relative, and the exact top-k "
+    "here doubles as the audit of that bound on this corpus (tx10 is "
+    "the exact tier).",
+    tags=("text", "llm", "sketch", "cms", "heavy-hitters"),
+)
+def tx31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+
+    def bucket(r, word_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), word_col)), 1, 15), 16, 10
+            ).cast("long")
+            % 1024
+        )
+
+    keyed = words.select(
+        F.posexplode(F.array(*[bucket(r, F.col("word")) for r in range(4)])).alias(
+            "r", "bucket"
+        )
+    )
+    sketch = keyed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    exact = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+    probes = exact.select(
+        "word",
+        "n",
+        F.posexplode(F.array(*[bucket(r, F.col("word")) for r in range(4)])).alias(
+            "r", "bucket"
+        ),
+    )
+    return (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("word", "n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "word",
+            F.col("n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.round(
+                (F.col("cms_est") - F.col("n")) / F.col("n").cast("double"), 6
+            ).alias("rel_overcount"),
+        )
+    )
