@@ -196,12 +196,13 @@ HEADLINE = [
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
+    # dd12 joined the bench in round 5 once its cell count auto-sizes as
+    # ceil(sqrt(N)) — the former fixed-10-cell quantizer made its per-cell
+    # pair blocks bench-dominating (22.7x at 10x; now 3.9x).
+    "dd12_semantic_dedup_ivf",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
-    # dd12 (IVF-cell semantic dedup) is deliberately NOT benched, like the
-    # other exact/quadratic tiers (dd02, dd09): at sf0.1 the fixture's 10
-    # fixed label-cells make its per-cell pair blocks bench-dominating;
-    # see BASELINE.md round-4 scale note (the knob is n_cells ~ sqrt(N)).
+    # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.
 ]
 
 
