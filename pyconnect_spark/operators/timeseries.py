@@ -2257,3 +2257,117 @@ def ts38(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness",
         )
     )
+
+
+@REGISTRY.register(
+    "ts39_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(y ORDER BY day) AS ys
+      FROM daily GROUP BY 1 HAVING COUNT(*) >= 15
+    ),
+    init AS (
+      SELECT event_type, ys,
+             list_aggregate(ys[1:7], 'sum') / 7 AS l0,
+             (list_aggregate(ys[8:14], 'sum') / 7
+              - list_aggregate(ys[1:7], 'sum') / 7) / 7 AS b0
+      FROM series
+    ),
+    walk(event_type, i, l, b, s) AS (
+      SELECT event_type, 7, l0, b0,
+             list_transform(range(1, 8),
+                            k -> ys[CAST(k AS INT)] - l0)
+      FROM init
+      UNION ALL
+      SELECT w.event_type, w.i + 1,
+             0.5*(s2.ys[w.i + 1] - w.s[1]) + 0.5*(w.l + w.b),
+             0.25*((0.5*(s2.ys[w.i + 1] - w.s[1]) + 0.5*(w.l + w.b)) - w.l)
+               + 0.75*w.b,
+             list_append(w.s[2:7],
+               0.25*(s2.ys[w.i + 1]
+                     - (0.5*(s2.ys[w.i + 1] - w.s[1]) + 0.5*(w.l + w.b)))
+                 + 0.75*w.s[1])
+      FROM walk w JOIN series s2 USING (event_type)
+      WHERE w.i < len(s2.ys)
+    )
+    SELECT w.event_type, CAST(len(s2.ys) AS BIGINT) AS n_days,
+           round(w.l, 6) AS level, round(w.b, 6) AS trend,
+           round(w.s[7], 6) AS season_last,
+           round(w.l + 7*w.b + w.s[7], 6) AS forecast_7d
+    FROM walk w JOIN series s2 USING (event_type)
+    WHERE w.i = len(s2.ys)
+    """,
+    doc="Holt-Winters additive triple smoothing per event_type (weekly "
+    "season m=7) — forecasting tier 3 above ts21's OLS line and ts22's "
+    "level+trend: the seasonal state lets the forecast carry the "
+    "weekday shape ts35's heatmap shows exists. alpha=0.5, gamma=0.25, "
+    "delta=0.25 — binary-exact constants, so the coupled recurrence "
+    "l_t = a(y_t - s_{t-m}) + (1-a)(l+b), b_t = g(l_t-l) + (1-g)b, "
+    "s_t = d(y_t-l_t) + (1-d)s_{t-m} folds bit-identically in both "
+    "engines; the accumulator is a 2-scalar + 7-slot-array struct "
+    "rotated per step, and the oracle replays the exact fold as a "
+    "recursive-CTE walk carrying the seasonal LIST. Seven-day "
+    "averages initialize level/trend/season (needs >= 15 days). One "
+    "(type, day) combiner exchange, then a |types|-row fold over "
+    "day-span-bounded arrays — events are never refolded at 100 TB, "
+    "the rollup frame is.",
+    tags=("timeseries", "forecast", "holt-winters", "seasonal", "fold"),
+)
+def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "y"))), lambda r: r["y"]
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 15)
+    )
+    ysum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    l0 = ysum(F.slice("ys", 1, 7)) / 7
+    b0 = (ysum(F.slice("ys", 8, 7)) / 7 - l0) / 7
+    s0 = F.transform(F.slice("ys", 1, 7), lambda y: y - F.col("l0"))
+    init = series.select(
+        "event_type", "ys", l0.alias("l0"), b0.alias("b0")
+    ).withColumn("s0", s0)
+
+    def step(acc, y):
+        l2 = 0.5 * (y - acc["s"][0]) + 0.5 * (acc["l"] + acc["b"])
+        b2 = 0.25 * (l2 - acc["l"]) + 0.75 * acc["b"]
+        snew = 0.25 * (y - l2) + 0.75 * acc["s"][0]
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            F.concat(F.slice(acc["s"], 2, 6), F.array(snew)).alias("s"),
+        )
+
+    folded = F.aggregate(
+        F.slice("ys", 8, F.size("ys") - 7),
+        F.struct(
+            F.col("l0").alias("l"), F.col("b0").alias("b"), F.col("s0").alias("s")
+        ),
+        step,
+    )
+    return init.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        folded.alias("hw"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("hw.l"), 6).alias("level"),
+        F.round(F.col("hw.b"), 6).alias("trend"),
+        F.round(F.col("hw.s")[6], 6).alias("season_last"),
+        F.round(F.col("hw.l") + 7 * F.col("hw.b") + F.col("hw.s")[6], 6).alias(
+            "forecast_7d"
+        ),
+    )

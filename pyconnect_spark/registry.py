@@ -66,7 +66,8 @@ _PRIORITY = [
 # ts36_mad_anomaly, ts37_interarrival_quantiles, tx29_charset_profile,
 # x62_order_aging_buckets, tx30_normalization_gain, sm17_pq_adc_topk,
 # dd22_lsh_tuning_curve, sm18_ivfadc, x63_top_session_paths,
-# ts38_dau_mau_stickiness, tx31_cms_heavy_hitters) first,
+# ts38_dau_mau_stickiness, tx31_cms_heavy_hitters,
+# ts39_holt_winters) first,
 # then the 28 r2-stale greens (x25_tpch_q14, x26_value_share,
 # x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
 # ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
