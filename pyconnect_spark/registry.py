@@ -59,34 +59,72 @@ _PRIORITY = [
     "mm05_pairing_audit", "mm06_frame_dedup",
 ]
 
-# ROUND-6 ROTATION PLAN: the 5 spilled never-checked queries
-# (ts33_rolling_wau, ts34_feed_continuity, x60_repeat_purchase_cycle,
-# x61_shipping_sla, tx28_length_gini) and the 8 round-5 additions
-# (sm16_pq_quantize, dd20_containment_join,
-# dd21_source_precedence_dedup, ts35_dow_hour_heatmap,
-# ts36_mad_anomaly, ts37_interarrival_quantiles, tx29_charset_profile,
-# x62_order_aging_buckets, tx30_normalization_gain, sm17_pq_adc_topk,
-# dd22_lsh_tuning_curve, sm18_ivfadc, x63_top_session_paths,
-# ts38_dau_mau_stickiness, tx31_cms_heavy_hitters,
-# ts39_holt_winters) first,
-# then the 28 r2-stale greens (x25_tpch_q14, x26_value_share,
-# x27_latest_per_key, x28_skew_two_phase_agg, x29_stratified_sample,
-# ts01_tumbling_window, ts02_sessionize, ts04_sliding_window,
-# ts05_session_window_agg, ts07_retention, ts09_rollup_cascade,
-# ts11_rolling_time_window, ts13_ohlc_bars, ts14_resample_ffill,
-# tx01_text_stats, tx02_lang_id, tx04_quality_filter,
-# tx05_winnow_fingerprint, tx10_vocab_topk, tx03_fingerprint,
-# tx06_edit_distance, tx07_hash_split, dd01_exact_dedup,
-# sm01_cosine_topk, sm04_label_centroids, sm07_int8_quantize,
-# sm08_centroid_assign, mm03_frame_sample), then r3-green families,
-# oldest evidence first.
+# ROUND >=6: the rotation is COMPUTED from the CORRECTNESS_r*.json
+# ledgers the driver leaves in the repo root, so no future round needs
+# a hand-pinned list. Staleness rule: a query's evidence round is the
+# newest ledger round whose row is green (err null AND hash_match, or
+# rows_match for the declared rows-only sketch tiers tx27/x49); a
+# failed/errored row is NOT evidence, so mismatches re-enter the
+# window immediately. Never-green queries lead (module order), then
+# ascending evidence round (oldest first), module order as tiebreak.
+# The pinned _PRIORITY above stays authoritative while the newest
+# ledger is r04 (its window was composed by hand for round 5); once
+# CORRECTNESS_r05.json lands, the computed order takes over.
+_PINNED_THROUGH_ROUND = 4
+
+
+def _ledger_rounds(root):
+    """Yield (round_number, parsed_ledger) for every readable ledger."""
+    import json
+    import re
+
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue  # unreadable/corrupt ledger: skip, never crash import
+        if isinstance(data, dict):
+            yield int(m.group(1)), data
+
+
+def _compute_priority(merged, root=None):
+    """Staleness-ordered query names, or None to use the pinned list."""
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parents[1]
+    names = list(merged.queries())
+    module_pos = {n: i for i, n in enumerate(names)}
+    has_oracle = set(merged.oracles())
+    evidence = dict.fromkeys(names, 0)  # 0 = never green
+    newest = 0
+    for rnd, rows in _ledger_rounds(root):
+        newest = max(newest, rnd)
+        for name, row in rows.items():
+            if name not in module_pos or not isinstance(row, dict):
+                continue
+            green = not row.get("err") and (
+                row.get("hash_match")
+                or (row.get("rows_match") and name not in has_oracle)
+            )
+            if green:
+                evidence[name] = max(evidence[name], rnd)
+    if newest <= _PINNED_THROUGH_ROUND:
+        return None
+    return sorted(names, key=lambda n: (evidence[n], module_pos[n]))
+
 
 ALL = QueryRegistry()
 _all_merged = _MERGED.queries()
-for _name in _PRIORITY:
+_order = _compute_priority(_MERGED) or _PRIORITY
+for _name in _order:
     ALL.add(_all_merged[_name])
 for _name, _q in _all_merged.items():
-    if _name not in set(_PRIORITY):
+    if _name not in set(_order):
         ALL.add(_q)
 
 
