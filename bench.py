@@ -196,6 +196,7 @@ HEADLINE = [
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
+    "tx32_bpe_train",
     "ts39_holt_winters",
     # dd12 joined the bench in round 5 once its cell count auto-sizes as
     # ceil(sqrt(N)) — the former fixed-10-cell quantizer made its per-cell

@@ -1927,3 +1927,158 @@ def tx31(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overcount"),
         )
     )
+
+
+@REGISTRY.register(
+    "tx32_bpe_train",
+    oracle=r"""
+    WITH RECURSIVE wf AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS syms,
+             CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    ),
+    packed AS (
+      SELECT list(struct_pack(syms := syms, wc := wc)) AS tbl FROM wf
+    ),
+    steps(step, tbl, pair, merged, pair_count) AS (
+      SELECT 0, tbl, '', '', CAST(0 AS BIGINT) FROM packed
+      UNION ALL
+      SELECT s.step + 1,
+             list_transform(s.tbl, r -> struct_pack(
+               syms := list_reduce(string_split(r.syms, ' '),
+                 (acc, x) -> CASE
+                   WHEN x = string_split(best.pair, ' ')[2]
+                    AND (acc = string_split(best.pair, ' ')[1]
+                         OR right(acc,
+                                  length(string_split(best.pair, ' ')[1]) + 1)
+                            = ' ' || string_split(best.pair, ' ')[1])
+                   THEN left(acc, length(acc)
+                                  - length(string_split(best.pair, ' ')[1]))
+                        || replace(best.pair, ' ', '')
+                   ELSE acc || ' ' || x END),
+               wc := r.wc)),
+             best.pair, replace(best.pair, ' ', ''), best.n
+      FROM steps s, LATERAL (
+        SELECT p.pair, CAST(SUM(p.wc) AS BIGINT) AS n
+        FROM (
+          SELECT u.r.wc AS wc,
+                 unnest(list_transform(
+                   range(1, len(string_split(u.r.syms, ' '))),
+                   i -> string_split(u.r.syms, ' ')[CAST(i AS INT)] || ' ' ||
+                        string_split(u.r.syms, ' ')[CAST(i AS INT) + 1])) AS pair
+          FROM unnest(s.tbl) u(r)
+        ) p
+        GROUP BY p.pair
+        ORDER BY n DESC, p.pair
+        LIMIT 1
+      ) best
+      WHERE s.step < 8
+    )
+    SELECT CAST(step AS INT) AS step, pair, merged, pair_count
+    FROM steps WHERE step > 0 ORDER BY step
+    """,
+    doc="BPE tokenizer training, the actual merge loop (Sennrich et al. "
+    "2016) — tx17 counts one iteration's candidates; this runs 8 full "
+    "iterations and emits the learned merge table (step, pair, merged "
+    "symbol, winning pair count), i.e. the tokenizer artifact itself. "
+    "Spark-first shape for iterative algorithms: ONE corpus pass "
+    "builds the distinct-word frequency table (the classic BPE trick — "
+    "training never re-reads the corpus, it re-reads the vocab-bounded "
+    "word-shape table, ~10^6-10^7 rows even at 100 TB); each iteration "
+    "is a combiner-shrunk pair-count aggregate over that table, a "
+    "1-row argmax collect (ties break on the pair string so both "
+    "engines pick the same merge), and a JVM-codegen left-fold "
+    "(aggregate()) that applies the merge greedily left-to-right "
+    "inside each word — identical semantics to list_reduce in the "
+    "oracle's recursive-CTE replay, which carries the whole word-shape "
+    "table as a LIST of structs. Per-iteration persist/unpersist keeps "
+    "lineage flat, so iteration k never recomputes merges 1..k-1 "
+    "(the KMeans/MLlib pattern). Driver traffic is 8 rows total.",
+    tags=("text", "llm", "tokenizer", "bpe", "iterative"),
+)
+def tx32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .select(F.concat_ws(" ", F.split("word", "")).alias("syms"), "wc")
+    )
+    merges = bpe_merges(wf, n_merges=8)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
+    """Run the BPE merge loop over a (syms, wc) word-shape frame.
+
+    ``syms`` is the space-joined symbol string of a distinct word, ``wc``
+    its corpus frequency. Returns [(step, pair, merged, pair_count)].
+    Split out of tx32 so tests can drive it with hand-built frames
+    against a pure-Python reference implementation."""
+    cur = wf.persist()
+    merges: list[tuple] = []
+    try:
+        for step in range(1, n_merges + 1):
+            syms_arr = F.split("syms", " ")
+            idx = F.when(
+                F.size(syms_arr) >= 2, F.sequence(F.lit(1), F.size(syms_arr) - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            best = (
+                cur.select(
+                    F.explode(
+                        F.transform(
+                            idx,
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.element_at(syms_arr, i),
+                                F.element_at(syms_arr, i + 1),
+                            ),
+                        )
+                    ).alias("pair"),
+                    "wc",
+                )
+                .groupBy("pair")
+                .agg(F.sum("wc").cast("long").alias("n"))
+                .orderBy(F.desc("n"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:  # no pairs left anywhere (all words fully merged)
+                break
+            best = best[0]
+            a, b = best["pair"].split(" ")
+            merged = a + b
+            merges.append((step, best["pair"], merged, best["n"]))
+            nxt = cur.select(
+                F.aggregate(
+                    F.split("syms", " "),
+                    F.lit(""),
+                    lambda acc, x: F.when(acc == "", x)
+                    .when(
+                        (x == F.lit(b))
+                        & ((acc == F.lit(a)) | acc.endswith(" " + a)),
+                        F.concat(
+                            acc.substr(
+                                F.lit(1), F.length(acc) - F.lit(len(a))
+                            ),
+                            F.lit(merged),
+                        ),
+                    )
+                    .otherwise(F.concat(acc, F.lit(" "), x)),
+                ).alias("syms"),
+                "wc",
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges

@@ -770,3 +770,59 @@ def test_ivfadc_recall_and_candidate_fraction(spark):
     hits = sum(len(got.get(q, set()) & set(top)) for q, top in truth.items())
     recall = hits / (5 * len(truth))
     assert recall >= 0.3, f"IVFADC recall@5={recall}"
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE trainer: greedy left-to-right merge application,
+    argmax pair by (count desc, pair asc) — the semantics tx32 promises."""
+    shapes = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in shapes.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (a, b), n = sorted(
+            counts.items(), key=lambda kv: (-kv[1], " ".join(kv[0]))
+        )[0]
+        out.append((step, f"{a} {b}", a + b, n))
+        new_shapes = {}
+        for syms, c in shapes.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_shapes[tuple(merged)] = new_shapes.get(tuple(merged), 0) + c
+        shapes = new_shapes
+    return out
+
+
+def test_tx32_bpe_loop_matches_python_replication(spark):
+    """bpe_merges on hand-built word-shape frames == a pure-Python BPE
+    trainer, including the consecutive-pair greedy case ('l l l l' must
+    merge to 'll ll', the shared-delimiter trap string replace falls
+    into) and lexicographic tie-breaks."""
+    from pyconnect_spark.operators.text import bpe_merges
+
+    cases = [
+        {"hello": 3, "help": 2, "lol": 4},
+        {"llll": 5, "ll": 2},              # consecutive-pair greedy fold
+        {"ab": 1, "ba": 1},                # all-tied: lexicographic order
+        {"aaaa": 1, "aaa": 1, "aa": 1},    # self-pair chains
+        {"x": 7, "y": 3},                  # no pairs at all -> empty table
+    ]
+    for wc in cases:
+        wf = spark.createDataFrame(
+            [(" ".join(w), c) for w, c in wc.items()], "syms string, wc long"
+        )
+        got = bpe_merges(wf, n_merges=6)
+        want = _bpe_reference(wc, n_merges=6)
+        assert got == want, (wc, got, want)

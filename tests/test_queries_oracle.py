@@ -74,12 +74,20 @@ def test_registry_window_invariants():
     """The driver checks the FIRST 50 entries of queries() in dict order —
     protect the window from registry edits: the priority list must hold
     exactly 50 unique, existing names, and every declared query must be
-    reachable (no orphaned priority entries, no duplicate registrations)."""
+    reachable (no orphaned priority entries, no duplicate registrations).
+    While the newest ledger is <= the pinned round the window must equal
+    the hand-pinned list; after that the ledger-computed rotation owns
+    the order (behavior pinned in test_registry_rotation.py)."""
+    from pyconnect_spark import registry
     from pyconnect_spark.registry import ALL, _PRIORITY
 
     names = list(ALL.queries().keys())
     assert len(_PRIORITY) == 50
     assert len(set(_PRIORITY)) == 50
     assert set(_PRIORITY) <= set(names)
-    assert names[:50] == _PRIORITY
     assert len(names) == len(set(names))
+    computed = registry._compute_priority(registry._MERGED)
+    if computed is None:
+        assert names[:50] == _PRIORITY
+    else:
+        assert names[: len(computed)] == computed
