@@ -155,6 +155,7 @@ HEADLINE = [
     "dd16_bow_dedup",
     "sm15_similarity_histogram",
     "mm06_frame_dedup",
+    "mm07_phash_neardup",
     "x50_decile_lift",
     "ts27_peak_days",
     "dd17_dedup_funnel",

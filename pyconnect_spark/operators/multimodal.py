@@ -373,3 +373,140 @@ def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PHASH_BITS = 60
+_PHASH_BANDS = 4
+_PHASH_BAND_WIDTH = 15  # 4 x 15 = 60
+_PHASH_MAX_HAMMING = 3  # pigeonhole: <=3 differing bits must leave >=1 band exact
+
+_MM07_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id,
+             greatest(CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS BIGINT), 1)
+                 AS n_frames,
+             text
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             md5(substr(text,
+                        CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INT)
+                            * {_FRAME_CHARS} + 1,
+                        {_FRAME_CHARS})) AS fmd5
+      FROM f
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(fmd5, 1, 15)) AS BIGINT) AS h
+      FROM frames
+    ),
+    v AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(_PHASH_BITS))}
+      FROM h GROUP BY doc_id
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_PHASH_BITS))}
+                 AS BIGINT) AS phash
+      FROM v
+    ),
+    bands AS (
+      SELECT doc_id, phash, b.band,
+             (phash >> ({_PHASH_BAND_WIDTH} * b.band))
+                 & {(1 << _PHASH_BAND_WIDTH) - 1} AS bv
+      FROM ph, LATERAL (SELECT unnest(range(0, {_PHASH_BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             bit_count(xor(l.phash, r.phash)) AS hamming
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@REGISTRY.register(
+    "mm07_phash_neardup",
+    oracle=_MM07_ORACLE,
+    doc="Asset-level perceptual-hash near-dup pairs — the re-encode "
+    "detector mm06's frame scoring feeds in a real media pipeline. Each "
+    "asset gets a 60-bit pHash by MAJORITY VOTE across its sampled "
+    "frames' fingerprint bits (assets sharing most frames agree on most "
+    "majority bits, so frame-overlapping re-uploads land at small "
+    "Hamming distance — the perceptual property, reproduced exactly by "
+    "the md5 stub kernel and therefore oracle-checkable). Candidate "
+    "pairs come from multi-index Hamming search (Norouzi et al. 2012): "
+    "4 bands x 15 bits, a pair within Hamming<=3 must match >=1 band "
+    "exactly (pigeonhole), so the join touches band buckets, NEVER "
+    "all asset pairs; bit_count(xor) verifies candidates exactly. The "
+    "exchange carries (band, 15-bit key, 8-byte phash) — frames and "
+    "payloads never shuffle. A real deployment swaps the frame kernel "
+    "for DCT pHash and keeps the identical vote/band/verify plan.",
+    tags=("multimodal", "dedup", "phash", "lsh", "hamming"),
+)
+def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx long, n_frames long, frame_md5 string",
+    )
+    h = frames.select(
+        "doc_id",
+        F.conv(F.substring("frame_md5", 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"v{i}"
+        )
+        for i in range(_PHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        * F.lit(1 << i).cast("long")
+        for i in range(_PHASH_BITS)
+    ]
+    total = bits[0]
+    for piece in bits[1:]:
+        total = total + piece
+    ph = agg.select("doc_id", total.alias("phash"))
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", _PHASH_BAND_WIDTH * b)
+                        .bitwiseAND(F.lit((1 << _PHASH_BAND_WIDTH) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "phash", "s.band", "s.bv")
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )
