@@ -193,6 +193,7 @@ HEADLINE = [
     "tx30_normalization_gain",
     "sm17_pq_adc_topk",
     "dd22_lsh_tuning_curve",
+    "dd23_temperature_mixing",
     "sm18_ivfadc",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",

@@ -2085,3 +2085,130 @@ def dd22(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_recall_high"),
     )
+
+
+@REGISTRY.register(
+    "dd23_temperature_mixing",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY 1
+    ),
+    shares AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / SUM(n_tokens) OVER () AS nat_share,
+             pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER ()
+                 AS temp_share
+      FROM per_src
+    ),
+    rates AS (
+      SELECT *, temp_share / nat_share AS rate FROM shares
+    ),
+    sampled AS (
+      SELECT d.source,
+             SUM(CAST(floor(r.rate) AS BIGINT)
+                 + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                                       || ':mix'), 1, 8))
+                             AS BIGINT) / 4294967296.0
+                             < r.rate - floor(r.rate)
+                        THEN 1 ELSE 0 END) AS n_sampled
+      FROM per_doc d JOIN rates r USING (source)
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_docs, r.n_tokens,
+           round(r.nat_share, 6) AS nat_share,
+           round(r.temp_share, 6) AS temp_share,
+           round(r.rate, 6) AS sampling_rate,
+           round(r.rate * r.n_tokens, 2) AS expected_tokens,
+           CAST(s.n_sampled AS BIGINT) AS sampled_docs
+    FROM rates r JOIN sampled s USING (source)
+    ORDER BY r.source
+    """,
+    doc="Temperature-based source mixing (tau=0.7, the mT5/data-mixture "
+    "standard): per-source token mass is re-shared as n^tau / sum(n^tau), "
+    "up-weighting rare sources, and each source's sampling rate = "
+    "temperature share / natural share; rate > 1 means epochs of "
+    "upsampling. Per-document realization uses floor(rate) guaranteed "
+    "copies plus one md5-coin Bernoulli copy for the fractional part — "
+    "the same deterministic reproducible-coin family as dd15, so the "
+    "realized sample hash-checks. Shape at 100 TB: one map-side-combined "
+    "pass builds the |sources|-row stats table, the rate table broadcasts "
+    "back onto the doc stream (no shuffle of documents at all — the "
+    "per-doc leg re-aggregates by source with a combiner), and the "
+    "output is |sources| rows. This is the standard front door of a "
+    "pretraining mixture pipeline; dd15's soft-dedup weights compose "
+    "with it by multiplying into the per-doc coin threshold.",
+    tags=("dedup", "llm", "sampling", "mixture", "temperature"),
+)
+def dd23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    tot = Window.partitionBy()
+    shares = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(tot)).alias("nat_share"),
+        (
+            F.pow("n_tokens", F.lit(0.7))
+            / F.sum(F.pow("n_tokens", F.lit(0.7))).over(tot)
+        ).alias("temp_share"),
+    )
+    rates = shares.withColumn(
+        "rate", F.col("temp_share") / F.col("nat_share")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    copies = F.floor("rate").cast("long") + F.when(
+        coin < F.col("rate") - F.floor("rate"), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    sampled = (
+        per_doc.join(F.broadcast(rates.select("source", "rate")), "source")
+        .groupBy("source")
+        .agg(F.sum(copies).cast("long").alias("sampled_docs"))
+    )
+    return (
+        rates.join(sampled, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("temp_share", 6).alias("temp_share"),
+            F.round("rate", 6).alias("sampling_rate"),
+            F.round(F.col("rate") * F.col("n_tokens"), 2).alias(
+                "expected_tokens"
+            ),
+            "sampled_docs",
+        )
+        .orderBy("source")
+    )
