@@ -194,6 +194,8 @@ HEADLINE = [
     "sm17_pq_adc_topk",
     "dd22_lsh_tuning_curve",
     "dd23_temperature_mixing",
+    "dd24_theta_source_overlap",
+    "ts40_quantile_sketch_rollup",
     "sm18_ivfadc",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",

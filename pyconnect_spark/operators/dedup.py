@@ -2212,3 +2212,90 @@ def dd23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "dd24_theta_source_overlap",
+    oracle=None,
+    doc="Approximate cross-source overlap via Theta sketches (Apache "
+    "DataSketches through Spark 4's theta_sketch_agg / theta_union / "
+    "theta_intersection) — the scale tier of dd11's exact matrix: each "
+    "source aggregates ONE sketch of its head fingerprints (KB "
+    "regardless of corpus size), and every pairwise shared-count / "
+    "Jaccard estimate comes from sketch set-algebra on the |sources|-row "
+    "table — no cross-source fingerprint join at all, which is the "
+    "difference between a 100 TB overlap audit reading each source once "
+    "and one shuffling a fingerprint exchange per source pair. Theta "
+    "(not HLL) because intersection is a first-class sketch op. Emits "
+    "exact alongside estimates; tolerance pinned by "
+    "test_theta_overlap_tolerance. Sketch estimator is engine-private "
+    "-> rows-only driver check (x49's tier).",
+    tags=("dedup", "llm", "sketch", "theta", "overlap", "mergeable"),
+)
+def dd24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+            )
+        ).alias("fp"),
+    ).distinct()
+    sk = fp.groupBy("source").agg(
+        F.theta_sketch_agg("fp").alias("sk"),
+        F.count("*").cast("long").alias("n"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    est = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            )
+            .cast("long")
+            .alias("est_shared"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("a.sk"), F.col("b.sk"))
+            )
+            .cast("long")
+            .alias("est_union"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.col("est_shared") / F.col("est_union").cast("double"), 6
+            ),
+        )
+    )
+    exact = (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_shared"))
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .fillna(0, subset=["exact_shared"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "exact_shared",
+            "est_shared",
+            "est_jaccard",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2371,3 +2371,58 @@ def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+@REGISTRY.register(
+    "ts40_quantile_sketch_rollup",
+    oracle=None,
+    doc="Mergeable-quantile rollup (Apache DataSketches KLL via Spark "
+    "4's kll_sketch_agg_double / kll_merge_agg_double): per-(type, day) "
+    "value sketches aggregate once, then MERGE to per-type quantiles — "
+    "the re-aggregable percentile that percentile_approx cannot provide "
+    "(its per-group digests cannot merge), and the mechanism behind "
+    "latency/value dashboards at 100 TB: store the daily sketch table "
+    "(KB per group, not values), answer any date-range p50/p95/p99 by "
+    "merging sketches, never rescan the fact. Emits exact percentiles "
+    "alongside estimates; the tolerance contract (KLL k=200 => ~1.65% "
+    "rank error) is pinned by test_kll_rollup_tolerance. Sketch bytes "
+    "are engine-private -> rows-only driver check (x49's tier).",
+    tags=("timeseries", "sketch", "kll", "quantile", "mergeable", "approx"),
+)
+def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    est = merged.select(
+        "event_type",
+        "n_days",
+        *[
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 6
+            ).alias(f"est_p{int(q * 100)}")
+            for q in (0.5, 0.95, 0.99)
+        ],
+    )
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(
+                f"exact_p{int(q * 100)}"
+            )
+            for q in (0.5, 0.95, 0.99)
+        ]
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_p50",
+        "est_p50",
+        "exact_p95",
+        "est_p95",
+        "exact_p99",
+        "est_p99",
+    )

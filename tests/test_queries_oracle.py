@@ -91,3 +91,39 @@ def test_registry_window_invariants():
         assert names[:50] == _PRIORITY
     else:
         assert names[: len(computed)] == computed
+
+
+def test_kll_rollup_tolerance(spark):
+    """ts40: a merged KLL estimate's guarantee lives in RANK space
+    (k=200 => ~1.65% rank error at 99% confidence) — assert each
+    estimated quantile's realized rank is within 3% of its target,
+    which is what 'mergeable percentile dashboard' actually promises."""
+    from pyconnect_spark.operators.timeseries import ts40
+    from pyconnect_spark.operators._util import t as _t
+
+    rows = ts40(spark, SF_ORACLE).collect()
+    assert rows
+    ev = _t(spark, SF_ORACLE, "events").select("event_type", "value")
+    import pyspark.sql.functions as F
+
+    for r in rows:
+        vals = ev.filter(F.col("event_type") == r["event_type"])
+        n = vals.count()
+        for q in (50, 95, 99):
+            est = r[f"est_p{q}"]
+            rank = vals.filter(F.col("value") <= est).count() / n
+            assert abs(rank - q / 100) <= 0.03, (r["event_type"], q, rank)
+
+
+def test_theta_overlap_tolerance(spark):
+    """dd24: theta intersection estimates must track dd11's exact
+    shared counts — within max(2, 15%) absolute, and exactly when a
+    pair's sets are below sketch capacity (k=4096 default; every
+    source here is, so the 'estimates' should be exact on fixtures)."""
+    from pyconnect_spark.operators.dedup import dd24
+
+    rows = dd24(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        tol = max(2, 0.15 * r["exact_shared"])
+        assert abs(r["est_shared"] - r["exact_shared"]) <= tol, tuple(r)
