@@ -2,9 +2,10 @@
 """End-to-end LLM training-data pipeline over the documents/embeddings
 tables: PII scrub → quality gate → exact dedup → near-dup clustering
 (MinHash LSH → connected components, keep-first) → source de-domination
-→ text feature columns → sequence packing, plus the audit tier (MinHash
-calibration, cross-source overlap, distributed ANN recall) and an ANN
-neighbor lookup.
+→ text feature columns → sequence packing → BPE tokenizer training →
+temperature source mixing, plus the audit tier (MinHash calibration,
+cross-source overlap, distributed ANN recall) and an ANN neighbor
+lookup.
 Run: python examples/llm_pipeline.py [sf_dir]
 """
 
@@ -25,10 +26,10 @@ from pyconnect_spark.operators.dedup import (
 )
 from pyconnect_spark.operators.dedup import dd10, dd11
 from pyconnect_spark.operators.extended import x38
-from pyconnect_spark.operators.dedup import dd13
+from pyconnect_spark.operators.dedup import dd13, dd23
 from pyconnect_spark.operators.similarity import sm01, sm09
 from pyconnect_spark.operators.multimodal import mm05
-from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13, tx22, tx23, tx24
+from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13, tx22, tx23, tx24, tx32
 from pyconnect_spark.session import get_spark
 
 
@@ -114,12 +115,23 @@ def main() -> None:
     print("modality pairing audit:")
     print(mm05(spark, sf_dir).toPandas().to_string(index=False))
 
-    # 9. tokenizer planning: vocab-coverage curve + TextRank keywords
+    # 9. tokenizer planning: vocab-coverage curve + TextRank keywords,
+    #    then TRAIN the tokenizer: tx32's BPE merge loop (one corpus
+    #    pass ever — 8 iterations over the vocab-bounded word-shape table)
     print("vocab coverage at top-k cutoffs:")
     print(tx23(spark, sf_dir).orderBy("k").toPandas().to_string(index=False))
     print("TextRank top-5 corpus keywords:")
     print(tx24(spark, sf_dir).orderBy(F.desc("pagerank"), "word").limit(5)
           .toPandas().to_string(index=False))
+    print("BPE merge table (8 trained merges):")
+    print(tx32(spark, sf_dir).orderBy("step").toPandas().to_string(index=False))
+
+    # 9b. mixture: temperature-rebalance the source shares (tau=0.7) so
+    #     rare sources up-sample; composes with dd13's soft-dedup weights
+    #     by multiplying into each doc's coin threshold
+    print("temperature mixture (top 3 up-sampled sources):")
+    print(dd23(spark, sf_dir).orderBy(F.desc("sampling_rate"), "source")
+          .limit(3).toPandas().to_string(index=False))
 
     # 10. ship the curated corpus: Z-order the (lang, quality-signal)
     #     layout for multi-column file skipping, then upsert a late
