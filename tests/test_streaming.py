@@ -15,7 +15,9 @@ migration shim (executor-side on_message_received) · S18 left-outer
 stream-stream join (null emission on watermark-driven state eviction) ·
 S19 RocksDB state-store provider parity (the 100 TB streaming-state
 configuration) · S29 streaming MinHash-LSH near-dup filter (persistent
-bucket store, deterministic md5 banding, at-least-once).
+bucket store, deterministic md5 banding, at-least-once) · S30
+streaming mergeable-quantile state (versioned daily KLL sketch table,
+epoch-keyed replay safety, dashboard reads state only).
 """
 
 from __future__ import annotations
@@ -1501,3 +1503,71 @@ def test_s29_streaming_neardup_filter(spark, tmp_path):
     assert 11 not in got, "exact copy must be dropped"
     assert 12 not in got, "near copy (1 word edited in 200) must be dropped"
     assert got == {1, 2, 13}
+
+
+def test_s30_streaming_sketch_state_dashboard(spark, tmp_path):
+    """S30: streaming mergeable-quantile state (streaming/sketchstate.py).
+    Two drains over staged event chunks maintain the daily KLL state
+    incrementally; the dashboard query's estimates must sit at the right
+    RANK of the full union (same contract as batch ts40), the state must
+    stay |keys x days|-sized, and a day split across drains must still
+    converge (mergeability across micro-batches)."""
+    import random
+
+    from pyconnect_spark.streaming.sketchstate import (
+        query_quantiles,
+        sketch_rollup_stream,
+    )
+
+    rng = random.Random(30)
+    rows1 = [
+        ("a", f"2026-01-0{1 + i % 3} 00:00:00", rng.gauss(100.0, 10.0))
+        for i in range(600)
+    ]
+    rows2 = [  # same keys, days overlap day 3 + extend to day 4
+        ("a", f"2026-01-0{3 + i % 2} 00:00:00", rng.gauss(150.0, 5.0))
+        for i in range(600)
+    ]
+    schema = "event_type string, ts_s string, value double"
+    incoming = str(tmp_path / "incoming")
+    state = str(tmp_path / "sketch-state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(incoming)
+
+    def drain():
+        q = sketch_rollup_stream(
+            spark.readStream.schema(
+                "event_type string, value double, ts timestamp"
+            ).parquet(incoming),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    stage(rows1)
+    drain()
+    est1 = {r["key"]: r for r in query_quantiles(spark, state).collect()}
+    assert est1["a"]["n_days"] == 3
+
+    stage(rows2)
+    drain()
+    est = {r["key"]: r for r in query_quantiles(spark, state).collect()}
+    assert est["a"]["n_days"] == 4  # day 3 merged, day 4 appended
+
+    values = sorted(v for _, _, v in rows1 + rows2)
+    for q in (50, 95, 99):
+        e = est["a"][f"est_p{q}"]
+        rank = sum(1 for v in values if v <= e) / len(values)
+        assert abs(rank - q / 100) <= 0.03, (q, e, rank)
+
+    # state stays sketch-sized: exactly one live version, one row per day
+    import os as _os
+
+    live = [d for d in _os.listdir(state) if d.startswith("v=")]
+    assert len(live) == 1
+    state_rows = spark.read.parquet(_os.path.join(state, live[0]))
+    assert state_rows.count() == 4
