@@ -195,6 +195,7 @@ HEADLINE = [
     "dd22_lsh_tuning_curve",
     "dd23_temperature_mixing",
     "dd24_theta_source_overlap",
+    "dd25_exact_substring_spans",
     "ts40_quantile_sketch_rollup",
     "sm18_ivfadc",
     "x63_top_session_paths",

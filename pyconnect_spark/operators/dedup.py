@@ -2299,3 +2299,125 @@ def dd24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@REGISTRY.register(
+    "dd25_exact_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+                 list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS i)
+    ),
+    df AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY 1),
+    keep AS (SELECT g FROM df WHERE d BETWEEN 2 AND 50),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run_id
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, diag, run_id, COUNT(*) AS run_len
+      FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) + 7 AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_shared_grams
+    FROM spans GROUP BY 1, 2
+    HAVING MAX(run_len) + 7 >= 12
+    """,
+    doc="Exact-substring duplication spans (the Lee et al. 2022 "
+    "'Deduplicating Training Data' exact tier): for every doc pair, the "
+    "LONGEST exactly-shared token run — the memorized-passage / quoted-"
+    "boilerplate detector that set-based Jaccard (dd02/dd03) and "
+    "containment (dd20) cannot localize. Positional 8-token-gram md5s "
+    "join on equal hash (diagonal matches), and each (pair, pos_a - "
+    "pos_b) diagonal's consecutive positions collapse to runs via the "
+    "classic pos - row_number() islands trick; the longest run + k-1 is "
+    "the exact shared span length in tokens. Scale controls: a df "
+    "BETWEEN 2 AND 50 gram filter (df=1 cannot pair; df>50 is "
+    "boilerplate the quadratic join must not fan out on — at 100 TB "
+    "that cap is the difference between candidate-bounded and "
+    "all-pairs), 16-byte hashes in every exchange, and the islands "
+    "window partitioned per (pair, diagonal) so no global sort exists. "
+    "Matches at span >= 12 tokens; both engines share the md5 gram "
+    "family, so the whole detector hash-checks.",
+    tags=("dedup", "llm", "exact-substring", "spans", "islands"),
+)
+def dd25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 8, F.sequence(F.lit(1), F.size("w") - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("w", i, F.lit(8)))).alias(
+                        "g"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.g")
+    keep = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d").between(2, 50))
+        .select("g")
+    )
+    pruned = grams.join(keep, "g")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w_diag = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    runs = hits.select(
+        "doc_a",
+        "doc_b",
+        diag,
+        "pa",
+        (F.col("pa") - F.row_number().over(w_diag)).alias("run_id"),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + F.lit(7)).cast("long").alias("span_tokens"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.sum("run_len").cast("long").alias("n_shared_grams"),
+        )
+        .filter(F.col("span_tokens") >= 12)
+    )
