@@ -197,6 +197,7 @@ HEADLINE = [
     "dd24_theta_source_overlap",
     "dd25_exact_substring_spans",
     "ts40_quantile_sketch_rollup",
+    "ts41_forecast_backtest",
     "sm18_ivfadc",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",

@@ -2426,3 +2426,95 @@ def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p99",
         "est_p99",
     )
+
+
+@REGISTRY.register(
+    "ts41_forecast_backtest",
+    oracle=r"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    feats AS (
+      SELECT *,
+             lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS snaive
+      FROM idx
+    ),
+    test AS (SELECT * FROM feats WHERE i > n - 7 AND n >= 21),
+    scale AS (
+      SELECT event_type, AVG(ABS(y - snaive)) AS mae_insample
+      FROM feats WHERE i <= n - 7 AND snaive IS NOT NULL GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           round(AVG(ABS(t.y - t.naive)), 6) AS mae_naive,
+           round(AVG(ABS(t.y - t.snaive)), 6) AS mae_seasonal_naive,
+           round(AVG(ABS(t.y - t.snaive)) / s.mae_insample, 6) AS mase
+    FROM test t JOIN scale s USING (event_type)
+    GROUP BY 1, s.mae_insample
+    """,
+    doc="Forecast backtest scoring — the evaluation leg of the "
+    "forecasting trilogy (ts21 OLS trend, ts22 Holt, ts39 "
+    "Holt-Winters): hold out each type's last 7 days, score the "
+    "one-step naive (y[t-1]) and seasonal-naive (y[t-7]) baselines by "
+    "test MAE, and report MASE (Hyndman-Koehler 2006) = test seasonal-"
+    "naive MAE over in-sample seasonal-naive MAE — the scale-free "
+    "accuracy number that makes types of different volumes comparable "
+    "and any model's claim falsifiable (a model beating MASE 1.0 beats "
+    "the seasonal repeat). All lag/row_number windows partition per "
+    "event_type over the day-span-bounded rollup frame — one combiner "
+    "exchange on the fact, |types|-sized everything after.",
+    tags=("timeseries", "forecast", "backtest", "mase", "evaluation"),
+)
+def ts41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    feats = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.lag("y", 1).over(w_ord).alias("naive"),
+        F.lag("y", 7).over(w_ord).alias("snaive"),
+    )
+    test = feats.filter((F.col("i") > F.col("n") - 7) & (F.col("n") >= 21))
+    scale = (
+        feats.filter(
+            (F.col("i") <= F.col("n") - 7) & F.col("snaive").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.avg(F.abs(F.col("y") - F.col("snaive"))).alias("mae_insample"))
+    )
+    return (
+        test.join(scale, "event_type")
+        .groupBy("event_type", "mae_insample")
+        .agg(
+            F.count("*").cast("long").alias("n_test_days"),
+            F.round(F.avg(F.abs(F.col("y") - F.col("naive"))), 6).alias(
+                "mae_naive"
+            ),
+            F.round(F.avg(F.abs(F.col("y") - F.col("snaive"))), 6).alias(
+                "mae_seasonal_naive"
+            ),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("snaive")))
+                / F.first("mae_insample"),
+                6,
+            ).alias("mase"),
+        )
+        .drop("mae_insample")
+    )
