@@ -156,6 +156,7 @@ HEADLINE = [
     "sm15_similarity_histogram",
     "mm06_frame_dedup",
     "mm07_phash_neardup",
+    "mm08_aspect_buckets",
     "x50_decile_lift",
     "ts27_peak_days",
     "dd17_dedup_funnel",

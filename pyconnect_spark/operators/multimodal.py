@@ -510,3 +510,126 @@ def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+# Standard aspect buckets (SDXL-style bucketing): name, w:h ratio.
+_ASPECT_BUCKETS = [
+    ("1:1", 1.0),
+    ("4:3", 4.0 / 3.0),
+    ("3:4", 3.0 / 4.0),
+    ("16:9", 16.0 / 9.0),
+    ("9:16", 9.0 / 16.0),
+]
+
+_MM08_ORACLE = f"""
+    WITH chk AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))), 'sum')
+                  AS BIGINT) AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 + checksum % 64 AS BIGINT) AS w,
+             CAST(16 + (checksum // 64) % 64 AS BIGINT) AS h
+      FROM chk
+    ),
+    scored AS (
+      SELECT doc_id, w, h, b.name, b.ratio,
+             abs(ln(CAST(w AS DOUBLE) / h) - ln(b.ratio)) AS dist,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY
+                 abs(ln(CAST(w AS DOUBLE) / h) - ln(b.ratio)), b.ord) AS rn
+      FROM dims, LATERAL (
+        SELECT * FROM (VALUES
+          {", ".join(f"('{n}', CAST({r!r} AS DOUBLE), {i})" for i, (n, r) in enumerate(_ASPECT_BUCKETS))}
+        ) v(name, ratio, ord)
+      ) b
+    )
+    SELECT name AS aspect_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           round(AVG(w), 6) AS avg_width,
+           round(AVG(h), 6) AS avg_height,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           round(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM dims), 6) AS share
+    FROM scored WHERE rn = 1
+    GROUP BY 1
+"""
+
+
+@REGISTRY.register(
+    "mm08_aspect_buckets",
+    oracle=_MM08_ORACLE,
+    doc="Aspect-ratio bucket audit — the batch-shape planning step of "
+    "resolution-bucketed diffusion training (SDXL-style): every decoded "
+    "asset is assigned to the nearest standard aspect bucket by "
+    "|log(w/h) - log(bucket)| (log space so 4:3 and 3:4 are "
+    "symmetric; deterministic bucket-order tie-break), and the audit "
+    "reports per-bucket counts, mean dims, pixel mass, and share — "
+    "exactly what decides per-bucket batch sizes and padding waste. "
+    "Dims come from mm02's Arrow-batched decode stub (checksum-derived, "
+    "replicated in SQL, so the full decode -> bucket -> audit pipeline "
+    "hash-checks). The bucket table is a 5-row broadcast; the exchange "
+    "carries one (bucket) key per asset — payloads never shuffle. A "
+    "real deployment swaps the stub for the image header read and keeps "
+    "the identical bucketing plan.",
+    tags=("multimodal", "buckets", "aspect", "diffusion", "audit"),
+)
+def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    dims = decode_media(staged).select(
+        "doc_id",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("name"),
+                F.lit(r).alias("ratio"),
+                F.lit(i).alias("ord"),
+            )
+            for i, (n, r) in enumerate(_ASPECT_BUCKETS)
+        ]
+    )
+    scored = dims.select(
+        "doc_id", "w", "h", F.explode(buckets).alias("b")
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        F.col("b.name").alias("name"),
+        F.col("b.ord").alias("ord"),
+        F.abs(
+            F.log(F.col("w").cast("double") / F.col("h"))
+            - F.log(F.col("b.ratio"))
+        ).alias("dist"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dist", "ord")
+    )
+    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+    agg = best.groupBy(F.col("name").alias("aspect_bucket")).agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.round(F.avg("w"), 6).alias("avg_width"),
+        F.round(F.avg("h"), 6).alias("avg_height"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
+    )
+    # share from the |buckets|-row aggregate itself — a total-count side
+    # pass would re-run the decode
+    total = Window.partitionBy()
+    return agg.withColumn(
+        "share",
+        F.round(F.col("n_assets") / F.sum("n_assets").over(total), 6),
+    )
