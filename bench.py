@@ -201,6 +201,7 @@ HEADLINE = [
     "ts41_forecast_backtest",
     "sm18_ivfadc",
     "sm19_mmr_diversified_topk",
+    "sm20_pca_power_iteration",
     "x63_top_session_paths",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
@@ -295,6 +296,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
         "sm17_pq_adc_topk",
         "sm18_ivfadc",
     "sm19_mmr_diversified_topk",
+    "sm20_pca_power_iteration",
     ):
         got: dict[int, set] = {}
         for r in builders[name](spark, sf_dir).collect():

@@ -2104,3 +2104,134 @@ def sm19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, vec_id long, cos_sim double, mmr_score double"
     )
+
+
+_SM20_DIM = 64
+_SM20_ITERS = 5
+
+_SM20_ORACLE = f"""
+    WITH RECURSIVE X AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT list(m ORDER BY j) AS mu FROM (
+        SELECT j, AVG(e[CAST(j AS INT)]) AS m
+        FROM X, LATERAL (SELECT unnest(range(1, {_SM20_DIM + 1})) AS j)
+        GROUP BY j)
+    ),
+    XC AS (
+      SELECT vec_id,
+             list_transform(range(1, {_SM20_DIM + 1}),
+                            j -> e[CAST(j AS INT)] - mu[CAST(j AS INT)]) AS c
+      FROM X, mu
+    ),
+    walk(k, v, lam) AS (
+      SELECT 0, list_transform(range(1, {_SM20_DIM + 1}),
+                               j -> CAST(0.125 AS DOUBLE)),
+             CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT w.k + 1, list_transform(s.w, x -> x / s.nrm), s.nrm
+      FROM walk w, LATERAL (
+        SELECT wl AS w, sqrt(list_dot_product(wl, wl)) AS nrm FROM (
+          SELECT list(sw ORDER BY j) AS wl FROM (
+            SELECT j, SUM(list_dot_product(c, w.v) * c[CAST(j AS INT)]) AS sw
+            FROM XC, LATERAL (SELECT unnest(range(1, {_SM20_DIM + 1})) AS j)
+            GROUP BY j))
+      ) s
+      WHERE w.k < {_SM20_ITERS}
+    ),
+    tot AS (SELECT SUM(list_dot_product(c, c)) AS trace FROM XC),
+    fin AS (SELECT v, lam FROM walk WHERE k = {_SM20_ITERS})
+    SELECT CAST(j AS INT) AS dim,
+           CAST(round(fin.v[CAST(j AS INT)], 6) AS DOUBLE) AS loading,
+           CAST(round(fin.lam / tot.trace, 6) AS DOUBLE) AS explained_frac
+    FROM fin, tot, LATERAL (SELECT unnest(range(1, {_SM20_DIM + 1})) AS j)
+"""
+
+
+@REGISTRY.register(
+    "sm20_pca_power_iteration",
+    oracle=_SM20_ORACLE,
+    doc="Top principal component of the embedding cloud by power "
+    "iteration — the drift-direction / anisotropy primitive behind "
+    "embedding-health dashboards (sm12 measures per-dim variance; this "
+    "finds the DIRECTION dominating it, and its explained-variance "
+    "share: a healthy isotropic space shows ~1/d, a collapsing one "
+    "shows a spike). Spark shape for iterative linear algebra: "
+    "mean-center once (cachereg-tracked), then each of the 5 "
+    "iterations is one distributed pass — s_i = c_i . v JVM-side, "
+    "w_j = sum_i s_i c_ij via posexplode + a d-bounded combiner "
+    "exchange — with only the d-vector (64 doubles) collected per "
+    "iteration, tx32's loop discipline applied to linear algebra. "
+    "v0 = uniform 1/8 (deterministic, no sign ambiguity: the iterate's "
+    "sign follows v0), normalization uses the same ascending-dim "
+    "sequential norm in both engines, and the oracle replays all 5 "
+    "data-dependent iterations as a recursive CTE carrying v as a "
+    "LIST. Rounding happens ENGINE-side (F.round == DuckDB round "
+    "half-away-from-zero; Python round is banker's and never touches "
+    "results).",
+    tags=("similarity", "llm", "pca", "power-iteration", "iterative"),
+)
+def sm20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.cachereg import track
+
+    d, iters = _SM20_DIM, _SM20_ITERS
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mu_rows = (
+        emb.select(F.posexplode("e").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["j"])]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    xc = track(
+        emb.select(
+            "vec_id",
+            F.zip_with(
+                "e", mu_arr, lambda x, m: x - m
+            ).alias("c"),
+        ).persist()
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = [0.125] * d
+    lam = 0.0
+    for _ in range(iters):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        w_rows = (
+            xc.select(
+                dot(F.col("c"), v_arr).alias("s"),
+                F.posexplode("c").alias("j", "cj"),
+            )
+            .select("j", (F.col("s") * F.col("cj")).alias("p"))
+            .groupBy("j")
+            .agg(F.sum("p").alias("w"))
+            .collect()
+        )
+        w = [r["w"] for r in sorted(w_rows, key=lambda r: r["j"])]
+        nrm2 = 0.0
+        for x in w:  # ascending-dim sequential sum == list_dot_product order
+            nrm2 += x * x
+        lam = nrm2**0.5
+        v = [x / lam for x in w]
+    trace = xc.select(F.sum(dot(F.col("c"), F.col("c")))).collect()[0][0]
+    out = spark.createDataFrame(
+        [(j + 1, v[j], lam / trace) for j in range(d)],
+        "dim int, loading double, explained_frac double",
+    )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("explained_frac", 6).alias("explained_frac"),
+    )
