@@ -115,6 +115,7 @@ HEADLINE = [
     "tx17_bpe_pair_freq",
     "tx18_length_buckets",
     "b27_full_outer_join",
+    "b28_nullsafe_join",
     "x38_source_cap_sample",
     "ts18_cusum_change",
     "ts19_seasonal_residual",

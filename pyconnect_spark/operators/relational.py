@@ -761,3 +761,67 @@ def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("only_feb")
         .alias("activity"),
     )
+
+
+@REGISTRY.register(
+    "b28_nullsafe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 7, 0) AS grp
+      FROM customer
+    ),
+    o AS (
+      SELECT o_custkey, o_totalprice,
+             NULLIF(CAST(o_custkey AS BIGINT) % 7, 0) AS grp
+      FROM orders
+    )
+    SELECT COALESCE(CAST(c.grp AS VARCHAR), 'NULL') AS grp_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           round(SUM(o.o_totalprice), 2) AS total_price
+    FROM c JOIN o ON c.grp IS NOT DISTINCT FROM o.grp
+                 AND c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): standard "
+    "equi-joins silently DROP null keys (NULL = NULL is NULL, not "
+    "true), which corrupts pipelines that use NULL as a real category "
+    "(unknown region, unparsed field). Derived nullable keys "
+    "(NULLIF(k % 7, 0)) exercise the exact semantics: the NULL bucket "
+    "must survive the join and aggregate like any other group. Spark's "
+    "eqNullSafe compiles to the same hash join as = (null keys hash "
+    "into one bucket — observable as the NULL group's row; a skewed "
+    "real-world NULL bucket is the canonical AQE skew-split case, "
+    "x28's salting applies unchanged). The compound condition keeps "
+    "the pair count bounded by the real c_custkey = o_custkey match.",
+    tags=("relational", "join", "null-safe", "semantics"),
+)
+def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 7, F.lit(0)).alias("grp"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.nullif(F.col("o_custkey").cast("long") % 7, F.lit(0)).alias("grp"),
+    )
+    return (
+        cust.join(
+            orders,
+            cust["grp"].eqNullSafe(orders["grp"])
+            & (cust["c_custkey"] == orders["o_custkey"]),
+        )
+        .groupBy(
+            F.coalesce(cust["grp"].cast("string"), F.lit("NULL")).alias(
+                "grp_key"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count_distinct(cust["c_custkey"]).cast("long").alias(
+                "n_customers"
+            ),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
