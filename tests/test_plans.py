@@ -586,3 +586,53 @@ def test_executed_plan_metrics_show_mapside_combine(spark):
     assert m["shuffleBytesWritten"] < 100_000
     n1, m1 = execute_with_metrics(_Q["b01_filter_project"](spark, SF))
     assert n1 > 0 and m1["shuffleRecordsWritten"] == 0  # map-only: no exchange
+
+
+def test_mm07_exchanges_carry_hashes_not_payloads(spark):
+    # the pHash band join must shuffle (band, 15-bit key, 8-byte phash):
+    # neither the text column nor frame md5 strings may survive into any
+    # exchange's output schema
+    import re
+
+    text = explain_str(_Q["mm07_phash_neardup"](spark, SF))
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?(?=\(\d+\) )", text, re.S):
+        assert "text#" not in m.group(0), m.group(0)
+        assert "frame_md5#" not in m.group(0), m.group(0)
+
+
+def test_dd25_islands_window_no_global_sort(spark):
+    # the islands row_number partitions per (pair, diagonal); a global
+    # Sort (no partitioning) would be the scale-killer
+    text = explain_str(_Q["dd25_exact_substring_spans"](spark, SF))
+    import re
+
+    for m in re.finditer(r"\(\d+\) Sort\b.*?(?=\(\d+\) )", text, re.S):
+        # every Sort must be a partial (within-partition) sort for the
+        # window, never a global ordering
+        assert "false" in m.group(0).lower() or "local" in m.group(0).lower(), m.group(0)
+    assert "rangepartitioning" not in text.lower(), "global sort present"
+
+
+def test_dd23_rate_table_broadcasts(spark):
+    # the |sources|-row rate table must broadcast back onto the doc leg —
+    # a shuffle join on source would move the corpus
+    assert has_broadcast_join(_Q["dd23_temperature_mixing"](spark, SF))
+
+
+def test_b28_nullsafe_single_shuffle_join(spark):
+    # eqNullSafe must compile to the same shuffle/broadcast hash join as
+    # plain equality, not a nested-loop cartesian
+    text = explain_str(_Q["b28_nullsafe_join"](spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_tx32_corpus_read_once_per_iteration_guard(spark):
+    # the BPE loop must aggregate the word-shape table, never re-explode
+    # the corpus: the final returned frame is the local merge table, and
+    # the wordfreq builder's plan reads only (text) from documents
+    from pyconnect_spark.operators.text import tx32
+
+    df = tx32(spark, SF)
+    # result is a driver-local merge table (no file scan at all)
+    assert "documents.parquet" not in explain_str(df)
