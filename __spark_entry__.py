@@ -34,9 +34,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query — including
     the MinHash/SimHash sketches, both LSH ANN pipelines (md5-derived
-    projection bases as of round 5), the IVF quantizers, and the full
-    IVFADC composite (md5 hash families / JVM-fold cosine make DuckDB
-    replay them bit-for-bit). Only tx27 (zlib pandas UDF) and x49
-    (DataSketches HLL) stay rows-only by design, each with a tolerance/
-    replay pytest."""
+    projection bases as of round 5), the IVF quantizers, the full
+    IVFADC composite, and the iterative operators (tx32 BPE training,
+    sm20 power-iteration PCA, sm19 MMR — recursive-CTE / unrolled-step
+    replays; md5 hash families and JVM-fold arithmetic make DuckDB
+    match bit-for-bit). Rows-only by design: tx27 (zlib pandas UDF),
+    x49 (DataSketches HLL), ts40 (KLL quantiles), dd24 (Theta
+    sketches) — engine-private estimators, each with a tolerance/replay
+    pytest."""
     return ALL.oracles()
