@@ -296,8 +296,6 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
         "sm06_ann_mllib_lsh",
         "sm17_pq_adc_topk",
         "sm18_ivfadc",
-    "sm19_mmr_diversified_topk",
-    "sm20_pca_power_iteration",
     ):
         got: dict[int, set] = {}
         for r in builders[name](spark, sf_dir).collect():
