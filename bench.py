@@ -204,6 +204,7 @@ HEADLINE = [
     "sm19_mmr_diversified_topk",
     "sm20_pca_power_iteration",
     "x63_top_session_paths",
+    "x64_markov_attribution",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
     "tx32_bpe_train",

@@ -2414,3 +2414,213 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+_X64_STATES = ["start", "click", "error", "signup", "view"]
+_X64_CHANNELS = ["click", "error", "signup", "view"]
+_X64_ITERS = 60
+
+_X64_ORACLE = r"""
+    WITH RECURSIVE firstp AS (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    seq AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e LEFT JOIN firstp f USING (user_id)
+      WHERE f.pts IS NULL OR e.ts <= f.pts
+    ),
+    ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM seq
+    ),
+    trans AS (
+      SELECT 'start' AS f, event_type AS t FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             COALESCE(nxt, CASE WHEN event_type = 'purchase'
+                                THEN NULL ELSE 'null' END)
+      FROM ordered WHERE event_type <> 'purchase'
+    ),
+    tcount AS (
+      SELECT f, t, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM trans WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    states(i, name) AS (
+      VALUES (1,'start'),(2,'click'),(3,'error'),(4,'signup'),(5,'view')
+    ),
+    scen(s, removed) AS (
+      VALUES (0,''),(1,'click'),(2,'error'),(3,'signup'),(4,'view')
+    ),
+    rowtot AS (SELECT f, SUM(c) AS tot FROM tcount GROUP BY 1),
+    cells AS (
+      SELECT sc.s, si.i, sj.i AS j,
+             CASE WHEN si.name = sc.removed THEN 0.0
+                  ELSE COALESCE(tc.c / rt.tot, 0.0) END AS p
+      FROM scen sc
+      CROSS JOIN states si
+      CROSS JOIN states sj
+      LEFT JOIN tcount tc ON tc.f = si.name AND tc.t = sj.name
+      LEFT JOIN rowtot rt ON rt.f = si.name
+    ),
+    convs AS (
+      SELECT sc.s, si.i,
+             CASE WHEN si.name = sc.removed THEN 0.0
+                  ELSE COALESCE(tc.c / rt.tot, 0.0) END AS pconv
+      FROM scen sc
+      CROSS JOIN states si
+      LEFT JOIN tcount tc ON tc.f = si.name AND tc.t = 'purchase'
+      LEFT JOIN rowtot rt ON rt.f = si.name
+    ),
+    mrows AS (SELECT s, i, list(p ORDER BY j) AS rowlist
+              FROM cells GROUP BY s, i),
+    mpack AS (SELECT s, list(rowlist ORDER BY i) AS m FROM mrows GROUP BY s),
+    cpack AS (SELECT s, list(pconv ORDER BY i) AS pc FROM convs GROUP BY s),
+    packed AS (SELECT mpack.s, m, pc FROM mpack JOIN cpack USING (s)),
+    walk(k, s, p) AS (
+      SELECT 0, s, list_transform(range(1, 6), x -> CAST(0 AS DOUBLE))
+      FROM packed
+      UNION ALL
+      SELECT w.k + 1, w.s,
+             list_transform(range(1, 6),
+               i -> pk.pc[CAST(i AS INT)]
+                    + list_dot_product(pk.m[CAST(i AS INT)], w.p))
+      FROM walk w JOIN packed pk ON pk.s = w.s
+      WHERE w.k < 60
+    ),
+    fin AS (SELECT s, p[1] AS cvr FROM walk WHERE k = 60),
+    base AS (SELECT cvr FROM fin WHERE s = 0),
+    eff AS (
+      SELECT sc.removed AS channel, f.cvr AS removed_cvr, b.cvr AS base_cvr,
+             1 - f.cvr / b.cvr AS removal_effect
+      FROM fin f JOIN scen sc ON sc.s = f.s CROSS JOIN base b WHERE f.s > 0
+    )
+    SELECT channel, round(base_cvr, 6) AS base_cvr,
+           round(removed_cvr, 6) AS removed_cvr,
+           round(removal_effect, 6) AS removal_effect,
+           round(removal_effect / SUM(removal_effect) OVER (), 6)
+               AS attribution_share
+    FROM eff
+"""
+
+
+@REGISTRY.register(
+    "x64_markov_attribution",
+    oracle=_X64_ORACLE,
+    doc="Markov removal-effect attribution (Anderl et al. 2016) — the "
+    "data-driven alternative to x47's last-touch heuristic: user "
+    "journeys (truncated at first purchase) become an absorbing Markov "
+    "chain, each channel's value is how much total conversion "
+    "probability vanishes when that channel's state is absorbed into "
+    "null, and shares normalize the removal effects. The absorption "
+    "probabilities come from 60 fixed-point iterations of p = P_conv + "
+    "M p — run driver-side on the COLLECTED |states|^2 transition "
+    "matrix (the expensive leg is the journey scan + transition "
+    "aggregation, fully distributed with one (user) exchange for the "
+    "lead/row_number windows and a combiner-shrunk (from, to) count; "
+    "the chain solve touches a 5x5 matrix and is not a distributed "
+    "problem). Ascending-index sequential dot products match DuckDB's "
+    "list_dot_product exactly, so all 60 iterations x 5 removal "
+    "scenarios replay bit-identically in the recursive-CTE oracle "
+    "carrying (scenario, p-vector LIST) rows.",
+    tags=("agg", "attribution", "markov", "absorbing-chain", "iterative"),
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    seq = ev.join(firstp, "user_id", "left").filter(
+        F.col("pts").isNull() | (F.col("ts") <= F.col("pts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = seq.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first_hop = ordered.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("f"), F.col("event_type").alias("t")
+    )
+    later_hops = ordered.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("f"),
+        F.coalesce(
+            "nxt",
+            F.when(F.col("event_type") == "purchase", F.lit(None)).otherwise(
+                F.lit("null")
+            ),
+        ).alias("t"),
+    )
+    tcount = (
+        first_hop.unionByName(later_hops)
+        .filter(F.col("t").isNotNull())
+        .groupBy("f", "t")
+        .agg(F.count("*").cast("double").alias("c"))
+        .collect()
+    )
+    counts = {(r["f"], r["t"]): r["c"] for r in tcount}
+    totals: dict[str, float] = {}
+    for (f, _), c in sorted(counts.items()):
+        totals[f] = totals.get(f, 0.0) + c
+
+    def solve(removed: str) -> float:
+        n = len(_X64_STATES)
+        m = [
+            [
+                0.0
+                if _X64_STATES[i] == removed
+                else counts.get((_X64_STATES[i], _X64_STATES[j]), 0.0)
+                / totals.get(_X64_STATES[i], 1.0)
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
+        pc = [
+            0.0
+            if _X64_STATES[i] == removed
+            else counts.get((_X64_STATES[i], "purchase"), 0.0)
+            / totals.get(_X64_STATES[i], 1.0)
+            for i in range(n)
+        ]
+        p = [0.0] * n
+        for _ in range(_X64_ITERS):
+            nxt = []
+            for i in range(n):
+                acc = 0.0
+                for j in range(n):  # ascending j == list_dot_product order
+                    acc += m[i][j] * p[j]
+                nxt.append(pc[i] + acc)
+            p = nxt
+        return p[0]
+
+    base = solve("")
+    removed = {c: solve(c) for c in _X64_CHANNELS}
+    effects = {c: 1 - removed[c] / base for c in _X64_CHANNELS}
+    tot_eff = 0.0
+    for c in _X64_CHANNELS:  # ascending-channel sum, both engines tiny-n
+        tot_eff += effects[c]
+    rows = [
+        (c, base, removed[c], effects[c], effects[c] / tot_eff)
+        for c in _X64_CHANNELS
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removed_cvr double, "
+        "removal_effect double, attribution_share double",
+    )
+    return out.select(
+        "channel",
+        F.round("base_cvr", 6).alias("base_cvr"),
+        F.round("removed_cvr", 6).alias("removed_cvr"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution_share", 6).alias("attribution_share"),
+    )
