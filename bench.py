@@ -200,6 +200,7 @@ HEADLINE = [
     "dd25_exact_substring_spans",
     "ts40_quantile_sketch_rollup",
     "ts41_forecast_backtest",
+    "ts42_forecastability_strength",
     "sm18_ivfadc",
     "sm19_mmr_diversified_topk",
     "sm20_pca_power_iteration",

@@ -2518,3 +2518,98 @@ def ts41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("mae_insample")
     )
+
+
+@REGISTRY.register(
+    "ts42_forecastability_strength",
+    oracle=r"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT *, AVG(y) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t,
+             isodow(day) - 1 AS dw
+      FROM daily
+    ),
+    det AS (SELECT *, y - t AS d FROM tr),
+    seas AS (SELECT event_type, dw, AVG(d) AS s FROM det GROUP BY 1, 2),
+    full_ AS (
+      SELECT d.event_type, d.t, s.s, d.d - s.s AS r
+      FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dw = d.dw
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             AVG(r*r) - AVG(r)*AVG(r) AS var_r,
+             AVG((s+r)*(s+r)) - AVG(s+r)*AVG(s+r) AS var_sr,
+             AVG((t+r)*(t+r)) - AVG(t+r)*AVG(t+r) AS var_tr
+      FROM full_ GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(greatest(0.0, 1 - var_r / var_sr), 6) AS seasonal_strength,
+           round(greatest(0.0, 1 - var_r / var_tr), 6) AS trend_strength
+    FROM m
+    """,
+    doc="Forecastability diagnostics (Hyndman-Wang-Laptev strength "
+    "measures): classical decomposition of each type's daily series — "
+    "trend = 7-day centered moving average, seasonal = per-weekday mean "
+    "of the detrended series, residual = the rest — then seasonal "
+    "strength = max(0, 1 - Var(R)/Var(S+R)) and trend strength = "
+    "max(0, 1 - Var(R)/Var(T+R)). These two numbers decide WHICH "
+    "forecaster the series deserves (ts21 trend line, ts22 Holt, ts39 "
+    "Holt-Winters) and calibrate how seriously to take ts41's MASE: a "
+    "type with seasonal strength ~0 cannot beat seasonal-naive by "
+    "skill. Variances are written as explicit moments (avg(x^2) - "
+    "avg(x)^2) so both engines run the identical formula rather than "
+    "their own variance kernels. One combiner exchange on the fact; "
+    "every window and join after is day-span- or weekday-bounded.",
+    tags=("timeseries", "forecast", "decomposition", "diagnostics"),
+)
+def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    w_ma = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.avg("y").over(w_ma).alias("t"),
+        (F.weekday("day")).alias("dw"),
+    )
+    det = tr.withColumn("d", F.col("y") - F.col("t"))
+    seas = det.groupBy("event_type", "dw").agg(F.avg("d").alias("s"))
+    full = det.join(seas, ["event_type", "dw"]).select(
+        "event_type",
+        "t",
+        "s",
+        (F.col("d") - F.col("s")).alias("r"),
+    )
+    sr = F.col("s") + F.col("r")
+    tre = F.col("t") + F.col("r")
+    m = full.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        (F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r")).alias(
+            "var_r"
+        ),
+        (F.avg(sr * sr) - F.avg(sr) * F.avg(sr)).alias("var_sr"),
+        (F.avg(tre * tre) - F.avg(tre) * F.avg(tre)).alias("var_tr"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("var_r") / F.col("var_sr")), 6
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1 - F.col("var_r") / F.col("var_tr")), 6
+        ).alias("trend_strength"),
+    )
