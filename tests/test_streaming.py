@@ -17,7 +17,9 @@ S19 RocksDB state-store provider parity (the 100 TB streaming-state
 configuration) · S29 streaming MinHash-LSH near-dup filter (persistent
 bucket store, deterministic md5 banding, at-least-once) · S30
 streaming mergeable-quantile state (versioned daily KLL sketch table,
-epoch-keyed replay safety, dashboard reads state only).
+epoch-keyed replay safety, dashboard reads state only) · S31
+streaming Count-Min heavy-hitter state (additive counters; streamed
+state == batch sketch table-for-table, one-sided-error probes).
 """
 
 from __future__ import annotations
@@ -1571,3 +1573,66 @@ def test_s30_streaming_sketch_state_dashboard(spark, tmp_path):
     assert len(live) == 1
     state_rows = spark.read.parquet(_os.path.join(state, live[0]))
     assert state_rows.count() == 4
+
+
+def test_s31_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """S31: streaming CMS heavy-hitter state (streaming/cmsstate.py).
+    Counter addition is algebraic, so after two drains the streamed
+    state must equal a batch sketch of the union TABLE-FOR-TABLE (not
+    within tolerance) — the strongest form of the mergeability claim.
+    Heavy-hitter probes must be >= truth (CMS one-sided error) and
+    exact for the dominant word on this tiny vocab."""
+    from pyconnect_spark.streaming.cmsstate import (
+        cms_rollup_stream,
+        cms_sketch,
+        query_heavy_hitters,
+    )
+
+    docs1 = [(i, "alpha beta gamma alpha") for i in range(40)]
+    docs2 = [(i + 100, "alpha delta " + ("beta " * (i % 3))) for i in range(40)]
+    schema = "doc_id long, text string"
+    incoming = str(tmp_path / "incoming")
+    state = str(tmp_path / "cms-state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(incoming)
+
+    def drain():
+        q = cms_rollup_stream(
+            spark.readStream.schema(schema).parquet(incoming),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    stage(docs1)
+    drain()
+    stage(docs2)
+    drain()
+
+    streamed = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(
+            str(tmp_path / "cms-state" / "v=1")
+        ).collect()
+    }
+    batch = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_sketch(
+            spark.createDataFrame(docs1 + docs2, schema)
+        ).collect()
+    }
+    assert streamed == batch  # exact mergeability, not tolerance
+
+    words = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",)], "word string"
+    )
+    est = {r["word"]: r["cms_est"] for r in query_heavy_hitters(spark, state, words).collect()}
+    # alpha: 2*40 + 40; beta: 40 + sum(i%3 for i in range(40)) = 40+39
+    truth = {"alpha": 120, "beta": 79, "gamma": 40, "delta": 40}
+    for w, n in truth.items():
+        assert est[w] >= n, (w, est[w], n)  # one-sided error
+    assert est["alpha"] >= est["gamma"]
