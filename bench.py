@@ -206,6 +206,7 @@ HEADLINE = [
     "sm20_pca_power_iteration",
     "x63_top_session_paths",
     "x64_markov_attribution",
+    "x65_cuped_ab_lift",
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
     "tx32_bpe_train",
