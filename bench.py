@@ -210,6 +210,7 @@ HEADLINE = [
     "ts38_dau_mau_stickiness",
     "tx31_cms_heavy_hitters",
     "tx32_bpe_train",
+    "tx33_langid_confusion",
     "ts39_holt_winters",
     # dd12 joined the bench in round 5 once its cell count auto-sizes as
     # ceil(sqrt(N)) — the former fixed-10-cell quantizer made its per-cell

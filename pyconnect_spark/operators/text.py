@@ -2082,3 +2082,55 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
     finally:
         cur.unpersist()
     return merges
+
+
+@REGISTRY.register(
+    "tx33_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {_lang_guess_sql()} AS guess FROM documents
+    ),
+    cm AS (
+      SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(n) AS lang_n FROM cm GROUP BY 1)
+    SELECT c.lang, c.guess, c.n,
+           round(c.n / CAST(t.lang_n AS DOUBLE), 6) AS frac_of_lang,
+           CAST(CASE WHEN c.lang = c.guess THEN 1 ELSE 0 END AS BIGINT)
+               AS correct
+    FROM cm c JOIN tot t USING (lang)
+    """,
+    doc="Language-ID confusion matrix — the evaluation leg of tx02: the "
+    "classifier's guesses crossed with the labeled lang column, with "
+    "each cell's share of its true language. The diagonal fraction is "
+    "per-language recall; off-diagonal mass names the confusable pairs "
+    "(which then seed tx26's leakage audit thresholds). Classifier and "
+    "evaluation in one pass: the |langs|^2-bounded cell table is all "
+    "that ever reaches the exchange — at 100 TB this is a scan plus a "
+    "few-KB aggregate, the shape every model-vs-label audit should "
+    "have (the same crossing evaluates any doc-level classifier by "
+    "swapping the guess expression).",
+    tags=("text", "llm", "lang-id", "evaluation", "confusion"),
+)
+def tx33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select("lang", _lang_guess_spark().alias("guess"))
+    cm = pred.groupBy("lang", "guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lang_n = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "guess",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(lang_n).cast("double"), 6
+        ).alias("frac_of_lang"),
+        F.when(F.col("lang") == F.col("guess"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
