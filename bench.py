@@ -116,6 +116,7 @@ HEADLINE = [
     "tx18_length_buckets",
     "b27_full_outer_join",
     "b28_nullsafe_join",
+    "b29_null_ordering",
     "x38_source_cap_sample",
     "ts18_cusum_change",
     "ts19_seasonal_residual",

@@ -825,3 +825,53 @@ def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@REGISTRY.register(
+    "b29_null_ordering",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp,
+             NULLIF(round(c_acctbal, 0), 0) AS bal
+      FROM customer
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY grp ASC NULLS FIRST, bal DESC NULLS LAST, c_custkey)
+             AS BIGINT) AS rk,
+           c_custkey, grp, bal
+    FROM keyed
+    ORDER BY rk LIMIT 20
+    """,
+    doc="Explicit null-ordering semantics: Spark sorts NULLS FIRST on ASC "
+    "by default, DuckDB (and Postgres) NULLS LAST — silent cross-engine "
+    "divergence for any ranking over a nullable key unless the "
+    "direction is written out. This query pins both directions at once "
+    "(asc_nulls_first on the group key, desc_nulls_last on the "
+    "measure) under a totally-ordered rank, which is the discipline "
+    "every nullable ORDER BY in the engine follows. "
+    "TakeOrderedAndProject keeps the top-20 without a global sort.",
+    tags=("relational", "sort", "nulls", "semantics"),
+)
+def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp"),
+        F.nullif(F.round("c_acctbal", 0), F.lit(0.0)).alias("bal"),
+    )
+    order = [
+        F.col("grp").asc_nulls_first(),
+        F.col("bal").desc_nulls_last(),
+        F.col("c_custkey"),
+    ]
+    return (
+        cust.select(
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk"),
+            "c_custkey",
+            "grp",
+            "bal",
+        )
+        .orderBy("rk")
+        .limit(20)
+    )
