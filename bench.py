@@ -205,6 +205,7 @@ HEADLINE = [
     "sm18_ivfadc",
     "sm19_mmr_diversified_topk",
     "sm20_pca_power_iteration",
+    "sm21_ivf_tuning_curve",
     "x63_top_session_paths",
     "x64_markov_attribution",
     "x65_cuped_ab_lift",

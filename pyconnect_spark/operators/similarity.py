@@ -2235,3 +2235,163 @@ def sm20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round("explained_frac", 6).alias("explained_frac"),
     )
+
+
+_SM21_NPS = (1, 2, 4, 8)
+
+_SM21_ORACLE = f"""
+    WITH {_SM05_INDEX_CTES},
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * x), 'sum'))), 9) DESC,
+                 e.vec_id) AS trk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE trk <= 5
+    ),
+    nps(np) AS (VALUES {", ".join(f"({n})" for n in _SM21_NPS)}),
+    qprobe AS (
+      SELECT n.np, s.vec_id AS q_id, s.cell
+      FROM scored s CROSS JOIN nps n
+      WHERE s.vec_id < 5 AND s.rk <= n.np
+    ),
+    cand AS (
+      SELECT qp.np, qp.q_id, c.vec_id
+      FROM qprobe qp JOIN corpus c ON c.cell = qp.cell
+      WHERE c.vec_id <> qp.q_id
+    ),
+    sizes AS (
+      SELECT np, q_id, CAST(COUNT(*) AS DOUBLE) AS n_cand
+      FROM cand GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT n.np, t.q_id,
+             SUM(CASE WHEN cd.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM truth t
+      CROSS JOIN nps n
+      LEFT JOIN cand cd
+        ON cd.np = n.np AND cd.q_id = t.q_id AND cd.vec_id = t.vec_id
+      GROUP BY 1, 2
+    ),
+    n_corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM embeddings)
+    SELECT CAST(h.np AS BIGINT) AS n_probe,
+           round(SUM(h.h) / (5.0 * COUNT(*)), 6) AS recall_at_5,
+           round(AVG(COALESCE(s.n_cand, 0)) / MAX(n_corpus.nc - 1), 6)
+               AS candidate_fraction
+    FROM hits h
+    LEFT JOIN sizes s ON s.np = h.np AND s.q_id = h.q_id
+    CROSS JOIN n_corpus
+    GROUP BY 1
+"""
+
+
+@REGISTRY.register(
+    "sm21_ivf_tuning_curve",
+    oracle=_SM21_ORACLE,
+    doc="IVF n_probe tuning curve — dd22's operating-curve idea applied "
+    "to the vector index: for each n_probe in (1,2,4,8), recall@5 "
+    "against the exact in-engine ground truth next to the candidate "
+    "fraction the probe list forces the engine to scan. This is the "
+    "number pair an operator reads before picking sm05's knob: recall "
+    "climbs with probed cells, cost climbs linearly, and the knee is "
+    "corpus-specific (on this no-structure fixture the curve is flat "
+    "and late — exactly the insight the curve exists to reveal). "
+    "Cell assignments and probes reuse sm05's deterministic "
+    "label-centroid index (round-9 cosine, label tie-break), so the "
+    "whole curve hash-checks. The quadratic truth tier is the audit "
+    "economics of sm09: ground truth on 5 probes, never all pairs.",
+    tags=("similarity", "llm", "ivf", "tuning", "evaluation"),
+)
+def sm21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "cv"))).alias("s"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.expr("transform(s, x -> x.cv)").alias("cvec"),
+        )
+    )
+    cos9 = F.round(cosine(F.col("embedding"), F.col("cvec")), 9)
+    from pyspark.sql.window import Window
+
+    w_vec = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos9"), F.col("cell")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", cos9.alias("cos9"))
+        .withColumn("rk", F.row_number().over(w_vec))
+    )
+    corpus = scored.filter(F.col("rk") == 1).select("vec_id", "cell")
+    qcos9 = F.round(
+        cosine(F.col("e.embedding"), F.col("q.embedding")), 9
+    )
+    w_q = Window.partitionBy("q_id").orderBy(
+        F.desc("qcos9"), F.col("vec_id")
+    )
+    truth = (
+        emb.alias("q")
+        .filter(F.col("q.vec_id") < 5)
+        .join(emb.alias("e"), F.col("e.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("e.vec_id").alias("vec_id"),
+            qcos9.alias("qcos9"),
+        )
+        .withColumn("trk", F.row_number().over(w_q))
+        .filter(F.col("trk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    nps = spark.createDataFrame([(n,) for n in _SM21_NPS], "np int")
+    qprobe = (
+        scored.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("rk") <= F.col("np"))
+        .select("np", F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = qprobe.join(corpus.withColumnRenamed("vec_id", "cv_id"), "cell").filter(
+        F.col("cv_id") != F.col("q_id")
+    )
+    sizes = cand.groupBy("np", "q_id").agg(
+        F.count("*").cast("double").alias("n_cand")
+    )
+    hits = (
+        truth.crossJoin(F.broadcast(nps))
+        .join(
+            cand.withColumnRenamed("cv_id", "vec_id").select(
+                "np", "q_id", "vec_id", F.lit(1).alias("hit")
+            ),
+            ["np", "q_id", "vec_id"],
+            "left",
+        )
+        .groupBy("np", "q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("h"))
+    )
+    return (
+        hits.join(sizes, ["np", "q_id"], "left")
+        .groupBy(F.col("np").cast("long").alias("n_probe"))
+        .agg(
+            F.round(F.sum("h") / (5.0 * F.count("*")), 6).alias(
+                "recall_at_5"
+            ),
+            F.round(
+                F.avg(F.coalesce("n_cand", F.lit(0.0)))
+                / F.lit(float(n_corpus - 1)),
+                6,
+            ).alias("candidate_fraction"),
+        )
+    )
