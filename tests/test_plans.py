@@ -636,3 +636,39 @@ def test_tx32_corpus_read_once_per_iteration_guard(spark):
     df = tx32(spark, SF)
     # result is a driver-local merge table (no file scan at all)
     assert "documents.parquet" not in explain_str(df)
+
+
+def test_x64_transition_agg_is_combiner_shrunk(spark):
+    # x64's distributed leg must reduce to the (from, to) count table —
+    # raw event rows (props/value columns) may not survive into any
+    # exchange feeding the final aggregation
+    import re
+
+    from pyconnect_spark.operators.extended import x64
+
+    text = explain_str(x64(spark, SF))
+    # result is a driver-local attribution table; the journey scan jobs
+    # already ran during build, so the returned plan must be local
+    assert "LocalTableScan" in text or "documents.parquet" not in text
+
+
+def test_x65_theta_scalar_broadcasts(spark):
+    # CUPED's pooled theta is one row; it must broadcast back onto the
+    # per-user frame, never shuffle it
+    assert has_broadcast_join(_Q["x65_cuped_ab_lift"](spark, SF))
+
+
+def test_ts41_ts42_single_fact_exchange(spark):
+    # both diagnostics roll the fact up to (type, day) once; no plan may
+    # scan events.parquet more than twice (self-join-free decomposition)
+    for name in ("ts41_forecast_backtest", "ts42_forecastability_strength"):
+        text = explain_str(_Q[name](spark, SF))
+        assert text.count("events.parquet") <= 2, name
+
+
+def test_sm21_truth_restricted_to_probe_queries(spark):
+    # the quadratic ground-truth tier must filter to the 5 probe queries
+    # BEFORE the corpus join: vec_id < 5 must appear as a pushed filter
+    df = _Q["sm21_ivf_tuning_curve"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "vec_id" in pf and ("LessThan" in pf or "lt" in pf.lower()), pf
