@@ -489,7 +489,12 @@ def lsh_tables(emb_col: Column, planes: np.ndarray, n_tables: int, n_bits: int, 
     @pandas_udf("array<long>")
     def keys_udf(embs: pd.Series) -> pd.Series:
         mat = np.vstack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (mat @ planes_t > 0).reshape(len(mat), n_tables, n_bits)
+        # Round the projected dots to 9 dp before the sign test: BLAS
+        # blocked accumulation and DuckDB's SUM can differ in the last
+        # ulp, and a dot landing exactly on the sign boundary would
+        # otherwise flip a bit between engines (the repo-wide
+        # round-to-9-before-decision determinism convention).
+        bits = (np.round(mat @ planes_t, 9) > 0).reshape(len(mat), n_tables, n_bits)
         buckets = bits @ weights  # (batch, n_tables)
         keys = (np.arange(n_tables, dtype=np.int64) << 32) | buckets
         if not multiprobe:
@@ -525,7 +530,7 @@ def lsh_tables(emb_col: Column, planes: np.ndarray, n_tables: int, n_bits: int, 
       FROM embeddings
     ), bits AS (
       SELECT ev.vec_id, pl.p,
-             CASE WHEN sum(ev.val * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+             CASE WHEN round(sum(ev.val * pl.w), 9) > 0 THEN 1 ELSE 0 END AS bit
       FROM ev JOIN planes pl ON ev.d = pl.d
       GROUP BY ev.vec_id, pl.p
     ), buckets AS (
@@ -637,7 +642,10 @@ def eucl_lsh_buckets(emb_col: Column, planes: np.ndarray, bucket_len: float) -> 
     def buckets_udf(embs: pd.Series) -> pd.Series:
         mat = np.vstack(embs.to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(list(np.floor((mat @ planes_t) / bucket_len).astype(np.int64)))
+        # Round projected dots to 9 dp before the floor-divide so a dot
+        # near a bucket boundary cannot land in different buckets across
+        # engines (same last-ulp rationale as lsh_tables' sign test).
+        return pd.Series(list(np.floor(np.round(mat @ planes_t, 9) / bucket_len).astype(np.int64)))
 
     return buckets_udf(emb_col)
 
@@ -675,7 +683,7 @@ _SM06_COS_FLOOR = 0.02
       FROM embeddings
     ), buckets AS (
       SELECT ev.vec_id, pl.p AS tbl,
-             CAST(floor(sum(ev.val / nrm.nn * pl.w) / {_SM06_BUCKET_LEN}) AS BIGINT) AS bucket
+             CAST(floor(round(sum(ev.val / nrm.nn * pl.w), 9) / {_SM06_BUCKET_LEN}) AS BIGINT) AS bucket
       FROM ev JOIN planes pl ON ev.d = pl.d
               JOIN nrm ON nrm.vec_id = ev.vec_id
       GROUP BY ev.vec_id, pl.p

@@ -101,6 +101,7 @@ def _compute_priority(merged, root=None):
     module_pos = {n: i for i, n in enumerate(names)}
     has_oracle = set(merged.oracles())
     evidence = dict.fromkeys(names, 0)  # 0 = never green
+    latest_failed = {}  # name -> round of its newest FAILED ledger row
     newest = 0
     for rnd, rows in _ledger_rounds(root):
         newest = max(newest, rnd)
@@ -113,8 +114,19 @@ def _compute_priority(merged, root=None):
             )
             if green:
                 evidence[name] = max(evidence[name], rnd)
+                if latest_failed.get(name, 0) <= rnd:
+                    latest_failed.pop(name, None)
+            elif row.get("err") != "no_oracle":
+                # A real failure (hash mismatch / query error) — not the
+                # designed rows-only class. Remember it so a regression
+                # re-enters the window immediately instead of coasting
+                # on stale green evidence.
+                latest_failed[name] = rnd
     if newest <= _PINNED_THROUGH_ROUND:
         return None
+    for name, rnd in latest_failed.items():
+        if rnd >= evidence[name]:  # newest row is the failure → re-verify now
+            evidence[name] = 0
     return sorted(names, key=lambda n: (evidence[n], module_pos[n]))
 
 

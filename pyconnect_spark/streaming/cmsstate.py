@@ -88,8 +88,15 @@ def cms_rollup_stream(
         if os.path.isdir(target):  # replay: rebuild from parent, never re-add
             shutil.rmtree(target)
         merged.write.parquet(target)
-        for v in _versions(state_dir)[:-1]:
-            if v != epoch_id:
+        # Retain the parent version across the commit boundary (see
+        # sketchstate.py): the checkpoint commits this epoch only after
+        # foreachBatch returns, so a replay after a crash-at-this-point
+        # still needs the parent to rebuild from. Keep {epoch, parent}.
+        versions = _versions(state_dir)
+        parents = [v for v in versions if v < epoch_id]
+        keep = {epoch_id} | ({parents[-1]} if parents else set())
+        for v in versions:
+            if v not in keep:
                 shutil.rmtree(
                     os.path.join(state_dir, f"v={v}"), ignore_errors=True
                 )

@@ -103,8 +103,18 @@ def sketch_rollup_stream(
         if os.path.isdir(target):  # replay: rebuild this epoch from parent
             shutil.rmtree(target)
         merged.write.parquet(target)
-        for v in _versions(state_dir)[:-1]:
-            if v != epoch_id:
+        # Prune history but RETAIN the parent version across the commit
+        # boundary: the streaming checkpoint commits this epoch only
+        # after foreachBatch returns, so deleting the parent here would
+        # leave a crash-then-replay of this epoch with no state to
+        # rebuild from (merged would silently become fresh-only). Keep
+        # {epoch, its parent}; anything older is safe to drop because a
+        # replay never reaches further back than one epoch.
+        versions = _versions(state_dir)
+        parents = [v for v in versions if v < epoch_id]
+        keep = {epoch_id} | ({parents[-1]} if parents else set())
+        for v in versions:
+            if v not in keep:
                 shutil.rmtree(
                     os.path.join(state_dir, f"v={v}"), ignore_errors=True
                 )

@@ -78,6 +78,45 @@ def test_auto_rotation_after_r05(tmp_path):
     assert order[: len(never_green)] == never_green
 
 
+def test_regression_reenters_window_immediately(tmp_path):
+    """A query green in round N-1 whose NEWEST row is a real failure
+    (hash mismatch or driver error) must reset to the never-green
+    leading block — not coast on the stale green evidence and wait
+    ~4 rounds for rotation to bring it back (ADVICE r05 finding)."""
+    oracles = set(registry._MERGED.oracles())
+    all_names = list(registry._MERGED.queries())
+    # r05: everything green (so nothing else interferes with ordering)
+    r5 = {n: _green(n, oracles) for n in all_names}
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(r5))
+    # r06: one regression — hash now mismatches; one driver error
+    r6 = {n: _green(n, oracles) for n in all_names}
+    r6["x43_recursive_hierarchy"]["hash_match"] = False
+    r6["x45_value_histogram"]["hash_match"] = False
+    r6["x45_value_histogram"]["err"] = "simulated timeout"
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps(r6))
+
+    order = registry._compute_priority(registry._MERGED, root=tmp_path)
+    window = set(order[:50])
+    assert "x43_recursive_hierarchy" in window
+    assert "x45_value_histogram" in window
+    # the designed rows-only class (err == "no_oracle") is NOT a failure
+    r6b = dict(r6)
+    r6b["x49_hll_mergeable_rollup"] = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
+    }
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps(r6b))
+    order2 = registry._compute_priority(registry._MERGED, root=tmp_path)
+    # still leads (no_oracle rows never accrue hash evidence) but the
+    # two real regressions must ALSO both be in the window
+    assert {"x43_recursive_hierarchy", "x45_value_histogram"} <= set(order2[:50])
+    # and a later green clears an earlier failure: x43 green again in r07
+    r7 = {"x43_recursive_hierarchy": _green("x43_recursive_hierarchy", oracles)}
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(r7))
+    order3 = registry._compute_priority(registry._MERGED, root=tmp_path)
+    assert "x43_recursive_hierarchy" not in set(order3[:50])
+
+
 def test_corrupt_ledger_never_breaks_import(tmp_path):
     (tmp_path / "CORRECTNESS_r99.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(["a", "list"]))

@@ -1566,13 +1566,30 @@ def test_s30_streaming_sketch_state_dashboard(spark, tmp_path):
         rank = sum(1 for v in values if v <= e) / len(values)
         assert abs(rank - q / 100) <= 0.03, (q, e, rank)
 
-    # state stays sketch-sized: exactly one live version, one row per day
+    # State stays sketch-sized: at most TWO live versions — the newest
+    # epoch plus its parent, retained across the checkpoint-commit
+    # boundary so a crash-then-replay of the newest epoch can still
+    # rebuild from its parent (pruning the parent inside the same
+    # foreachBatch call was the replay-data-loss bug ADVICE r05 found).
     import os as _os
 
-    live = [d for d in _os.listdir(state) if d.startswith("v=")]
-    assert len(live) == 1
-    state_rows = spark.read.parquet(_os.path.join(state, live[0]))
+    live = sorted(d for d in _os.listdir(state) if d.startswith("v="))
+    assert 1 <= len(live) <= 2, live
+    newest = max(live, key=lambda d: int(d.split("=")[1]))
+    state_rows = spark.read.parquet(_os.path.join(state, newest))
     assert state_rows.count() == 4
+
+    # Replay resilience: a replayed newest epoch reads
+    # _latest_state(below=newest) — that MUST be the retained parent
+    # (the 3-day state from drain 1), not None. Before the fix the
+    # parent was pruned inside the same foreachBatch call, so a crash
+    # between prune and checkpoint-commit lost all accumulated state.
+    from pyconnect_spark.streaming.sketchstate import _latest_state
+
+    newest_epoch = int(newest.split("=")[1])
+    parent = _latest_state(spark, state, below=newest_epoch)
+    assert parent is not None, "parent version must survive until commit"
+    assert parent.count() == 3  # drain-1 state: days 1..3
 
 
 def test_s31_streaming_cms_equals_batch_sketch(spark, tmp_path):
