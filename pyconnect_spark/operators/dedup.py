@@ -2160,18 +2160,18 @@ def dd23(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
-    from pyspark.sql.window import Window
-
-    tot = Window.partitionBy()
-    shares = per_src.select(
+    # grand totals via broadcast scalar (ReusedExchange on the |sources|-row
+    # agg), not SUM() OVER () single-partition windows
+    tots = per_src.agg(
+        F.sum("n_tokens").alias("_tot_n"),
+        F.sum(F.pow("n_tokens", F.lit(0.7))).alias("_tot_p"),
+    )
+    shares = per_src.crossJoin(F.broadcast(tots)).select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.sum("n_tokens").over(tot)).alias("nat_share"),
-        (
-            F.pow("n_tokens", F.lit(0.7))
-            / F.sum(F.pow("n_tokens", F.lit(0.7))).over(tot)
-        ).alias("temp_share"),
+        (F.col("n_tokens") / F.col("_tot_n")).alias("nat_share"),
+        (F.pow("n_tokens", F.lit(0.7)) / F.col("_tot_p")).alias("temp_share"),
     )
     rates = shares.withColumn(
         "rate", F.col("temp_share") / F.col("nat_share")

@@ -627,9 +627,19 @@ def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
     )
     # share from the |buckets|-row aggregate itself — a total-count side
-    # pass would re-run the decode
-    total = Window.partitionBy()
-    return agg.withColumn(
-        "share",
-        F.round(F.col("n_assets") / F.sum("n_assets").over(total), 6),
+    # pass would re-run the decode; the grand total is a broadcast scalar,
+    # not a SUM() OVER () window. The lazy localCheckpoint pins the 5-row
+    # aggregate so BOTH branches read one materialization — without it,
+    # column pruning shrinks the total branch's partial agg (count only vs
+    # count+avg+sum), the exchanges stop canonically matching, AQE can't
+    # reuse the stage, and the decode pass runs twice.
+    agg = agg.localCheckpoint(eager=False)
+    tot = agg.agg(F.sum("n_assets").alias("_tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "aspect_bucket",
+        "n_assets",
+        "avg_width",
+        "avg_height",
+        "total_pixels",
+        F.round(F.col("n_assets") / F.col("_tot"), 6).alias("share"),
     )

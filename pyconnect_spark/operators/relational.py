@@ -853,7 +853,7 @@ def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "sort", "nulls", "semantics"),
 )
 def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from pyconnect_spark.operators.rankops import rank_small_frame
 
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -865,13 +865,19 @@ def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").desc_nulls_last(),
         F.col("c_custkey"),
     ]
-    return (
-        cust.select(
-            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk"),
-            "c_custkey",
-            "grp",
-            "bal",
-        )
-        .orderBy("rk")
-        .limit(20)
+    # top-20 first (TakeOrderedAndProject — per-partition top-k, no global
+    # sort), THEN rank the 20 survivors by a broadcast triangular join;
+    # the old global row_number-then-limit denied the optimizer that
+    # pruning. The struct key encodes the null directions as null-free
+    # flag fields so struct `<` reproduces asc_nulls_first/desc_nulls_last.
+    top = cust.orderBy(*order).limit(20)
+    key = F.struct(
+        F.when(F.col("grp").isNull(), 0).otherwise(1).alias("g_null"),
+        F.coalesce(F.col("grp"), F.lit(0)).alias("g_val"),
+        F.when(F.col("bal").isNull(), 1).otherwise(0).alias("b_null"),
+        F.coalesce(-F.col("bal"), F.lit(0.0)).alias("b_negval"),
+        F.col("c_custkey").alias("ck"),
+    )
+    return rank_small_frame(top, key, rank_col="rk").select(
+        "rk", "c_custkey", "grp", "bal"
     )

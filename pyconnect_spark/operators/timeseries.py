@@ -1524,11 +1524,19 @@ def ts25(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").cast("long").alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily.select(
+    # distributed exact running sum (rankops): the day frame is calendar-
+    # sized, but the plan stays single-partition-window-free like every
+    # other declared query (and the cumsum source is a long — exact under
+    # any regrouping)
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    cum = with_global_order(
+        daily, [F.asc("day")], cumsum={"new_users": "cumulative_users"}
+    )
+    return cum.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "new_users",
-        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        F.col("cumulative_users").cast("long").alias("cumulative_users"),
     )
 
 
@@ -1773,23 +1781,26 @@ def ts29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("leaving"),
     )
     # at-risk = everyone who departs on this day or later: a SUFFIX sum
-    # over the same day frame — deriving it from a separate COUNT(*) agg
+    # over the same day frame, computed as a DISTRIBUTED inclusive cumsum
+    # in DESCENDING day order (rankops) — exact, since `leaving` holds
+    # integer-valued doubles. Deriving it from a separate COUNT(*) agg
     # would re-execute the whole user-reduction subtree (the plan test
-    # pins events at <= 2 scans: horizon + the conditional-MIN pass)
-    w_suffix = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    km = daily.withColumn("n_at_risk", F.sum("leaving").over(w_suffix))
-    return (
-        km.filter((F.col("d") > 0) | (F.col("leaving") > F.col("d")))
-        .select(
-            F.col("day").cast("long").alias("day"),
-            F.col("n_at_risk").cast("long").alias("n_at_risk"),
-            F.col("d").cast("long").alias("n_converted"),
-            (F.col("leaving") - F.col("d")).cast("long").alias("n_censored"),
-            F.round(
-                F.exp(F.sum(F.log(1 - F.col("d") / F.col("n_at_risk"))).over(w_run)), 6
-            ).alias("survival"),
-        )
+    # pins events at <= 2 scans: horizon + the conditional-MIN pass).
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    km = with_global_order(daily, [F.desc("day")], cumsum={"leaving": "n_at_risk"})
+    filt = km.filter((F.col("d") > 0) | (F.col("leaving") > F.col("d"))).withColumn(
+        "_lnterm", F.log(1 - F.col("d") / F.col("n_at_risk"))
+    )
+    # KM product in the log domain: a second distributed running sum,
+    # ascending this time
+    surv = with_global_order(filt, [F.asc("day")], cumsum={"_lnterm": "_lncum"})
+    return surv.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_converted"),
+        (F.col("leaving") - F.col("d")).cast("long").alias("n_censored"),
+        F.round(F.exp("_lncum"), 6).alias("survival"),
     )
 
 
@@ -2072,12 +2083,14 @@ def ts35(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("dow"),
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count("*").alias("n"))
-    wall = Window.partitionBy()
-    return agg.select(
+    # grand total via broadcast scalar (ReusedExchange on the 168-row agg),
+    # not a SUM() OVER () single-partition window
+    tot = agg.agg(F.sum("n").alias("_tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
         "dow",
         "hour",
         F.col("n").cast("long").alias("n_events"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wall), 6).alias("share"),
+        F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("share"),
     )
 
 

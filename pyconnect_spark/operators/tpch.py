@@ -719,27 +719,32 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q15 (top supplier): a quarter's revenue per supplier, then "
     "the supplier(s) hitting the global maximum. The max is derived from "
-    "the SAME per-supplier aggregate via an unpartitioned window over the "
-    "small |suppliers|-row frame — the fact table is scanned and shuffled "
-    "exactly once, on l_suppkey (the naive scalar-subquery formulation "
-    "plans two full lineitem scans; round-3 fix). The singleton-partition "
-    "exchange only ever carries one row per supplier, never fact rows. "
+    "the SAME per-supplier aggregate as a broadcast scalar — the groupBy "
+    "exchange is reused across both branches (ReusedExchange, pinned by "
+    "plan test), so the fact table is scanned and shuffled exactly once, "
+    "on l_suppkey (the naive scalar-subquery formulation plans two full "
+    "lineitem scans; round-3 fix), and no WindowExec appears at all. "
     "The revenue ties are compared as exact decimals (never doubles), so "
     "'equal to the max' is deterministic under any partitioning — the "
     "TPC-H spec's own footnote about ties becomes a non-issue.",
     tags=("agg", "scalar-subquery", "join", "tpch"),
 )
 def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+        # explicit, so the supplier join's INFERRED isnotnull doesn't make
+        # the two branches' scans differ and defeat AQE stage reuse below
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_rev"))
-    best = rev.withColumn("_best", F.max("total_rev").over(Window.partitionBy()))
+    # global max via broadcast scalar over the SAME per-supplier aggregate
+    # — the groupBy shuffle stage is reused (AQE stage reuse), so lineitem
+    # is still scanned/shuffled once, with no single-partition WindowExec
+    best = rev.agg(F.max("total_rev").alias("_best"))
     return (
-        best.filter(F.col("total_rev") == F.col("_best"))
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("_best"))
         .join(
             F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
             F.col("s_suppkey") == F.col("l_suppkey"),

@@ -6,5 +6,6 @@ from pyconnect_spark.plans.inspect import (  # noqa: F401
     has_broadcast_join,
     pushed_filters,
     read_schema,
+    unpartitioned_windows,
     wholestage_codegen_spans,
 )

@@ -71,6 +71,27 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(ids)
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window/WindowGroupLimit nodes in the OPTIMIZED logical plan whose
+    partition spec is empty — each one is a whole-frame single-task sort at
+    execution time ("WARN WindowExec: No Partition Defined"). The scale bar
+    for this repo is an empty list on every declared query; a legitimately
+    tiny frame should rank via ``rankops.rank_small_frame`` instead so the
+    plan itself proves the bound. Walks the logical (not executed) plan, so
+    it is safe to call without running the query."""
+    found: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            found.append(node.simpleString(120))
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
 def execute_with_metrics(df: DataFrame) -> tuple[int, dict[str, int]]:
     """Execute ``df`` (count) and return (row_count, aggregated SQL
     metrics from the EXECUTED plan): shuffle bytes/records written,

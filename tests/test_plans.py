@@ -153,12 +153,22 @@ def test_x31_q13_outer_join_survives(spark):
 
 def test_x32_q15_single_fact_scan_and_shuffle(spark):
     df = _Q["x32_tpch_q15"](spark, SF)
-    text = explain_str(df)
     assert has_broadcast_join(df)
-    # the window-max rewrite scans lineitem ONCE (the scalar-subquery
-    # formulation scanned it twice) and shuffles it once, on l_suppkey
-    assert text.count("lineitem.parquet") == 1, text
-    assert text.count("hashpartitioning(l_suppkey") == 1, text
+    # the broadcast-max rewrite shares the per-supplier aggregate between
+    # the main branch and the max branch: after execution AQE must have
+    # reused the groupBy(l_suppkey) shuffle stage, so lineitem is scanned
+    # and shuffled ONCE (the scalar-subquery formulation scanned it twice,
+    # and the old SUM() OVER () window was a single-partition exchange)
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    final = text.split("== Initial Plan ==")[0]  # drop the pre-AQE section
+    assert "ReusedExchange" in final, final
+    real_exchanges = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning(l_suppkey" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real_exchanges) == 1, final
 
 
 def test_x33_q17_part_slice_broadcast(spark):
@@ -418,13 +428,15 @@ def test_tx22_boilerplate_reads_only_id_and_text(spark):
     assert "Join" in explain_str(df)
 
 
-def test_tx23_rank_window_on_vocab_not_corpus(spark):
-    # the row_number sort runs AFTER the word-count aggregation: the
-    # window's input is the vocab-sized count frame, never token rows
+def test_tx23_topk_cutoffs_without_vocab_sort(spark):
+    # only the top-max(ks)=16 words can contribute to a coverage cutoff:
+    # they arrive via TakeOrderedAndProject (per-partition top-k) and rank
+    # by broadcast triangular join — NO Window node anywhere (the round-5
+    # full-vocab row_number was a single-partition sort of 10^8+ rows at
+    # web scale)
     text = explain_str(_Q["tx23_vocab_coverage"](spark, SF))
-    agg_pos = text.find("HashAggregate")
-    win_pos = text.find("Window")
-    assert agg_pos != -1 and win_pos != -1
+    assert "TakeOrderedAndProject" in text, text
+    assert "Window" not in text, text
     assert "Generate" in text  # the token explode feeds the agg
 
 
@@ -672,3 +684,20 @@ def test_sm21_truth_restricted_to_probe_queries(spark):
     df = _Q["sm21_ivf_tuning_curve"](spark, SF)
     pf = " ".join(pushed_filters(df))
     assert "vec_id" in pf and ("LessThan" in pf or "lt" in pf.lower()), pf
+
+
+def test_no_unpartitioned_window_in_any_declared_query(spark):
+    """THE round-6 scale invariant: no declared query's optimized plan may
+    contain a Window/WindowGroupLimit with an empty partition spec — each
+    one is a whole-frame single-task sort at execution time. Global
+    ranks/ntiles/cumsums go through rankops (distributed two-pass) or
+    TakeOrdered+rank_small_frame; grand totals through broadcast scalars.
+    Plan-only (no execution), so the full surface checks in one test."""
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    offenders = {}
+    for name, fn in _Q.items():
+        nodes = unpartitioned_windows(fn(spark, SF))
+        if nodes:
+            offenders[name] = nodes[0][:120]
+    assert not offenders, offenders
