@@ -308,6 +308,35 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
             got.setdefault(r["q_id"], set()).add(r["vec_id"])
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         out[name] = round(hits / (k * len(truth)), 3)
+
+    # the STRUCTURED tier: same IVFADC pipeline on a deterministic
+    # clustered corpus (the parquet fixture is i.i.d. Gaussian — the
+    # published IVF worst case — so index quality is demonstrated on data
+    # the index family is designed for; pinned >= 0.8 by test_ivfadc)
+    import math
+
+    from pyconnect_spark.operators.similarity import (
+        clustered_embeddings,
+        ivfadc_topk,
+    )
+
+    cl_rows = clustered_embeddings(spark, n=512).collect()
+    cl_ids = np.array([r.vec_id for r in cl_rows])
+    cl = np.array([r.embedding for r in cl_rows], dtype=np.float64)
+    cl /= np.linalg.norm(cl, axis=1, keepdims=True)
+    cl_truth = {}
+    for q in range(n_queries):
+        qi = int(np.where(cl_ids == q)[0][0])
+        sims = cl @ cl[qi]
+        sims[qi] = -2
+        cl_truth[q] = set(int(x) for x in cl_ids[np.argsort(-sims)[:k]])
+    got = {}
+    for r in ivfadc_topk(
+        clustered_embeddings(spark, n=512), math.ceil(math.sqrt(512))
+    ).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in cl_truth.items())
+    out["sm18_ivfadc_clustered"] = round(hits / (k * len(cl_truth)), 3)
     return out
 
 

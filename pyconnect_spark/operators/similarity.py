@@ -283,19 +283,14 @@ _SEED_IVF_CTES = f"""
     seedcells AS (SELECT vec_id, srk AS cell FROM sscored WHERE rk = 1)"""
 
 
-def seed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Auto-sized IVF assignment (vec_id, embedding, cell, rk): the corpus
-    scored against ceil(sqrt(N)) md5-picked seed vectors; rk=1 is the
-    cell. Oracle twin: _SEED_IVF_CTES. The count() is one metadata-cheap
-    job; seed selection is TakeOrderedAndProject (per-partition top-k,
-    no global sort materialization) and the seed table broadcasts."""
-    import math
+def ivf_seed_frame(emb: DataFrame, n_cells: int) -> DataFrame:
+    """The n_cells md5-picked seed vectors (seed_id, seed_emb, srk):
+    TakeOrderedAndProject selects them (per-partition top-k), the cell
+    ids srk rank the tiny slice by broadcast triangular join (rankops) —
+    no single-partition row_number window."""
+    from pyconnect_spark.operators.rankops import rank_small_frame
 
-    from pyspark.sql import Window
-
-    emb = t(spark, sf_dir, "embeddings")
-    n_cells = math.ceil(math.sqrt(emb.count()))
-    seeds = (
+    top = (
         emb.select(
             F.col("vec_id").alias("seed_id"),
             F.col("embedding").alias("seed_emb"),
@@ -304,8 +299,24 @@ def seed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "seed_id")
         .limit(n_cells)
     )
-    wseed = Window.orderBy("h", "seed_id")  # tiny frame: n_cells rows
-    seeds = seeds.withColumn("srk", F.row_number().over(wseed)).drop("h")
+    return (
+        rank_small_frame(
+            top,
+            F.struct(F.col("h").alias("kh"), F.col("seed_id").alias("ks")),
+            rank_col="srk",
+        )
+        .withColumn("srk", F.col("srk").cast("int"))
+        .drop("h")
+    )
+
+
+def seed_ivf_cells_frame(emb: DataFrame, n_cells: int) -> DataFrame:
+    """IVF assignment over an arbitrary (vec_id, embedding) frame: every
+    vector scored against the n_cells seed quantizer; rk=1 is the cell,
+    rk<=n_probe the probe list. The seed table broadcasts."""
+    from pyspark.sql import Window
+
+    seeds = ivf_seed_frame(emb, n_cells)
     v = F.transform("embedding", lambda x: x.cast("double"))
     s = F.transform("seed_emb", lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -321,6 +332,16 @@ def seed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos9"), "cell")
     return scored.withColumn("rk", F.row_number().over(wcell))
+
+
+def seed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized IVF assignment (vec_id, embedding, cell, rk) over the
+    fixture embeddings: ceil(sqrt(N)) seeds — the FAISS nlist sizing.
+    Oracle twin: _SEED_IVF_CTES. The count() is one metadata-cheap job."""
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    return seed_ivf_cells_frame(emb, math.ceil(math.sqrt(emb.count())))
 
 
 def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,22 +1536,28 @@ def sm15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_codebook(emb: DataFrame) -> DataFrame:
+def pq_codebook(emb: DataFrame, salt: str = "") -> DataFrame:
     """The 8-subspace x 16-codeword PQ codebook (j, k, cvec): md5-picked
-    seed-vector slices cast to double. 128 rows — always broadcast."""
-    from pyspark.sql import Window
+    seed-vector slices cast to double. 128 rows — always broadcast. Code
+    ids rank the 16 TakeOrdered survivors by broadcast triangular join
+    (rankops), not a row_number window — the plan carries no
+    single-partition WindowExec.
 
-    wseed = Window.orderBy("h", "sid")
-    seeds = (
-        emb.select(
-            F.col("vec_id").alias("sid"),
-            F.col("embedding").alias("semb"),
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "sid")
-        .limit(16)
-        .withColumn("k", F.row_number().over(wseed))
-    )
+    salt: appended to the md5 seed key. REQUIRED when `emb` holds cell
+    RESIDUALS (IVFADC): without it the PQ seed pick shares the IVF
+    quantizer's md5 order, every PQ seed is its own cell centroid, all 16
+    codewords are the zero vector, and the code table collapses to one
+    code (found the hard way — pinned by test_ivfadc)."""
+    from pyconnect_spark.operators.rankops import rank_small_frame
+
+    top = emb.select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("semb"),
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(salt))).alias("h"),
+    ).orderBy("h", "sid").limit(16)
+    seeds = rank_small_frame(
+        top, F.struct(F.col("h").alias("kh"), F.col("sid").alias("ks")), rank_col="k"
+    ).withColumn("k", F.col("k").cast("int"))
     return seeds.select(
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
         "k",
@@ -1544,7 +1571,7 @@ def pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_best_codes(emb: DataFrame) -> DataFrame:
+def pq_best_codes(emb: DataFrame, salt: str = "") -> DataFrame:
     """Per-(vec_id, subspace) PQ assignment (vec_id, j, k, dotp, cn2):
     argmin L2 to the codebook, ties to the lower code id. Shared by the
     encode audit (sm16) and the ADC search (sm17) so both consume the
@@ -1552,7 +1579,7 @@ def pq_best_codes(emb: DataFrame) -> DataFrame:
     written once and every searcher reads them."""
     from pyspark.sql import Window
 
-    cb = pq_codebook(emb)
+    cb = pq_codebook(emb, salt)
     xv = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
@@ -1576,6 +1603,174 @@ def pq_best_codes(emb: DataFrame) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wbest))
         .filter(F.col("rk") == 1)
         .drop("rk", "dist")
+    )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    k: int = 5,
+    n_queries: int = 5,
+) -> DataFrame:
+    """FAISS-construction IVFADC over an arbitrary (vec_id, embedding)
+    frame: PQ codes encode CELL RESIDUALS (x - centroid[cell(x)]), not raw
+    vectors — the construction Jégou et al. §IV describe and faiss
+    IndexIVFPQ implements, because residuals of a coarse-quantized corpus
+    are smaller and better-conditioned than the vectors themselves, so the
+    same 8x16 codebook spends its codes on the signal that remains AFTER
+    the cell id already captured the coarse position. Query side builds
+    one LUT per (query, probed cell) from the query's residual against
+    THAT cell, ADC-scans only the probed cells' code lists, and exact-
+    reranks the top-`shortlist`. Deterministic end to end (md5 seed picks,
+    sequential JVM folds) — the SQL oracle replays the full index.
+    Reference parity: this is the repo's scale-tier ANN; the reference
+    engine has no ANN (single-process Kafka connector)."""
+    from pyspark.sql import Window
+
+    ranked = seed_ivf_cells_frame(emb, n_cells)
+    # lazy checkpoint: the (vec_id, cell) index is read by the residual
+    # build AND the candidate probe — pin one materialization (this is the
+    # inverted file a real deployment writes to disk once)
+    cells = (
+        ranked.filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
+    )
+    probes = ranked.filter(
+        (F.col("rk") <= n_probe) & (F.col("vec_id") < n_queries)
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    cents = ivf_seed_frame(emb, n_cells).select(
+        F.col("srk").alias("cell"),
+        F.transform("seed_emb", lambda x: x.cast("double")).alias("cent"),
+    )
+    # corpus residuals vs the OWN cell's centroid
+    resid = (
+        emb.join(cells, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("cent"),
+                lambda a, b: a - b,
+            ).alias("embedding"),
+        )
+    )
+    # pin the residual frame too: the code assignment references it several
+    # times (codebook seed pick + encode) — this is the one-time index
+    # build pass that writes the code table in production
+    resid = resid.localCheckpoint(eager=False)
+    codes = pq_best_codes(resid.select("vec_id", "embedding"), salt=":pq").select(
+        "vec_id", "j", "k"
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "cell")
+        .distinct()
+    )
+    # per-(query, probed cell) residual, then the 8x16 ADC lookup table
+    qres = (
+        probes.join(
+            emb.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("q_id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
+            ),
+            "q_id",
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "q_id",
+            "cell",
+            F.zip_with("qx", "cent", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    cb = pq_codebook(resid.select("vec_id", "embedding"), salt=":pq")
+    qj = F.slice("qr", F.col("j") * 8 + 1, 8)
+    d = F.aggregate(
+        F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = qres.crossJoin(F.broadcast(cb)).select("q_id", "cell", "j", "k", d.alias("d"))
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "cell", "j", "k"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    short = (
+        adc.withColumn("adc_rk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rk") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    q_emb = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
+    return (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", sim.alias("_raw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("_raw", 6).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int = 512,
+    d: int = 64,
+    n_clusters: int = 16,
+    spread: float = 0.15,
+) -> DataFrame:
+    """Deterministic clustered synthetic corpus (vec_id, embedding): vector
+    v belongs to cluster v % n_clusters; each dimension is the cluster
+    center (md5-uniform in [-1,1]) plus md5-uniform noise scaled by
+    `spread`. This is the STRUCTURED fixture tier the IVFADC design is
+    for — the parquet embeddings fixture is i.i.d. Gaussian (no cluster
+    structure, the published worst case for IVF family indexes; see
+    sm05/sm18 docstrings), so index quality is demonstrated here and
+    tracked in bench's ann_recall_at_5."""
+
+    def u(s: F.Column) -> F.Column:
+        # md5 prefix -> uniform double in [0, 1) — the dd15/dd23 coin family
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double") / F.lit(
+            4294967296.0
+        )
+
+    def dim(i: F.Column) -> F.Column:
+        c = (F.col("vec_id") % n_clusters).cast("string")
+        center = u(F.concat(F.lit("c:"), c, F.lit(":"), i.cast("string"))) * 2 - 1
+        noise = (
+            u(
+                F.concat(
+                    F.lit("v:"),
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            * 2
+            - 1
+        ) * spread
+        return center + noise
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(d - 1)), dim).alias("embedding"),
     )
 
 
@@ -1827,38 +2022,44 @@ def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sm18_ivfadc",
     oracle=f"""
     WITH {_SEED_IVF_CTES},
+    cents AS (SELECT srk AS cell, seed_emb FROM seeds),
     probes AS (
       SELECT vec_id AS q_id, srk AS cell FROM sscored
       WHERE rk <= 8 AND vec_id < 5
     ),
     cand AS (
-      SELECT DISTINCT p.q_id, c.vec_id
+      SELECT DISTINCT p.q_id, c.vec_id, c.cell
       FROM seedcells c JOIN probes p ON c.cell = p.cell
       WHERE c.vec_id <> p.q_id
     ),
+    resid AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                    - CAST(ct.seed_emb[CAST(i AS INT)] AS DOUBLE)) AS rv
+      FROM embeddings e
+      JOIN seedcells sc ON sc.vec_id = e.vec_id
+      JOIN cents ct ON ct.cell = sc.cell
+    ),
     pqseed AS (
-      SELECT vec_id AS sid, embedding AS semb,
-             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+      SELECT vec_id AS sid,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq'), vec_id) AS k
       FROM embeddings
     ),
     pqcb AS (
-      SELECT j.j, s.k,
-             list_transform(list_slice(s.semb, j.j*8 + 1, j.j*8 + 8),
-                            x -> CAST(x AS DOUBLE)) AS cvec
+      SELECT j.j, s.k, list_slice(r.rv, j.j*8 + 1, j.j*8 + 8) AS cvec
       FROM (SELECT unnest(range(8)) AS j) j,
-           (SELECT k, semb FROM pqseed WHERE k <= 16) s
-    ),
-    xv AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-      FROM embeddings
+           (SELECT sid, k FROM pqseed WHERE k <= 16) s
+      JOIN resid r ON r.vec_id = s.sid
     ),
     pqscored AS (
-      SELECT xv.vec_id, pqcb.j, pqcb.k,
+      SELECT r.vec_id, pqcb.j, pqcb.k,
              list_aggregate(list_transform(range(1, 9),
-               i -> (x[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
-                    * (x[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               i -> (rv[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (rv[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
                'sum') AS dist
-      FROM xv CROSS JOIN pqcb
+      FROM resid r CROSS JOIN pqcb
     ),
     codes AS (
       SELECT vec_id, j, k FROM (
@@ -1871,19 +2072,28 @@ def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qx
       FROM embeddings WHERE vec_id < 5
     ),
+    qres AS (
+      SELECT p.q_id, p.cell,
+             list_transform(range(1, len(q.qx) + 1),
+               i -> qx[CAST(i AS INT)]
+                    - CAST(ct.seed_emb[CAST(i AS INT)] AS DOUBLE)) AS qr
+      FROM probes p JOIN q ON q.q_id = p.q_id
+      JOIN cents ct ON ct.cell = p.cell
+    ),
     lut AS (
-      SELECT q.q_id, pqcb.j, pqcb.k,
+      SELECT qres.q_id, qres.cell, pqcb.j, pqcb.k,
              list_aggregate(list_transform(range(1, 9),
-               i -> (qx[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
-                    * (qx[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               i -> (qr[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (qr[CAST(pqcb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
                'sum') AS d
-      FROM q CROSS JOIN pqcb
+      FROM qres CROSS JOIN pqcb
     ),
     adc AS (
       SELECT ca.q_id, ca.vec_id, round(SUM(l.d), 6) AS adc_dist
       FROM cand ca
       JOIN codes c ON c.vec_id = ca.vec_id
-      JOIN lut l ON l.q_id = ca.q_id AND l.j = c.j AND l.k = c.k
+      JOIN lut l ON l.q_id = ca.q_id AND l.cell = ca.cell
+                AND l.j = c.j AND l.k = c.k
       GROUP BY 1, 2
     ),
     shortlist AS (
@@ -1904,82 +2114,33 @@ def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings q ON q.vec_id = s.q_id
     ) WHERE rk <= 5
     """,
-    doc="IVFADC — the full FAISS-style production ANN architecture, "
-    "composed from the audited pieces: dd12's auto-sized seed "
-    "quantizer prunes to the query's 8 nearest cells (inverted-file "
-    "step), sm16's PQ code table supplies 8-int compressed vectors for "
-    "the ADC scan WITHIN those cells only, the ADC top-100 shortlist "
-    "reranks by exact cosine (sm17's tail). Every stage is "
-    "md5-deterministic, so the complete index — coarse quantizer, "
-    "codes, lookup tables, rerank — replays in the SQL oracle; there "
-    "is no other way to hash-check an IVFADC end to end. Per query "
-    "the raw corpus is touched only for ≤100 rerank rows: the cell "
-    "probe reads the (vec_id, cell) index, the ADC scan reads codes. "
-    "At 100 TB: corpus parquet partitioned by cell, codes stored "
-    "alongside, probes prune partitions, and the LUT (640 doubles) "
-    "broadcasts — the scan cost per query is n_probe/n_cells of the "
-    "CODE table, which auto-shrinks as ceil(sqrt(N)) cells grow.",
+    doc="IVFADC with RESIDUAL encoding — the actual FAISS IndexIVFPQ "
+    "construction (Jégou et al. PAMI'11 §IV): PQ codes quantize "
+    "x - centroid[cell(x)], NOT raw vectors (round-5 fix — raw-vector "
+    "codes waste the codebook re-describing the coarse position the "
+    "cell id already stores; residuals are smaller and better-"
+    "conditioned, which is where IVFADC's accuracy comes from). The "
+    "auto-sized seed quantizer prunes to the query's 8 nearest cells, "
+    "each (query, cell) pair builds its own 8x16 LUT from the QUERY "
+    "residual against THAT cell, the ADC scan reads code lists within "
+    "probed cells only, and the top-100 shortlist reranks by exact "
+    "cosine. Every stage is md5-deterministic, so the complete index — "
+    "coarse quantizer, residuals, codes, LUTs, rerank — replays in the "
+    "SQL oracle. On the fixture's i.i.d.-Gaussian corpus residuals are "
+    "nearly as large as the vectors (no cluster structure — the "
+    "published IVF worst case), so headline recall stays modest; on the "
+    "clustered tier (clustered_embeddings, bench ann_recall_at_5"
+    "[sm18_ivfadc_clustered], pinned >= 0.8 by pytest) the same "
+    "pipeline delivers the production-shaped recall. At 100 TB: corpus "
+    "parquet partitioned by cell, codes stored alongside, probes prune "
+    "partitions, LUTs broadcast.",
     tags=("similarity", "llm", "ann", "ivf", "pq", "adc", "scale-tier"),
 )
 def sm18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import math
 
     emb = t(spark, sf_dir, "embeddings")
-    ranked = seed_ivf_cells(spark, sf_dir)
-    corpus_cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
-    probes = (
-        ranked.filter((F.col("rk") <= 8) & (F.col("vec_id") < 5))
-        .select(F.col("vec_id").alias("q_id"), "cell")
-    )
-    cand = (
-        corpus_cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-    )
-    codes = pq_best_codes(emb).select("vec_id", "j", "k")
-    cb = pq_codebook(emb)
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
-    )
-    qj = F.slice("qx", F.col("j") * 8 + 1, 8)
-    d = F.aggregate(
-        F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    lut = q.crossJoin(F.broadcast(cb)).select("q_id", "j", "k", d.alias("d"))
-    adc = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["q_id", "j", "k"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
-    )
-    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    shortlist = (
-        adc.withColumn("adc_rk", F.row_number().over(w_adc))
-        .filter(F.col("adc_rk") <= 100)
-        .select("q_id", "vec_id")
-    )
-    q_emb = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    sim = cosine(F.col("embedding"), F.col("q_emb"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
-    return (
-        shortlist.join(emb, "vec_id")
-        .join(F.broadcast(q_emb), "q_id")
-        .select("q_id", "vec_id", sim.alias("_raw"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select(
-            "q_id",
-            "vec_id",
-            F.round("_raw", 6).alias("cos_sim"),
-            F.col("rk").cast("long").alias("rk"),
-        )
-    )
+    return ivfadc_topk(emb, math.ceil(math.sqrt(emb.count())))
 
 
 def _mmr_oracle(k_sel: int = 5, k_cand: int = 20, lam: float = 0.7) -> str:
