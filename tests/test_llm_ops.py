@@ -826,3 +826,21 @@ def test_tx32_bpe_loop_matches_python_replication(spark):
         got = bpe_merges(wf, n_merges=6)
         want = _bpe_reference(wc, n_merges=6)
         assert got == want, (wc, got, want)
+
+
+def test_dd05_lsh_tier_agrees_with_exact_tier(spark):
+    """dd05's DECLARED edge source is now the LSH-candidate + exact-verify
+    tier (round-6 switch). On the fixtures the banded candidates catch
+    every exact edge, so the tiers must agree EXACTLY — and dd05's
+    exact-all-pairs oracle stays hash-green. The 0.95 floor documented in
+    SCALE.md applies to corpora whose near-dup Jaccard sits on the 0.8
+    S-curve edge; the fixtures' dups are far above it."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators.dedup import lsh_verified_edges, word_jaccard_edges
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        exact = {(r.a, r.b) for r in word_jaccard_edges(docs, 0.8).collect()}
+        scale = {(r.a, r.b) for r in lsh_verified_edges(docs, 0.8).collect()}
+        assert exact, sf  # the fixture must actually exercise the tier
+        assert scale == exact, (sf, scale ^ exact)
