@@ -1,4 +1,4 @@
-.PHONY: test test-oracle test-streaming test-kafka kafka-up kafka-down bench example lint
+.PHONY: test test-oracle test-streaming test-kafka kafka-up kafka-down bench example lint window-audit preflight
 
 # Live-broker integration suites (skip cleanly without a broker).
 # Bring up Kafka + Schema Registry with `make kafka-up` (needs docker),
@@ -33,6 +33,24 @@ sweep:
 # Executed-plan shuffle/spill volumes for every headline query.
 shuffle-ledger:
 	python tools/shuffle_ledger.py > docs/SHUFFLE_LEDGER.md
+
+# Plan-only audit: no declared query may carry an unpartitioned
+# Window/WindowGroupLimit (whole-frame single-task sort). Exit 1 on any.
+window-audit:
+	python tools/window_audit.py
+
+# The round-close gate: full strict sweep (default + alternate
+# partitioning) + window audit + the driver-window dry run, each teed to
+# a round-stamped artifact so the evidence lands in the SAME commit as
+# the last query change (round-5 verdict task #7: no more late additions
+# shipping after the sweep artifact was cut). Usage: make preflight R=r06
+R ?= rXX
+preflight:
+	python tools/strict_sweep.py | tee STRICT_SWEEP_$(R).txt
+	SWEEP_CORES=5 SWEEP_PARTITIONS=7 python tools/strict_sweep.py \
+	  | tee STRICT_SWEEP_$(R)_altpartitioning.txt
+	python tools/window_audit.py | tee WINDOW_AUDIT_$(R).txt
+	python tools/window_check.py
 
 bench:
 	python bench.py
