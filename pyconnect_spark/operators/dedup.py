@@ -2469,3 +2469,67 @@ def dd25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_tokens") >= 12)
     )
+
+
+@REGISTRY.register(
+    "dd26_source_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 50 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           round(SUM(CASE WHEN rk <= 50 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS kept_frac,
+           md5(array_to_string(
+               list(doc_id ORDER BY doc_id) FILTER (WHERE rk <= 50), ','))
+               AS kept_ids_md5
+    FROM ranked GROUP BY 1
+    """,
+    doc="Per-source document quota — the CommonCrawl-style curation cap "
+    "that stops one domain from dominating a mixture (the hard-cap "
+    "sibling of dd23's temperature softening and x38's de-domination): "
+    "each source keeps at most 50 documents, selected by md5(doc_id) "
+    "rank — a deterministic uniform sample, reproducible across reruns "
+    "and engines, which is what makes cap changes diffable. Output pins "
+    "the EXACT kept set per source (md5 of the sorted kept ids), not "
+    "just counts. Plan: one source-keyed exchange; the rank filter is "
+    "optimizer-visible so WindowGroupLimit prunes to ~cap rows per "
+    "source BEFORE the final sort — a hot source ships its cap, not its "
+    "catalog... except the audit also reports totals, so the count agg "
+    "sees every row (16-byte keys, map-side combined). At 100 TB the "
+    "cap path and the audit path are one job.",
+    tags=("dedup", "llm", "sampling", "quota", "curation"),
+)
+def dd26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota"))), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= 50
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias(
+            "kept_chars"
+        ),
+        F.round(F.sum(kept.cast("double")) / F.count("*"), 6).alias("kept_frac"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.col("doc_id")))
+                ).cast("array<string>"),
+            )
+        ).alias("kept_ids_md5"),
+    )

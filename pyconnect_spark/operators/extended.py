@@ -2784,3 +2784,203 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+@REGISTRY.register(
+    "x66_decile_migration",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    spend AS (
+      SELECT o.o_custkey AS custkey,
+             CASE WHEN CAST(o.o_orderdate AS DATE) <
+                       b.d0 + CAST(CAST(date_diff('day', b.d0, b.d1) AS BIGINT) / 2
+                                   AS INT)
+                  THEN 'a' ELSE 'b' END AS period,
+             {sql_dsum('o.o_totalprice')} AS v
+      FROM orders o CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT custkey, period, v,
+             ntile(5) OVER (PARTITION BY period ORDER BY v DESC, custkey) AS q
+      FROM spend
+    )
+    SELECT CAST(a.q AS BIGINT) AS quintile_a,
+           CAST(b.q AS BIGINT) AS quintile_b,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(AVG(b.v - a.v), 2) AS avg_spend_delta
+    FROM scored a JOIN scored b
+      ON a.custkey = b.custkey AND a.period = 'a' AND b.period = 'b'
+    GROUP BY 1, 2
+    """,
+    doc="Quintile migration matrix — the period-over-period version of "
+    "x53's value segmentation: customers rank into spend quintiles "
+    "within each half of the order horizon, and the (quintile_a -> "
+    "quintile_b) transition counts + average spend deltas expose churn "
+    "from the head (1->4/5) and ascension into it (4/5->1) — the CRM "
+    "readout behind win-back targeting, and the exact same math that "
+    "tracks corpus-source quality-tier drift between crawl snapshots. "
+    "Per-period quintiles come from the DISTRIBUTED rank machinery "
+    "(rankops.with_global_order + ntile_from_rank, one pass per period "
+    "frame — no single-partition ntile window anywhere; this query "
+    "exists partly to exercise that machinery on a two-frame join "
+    "shape). Customers active in only one period drop out of the "
+    "matrix by the inner join — a deliberate 'retained customers' "
+    "definition, stated rather than implied. Ties break on custkey so "
+    "both engines assign identical codes.",
+    tags=("agg", "migration", "quintile", "crm", "rankops"),
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import ntile_from_rank, with_global_order
+
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    period = F.when(
+        F.col("o_orderdate").cast("date")
+        < F.date_add("d0", (F.datediff("d1", "d0") / 2).cast("int")),
+        "a",
+    ).otherwise("b")
+    spend = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col("o_custkey").alias("custkey"), period.alias("period"))
+        .agg(dsum("o_totalprice").alias("v"))
+    )
+
+    def quintiles(p: str, out: str) -> DataFrame:
+        frame = spend.filter(F.col("period") == p)
+        g = with_global_order(
+            frame,
+            [F.desc("v"), F.col("custkey")],
+            rank_col="_rk",
+            total_count_col="_n",
+        )
+        return g.select(
+            "custkey",
+            F.col("v").alias(f"v_{p}"),
+            ntile_from_rank("_rk", "_n", 5).cast("long").alias(out),
+        )
+
+    a = quintiles("a", "quintile_a")
+    b = quintiles("b", "quintile_b")
+    return (
+        a.join(b, "custkey")
+        .groupBy("quintile_a", "quintile_b")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg(F.col("v_b") - F.col("v_a")), 2).alias("avg_spend_delta"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x67_event_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) >= u1.t1
+        AND epoch_us(e.ts) <= u1.t1 + 604800000000
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= u2.t2
+        AND epoch_us(e.ts) <= u2.t2 + 604800000000
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT u1.user_id, u1.t1, u2.t2, u3.t3
+      FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+             CAST(COUNT(t1) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS conv_from_prev,
+             CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+      FROM f
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(t2) AS BIGINT),
+             round(CAST(COUNT(t2) AS DOUBLE) / COUNT(t1), 6),
+             round(AVG((t2 - t1) / 3600e6), 6)
+      FROM f
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT),
+             round(CAST(COUNT(t3) AS DOUBLE) / COUNT(t2), 6),
+             round(AVG((t3 - t2) / 3600e6), 6)
+      FROM f
+    )
+    """,
+    doc="Ordered conversion funnel with per-step deadlines — the product-"
+    "analytics staple match_recognize answers in warehouses: first view, "
+    "then first click WITHIN 7 DAYS of that view, then first purchase "
+    "within 7 days of that click; per step the reached-user count, "
+    "conversion from the previous step, and mean hours between steps. "
+    "Order + deadline semantics matter: a click before the first view or "
+    "after the window does NOT count, which is what separates a funnel "
+    "from three independent event counts. Spark plan: ONE user-keyed "
+    "exchange collecting each user's (ts, type) pairs, then the stepwise "
+    "first-hit chain evaluates as pure JVM array expressions (filter + "
+    "transform + array_min per step — no second scan, no per-step "
+    "self-join; the oracle uses the equivalent 3-join decomposition). "
+    "Per-user arrays are bounded by per-user activity — the same "
+    "assumption every sessionizer here already makes (ts02). "
+    "Integer-microsecond arithmetic end to end; only the final "
+    "rate/hour columns are doubles, rounded at 6dp.",
+    tags=("agg", "funnel", "conversion", "product-analytics"),
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    week_us = 604800000000
+    seq = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("us"), F.col("event_type").alias("et"))
+        ).alias("evs")
+    )
+
+    def first_hit(evs, et, lo=None, hi=None):
+        cond = lambda e: (e["et"] == et) if lo is None else (
+            (e["et"] == et) & (e["us"] >= lo) & (e["us"] <= hi)
+        )
+        return F.array_min(F.transform(F.filter(evs, cond), lambda e: e["us"]))
+
+    stepped = (
+        seq.withColumn("t1", first_hit(F.col("evs"), "view"))
+        .withColumn(
+            "t2",
+            first_hit(F.col("evs"), "click", F.col("t1"), F.col("t1") + week_us),
+        )
+        .withColumn(
+            "t3",
+            first_hit(F.col("evs"), "purchase", F.col("t2"), F.col("t2") + week_us),
+        )
+    )
+    agg = stepped.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.avg((F.col("t2") - F.col("t1")) / 3600e6).alias("h12"),
+        F.avg((F.col("t3") - F.col("t2")) / 3600e6).alias("h23"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " CAST(1 AS BIGINT), 'view',     CAST(n1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            " CAST(2 AS BIGINT), 'click',    CAST(n2 AS BIGINT), round(CAST(n2 AS DOUBLE)/n1, 6), round(h12, 6),"
+            " CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT), round(CAST(n3 AS DOUBLE)/n2, 6), round(h23, 6))"
+            " AS (step, step_name, n_users, conv_from_prev, avg_hours_from_prev)"
+        )
+    )

@@ -2564,3 +2564,132 @@ def sm21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_fraction"),
         )
     )
+
+
+@REGISTRY.register(
+    "sm22_rrf_fusion",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    q AS (
+      SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    r1 AS (
+      SELECT q.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS r
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, srk AS cell FROM sscored
+      WHERE rk <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, c.vec_id
+      FROM seedcells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.q_id
+    ),
+    r2 AS (
+      SELECT ca.q_id, ca.vec_id,
+             row_number() OVER (PARTITION BY ca.q_id
+                                ORDER BY {_ORACLE_COS} DESC, ca.vec_id) AS r
+      FROM cand ca
+      JOIN embeddings e ON e.vec_id = ca.vec_id
+      JOIN q ON q.q_id = ca.q_id
+    ),
+    l1 AS (SELECT * FROM r1 WHERE r <= 20),
+    l2 AS (SELECT * FROM r2 WHERE r <= 20),
+    fused AS (
+      SELECT COALESCE(l1.q_id, l2.q_id) AS q_id,
+             COALESCE(l1.vec_id, l2.vec_id) AS vec_id,
+             COALESCE(1.0 / (60 + l1.r), 0) + COALESCE(1.0 / (60 + l2.r), 0) AS s,
+             CASE WHEN l1.r IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+             CASE WHEN l2.r IS NOT NULL THEN 1 ELSE 0 END AS in_ann
+      FROM l1 FULL OUTER JOIN l2
+        ON l1.q_id = l2.q_id AND l1.vec_id = l2.vec_id
+    )
+    SELECT q_id, vec_id, round(s, 6) AS rrf_score,
+           CAST(in_exact AS BIGINT) AS in_exact,
+           CAST(in_ann AS BIGINT) AS in_ann,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rk
+      FROM fused
+    ) WHERE rk <= 5
+    """,
+    doc="Reciprocal Rank Fusion (Cormack et al. SIGIR'09, k=60 — the "
+    "score-free list merger every hybrid-retrieval stack ships): fuse "
+    "the exact dense top-20 with the IVF 4-probe approximate top-20 per "
+    "query by sum(1/(60+rank)); ranks, not scores, so retrievers with "
+    "incomparable score scales (cosine vs BM25 vs ADC) fuse without "
+    "calibration — here the two lists share a metric but differ by the "
+    "ANN candidate restriction, and the audit columns (in_exact/in_ann) "
+    "show per-result provenance. The 1/(60+r) terms and their 2-term "
+    "sum are bit-identical across engines (fixed addend order), so the "
+    "fused ranking replays exactly. Plan: one broadcast cross-score for "
+    "the exact list (sm01's shape), the probe-restricted list rides the "
+    "IVF index (cells join, never a second full scan at real scale), "
+    "fusion is a full-outer on (q, vec) — all per-query windows "
+    "partition on q_id.",
+    tags=("similarity", "llm", "fusion", "rrf", "hybrid", "ranking"),
+)
+def sm22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    base = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("c"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c"), "vec_id")
+    l1 = (
+        base.withColumn("r1", F.row_number().over(wq))
+        .filter(F.col("r1") <= 20)
+        .select("q_id", "vec_id", "r1")
+    )
+    ranked = seed_ivf_cells(spark, sf_dir)
+    cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+    probes = ranked.filter((F.col("rk") <= 4) & (F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    l2 = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", sim.alias("c"))
+        .withColumn("r2", F.row_number().over(wq))
+        .filter(F.col("r2") <= 20)
+        .select("q_id", "vec_id", "r2")
+    )
+    fused = l1.join(l2, ["q_id", "vec_id"], "full").select(
+        "q_id",
+        "vec_id",
+        (
+            F.coalesce(1.0 / (F.col("r1") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("r2") + 60), F.lit(0.0))
+        ).alias("s"),
+        F.col("r1").isNotNull().cast("long").alias("in_exact"),
+        F.col("r2").isNotNull().cast("long").alias("in_ann"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("s", 6).alias("rrf_score"),
+            "in_exact",
+            "in_ann",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -2142,3 +2142,127 @@ def tx33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("correct"),
     )
+
+
+def _tx34_shard_sql(ctx: int) -> str:
+    """One context length's per-shard next-fit fold, replayed in DuckDB via
+    list_reduce (left fold, same order as the Spark aggregate)."""
+    return f"""
+      SELECT {ctx} AS ctx, shard,
+             list_reduce(
+               list_transform(list(least(n_tok, {ctx}) ORDER BY doc_id),
+                              n -> struct_pack(s := CAST(1 AS BIGINT),
+                                               f := CAST(n AS BIGINT))),
+               (a, x) -> CASE WHEN a.f + x.f <= {ctx}
+                              THEN struct_pack(s := a.s, f := a.f + x.f)
+                              ELSE struct_pack(s := a.s + CAST(1 AS BIGINT),
+                                               f := x.f) END) AS st,
+             CAST(SUM(least(n_tok, {ctx})) AS BIGINT) AS kept,
+             CAST(SUM(CASE WHEN n_tok > {ctx} THEN n_tok - {ctx} ELSE 0 END)
+                  AS BIGINT) AS truncated
+      FROM toks GROUP BY 2
+    """
+
+
+@REGISTRY.register(
+    "tx34_packing_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 16 AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per_shard AS (
+      {SHARD_UNION}
+    ),
+    per_ctx AS (
+      SELECT ctx, CAST(SUM(st.s) AS BIGINT) AS n_seqs,
+             CAST(SUM(kept) AS BIGINT) AS packed_tokens,
+             CAST(SUM(truncated) AS BIGINT) AS truncated_tokens
+      FROM per_shard GROUP BY 1
+    )
+    SELECT CAST(ctx AS BIGINT) AS ctx, n_seqs, packed_tokens, truncated_tokens,
+           round(1.0 - CAST(packed_tokens AS DOUBLE) / (n_seqs * ctx), 6)
+               AS pad_frac
+    FROM per_ctx
+    """.replace(
+        "{SHARD_UNION}",
+        "\n      UNION ALL ".join(_tx34_shard_sql(c) for c in (512, 1024, 2048, 4096)),
+    ),
+    doc="Sequence-packing efficiency curve — the sizing study behind "
+    "choosing a training context length: for ctx in 512/1k/2k/4k, pack "
+    "whole documents next-fit (no doc splitting — the padding-relevant "
+    "regime, unlike tx12's concat packing which never pads but splits "
+    "docs) into fixed windows and report sequences, packed tokens, "
+    "truncation loss (docs longer than ctx lose their tail), and the "
+    "padding fraction 1 - packed/(seqs*ctx). Short contexts waste "
+    "little padding but truncate more; long contexts invert it — the "
+    "curve shows the crossover for THIS corpus. The fold is sequential "
+    "by construction (next-fit depends on running fill), so docs pack "
+    "in md5-shard streams (tx12's sharding): each shard's fold is one "
+    "JVM aggregate over its (doc_id-ordered) sizes, shards run in "
+    "parallel, and the oracle replays the identical left fold via "
+    "DuckDB list_reduce. At 100 TB shard count scales with the corpus "
+    "(16 here) — packing is embarrassingly parallel ACROSS shards by "
+    "design, which is exactly how a real tokenizer-sharded pipeline "
+    "packs.",
+    tags=("text", "llm", "packing", "context", "curve"),
+)
+def tx34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shard = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 16
+    n_tok = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tok")
+    )
+    per_shard = toks.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_tok"))),
+            lambda s: s["n_tok"],
+        ).alias("sizes")
+    )
+    out = []
+    for ctx in (512, 1024, 2048, 4096):
+        capped = F.transform("sizes", lambda n: F.least(n, F.lit(ctx)))
+        st = F.aggregate(
+            capped,
+            F.struct(
+                F.lit(0).cast("long").alias("s"), F.lit(ctx).cast("long").alias("f")
+            ),
+            lambda a, n: F.when(
+                a["f"] + n <= ctx,
+                F.struct(a["s"].alias("s"), (a["f"] + n).alias("f")),
+            ).otherwise(F.struct((a["s"] + 1).alias("s"), n.alias("f"))),
+        )
+        trunc = F.aggregate(
+            F.col("sizes"),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + F.when(n > ctx, n - ctx).otherwise(F.lit(0).cast("long")),
+        )
+        out.append(
+            per_shard.select(
+                F.lit(ctx).cast("long").alias("ctx"),
+                st["s"].alias("s"),
+                F.aggregate(
+                    capped, F.lit(0).cast("long"), lambda acc, n: acc + n
+                ).alias("kept"),
+                trunc.alias("truncated"),
+            )
+        )
+    allf = out[0]
+    for o in out[1:]:
+        allf = allf.unionAll(o)
+    per_ctx = allf.groupBy("ctx").agg(
+        F.sum("s").cast("long").alias("n_seqs"),
+        F.sum("kept").cast("long").alias("packed_tokens"),
+        F.sum("truncated").cast("long").alias("truncated_tokens"),
+    )
+    return per_ctx.select(
+        "ctx",
+        "n_seqs",
+        "packed_tokens",
+        "truncated_tokens",
+        F.round(
+            1.0 - F.col("packed_tokens") / (F.col("n_seqs") * F.col("ctx")), 6
+        ).alias("pad_frac"),
+    )

@@ -2626,3 +2626,116 @@ def ts42(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), 1 - F.col("var_r") / F.col("var_tr")), 6
         ).alias("trend_strength"),
     )
+
+
+@REGISTRY.register(
+    "ts43_ewma_control_chart",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    rec(event_type, rn, day, n, z) AS (
+      SELECT event_type, rn, day, n, n FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn, o.day, o.n, 0.2 * o.n + 0.8 * r.z
+      FROM ord o JOIN rec r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+    ),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sd FROM daily GROUP BY 1
+    ),
+    flagged AS (
+      SELECT r.event_type, r.rn, r.day, r.z, s.mu, s.sd,
+             CASE WHEN round(abs(r.z - s.mu), 9) >
+                       round(3 * s.sd * sqrt((0.2 / 1.8)
+                             * (1 - power(0.8, 2 * r.rn))), 9)
+                  THEN 1 ELSE 0 END AS ooc
+      FROM rec r JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(ANY_VALUE(mu), 6) AS mean_daily,
+           round(MAX(CASE WHEN rn = (SELECT MAX(rn) FROM flagged f2
+                                     WHERE f2.event_type = flagged.event_type)
+                          THEN z END), 6) AS ewma_last,
+           CAST(SUM(ooc) AS BIGINT) AS n_out_of_control,
+           strftime(MIN(CASE WHEN ooc = 1 THEN day END), '%Y-%m-%d')
+               AS first_ooc_day
+    FROM flagged GROUP BY 1
+    """,
+    doc="EWMA control chart (lambda=0.2, the SPC textbook setting) over "
+    "daily volumes per event stream: z_t = 0.2 x_t + 0.8 z_(t-1) "
+    "initialized at the first observation, flagged out-of-control when "
+    "|z - mu| exceeds 3 sigma sqrt(lambda/(2-lambda) (1-(1-lambda)^2t)) "
+    "— the TIME-VARYING limit that widens as the EWMA warms up, which "
+    "is what distinguishes a control chart from ts15's plain z-score "
+    "(small persistent shifts accumulate in z long before any single "
+    "day trips 3 sigma; that's the chart's reason to exist). The "
+    "recursion is inherently sequential per series, so each type's "
+    "(day, n) pairs fold in ONE JVM aggregate over the calendar-sized "
+    "daily rollup (the fact collapses with map-side combine first); "
+    "the oracle replays the identical chain via a recursive CTE, and "
+    "both engines round dev/limit to 9dp before the flag decision — "
+    "the repo's ulp-boundary convention. Series are independent, so "
+    "the fold parallelizes per type; at 100 TB the daily frame is the "
+    "ts09 rollup table, never the fact.",
+    tags=("timeseries", "ewma", "spc", "control-chart", "anomaly"),
+)
+def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs"),
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+    )
+    empty = F.array().cast("array<struct<day:date,n:double,z:double>>")
+    zs = F.aggregate(
+        F.col("xs"),
+        empty,
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["n"].alias("n"),
+                    F.when(F.size(acc) == 0, x["n"])
+                    .otherwise(0.2 * x["n"] + 0.8 * F.element_at(acc, -1)["z"])
+                    .alias("z"),
+                )
+            ),
+        ),
+    )
+    expl = series.select(
+        "event_type", "mu", "sd", F.posexplode(zs).alias("t0", "p")
+    ).select(
+        "event_type",
+        "mu",
+        "sd",
+        (F.col("t0") + 1).alias("rn"),
+        F.col("p.day").alias("day"),
+        F.col("p.z").alias("z"),
+    )
+    limit = 3 * F.col("sd") * F.sqrt(
+        (0.2 / 1.8) * (1 - F.pow(F.lit(0.8), 2 * F.col("rn")))
+    )
+    ooc = (
+        F.round(F.abs(F.col("z") - F.col("mu")), 9) > F.round(limit, 9)
+    ).cast("int")
+    flagged = expl.withColumn("ooc", ooc)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.first("mu"), 6).alias("mean_daily"),
+        F.round(F.max_by("z", "rn"), 6).alias("ewma_last"),
+        F.sum("ooc").cast("long").alias("n_out_of_control"),
+        F.date_format(
+            F.min(F.when(F.col("ooc") == 1, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_ooc_day"),
+    )
