@@ -218,6 +218,13 @@ HEADLINE = [
     # ceil(sqrt(N)) — the former fixed-10-cell quantizer made its per-cell
     # pair blocks bench-dominating (22.7x at 10x; now 3.9x).
     "dd12_semantic_dedup_ivf",
+    # round-6 additions
+    "x66_decile_migration",
+    "x67_event_funnel",
+    "dd26_source_quota_sample",
+    "sm22_rrf_fusion",
+    "tx34_packing_curve",
+    "ts43_ewma_control_chart",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

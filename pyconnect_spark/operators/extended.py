@@ -2413,8 +2413,6 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "paths", "clickstream", "topk"),
 )
 def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = t(spark, sf_dir, "events")
     sess = (
         ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
