@@ -339,7 +339,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
         cl_truth[q] = set(int(x) for x in cl_ids[np.argsort(-sims)[:k]])
     got = {}
     for r in ivfadc_topk(
-        clustered_embeddings(spark, n=512), math.ceil(math.sqrt(512))
+        clustered_embeddings(spark, n=512), math.ceil(math.sqrt(512)), n_codes=256
     ).collect():
         got.setdefault(r["q_id"], set()).add(r["vec_id"])
     hits = sum(len(got.get(q, set()) & t) for q, t in cl_truth.items())

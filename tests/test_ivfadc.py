@@ -44,7 +44,7 @@ def _truth(rows, k=5, nq=5):
 def test_clustered_recall_at_5_is_production_shaped(spark, clustered):
     truth = _truth(clustered.collect())
     got: dict[int, set] = {}
-    for r in ivfadc_topk(clustered, math.ceil(math.sqrt(512))).collect():
+    for r in ivfadc_topk(clustered, math.ceil(math.sqrt(512)), n_codes=256).collect():
         got.setdefault(r["q_id"], set()).add(r["vec_id"])
     recall = sum(len(got.get(q, set()) & t) for q, t in truth.items()) / 25.0
     assert recall >= 0.8, f"clustered IVFADC recall@5 = {recall}"
@@ -103,5 +103,5 @@ def test_codes_are_residual_encoded(spark, clustered):
 def test_ivfadc_plan_is_scale_shaped(spark, clustered):
     from pyconnect_spark.plans import unpartitioned_windows
 
-    df = ivfadc_topk(clustered, math.ceil(math.sqrt(512)))
+    df = ivfadc_topk(clustered, math.ceil(math.sqrt(512)), n_codes=256)
     assert unpartitioned_windows(df) == []
