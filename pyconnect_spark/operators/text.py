@@ -2266,3 +2266,101 @@ def tx34(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("packed_tokens") / (F.col("n_seqs") * F.col("ctx")), 6
         ).alias("pad_frac"),
     )
+
+
+@REGISTRY.register(
+    "tx35_repetition_profile",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, len(w) AS n_tok,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, source, ANY_VALUE(n_tok) AS n_tok, gram,
+             COUNT(*) AS c
+      FROM grams GROUP BY doc_id, source, gram
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             2.0 * MAX(c) / ANY_VALUE(n_tok) AS top2_frac,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c) AS dup2_frac
+      FROM gc GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(top2_frac), 6) AS avg_top2gram_frac,
+           round(AVG(dup2_frac), 6) AS avg_dup2gram_frac,
+           CAST(SUM(CASE WHEN round(top2_frac, 9) > 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_top2,
+           CAST(SUM(CASE WHEN round(dup2_frac, 9) > 0.6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_dup2
+    FROM per_doc GROUP BY source
+    """,
+    doc="Gopher-style repetition audit (Rae et al. 2021 repetition "
+    "filters, adapted to token fractions): per doc, the fraction of "
+    "tokens covered by the single most frequent word 2-gram "
+    "(2*max_count/n_tokens) and the fraction of 2-gram instances whose "
+    "gram repeats within the doc; per source, the averages plus counts "
+    "of docs over the filter thresholds (top2 > 0.20, dup2 > 0.60). "
+    "Catches template/boilerplate-dominated sources that per-doc "
+    "quality scores (tx04/tx08) miss because their length and "
+    "stopword mix look normal. Plan: 2-grams come from a single "
+    "slice+transform over the split array (no self-join), explode "
+    "shuffles (doc_id, gram) with map-side combine, then two bounded "
+    "aggs; everything JVM-side. At 100 TB the gram explosion is "
+    "linear in corpus tokens and partitions by doc hash — no skew "
+    "beyond document length, which the length buckets (tx18) bound. "
+    "Both engines round to 9 dp before the threshold decisions (ulp "
+    "convention).",
+    tags=("text", "llm", "quality", "repetition", "gopher"),
+)
+def tx35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    toks = docs.select("doc_id", "source", w.alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.size("w").cast("long").alias("n_tok"),
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("w"), i + 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "source", "gram").agg(
+        F.first("n_tok").alias("n_tok"), F.count("*").alias("c")
+    )
+    per_doc = gc.groupBy("doc_id", "source").agg(
+        (2.0 * F.max("c") / F.first("n_tok")).alias("top2_frac"),
+        (
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("dup2_frac"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("top2_frac"), 6).alias("avg_top2gram_frac"),
+        F.round(F.avg("dup2_frac"), 6).alias("avg_dup2gram_frac"),
+        F.sum(
+            (F.round(F.col("top2_frac"), 9) > 0.2).cast("int")
+        ).cast("long").alias("n_flag_top2"),
+        F.sum(
+            (F.round(F.col("dup2_frac"), 9) > 0.6).cast("int")
+        ).cast("long").alias("n_flag_dup2"),
+    )
