@@ -2982,3 +2982,76 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (step, step_name, n_users, conv_from_prev, avg_hours_from_prev)"
         )
     )
+
+
+@REGISTRY.register(
+    "x68_new_vs_returning",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS fm
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             o.o_totalprice,
+             o.o_custkey,
+             CASE WHEN date_trunc('month', o.o_orderdate) = f.fm
+                  THEN 1 ELSE 0 END AS is_new
+      FROM orders o JOIN first_m f USING (o_custkey)
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS revenue,
+           CAST(SUM(is_new) AS BIGINT) AS n_new_orders,
+           round(SUM(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END), 2)
+               AS new_revenue,
+           CAST(COUNT(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END)
+                AS BIGINT) AS new_customers,
+           round(SUM(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END)
+                 / SUM(o_totalprice), 6) AS new_rev_share
+    FROM tagged GROUP BY m
+    """,
+    doc="New-vs-returning growth accounting: each order is 'new' when it "
+    "lands in the customer's first-ever order month; per month, order "
+    "and revenue totals, the new-customer slice, and the new-revenue "
+    "share — the acquisition/retention decomposition x57's growth "
+    "decomposition treats as a scalar, broken out by cohort flag. "
+    "Plan: the first-month frame is ONE groupBy on o_custkey (map-side "
+    "combine; no window), then an equi-join back on the same key — at "
+    "100 TB both sides shuffle-partition on o_custkey so the join "
+    "co-locates with the agg's output, and the monthly rollup is a "
+    "second bounded agg (months are calendar-bounded). Revenue sums "
+    "in double with 2 dp rounding; no global sort anywhere.",
+    tags=("analytics", "growth", "cohort", "retention"),
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first_m = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("fm")
+    )
+    tagged = orders.join(first_m, "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        "o_totalprice",
+        "o_custkey",
+        (F.date_trunc("month", F.col("o_orderdate")) == F.col("fm"))
+        .cast("int")
+        .alias("is_new"),
+    )
+    new_rev = F.sum(
+        F.when(F.col("is_new") == 1, F.col("o_totalprice")).otherwise(0.0)
+    )
+    return tagged.groupBy(
+        F.date_format("m", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum("is_new").cast("long").alias("n_new_orders"),
+        F.round(new_rev, 2).alias("new_revenue"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 1, F.col("o_custkey"))
+        ).cast("long").alias("new_customers"),
+        F.round(new_rev / F.sum("o_totalprice"), 6).alias("new_rev_share"),
+    )

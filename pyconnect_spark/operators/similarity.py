@@ -2697,3 +2697,120 @@ def sm22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+_SM23_COS = (
+    "list_cosine_similarity("
+    "list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+)
+
+
+@REGISTRY.register(
+    "sm23_hubness_audit",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round({_SM23_COS}, 9) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    rk AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id)
+                 AS rn
+      FROM p
+    ),
+    nk AS (
+      SELECT e.vec_id, CAST(COUNT(r.n_id) AS DOUBLE) AS k
+      FROM embeddings e
+      LEFT JOIN (SELECT n_id FROM rk WHERE rn <= 5) r
+        ON r.n_id = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, AVG(k) AS mu, AVG(k * k) AS m2r,
+             AVG(k * k * k) AS m3r, MAX(k) AS mx,
+             SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS n_anti
+      FROM nk
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(mx AS BIGINT) AS max_nk,
+           (SELECT MIN(vec_id) FROM nk WHERE k = (SELECT mx FROM s))
+               AS top_hub_id,
+           round(n_anti * 1.0 / n, 6) AS antihub_frac,
+           round((m3r - 3 * mu * (m2r - mu * mu) - mu * mu * mu)
+                 / power(m2r - mu * mu, 1.5), 6) AS nk_skew
+    FROM s
+    """,
+    doc="Hubness audit (Radovanovic et al. 2010): the k-occurrence "
+    "N_k(x) = how often x appears in other points' exact top-5 cosine "
+    "lists. High skew of N_k is the high-dimensional hubness "
+    "pathology — a few 'hub' vectors dominate every neighbor list and "
+    "poison kNN labels (sm11) and near-dup thresholds (sm02); "
+    "antihubs (N_k = 0) are unreachable from any query. Reports the "
+    "population skewness of N_k, the hub maximum, and the antihub "
+    "fraction in one summary row. Plan: the corpus broadcasts against "
+    "itself (the small-side broadcast also used by sm01/sm11), top-5 "
+    "per query via a rank window partitioned by query id, then a "
+    "bounded count by neighbor id — no driver collect. Both engines "
+    "round cosine to 9 dp BEFORE ranking (ulp convention) so the k=5 "
+    "rank boundary can't flip between engines. This exact all-pairs "
+    "tier is the AUDIT grain: at 100 TB hubness is estimated on a "
+    "deterministic query sample against the ANN index (sm05/sm18), "
+    "same downstream stats.",
+    tags=("similarity", "llm", "hubness", "audit", "knn"),
+)
+def sm23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")
+        )
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("q_id"), "embedding")
+        .join(b, F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("embedding"), F.col("b_emb")), 9).alias("c"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("c"), "n_id")
+    )
+    top = pairs.withColumn("rn", rn).filter(F.col("rn") <= 5)
+    nk = (
+        emb.select("vec_id")
+        .join(
+            top.groupBy("n_id").agg(F.count("*").alias("cnt")),
+            F.col("vec_id") == F.col("n_id"),
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce("cnt", F.lit(0)).cast("double").alias("k")
+        )
+    )
+    s = nk.agg(
+        F.count("*").alias("n"),
+        F.avg("k").alias("mu"),
+        F.avg(F.col("k") * F.col("k")).alias("m2r"),
+        F.avg(F.col("k") * F.col("k") * F.col("k")).alias("m3r"),
+        F.max("k").alias("mx"),
+        F.sum((F.col("k") == 0).cast("int")).alias("anti"),
+    )
+    mu, m2r, m3r = F.col("mu"), F.col("m2r"), F.col("m3r")
+    m2 = m2r - mu * mu
+    m3 = m3r - 3 * mu * m2 - mu * mu * mu
+    hub = nk.agg(F.max("k").alias("mx2")).join(
+        nk, F.col("k") == F.col("mx2")
+    ).agg(F.min("vec_id").alias("top_hub_id"))
+    return s.crossJoin(F.broadcast(hub)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("mx").cast("long").alias("max_nk"),
+        "top_hub_id",
+        F.round(F.col("anti") / F.col("n"), 6).alias("antihub_frac"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("nk_skew"),
+    )

@@ -2739,3 +2739,169 @@ def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("ooc") == 1, F.col("day"))), "yyyy-MM-dd"
         ).alias("first_ooc_day"),
     )
+
+
+@REGISTRY.register(
+    "ts44_gap_downtime",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    span AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             (epoch(MAX(ts)) - epoch(MIN(ts))) / 3600.0 AS span_hours
+      FROM events GROUP BY event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN round(gap_s / 3600.0, 9) > 1.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             SUM(CASE WHEN round(gap_s / 3600.0, 9) > 1.0
+                      THEN gap_s / 3600.0 ELSE 0 END) AS gap_hours,
+             MAX(gap_s) / 3600.0 AS max_gap_hours
+      FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_events,
+           round(s.span_hours, 6) AS span_hours,
+           a.n_gaps,
+           round(a.gap_hours, 6) AS total_gap_hours,
+           round(a.max_gap_hours, 6) AS max_gap_hours,
+           round(100.0 * a.gap_hours / s.span_hours, 6) AS downtime_pct
+    FROM span s JOIN agg a USING (event_type)
+    """,
+    doc="Feed-gap / downtime report per event stream: consecutive "
+    "inter-arrival gaps over one hour are outages; reports gap count, "
+    "total and max outage hours, and downtime share of the stream's "
+    "span — the SLA view of ts34's continuity audit (which checks "
+    "calendar-day coverage, not intra-day holes). One lag window "
+    "PARTITIONED by event_type (each series sorts independently — no "
+    "global sort, survives 100x) feeding a per-type agg with map-side "
+    "combine; timestamps diff as epoch doubles, and both engines round "
+    "the gap to 9 dp before the 1-hour threshold decision (ulp "
+    "convention). At 100 TB this is one shuffle on event_type; if a "
+    "single stream's volume skews a partition, AQE skew-split handles "
+    "it because the window key equals the shuffle key.",
+    tags=("timeseries", "gaps", "sla", "downtime"),
+)
+def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("ts").cast("double").alias("sec")
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gap_h = (F.col("sec") - F.lag("sec").over(w)) / 3600.0
+    g = ev.withColumn("gap_h", gap_h)
+    is_gap = F.round(F.col("gap_h"), 9) > 1.0
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round((F.max("sec") - F.min("sec")) / 3600.0, 6).alias(
+            "span_hours"
+        ),
+        F.sum(F.when(is_gap, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.when(is_gap, F.col("gap_h")).otherwise(0.0)), 6
+        ).alias("total_gap_hours"),
+        F.round(F.max("gap_h"), 6).alias("max_gap_hours"),
+        F.round(
+            100.0
+            * F.sum(F.when(is_gap, F.col("gap_h")).otherwise(0.0))
+            / ((F.max("sec") - F.min("sec")) / 3600.0),
+            6,
+        ).alias("downtime_pct"),
+    )
+
+
+@REGISTRY.register(
+    "ts45_asof_forward_tolerance",
+    oracle="""
+    WITH c AS (
+      SELECT o.o_orderkey, e.event_id, e.ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM orders o JOIN events e
+        ON e.user_id = o.o_custkey
+       AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+    ),
+    lagd AS (
+      SELECT o.o_orderkey, c.event_id,
+             (epoch(c.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+                 / 3600.0 AS lh
+      FROM orders o LEFT JOIN c
+        ON c.o_orderkey = o.o_orderkey AND c.rn = 1
+    )
+    SELECT o_orderkey,
+           CASE WHEN round(lh, 9) <= 168.0 THEN event_id END
+               AS next_event_id,
+           CASE WHEN round(lh, 9) <= 168.0 THEN round(lh, 6) END
+               AS lag_hours
+    FROM lagd
+    """,
+    doc="FORWARD as-of join with tolerance (pandas merge_asof "
+    "direction='forward', tolerance=7d): for each order, the first "
+    "event at-or-after the order date for that customer, nulled when "
+    "it falls outside the 7-day window — the reaction-time twin of "
+    "ts03's carry-backward as-of. Same union+window shape as ts03: "
+    "orders and events union-tag into one frame, one window "
+    "PARTITIONED by user ordered by (ts, tag, id) takes "
+    "first(event, ignorenulls) over [current, unbounded following] — "
+    "one shuffle on the join key, no range cross-join, no per-row "
+    "probe. Ties at the exact order timestamp match (tag orders "
+    "events after orders at equal ts). Tolerance applies AFTER the "
+    "match, exactly like merge_asof; both engines round the lag to "
+    "9 dp before the 168 h cutoff decision. At 100 TB the partition "
+    "key is the user — hot users skew-split under AQE because the "
+    "window key equals the shuffle key.",
+    tags=("timeseries", "asof-join", "forward", "tolerance"),
+)
+def ts45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    events = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_id"
+    )
+    tagged = orders.select(
+        "k", "ts", F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"), "o_orderkey",
+    ).unionByName(
+        events.select(
+            "k", "ts", F.lit(1).alias("tag"), "event_id",
+            F.lit(None).cast("long").alias("o_orderkey"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(
+            F.col("tag") == 1,
+            F.struct(F.col("ts").alias("ets"), F.col("event_id").alias("eid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    matched = (
+        tagged.withColumn("nxt", nxt)
+        .filter(F.col("tag") == 0)
+        .select(
+            "o_orderkey",
+            F.col("nxt.eid").alias("eid"),
+            (
+                (F.col("nxt.ets").cast("double") - F.col("ts").cast("double"))
+                / 3600.0
+            ).alias("lh"),
+        )
+    )
+    in_tol = F.round(F.col("lh"), 9) <= 168.0
+    return matched.select(
+        "o_orderkey",
+        F.when(in_tol, F.col("eid")).alias("next_event_id"),
+        F.when(in_tol, F.round(F.col("lh"), 6)).alias("lag_hours"),
+    )
