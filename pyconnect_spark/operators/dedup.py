@@ -2533,3 +2533,97 @@ def dd26(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_ids_md5"),
     )
+
+
+@REGISTRY.register(
+    "dd27_incremental_dedup",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 100 < 80
+                  THEN 'index' ELSE 'batch' END AS side
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM tagged WHERE side = 'index'),
+    batch AS (
+      SELECT b.doc_id, b.source, b.fp,
+             CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END AS in_index,
+             row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id)
+                 AS rn
+      FROM tagged b LEFT JOIN idx i ON b.fp = i.fp
+      WHERE b.side = 'batch'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN in_index = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_index,
+           CAST(SUM(CASE WHEN in_index = 0 AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_batch,
+           CAST(SUM(CASE WHEN in_index = 0 AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM batch GROUP BY source
+    """,
+    doc="Incremental (snapshot-vs-batch) exact dedup — the daily-crawl "
+    "shape dd01 doesn't model: an 80/20 md5-bucket split stands in for "
+    "the historical index and the incoming batch; each batch doc is "
+    "dropped as a duplicate OF THE INDEX, deduped WITHIN the batch "
+    "(first doc_id wins), or kept, reported per source. This is the op "
+    "a continuously-ingesting pipeline runs every cycle: the index "
+    "side reduces to a DISTINCT over 16-byte fingerprints (never "
+    "documents), the anti/semi membership test is an equi-join on fp, "
+    "and the within-batch winner is a rank window PARTITIONED by fp — "
+    "all keys are fixed-width hashes, so at 100 TB the shuffle volume "
+    "is fingerprint-sized and the historical index never rescans "
+    "document bytes (in production the fp set is the persisted dedup "
+    "ledger, per dd21). AQE skew-split covers hot fingerprints (the "
+    "empty-document pathology) because the window key equals the "
+    "shuffle key.",
+    tags=("dedup", "llm", "incremental", "exact"),
+)
+def dd27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.when(bucket < 80, "index").otherwise("batch").alias("side"),
+    )
+    idx = (
+        tagged.filter(F.col("side") == "index")
+        .select("fp")
+        .distinct()
+        .withColumn("in_index", F.lit(1))
+    )
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    batch = (
+        tagged.filter(F.col("side") == "batch")
+        .withColumn("rn", rn)
+        .join(idx, "fp", "left")
+        .select(
+            "source",
+            F.coalesce("in_index", F.lit(0)).alias("in_index"),
+            "rn",
+        )
+    )
+    return batch.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("in_index") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_index"),
+        F.sum(
+            F.when((F.col("in_index") == 0) & (F.col("rn") > 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_batch"),
+        F.sum(
+            F.when((F.col("in_index") == 0) & (F.col("rn") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )

@@ -643,3 +643,104 @@ def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_pixels",
         F.round(F.col("n_assets") / F.col("_tot"), 6).alias("share"),
     )
+
+
+_SHARD_BYTES = 512
+
+
+@REGISTRY.register(
+    "mm09_shard_packing",
+    oracle=f"""
+    WITH sz AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
+           list_reduce(
+             list_transform(list(n ORDER BY doc_id),
+                            x -> struct_pack(s := CAST(1 AS BIGINT),
+                                             f := CAST(x AS BIGINT))),
+             (a, x) -> CASE WHEN a.f + x.f <= {_SHARD_BYTES}
+                            THEN struct_pack(s := a.s, f := a.f + x.f)
+                            ELSE struct_pack(
+                                s := a.s + CAST(1 AS BIGINT),
+                                f := x.f) END).s AS n_shards,
+           CAST(SUM(CASE WHEN n > {_SHARD_BYTES} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize,
+           round(SUM(n) * 1.0 /
+                 (list_reduce(
+                    list_transform(list(n ORDER BY doc_id),
+                                   x -> struct_pack(
+                                       s := CAST(1 AS BIGINT),
+                                       f := CAST(x AS BIGINT))),
+                    (a, x) -> CASE WHEN a.f + x.f <= {_SHARD_BYTES}
+                                   THEN struct_pack(s := a.s,
+                                                    f := a.f + x.f)
+                                   ELSE struct_pack(
+                                       s := a.s + CAST(1 AS BIGINT),
+                                       f := x.f) END).s
+                  * {_SHARD_BYTES}), 6) AS fill_frac
+    FROM sz GROUP BY source
+    """,
+    doc="WebDataset-style shard-packing manifest per source: assets pack "
+    "next-fit in doc_id order into fixed-byte shards (target "
+    f"{_SHARD_BYTES} B at fixture scale; hundreds of MB in "
+    "production), reporting shard count, oversize assets (bigger than "
+    "a whole shard — they ship alone, the tar-per-asset degenerate "
+    "case), and achieved fill fraction — the layout study behind "
+    "sources/layout.py's write_training_shards, answering 'how many "
+    "output files and how much slack' BEFORE the expensive write. "
+    "Same per-group sequential-fold shape as tx34 (packing is "
+    "order-dependent by construction): byte sizes collect per source "
+    "in doc_id order and fold in ONE JVM aggregate — the payload "
+    "bytes themselves never move, only their sizes do, so at 100 TB "
+    "the fold input is |assets| longs per source and sources fold in "
+    "parallel; a source with pathologically many assets splits into "
+    "md5 sub-streams exactly like tx34's 16-shard scheme. The oracle "
+    "replays the identical left fold via DuckDB list_reduce.",
+    tags=("multimodal", "layout", "packing", "shards", "webdataset"),
+)
+def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sz = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("n"),
+    )
+    per_src = sz.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("n").cast("long").alias("total_bytes"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n"))),
+            lambda s: s["n"],
+        ).alias("sizes"),
+        F.sum((F.col("n") > _SHARD_BYTES).cast("int"))
+        .cast("long")
+        .alias("n_oversize"),
+    )
+    st = F.aggregate(
+        F.col("sizes"),
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(_SHARD_BYTES).cast("long").alias("f"),
+        ),
+        lambda a, n: F.when(
+            a["f"] + n <= _SHARD_BYTES,
+            F.struct(a["s"].alias("s"), (a["f"] + n).alias("f")),
+        ).otherwise(F.struct((a["s"] + 1).alias("s"), n.alias("f"))),
+    )
+    return per_src.select(
+        "source",
+        "n_assets",
+        "total_bytes",
+        st["s"].alias("n_shards"),
+        "n_oversize",
+        F.round(
+            F.col("total_bytes") * 1.0 / (st["s"] * _SHARD_BYTES), 6
+        ).alias("fill_frac"),
+    )

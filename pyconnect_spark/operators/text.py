@@ -2364,3 +2364,74 @@ def tx35(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("dup2_frac"), 9) > 0.6).cast("int")
         ).cast("long").alias("n_flag_dup2"),
     )
+
+
+@REGISTRY.register(
+    "tx36_source_kl_divergence",
+    oracle=r"""
+    WITH words AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM words GROUP BY source, word
+    ),
+    stot AS (SELECT source, SUM(n) AS ns FROM sw GROUP BY source),
+    cw AS (SELECT word, SUM(n) AS nc FROM sw GROUP BY word),
+    ctot AS (SELECT SUM(n) AS nt FROM sw)
+    SELECT s.source,
+           CAST(t.ns AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           round(SUM((s.n / t.ns)
+                     * log2((s.n / t.ns) / (c.nc / ct.nt))), 6)
+               AS kl_bits
+    FROM sw s
+    JOIN stot t USING (source)
+    JOIN cw c USING (word)
+    CROSS JOIN ctot ct
+    GROUP BY s.source, t.ns
+    """,
+    doc="Per-source unigram KL divergence vs the corpus distribution "
+    "KL(q_source || p_corpus) in bits — the mixing diagnostic that "
+    "quantifies how far each source's token distribution sits from "
+    "the blend it feeds (sources with high KL shift the trained "
+    "model's unigram prior; near-zero KL sources are redundant with "
+    "the mix). Every source vocabulary is a subset of the corpus "
+    "vocabulary by construction, so no smoothing is needed and the "
+    "sum is exact. Plan: ONE token explode feeds a (source, word) "
+    "combiner-shrunk agg; corpus totals re-aggregate FROM that "
+    "per-source frame (never re-exploding), then an equi-join on "
+    "word and a bounded per-source sum — at 100 TB the join carries "
+    "(source x vocab) rows, orders of magnitude below the token "
+    "stream, and the grand total broadcasts as a scalar. Double "
+    "sums round to 6 dp (well above accumulation-order noise at "
+    "this vocab size).",
+    tags=("text", "llm", "mixing", "kl-divergence", "distribution"),
+)
+def tx36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word"),
+    )
+    sw = words.groupBy("source", "word").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    stot = sw.groupBy("source").agg(F.sum("n").alias("ns"))
+    cw = sw.groupBy("word").agg(F.sum("n").alias("nc"))
+    ctot = sw.agg(F.sum("n").alias("nt"))
+    q = F.col("n") / F.col("ns")
+    p = F.col("nc") / F.col("nt")
+    return (
+        sw.join(stot, "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.first("ns").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_vocab"),
+            F.round(F.sum(q * F.log2(q / p)), 6).alias("kl_bits"),
+        )
+    )
