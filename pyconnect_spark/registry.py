@@ -72,6 +72,22 @@ _PRIORITY = [
 # CORRECTNESS_r05.json lands, the computed order takes over.
 _PINNED_THROUGH_ROUND = 4
 
+# Declaration round for queries added AFTER the round-5 surface froze.
+# The ledgers can't distinguish two never-green queries, and module
+# order would let this round's brand-new declarations displace the
+# previous round's still-unledgered wave from the 50-row driver
+# window (mm07/mm08 would have waited two extra rounds). Secondary
+# sort key: older declarations verify first; absent = pre-round-6.
+_DECLARED_IN_ROUND = {
+    "x66_decile_migration": 6, "x67_event_funnel": 6,
+    "x68_new_vs_returning": 6, "ts43_ewma_control_chart": 6,
+    "ts44_gap_downtime": 6, "ts45_asof_forward_tolerance": 6,
+    "tx34_packing_curve": 6, "tx35_repetition_profile": 6,
+    "tx36_source_kl_divergence": 6, "dd26_source_quota_sample": 6,
+    "dd27_incremental_dedup": 6, "sm22_rrf_fusion": 6,
+    "sm23_hubness_audit": 6, "mm09_shard_packing": 6,
+}
+
 
 def _ledger_rounds(root):
     """Yield (round_number, parsed_ledger) for every readable ledger."""
@@ -127,7 +143,14 @@ def _compute_priority(merged, root=None):
     for name, rnd in latest_failed.items():
         if rnd >= evidence[name]:  # newest row is the failure → re-verify now
             evidence[name] = 0
-    return sorted(names, key=lambda n: (evidence[n], module_pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            evidence[n],
+            _DECLARED_IN_ROUND.get(n, 0),
+            module_pos[n],
+        ),
+    )
 
 
 ALL = QueryRegistry()

@@ -129,3 +129,36 @@ def test_full_surface_is_always_declared():
     qs = registry.queries()
     assert len(qs) == len(registry._MERGED.queries())
     assert set(qs) == set(registry._MERGED.queries())
+
+
+def test_new_declarations_never_displace_older_unledgered_wave():
+    """Two never-green queries tie on evidence; the one declared in an
+    OLDER round must verify first — this round's additions queue behind
+    the previous round's still-unledgered wave, not ahead of it."""
+    order = registry._compute_priority(registry._MERGED)
+    if order is None:  # pinned window still in force — nothing to check
+        return
+    pos = {n: i for i, n in enumerate(order)}
+    # Real-ledger invariant: every pre-round-6 never-green query sits
+    # ahead of every round-6 declaration that is also never-green.
+    oracles = set(registry._MERGED.oracles())
+    green_ever = set()
+    for _rnd, rows in registry._ledger_rounds(
+        Path(registry.__file__).resolve().parents[1]
+    ):
+        for n, row in rows.items():
+            if isinstance(row, dict) and not row.get("err") and (
+                row.get("hash_match")
+                or (row.get("rows_match") and n not in oracles)
+            ):
+                green_ever.add(n)
+    old_wave = [
+        n for n in order
+        if n not in green_ever and n not in registry._DECLARED_IN_ROUND
+    ]
+    new_wave = [
+        n for n in order
+        if n not in green_ever and n in registry._DECLARED_IN_ROUND
+    ]
+    if old_wave and new_wave:
+        assert max(pos[n] for n in old_wave) < min(pos[n] for n in new_wave)
