@@ -310,13 +310,20 @@ def ivf_seed_frame(emb: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-def seed_ivf_cells_frame(emb: DataFrame, n_cells: int) -> DataFrame:
+def seed_ivf_cells_frame(
+    emb: DataFrame, n_cells: int, seeds: DataFrame | None = None
+) -> DataFrame:
     """IVF assignment over an arbitrary (vec_id, embedding) frame: every
     vector scored against the n_cells seed quantizer; rk=1 is the cell,
-    rk<=n_probe the probe list. The seed table broadcasts."""
+    rk<=n_probe the probe list. The seed table broadcasts. Pass a
+    prebuilt (ideally checkpoint-pinned) `seeds` frame to share one
+    quantizer materialization across consumers — ivfadc_topk reads the
+    seed table three ways (assignment, centroids, query residuals) and
+    each re-derivation otherwise costs its own broadcast job chain."""
     from pyspark.sql import Window
 
-    seeds = ivf_seed_frame(emb, n_cells)
+    if seeds is None:
+        seeds = ivf_seed_frame(emb, n_cells)
     v = F.transform("embedding", lambda x: x.cast("double"))
     s = F.transform("seed_emb", lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -1571,38 +1578,64 @@ def pq_codebook(emb: DataFrame, salt: str = "", n_codes: int = 16) -> DataFrame:
     )
 
 
-def pq_best_codes(emb: DataFrame, salt: str = "", n_codes: int = 16) -> DataFrame:
+def pq_best_codes(
+    emb: DataFrame,
+    salt: str = "",
+    n_codes: int = 16,
+    cb: DataFrame | None = None,
+) -> DataFrame:
     """Per-(vec_id, subspace) PQ assignment (vec_id, j, k, dotp, cn2):
     argmin L2 to the codebook, ties to the lower code id. Shared by the
     encode audit (sm16) and the ADC search (sm17) so both consume the
     SAME code table — exactly the production layout, where codes are
-    written once and every searcher reads them."""
-    from pyspark.sql import Window
+    written once and every searcher reads them.
 
-    cb = pq_codebook(emb, salt, n_codes)
+    Plan shape: the codebook collapses to 8 broadcast rows (one
+    codeword ARRAY per subspace) and the argmin runs as a per-row JVM
+    fold — array_min over (dist, k) structs, whose lexicographic
+    ordering IS 'min distance, ties to the lower code id'. No
+    per-codeword explode, no (vec x code) shuffle, no rank window:
+    encode cost stays map-only at any n_codes, which is what made
+    PQ8x8 (256 codewords) affordable (the former crossJoin+window
+    encode was 16x the rows and a 4M-row sort at fixture scale).
+    Pass a prebuilt `cb` to share one codebook frame between the
+    encoder and an ADC LUT builder (ivfadc_topk does)."""
+    if cb is None:
+        cb = pq_codebook(emb, salt, n_codes)
+    cbarr = cb.groupBy("j").agg(
+        F.array_sort(F.collect_list(F.struct("k", "cvec"))).alias("cws")
+    )
     xv = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
     xj = F.slice("x", F.col("j") * 8 + 1, 8)
-    dist = F.aggregate(
-        F.zip_with(xj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+
+    def _l2(cv):
+        return F.aggregate(
+            F.zip_with(xj, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cws"),
+            lambda cw: F.struct(
+                _l2(cw["cvec"]).alias("d"), cw["k"].alias("k")
+            ),
+        )
     )
+    won = F.element_at(F.col("cws"), F.col("k"))["cvec"]
     dotp = F.aggregate(
-        F.zip_with(xj, F.col("cvec"), lambda a, b: a * b),
+        F.zip_with(xj, won, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cn2 = F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, c: acc + c * c)
-    scored = xv.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "j", "k", dist.alias("dist"), dotp.alias("dotp"), cn2.alias("cn2")
-    )
-    wbest = Window.partitionBy("vec_id", "j").orderBy("dist", "k")
+    cn2 = F.aggregate(won, F.lit(0.0), lambda acc, c: acc + c * c)
     return (
-        scored.withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-        .drop("rk", "dist")
+        xv.crossJoin(F.broadcast(cbarr))
+        .withColumn("k", best["k"])
+        .select("vec_id", "j", "k", dotp.alias("dotp"), cn2.alias("cn2"))
     )
 
 
@@ -1631,19 +1664,25 @@ def ivfadc_topk(
     engine has no ANN (single-process Kafka connector)."""
     from pyspark.sql import Window
 
-    ranked = seed_ivf_cells_frame(emb, n_cells)
-    # lazy checkpoint: the (vec_id, cell) index is read by the residual
-    # build AND the candidate probe — pin one materialization (this is the
-    # inverted file a real deployment writes to disk once)
-    cells = (
-        ranked.filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
-        .localCheckpoint(eager=False)
+    # pin the seed quantizer ONCE: the assignment, the centroid table,
+    # and the query-residual build all read it, and each re-derivation
+    # is its own TakeOrdered + triangular-rank broadcast job chain (the
+    # query ran 28 Spark jobs before this sharing, ~17 s of pure
+    # per-job plan-compile latency at fixture scale)
+    seeds = ivf_seed_frame(emb, n_cells).localCheckpoint(eager=False)
+    # lazy checkpoint the full (vec_id, cell, rk) ranking: the rk=1 slice
+    # is the inverted file (read by the residual build AND the candidate
+    # probe) and the rk<=n_probe slice is the query probe list — one
+    # materialization serves all three consumers (this is the index a
+    # real deployment writes to disk once)
+    ranked = seed_ivf_cells_frame(emb, n_cells, seeds=seeds).localCheckpoint(
+        eager=False
     )
+    cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
     probes = ranked.filter(
         (F.col("rk") <= n_probe) & (F.col("vec_id") < n_queries)
     ).select(F.col("vec_id").alias("q_id"), "cell")
-    cents = ivf_seed_frame(emb, n_cells).select(
+    cents = seeds.select(
         F.col("srk").alias("cell"),
         F.transform("seed_emb", lambda x: x.cast("double")).alias("cent"),
     )
@@ -1665,8 +1704,23 @@ def ivfadc_topk(
     # times (codebook seed pick + encode) — this is the one-time index
     # build pass that writes the code table in production
     resid = resid.localCheckpoint(eager=False)
-    codes = pq_best_codes(resid.select("vec_id", "embedding"), salt=":pq", n_codes=n_codes).select(
-        "vec_id", "j", "k"
+    # ONE codebook frame shared by the encoder and the query-side LUT —
+    # the md5 seed pick + triangular rank runs once, not twice
+    cb = pq_codebook(
+        resid.select("vec_id", "embedding"), salt=":pq", n_codes=n_codes
+    ).localCheckpoint(eager=False)
+    # pin the code table as well: its argmin fold over n_codes codewords
+    # is a very large expression tree, and without lineage truncation
+    # every downstream job (ADC join, shortlist, rerank) re-compiles it
+    codes = (
+        pq_best_codes(
+            resid.select("vec_id", "embedding"),
+            salt=":pq",
+            n_codes=n_codes,
+            cb=cb,
+        )
+        .select("vec_id", "j", "k")
+        .localCheckpoint(eager=False)
     )
     cand = (
         cells.join(F.broadcast(probes), "cell")
@@ -1690,7 +1744,6 @@ def ivfadc_topk(
             F.zip_with("qx", "cent", lambda a, b: a - b).alias("qr"),
         )
     )
-    cb = pq_codebook(resid.select("vec_id", "embedding"), salt=":pq", n_codes=n_codes)
     qj = F.slice("qr", F.col("j") * 8 + 1, 8)
     d = F.aggregate(
         F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
