@@ -225,6 +225,17 @@ HEADLINE = [
     "sm22_rrf_fusion",
     "tx34_packing_curve",
     "ts43_ewma_control_chart",
+    "tx35_repetition_profile",
+    "tx36_source_kl_divergence",
+    "ts44_gap_downtime",
+    "ts45_asof_forward_tolerance",
+    "x68_new_vs_returning",
+    "sm23_hubness_audit",
+    "dd27_incremental_dedup",
+    "mm09_shard_packing",
+    "sm24_ivf_balance_audit",
+    "ts46_max_drawdown",
+    "tx37_token_budget_allocator",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

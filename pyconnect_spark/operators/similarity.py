@@ -2802,39 +2802,64 @@ _SM23_COS = (
     "poison kNN labels (sm11) and near-dup thresholds (sm02); "
     "antihubs (N_k = 0) are unreachable from any query. Reports the "
     "population skewness of N_k, the hub maximum, and the antihub "
-    "fraction in one summary row. Plan: the corpus broadcasts against "
-    "itself (the small-side broadcast also used by sm01/sm11), top-5 "
-    "per query via a rank window partitioned by query id, then a "
-    "bounded count by neighbor id — no driver collect. Both engines "
-    "round cosine to 9 dp BEFORE ranking (ulp convention) so the k=5 "
-    "rank boundary can't flip between engines. This exact all-pairs "
-    "tier is the AUDIT grain: at 100 TB hubness is estimated on a "
-    "deterministic query sample against the ANN index (sm05/sm18), "
-    "same downstream stats.",
+    "fraction in one summary row. Plan: the corpus matrix rides an "
+    "sc.broadcast (the MLlib small-model pattern) and each Arrow "
+    "batch computes its query block's top-5 as ONE numpy matmul "
+    "(mapInPandas — the interpreted zip_with fold benched 40x slower "
+    "on the 4M-pair shape), then a bounded count by neighbor id. "
+    "Both engines round cosine to 9 dp BEFORE ranking (ulp "
+    "convention, the sm03/sm06 precedent) so BLAS accumulation order "
+    "can't flip the k=5 rank boundary vs the oracle's fold. This "
+    "exact all-pairs tier is the AUDIT grain: at 100 TB hubness is "
+    "estimated on a deterministic query sample against the ANN index "
+    "(sm05/sm18) with blocked-GEMM pairs, same downstream stats.",
     tags=("similarity", "llm", "hubness", "audit", "knn"),
 )
 def sm23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import numpy as np
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = F.broadcast(
-        emb.select(
-            F.col("vec_id").alias("n_id"), F.col("embedding").alias("b_emb")
-        )
+    # Arrow-vectorized BLAS tier (the sm03/sm06 precedent from the
+    # round-5 ulp fix): the corpus matrix rides an sc.broadcast —
+    # vec-count x 64 floats, the bounded 'model to executors' MLlib
+    # pattern — and each Arrow batch computes its query block's
+    # cosines as ONE matmul instead of 4M interpreted zip_with folds
+    # (which benched at 89 s vs ~2 s for this shape at sf0.1). Both
+    # engines round to 9 dp BEFORE ranking, so the BLAS accumulation
+    # order can't flip a rank boundary vs the oracle's fold.
+    crows = sorted(
+        emb.collect(), key=lambda r: r.vec_id
+    )  # audit tier: KB-bounded at fixture scale; see docstring for 100 TB
+    cids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in crows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def topk_batches(it):
+        ids, mat, nrm = bc.value
+        for pdf in it:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((X * X).sum(axis=1))
+            S = np.round(
+                (X @ mat.T) / (qn[:, None] * nrm[None, :]), 9
+            )
+            qids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_r = [], [], []
+            for i, qid in enumerate(qids):
+                s = S[i].copy()
+                s[ids == qid] = -np.inf  # exclude self
+                # rank by (-cos, n_id): stable exact top-5
+                order = np.lexsort((ids, -s))[:5]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "rn": out_r}
+            )
+
+    top = emb.mapInPandas(
+        topk_batches, schema="q_id long, n_id long, rn int"
     )
-    pairs = (
-        emb.select(F.col("vec_id").alias("q_id"), "embedding")
-        .join(b, F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(cosine(F.col("embedding"), F.col("b_emb")), 9).alias("c"),
-        )
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("q_id").orderBy(F.desc("c"), "n_id")
-    )
-    top = pairs.withColumn("rn", rn).filter(F.col("rn") <= 5)
     nk = (
         emb.select("vec_id")
         .join(
@@ -2866,4 +2891,84 @@ def sm23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_hub_id",
         F.round(F.col("anti") / F.col("n"), 6).alias("antihub_frac"),
         F.round(m3 / F.pow(m2, 1.5), 6).alias("nk_skew"),
+    )
+
+
+@REGISTRY.register(
+    "sm24_ivf_balance_audit",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    sizes AS (
+      SELECT cell, CAST(COUNT(*) AS DOUBLE) AS csz
+      FROM seedcells GROUP BY cell
+    ),
+    s AS (
+      SELECT SUM(csz) AS n, COUNT(*) AS used, MAX(csz) AS mx,
+             MIN(csz) AS mn, AVG(csz) AS mu, AVG(csz * csz) AS m2r
+      FROM sizes
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_vectors,
+           CAST(cnt.n_cells AS BIGINT) AS n_cells,
+           CAST(cnt.n_cells - s.used AS BIGINT) AS n_empty_cells,
+           CAST(s.mx AS BIGINT) AS max_cell_size,
+           CAST(s.mn AS BIGINT) AS min_cell_size,
+           (SELECT MIN(cell) FROM sizes WHERE csz = (SELECT mx FROM s))
+               AS largest_cell_id,
+           round(s.mx * cnt.n_cells / s.n, 6) AS imbalance_factor,
+           round(sqrt(s.m2r - s.mu * s.mu) / s.mu, 6) AS size_cv
+    FROM s, cnt
+    """,
+    doc="IVF cell-balance audit — the operational health metric of the "
+    "inverted-file family (sm05/dd12/sm18): per-cell population sizes "
+    "of the auto-sized ceil(sqrt(N)) seed quantizer, reported as the "
+    "imbalance factor max_cell * nlist / N (1.0 = perfectly even; "
+    "FAISS docs flag >~3 as a probe-latency hazard because probe cost "
+    "is proportional to the PROBED cells' sizes, not N/nlist), the "
+    "population CV, and empty-cell count (codebook waste). This is "
+    "the measurement that decides when to re-train the coarse "
+    "quantizer as the corpus drifts. Plan: one assignment pass "
+    "(broadcast seed table, map-side argmax — the shared "
+    "seed_ivf_cells_frame), a cell-sized groupBy, and a one-row agg; "
+    "at 100 TB the sizes frame is nlist rows (~sqrt N) and nothing "
+    "else survives the first agg.",
+    tags=("similarity", "ivf", "audit", "balance", "ops"),
+)
+def sm24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nc = math.ceil(math.sqrt(n))
+    cells = (
+        seed_ivf_cells_frame(emb, nc)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    sizes = cells.groupBy("cell").agg(
+        F.count("*").cast("double").alias("csz")
+    )
+    s = sizes.agg(
+        F.sum("csz").alias("n"),
+        F.count("*").alias("used"),
+        F.max("csz").alias("mx"),
+        F.min("csz").alias("mn"),
+        F.avg("csz").alias("mu"),
+        F.avg(F.col("csz") * F.col("csz")).alias("m2r"),
+    )
+    largest = (
+        sizes.agg(F.max("csz").alias("mx2"))
+        .join(sizes, F.col("csz") == F.col("mx2"))
+        .agg(F.min("cell").cast("long").alias("largest_cell_id"))
+    )
+    return s.crossJoin(F.broadcast(largest)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(nc).cast("long").alias("n_cells"),
+        (F.lit(nc) - F.col("used")).cast("long").alias("n_empty_cells"),
+        F.col("mx").cast("long").alias("max_cell_size"),
+        F.col("mn").cast("long").alias("min_cell_size"),
+        "largest_cell_id",
+        F.round(F.col("mx") * nc / F.col("n"), 6).alias("imbalance_factor"),
+        F.round(
+            F.sqrt(F.col("m2r") - F.col("mu") * F.col("mu")) / F.col("mu"), 6
+        ).alias("size_cv"),
     )

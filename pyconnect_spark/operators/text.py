@@ -2435,3 +2435,80 @@ def tx36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(q * F.log2(q / p)), 6).alias("kl_bits"),
         )
     )
+
+
+@REGISTRY.register(
+    "tx37_token_budget_allocator",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+      FROM documents
+    ),
+    src AS (
+      SELECT source, SUM(n_tok) AS toks,
+             AVG(CASE WHEN n_tok BETWEEN 50 AND 1000
+                      THEN 1.0 ELSE 0.0 END) AS quality
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(toks) AS t_all, SUM(toks * quality) AS w_all FROM src
+    )
+    SELECT s.source,
+           CAST(s.toks AS BIGINT) AS n_tokens,
+           round(s.quality, 6) AS quality,
+           round(s.toks * s.quality / t.w_all, 6) AS weight_share,
+           round(LEAST(4.0, round(2.0 * t.t_all
+                 * (s.toks * s.quality / t.w_all) / s.toks, 9)), 6)
+               AS epochs,
+           round(LEAST(4.0, round(2.0 * t.t_all
+                 * (s.toks * s.quality / t.w_all) / s.toks, 9))
+                 * s.toks, 2) AS allocated_tokens
+    FROM src s CROSS JOIN tot t
+    """,
+    doc="Quality-weighted token-budget allocator — the mixing-recipe op "
+    "that turns per-source stats into per-source sampling epochs for a "
+    "training run (the deterministic one-shot core of DoReMi-style "
+    "reweighting): each source's weight is tokens x quality (quality = "
+    "share of docs in the 50..1000-token band, the tx04 filter's "
+    "length gate), the global budget is a 2-epoch-equivalent of the "
+    "corpus, and per-source epochs = budget x weight_share / tokens, "
+    "capped at 4 (the repetition ceiling the Muennighoff et al. 2023 "
+    "data-constrained scaling results motivate; one-shot cap, no "
+    "redistribution — documented, deterministic). dd23's temperature "
+    "mixing reweights by SIZE alone; this op folds quality in, which "
+    "is what an actual pretraining mix does. Plan: one token-count "
+    "pass (map-only per doc), a source-grain agg, and broadcast "
+    "scalar totals — nothing beyond |sources| rows ever shuffles; "
+    "both engines round epochs to 9 dp before the 4.0 cap decision "
+    "(ulp convention).",
+    tags=("text", "llm", "mixing", "budget", "doremi"),
+)
+def tx37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    per_doc = docs.select("source", n_tok.alias("n_tok"))
+    src = per_doc.groupBy("source").agg(
+        F.sum("n_tok").alias("toks"),
+        F.avg(
+            F.when(F.col("n_tok").between(50, 1000), 1.0).otherwise(0.0)
+        ).alias("quality"),
+    )
+    tot = src.agg(
+        F.sum("toks").alias("t_all"),
+        F.sum(F.col("toks") * F.col("quality")).alias("w_all"),
+    )
+    share = F.col("toks") * F.col("quality") / F.col("w_all")
+    epochs = F.least(
+        F.lit(4.0),
+        F.round(2.0 * F.col("t_all") * share / F.col("toks"), 9),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+        F.round(share, 6).alias("weight_share"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(epochs * F.col("toks"), 2).alias("allocated_tokens"),
+    )

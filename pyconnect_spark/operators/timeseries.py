@@ -2905,3 +2905,90 @@ def ts45(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("eid")).alias("next_event_id"),
         F.when(in_tol, F.round(F.col("lh"), 6)).alias("lag_hours"),
     )
+
+
+@REGISTRY.register(
+    "ts46_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, day, v,
+             MAX(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+      FROM daily
+    ),
+    mx AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             MAX(peak - v) AS mdd, MAX(peak) AS top_peak
+      FROM dd GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_days,
+           round(m.top_peak, 6) AS peak_daily_value,
+           round(m.mdd, 6) AS max_drawdown,
+           round(m.mdd / m.top_peak, 6) AS max_drawdown_frac,
+           strftime(MIN(CASE WHEN round(d.peak - d.v, 9) = round(m.mdd, 9)
+                             THEN d.day END), '%Y-%m-%d') AS worst_day
+    FROM mx m JOIN dd d USING (event_type)
+    GROUP BY m.event_type, m.n_days, m.mdd, m.top_peak
+    """,
+    doc="Peak-to-current drawdown of daily volume per event stream: the "
+    "running maximum of the daily value series minus the current day, "
+    "maximized over the stream — detects volume collapses that z-score "
+    "anomaly checks (ts15) miss when the fall is gradual (each day is "
+    "within sigma of the last, but the cumulative slide from peak is "
+    "huge; the drawdown compares against the best day EVER, not the "
+    "local mean). Reports the worst drawdown, its fraction of peak, "
+    "and the first day it was realized (9 dp compare — ulp "
+    "convention). Plan: the daily rollup collapses the fact with "
+    "map-side combine, then TWO windows both PARTITIONED by "
+    "event_type (running max, then a bounded agg+join for the argmax "
+    "day) — no global sort, series parallelize, AQE skew-split "
+    "applies since window key = shuffle key.",
+    tags=("timeseries", "drawdown", "anomaly", "volume"),
+)
+def ts46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.withColumn("peak", F.max("v").over(w))
+    mx = dd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.col("peak") - F.col("v")).alias("mdd"),
+        F.max("peak").alias("top_peak"),
+    )
+    return (
+        mx.join(dd, "event_type")
+        .groupBy("event_type", "n_days", "mdd", "top_peak")
+        .agg(
+            F.date_format(
+                F.min(
+                    F.when(
+                        F.round(F.col("peak") - F.col("v"), 9)
+                        == F.round(F.col("mdd"), 9),
+                        F.col("day"),
+                    )
+                ),
+                "yyyy-MM-dd",
+            ).alias("worst_day")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("top_peak", 6).alias("peak_daily_value"),
+            F.round("mdd", 6).alias("max_drawdown"),
+            F.round(F.col("mdd") / F.col("top_peak"), 6).alias(
+                "max_drawdown_frac"
+            ),
+            "worst_day",
+        )
+    )

@@ -86,6 +86,8 @@ _DECLARED_IN_ROUND = {
     "tx36_source_kl_divergence": 6, "dd26_source_quota_sample": 6,
     "dd27_incremental_dedup": 6, "sm22_rrf_fusion": 6,
     "sm23_hubness_audit": 6, "mm09_shard_packing": 6,
+    "sm24_ivf_balance_audit": 6, "ts46_max_drawdown": 6,
+    "tx37_token_budget_allocator": 6,
 }
 
 
