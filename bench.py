@@ -236,6 +236,8 @@ HEADLINE = [
     "sm24_ivf_balance_audit",
     "ts46_max_drawdown",
     "tx37_token_budget_allocator",
+    "dd28_incremental_neardup",
+    "x69_return_rate_outliers",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

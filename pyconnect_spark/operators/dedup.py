@@ -2627,3 +2627,125 @@ def dd27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+def _dd28_oracle_sql() -> str:
+    return f"""
+    WITH {_minhash_pipeline_ctes()},
+    tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 100 < 80
+                  THEN 'index' ELSE 'batch' END AS side
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT tb.doc_id AS batch_doc, ti.doc_id AS index_doc
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
+                   AND a.doc_id <> b.doc_id
+      JOIN tagged tb ON tb.doc_id = a.doc_id AND tb.side = 'batch'
+      JOIN tagged ti ON ti.doc_id = b.doc_id AND ti.side = 'index'
+    ),
+    agree AS (
+      SELECT c.batch_doc, MAX({_sql_est_agree()}) AS best
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.batch_doc
+      JOIN sig sb ON sb.doc_id = c.index_doc
+      GROUP BY c.batch_doc
+    ),
+    batch AS (
+      SELECT t.source, t.doc_id, COALESCE(g.best, 0) AS best
+      FROM tagged t LEFT JOIN agree g ON g.batch_doc = t.doc_id
+      WHERE t.side = 'batch'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN best > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(SUM(CASE WHEN best >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup,
+           CAST(SUM(CASE WHEN best < 45 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM batch GROUP BY source
+    """
+
+
+@REGISTRY.register(
+    "dd28_incremental_neardup",
+    oracle=_dd28_oracle_sql(),
+    doc="Incremental NEAR-dup against a persisted index — the sketch twin "
+    "of dd27's exact ledger and the op a continuously-crawling pipeline "
+    "actually runs: the historical side keeps only its MinHash band "
+    "buckets (the 80/20 md5 split stands in for index vs incoming "
+    "batch), each batch doc meets index docs ONLY inside shared "
+    "(band, bhash) buckets — an asymmetric bucket join, never "
+    "batch x index — and is dropped when its best signature agreement "
+    "reaches 45/64 (~0.70 estimated Jaccard, the near-dup regime "
+    "between dd03's 0.77 banding threshold and dd10's calibration "
+    "curve). Per source: batch size, docs with any index candidate, "
+    "near-dups dropped, kept. Integer agreement counts compare "
+    "exactly — no fp threshold to drift. At 100 TB the index is a "
+    "parquet band-bucket table maintained additively (new batch bands "
+    "append after each cycle; S29 is the streaming twin), batch "
+    "signatures are map-only (minhash_signatures), and the bucket "
+    "join's shuffle carries (band, 60-bit hash) keys — the whole "
+    "cycle cost is proportional to the BATCH, not the corpus.",
+    tags=("dedup", "llm", "minhash", "lsh", "incremental"),
+)
+def dd28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, "index").otherwise("batch").alias("side"),
+    )
+    sig = track(minhash_signatures(docs).cache())
+    sig.count()  # one materialization; bands + both agree legs reuse it
+    bt = band_keys(sig).join(tagged.select("doc_id", "side"), "doc_id")
+    ba = bt.filter(F.col("side") == "batch").select(
+        F.col("doc_id").alias("batch_doc"), "band", "bhash"
+    )
+    bi = bt.filter(F.col("side") == "index").select(
+        F.col("doc_id").alias("index_doc"), "band", "bhash"
+    )
+    cand = (
+        ba.join(bi, ["band", "bhash"])
+        .filter(F.col("batch_doc") != F.col("index_doc"))
+        .select("batch_doc", "index_doc")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sa.signature"),
+                F.col("sb.signature"),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+    )
+    agree = (
+        cand.join(sig.alias("sa"), F.col("batch_doc") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("index_doc") == F.col("sb.doc_id"))
+        .groupBy("batch_doc")
+        .agg(F.max(est).alias("best"))
+    )
+    batch = (
+        tagged.filter(F.col("side") == "batch")
+        .join(agree, F.col("doc_id") == F.col("batch_doc"), "left")
+        .select("source", F.coalesce("best", F.lit(0)).alias("best"))
+    )
+    return batch.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.sum((F.col("best") > 0).cast("int")).cast("long").alias(
+            "n_candidates"
+        ),
+        F.sum((F.col("best") >= 45).cast("int")).cast("long").alias(
+            "n_neardup"
+        ),
+        F.sum((F.col("best") < 45).cast("int")).cast("long").alias("n_kept"),
+    )

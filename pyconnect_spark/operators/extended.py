@@ -3055,3 +3055,77 @@ def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("new_customers"),
         F.round(new_rev / F.sum("o_totalprice"), 6).alias("new_rev_share"),
     )
+
+
+@REGISTRY.register(
+    "x69_return_rate_outliers",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    g AS (
+      SELECT SUM(n_returned) * 1.0 / SUM(n_items) AS p FROM per_supp
+    ),
+    z AS (
+      SELECT s.l_suppkey, s.n_items, s.n_returned,
+             s.n_returned * 1.0 / s.n_items AS rate,
+             (s.n_returned * 1.0 / s.n_items - g.p)
+                 / sqrt(g.p * (1 - g.p) / s.n_items) AS zscore
+      FROM per_supp s CROSS JOIN g
+    )
+    SELECT l_suppkey AS suppkey, n_items, n_returned,
+           round(rate, 6) AS return_rate,
+           round(zscore, 6) AS zscore,
+           CASE WHEN round(abs(zscore), 9) > 2.0 THEN TRUE ELSE FALSE END
+               AS flagged
+    FROM z
+    ORDER BY abs(zscore) DESC, l_suppkey
+    LIMIT 20
+    """,
+    doc="Return-rate outlier suppliers: per-supplier 'R' return share "
+    "tested against the corpus rate with a one-proportion z-score "
+    "(binomial normal approximation), top-20 by |z| with a two-sided z > 2 flag — the supplier "
+    "quality audit a marketplace runs nightly, and a different shape "
+    "from x44's column-level data-quality audit (this one is an "
+    "ENTITY outlier scan against a global null hypothesis). Plan: "
+    "one combiner-shrunk groupBy on l_suppkey (the only pass over "
+    "the fact), a broadcast scalar for the global rate, and "
+    "TakeOrdered for the top-20 — no window, no second fact pass. "
+    "Both engines round z to 9 dp before the 2.0 threshold (ulp "
+    "convention). At 100 TB supplier cardinality is ~N^(2/3) of the "
+    "fact; the agg output is the only thing that shuffles.",
+    tags=("analytics", "quality", "outlier", "audit"),
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    g = per_supp.agg(
+        (F.sum("n_returned") * 1.0 / F.sum("n_items")).alias("p")
+    )
+    rate = F.col("n_returned") * 1.0 / F.col("n_items")
+    zscore = (rate - F.col("p")) / F.sqrt(
+        F.col("p") * (1 - F.col("p")) / F.col("n_items")
+    )
+    z = per_supp.crossJoin(F.broadcast(g)).select(
+        F.col("l_suppkey").alias("suppkey"),
+        "n_items",
+        "n_returned",
+        F.round(rate, 6).alias("return_rate"),
+        F.round(zscore, 6).alias("zscore"),
+        (F.round(F.abs(zscore), 9) > 2.0).alias("flagged"),
+        F.abs(zscore).alias("_az"),
+    )
+    return (
+        z.orderBy(F.desc("_az"), "suppkey")
+        .limit(20)
+        .drop("_az")
+    )
