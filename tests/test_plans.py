@@ -701,3 +701,59 @@ def test_no_unpartitioned_window_in_any_declared_query(spark):
         if nodes:
             offenders[name] = nodes[0][:120]
     assert not offenders, offenders
+
+
+def test_tx35_gram_explode_no_self_join(spark):
+    # 2-grams come from slice+transform over the split array — the plan
+    # must carry no join at all (a shingle self-join would be quadratic)
+    text = explain_str(_Q["tx35_repetition_profile"](spark, SF))
+    assert "Join" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_ts45_forward_asof_single_union_window(spark):
+    # the forward as-of is ONE union + ONE partitioned window on the user
+    # key — no range cross-join, no per-order probe join
+    text = explain_str(_Q["ts45_asof_forward_tolerance"](spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "Union" in text and "Window" in text
+
+
+def test_sm23_pair_stage_is_arrow_not_nested_loop(spark):
+    # the hubness pair stage must be the Arrow matmul (MapInPandas), not
+    # a JVM nested-loop over 4M pairs. (The plan's one
+    # BroadcastNestedLoopJoin is the 1-row x 1-row scalar attach of the
+    # hub id to the summary — a Cross of two aggregates, not the pair
+    # stage.)
+    text = explain_str(_Q["sm23_hubness_audit"](spark, SF))
+    assert "MapInPandas" in text
+    assert text.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dd27_membership_join_on_fingerprints(spark):
+    # the index side must reduce to a distinct over fingerprints before
+    # the membership join — document text never reaches the join
+    from pyconnect_spark.plans import read_schema
+
+    df = _Q["dd27_incremental_dedup"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "HashAggregate" in text  # the fp distinct + the source rollup
+
+
+def test_x69_topk_without_global_sort(spark):
+    text = explain_str(_Q["x69_return_rate_outliers"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+    assert has_broadcast_join(_Q["x69_return_rate_outliers"](spark, SF))
+
+
+def test_mm09_payload_bytes_never_shuffle(spark):
+    # only (doc_id, source, n) survive to the fold — the text/payload
+    # column must not appear past the scan projection
+    df = _Q["mm09_shard_packing"](spark, SF)
+    cols = read_schema(df)
+    assert set(cols) == {"doc_id", "source", "text"}
+    text = explain_str(df)
+    # one exchange: the per-source collect_list agg
+    assert text.count("Exchange hashpartitioning") <= 2
