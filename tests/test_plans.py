@@ -728,7 +728,7 @@ def test_sm23_pair_stage_is_arrow_not_nested_loop(spark):
     # stage.)
     text = explain_str(_Q["sm23_hubness_audit"](spark, SF))
     assert "MapInPandas" in text
-    assert text.count("BroadcastNestedLoopJoin") <= 1
+    assert text.count("BroadcastNestedLoopJoin Cross") <= 1  # only the scalar attach
 
 
 def test_dd27_membership_join_on_fingerprints(spark):
