@@ -238,6 +238,8 @@ HEADLINE = [
     "tx37_token_budget_allocator",
     "dd28_incremental_neardup",
     "x69_return_rate_outliers",
+    "ts47_sliding_burst_audit",
+    "tx38_bigram_source_perplexity",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -2512,3 +2512,101 @@ def tx37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs, 6).alias("epochs"),
         F.round(epochs * F.col("toks"), 2).alias("allocated_tokens"),
     )
+
+
+@REGISTRY.register(
+    "tx38_bigram_source_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2
+    ),
+    sg AS (
+      SELECT source, gram, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM bg GROUP BY source, gram
+    ),
+    cg AS (SELECT gram, SUM(n) AS c_ab FROM sg GROUP BY gram),
+    ctx AS (
+      SELECT string_split(gram, ' ')[1] AS a, SUM(n) AS c_a
+      FROM sg GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+    )
+    SELECT s.source,
+           CAST(SUM(s.n) AS BIGINT) AS n_bigrams,
+           round(SUM(s.n * -log2((c.c_ab + 0.5) / (x.c_a + 0.5 * vb.v)))
+                 / SUM(s.n), 6) AS bits_per_bigram,
+           round(power(2.0, SUM(s.n * -log2((c.c_ab + 0.5)
+                 / (x.c_a + 0.5 * vb.v))) / SUM(s.n)), 4) AS perplexity
+    FROM sg s
+    JOIN cg c USING (gram)
+    JOIN ctx x ON x.a = string_split(s.gram, ' ')[1]
+    CROSS JOIN vocab vb
+    GROUP BY s.source
+    """,
+    doc="Per-source WORD-bigram perplexity under the corpus LM with "
+    "add-0.5 Laplace smoothing — the CCNet-style quality signal "
+    "(sources whose text the corpus LM finds surprising are either "
+    "novel or junk; crossing with tx08's quality suite separates the "
+    "two). Distinct from tx20, which scores CHARACTER bigrams per "
+    "document; this is source-grain over the word stream, the grain "
+    "mixing decisions (tx37) consume. p(b|a) = (c(ab)+0.5) / "
+    "(c(a)+0.5V): every count comes from ONE bigram explode "
+    "aggregated to (source, gram) — the corpus totals re-aggregate "
+    "from that frame, never re-exploding — then an equi-join on gram "
+    "(source x vocab-squared rows, bounded far below the token "
+    "stream) and a bounded per-source sum; V broadcasts as a scalar. "
+    "Double sums round to 6 dp, well above accumulation noise.",
+    tags=("text", "llm", "perplexity", "quality", "ccnet"),
+)
+def tx38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    toks = docs.select("source", w.alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("w"), i + 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+    sg = bg.groupBy("source", "gram").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    cg = sg.groupBy("gram").agg(F.sum("n").alias("c_ab"))
+    ctx = sg.groupBy(
+        F.split(F.col("gram"), " ")[0].alias("a")
+    ).agg(F.sum("n").alias("c_a"))
+    vocab = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+    ).agg(F.countDistinct("word").cast("double").alias("v"))
+    nll = F.col("n") * -F.log2(
+        (F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("v"))
+    )
+    return (
+        sg.join(cg, "gram")
+        .join(ctx, F.split(F.col("gram"), " ")[0] == F.col("a"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.sum("n"), 6).alias("bits_per_bigram"),
+            F.round(
+                F.pow(F.lit(2.0), F.sum(nll) / F.sum("n")), 4
+            ).alias("perplexity"),
+        )
+    )

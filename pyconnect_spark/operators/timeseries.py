@@ -2992,3 +2992,74 @@ def ts46(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_day",
         )
     )
+
+
+@REGISTRY.register(
+    "ts47_sliding_burst_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 3599 PRECEDING
+                                AND CURRENT ROW) AS burst
+      FROM e
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(burst) AS BIGINT) AS max_burst_1h
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_burst_1h,
+           round(max_burst_1h * 1.0 / n_events, 6) AS burst_share
+    FROM per_user
+    ORDER BY max_burst_1h DESC, user_id
+    LIMIT 10
+    """,
+    doc="Sliding-window burst audit: each user's maximum event count in "
+    "ANY trailing 1-hour window (RANGE frame over epoch seconds — the "
+    "true sliding window, not ts04's fixed 30-min hops which a burst "
+    "can straddle), top-10 offenders with their burst share. This is "
+    "the measurement that sizes a rate limit or flags scraper "
+    "accounts; ts30's burstiness is a distribution-shape statistic, "
+    "this is the operational max. Plan: ONE range-frame window "
+    "PARTITIONED by user (sorted within partition only), then a "
+    "per-user agg and TakeOrdered-10 — no global sort of the fact; "
+    "epoch floors to whole seconds in BOTH engines so the frame "
+    "boundary is integer-exact. At 100 TB the window key equals the "
+    "shuffle key (AQE skew-split for hot users), and the range frame "
+    "is O(events-in-window) memory per user, not O(history).",
+    tags=("timeseries", "sliding-window", "burst", "rate-limit", "ops"),
+)
+def ts47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    bursts = ev.withColumn("burst", F.count("*").over(w))
+    per_user = bursts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("burst").cast("long").alias("max_burst_1h"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "max_burst_1h",
+            F.round(
+                F.col("max_burst_1h") * 1.0 / F.col("n_events"), 6
+            ).alias("burst_share"),
+        )
+        .orderBy(F.desc("max_burst_1h"), "user_id")
+        .limit(10)
+    )

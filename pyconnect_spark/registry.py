@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~234 declared queries the whole surface re-verifies every ~4
+with ~236 declared queries the whole surface re-verifies every ~4
 rounds (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -88,7 +88,8 @@ _DECLARED_IN_ROUND = {
     "sm23_hubness_audit": 6, "mm09_shard_packing": 6,
     "sm24_ivf_balance_audit": 6, "ts46_max_drawdown": 6,
     "tx37_token_budget_allocator": 6, "dd28_incremental_neardup": 6,
-    "x69_return_rate_outliers": 6,
+    "x69_return_rate_outliers": 6, "ts47_sliding_burst_audit": 6,
+    "tx38_bigram_source_perplexity": 6,
 }
 
 
