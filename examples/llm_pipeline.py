@@ -26,10 +26,12 @@ from pyconnect_spark.operators.dedup import (
 )
 from pyconnect_spark.operators.dedup import dd10, dd11
 from pyconnect_spark.operators.extended import x38
-from pyconnect_spark.operators.dedup import dd13, dd23
+from pyconnect_spark.operators.dedup import dd13, dd23, dd27, dd28
 from pyconnect_spark.operators.similarity import sm01, sm09
 from pyconnect_spark.operators.multimodal import mm05
-from pyconnect_spark.operators.text import redact_frame, tx01, tx04, tx12, tx13, tx22, tx23, tx24, tx32
+from pyconnect_spark.operators.text import (
+    redact_frame, tx01, tx04, tx12, tx13, tx22, tx23, tx24, tx32, tx37,
+)
 from pyconnect_spark.session import get_spark
 
 
@@ -131,6 +133,19 @@ def main() -> None:
     #     by multiplying into each doc's coin threshold
     print("temperature mixture (top 3 up-sampled sources):")
     print(dd23(spark, sf_dir).orderBy(F.desc("sampling_rate"), "source")
+          .limit(3).toPandas().to_string(index=False))
+
+    # 9b. next-cycle posture: the SAME pipeline run incrementally — a
+    #     new batch dedups against the shipped corpus's fingerprint
+    #     ledger (exact) and its MinHash band index (near-dup); the
+    #     mixing recipe re-derives from quality-weighted budgets
+    print("incremental cycle (batch vs index, exact + near-dup):")
+    inc = dd27(spark, sf_dir).join(
+        dd28(spark, sf_dir).select("source", "n_neardup"), "source"
+    )
+    print(inc.orderBy("source").limit(3).toPandas().to_string(index=False))
+    print("token budget (top 3 sources by epochs):")
+    print(tx37(spark, sf_dir).orderBy(F.desc("epochs"), "source")
           .limit(3).toPandas().to_string(index=False))
 
     # 10. ship the curated corpus: Z-order the (lang, quality-signal)
