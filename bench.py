@@ -240,6 +240,7 @@ HEADLINE = [
     "x69_return_rate_outliers",
     "ts47_sliding_burst_audit",
     "tx38_bigram_source_perplexity",
+    "x70_copurchase_pagerank",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -3129,3 +3129,111 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_az")
     )
+
+
+def _x70_oracle_sql() -> str:
+    d = 0.85
+    ctes = ["""edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS DOUBLE) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    pr0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, 6):
+        ctes.append(f"""pr{i} AS (
+      SELECT n.node,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * COALESCE(SUM(p.rank * e.w / o.tw), 0) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN pr{i - 1} p ON p.node = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.node
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT node AS partkey, round(rank, 6) AS pagerank
+    FROM pr5
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+
+
+@REGISTRY.register(
+    "x70_copurchase_pagerank",
+    oracle=_x70_oracle_sql(),
+    doc="Weighted PageRank over the co-purchase part graph (edge weight "
+    "= distinct orders containing both parts; damping 0.85, uniform "
+    "init, 5 fixed iterations): the parts that anchor baskets, which "
+    "raw basket counts (x58) and pairwise lift (x40) miss because "
+    "centrality is a GLOBAL graph property — a part co-bought with "
+    "other well-connected parts outranks one with the same degree in "
+    "a clique. Classic distributed-iterative shape: each iteration is "
+    "one equi-join of the rank frame to the edge list plus a "
+    "combiner-shrunk groupBy on the destination — the edge list "
+    "partitions once on src and every iteration reuses that "
+    "partitioning; at 100 TB you localCheckpoint the rank frame every "
+    "few iterations to truncate lineage (x48/sm20's pattern) and the "
+    "co-purchase edge build shuffles the fact ONCE on orderkey. The "
+    "oracle replays all 5 iterations as unrolled CTEs (DuckDB "
+    "disallows aggregates in recursive terms), bitwise-followable "
+    "because iteration count is fixed and both engines round only at "
+    "the end.",
+    tags=("analytics", "graph", "pagerank", "iterative"),
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = 0.85
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").cast("double").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    contrib_edges = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("share")
+    ).localCheckpoint(eager=False)
+    for _ in range(5):
+        contrib = (
+            contrib_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - d) / n) + d * F.coalesce("c", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("partkey"),
+            F.round("rank", 6).alias("pagerank"),
+            F.col("rank").alias("_r"),
+        )
+        .orderBy(F.desc("_r"), "partkey")
+        .limit(20)
+        .drop("_r")
+    )

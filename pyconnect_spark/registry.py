@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~236 declared queries the whole surface re-verifies every ~4
+with ~237 declared queries the whole surface re-verifies every ~4
 rounds (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -89,7 +89,7 @@ _DECLARED_IN_ROUND = {
     "sm24_ivf_balance_audit": 6, "ts46_max_drawdown": 6,
     "tx37_token_budget_allocator": 6, "dd28_incremental_neardup": 6,
     "x69_return_rate_outliers": 6, "ts47_sliding_burst_audit": 6,
-    "tx38_bigram_source_perplexity": 6,
+    "tx38_bigram_source_perplexity": 6, "x70_copurchase_pagerank": 6,
 }
 
 
