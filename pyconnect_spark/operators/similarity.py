@@ -2972,3 +2972,174 @@ def sm24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("m2r") - F.col("mu") * F.col("mu")) / F.col("mu"), 6
         ).alias("size_cv"),
     )
+
+
+_SM25_K = 8
+
+# Squared-L2 fold between an embedding and a centroid list, rounded to
+# 9 dp before any argmin/tie decision (the repo's ulp convention). The
+# same sequential left-fold both engines use for the sm05 cosine.
+_SM25_D9 = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                         - c.cvec[CAST(i AS INT)])
+                        * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                           - c.cvec[CAST(i AS INT)])), 'sum'), 9)"""
+
+
+@REGISTRY.register(
+    "sm25_kmeans_lloyd",
+    oracle=f"""
+    WITH seedrank AS (
+      SELECT vec_id AS seed_id, embedding AS seed_emb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS srk
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT srk AS cluster,
+             list_transform(seed_emb, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM seedrank WHERE srk <= {_SM25_K}
+    ),
+    a0 AS (
+      SELECT vec_id, cluster, d9 FROM (
+        SELECT e.vec_id, c.cluster, {_SM25_D9} AS d9,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SM25_D9}, c.cluster) AS rk
+        FROM embeddings e CROSS JOIN c0 c
+      ) WHERE rk = 1
+    ),
+    cells AS (
+      SELECT a.cluster, unnest(range(1, len(e.embedding) + 1)) AS idx,
+             unnest(list_transform(e.embedding,
+                                   x -> CAST(x AS DOUBLE))) AS val
+      FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    c1d AS (
+      SELECT cluster, idx, round(AVG(val), 6) AS cv
+      FROM cells GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT cluster, list(cv ORDER BY idx) AS cvec FROM c1d GROUP BY 1
+    ),
+    a1 AS (
+      SELECT vec_id, cluster, d9 FROM (
+        SELECT e.vec_id, c.cluster, {_SM25_D9} AS d9,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SM25_D9}, c.cluster) AS rk
+        FROM embeddings e CROSS JOIN c1 c
+      ) WHERE rk = 1
+    ),
+    s0 AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_init
+      FROM a0 GROUP BY 1
+    ),
+    s1 AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_final,
+             round(CAST(SUM(CAST(d9 AS DECIMAL(28, 9))) AS DOUBLE), 6)
+                 AS inertia
+      FROM a1 GROUP BY 1
+    )
+    SELECT CAST(s0.cluster AS BIGINT) AS cluster, s0.n_init,
+           COALESCE(s1.n_final, 0) AS n_final,
+           COALESCE(s1.inertia, 0.0) AS inertia,
+           CASE WHEN COALESCE(s1.n_final, 0) > 0
+                THEN round(s1.inertia / s1.n_final, 6) ELSE 0.0 END
+               AS mean_dist
+    FROM s0 LEFT JOIN s1 USING (cluster)
+    ORDER BY cluster
+    """,
+    doc="Explicit Lloyd k-means (k=8, one full assign->update->assign "
+    "round) — the training loop behind every coarse quantizer in this "
+    "module (sm05's docstring and the _SEED_IVF_CTES note both say "
+    "'a production run would Lloyd-iterate the same seeds'; this query "
+    "IS that iteration, oracle-replayed end to end). Init = the k "
+    "md5-ranked seed vectors (ivf_seed_frame, no RNG); assignment = "
+    "broadcast k x d centroid table, squared-L2 JVM fold rounded to "
+    "9 dp before the argmin tie-break (cluster asc); update = per-"
+    "(cluster, dim) AVG rounded to 6 dp — the sm04 centroid "
+    "determinism barrier, so iteration 2 starts from bit-identical "
+    "doubles in both engines; inertia = DECIMAL-exact sum of the "
+    "rounded distances (order-independent under any partitioning). "
+    "Emits per-cluster init/final populations, within-cluster SSE and "
+    "mean distance — the convergence/health readout that decides when "
+    "a quantizer is trained. Plan: two map-only broadcast-assignment "
+    "passes (no shuffle of the corpus beyond the vec_id-keyed argmin "
+    "window), one (k x d)-row centroid agg between them, k-row output. "
+    "At 100 TB each extra Lloyd round is one more linear pass — "
+    "mini-batch on a deterministic hash-sample is the documented "
+    "escape hatch, and at large k the assignment switches to the "
+    "Arrow matmul exactly like sm05's assign_cells note.",
+    tags=("similarity", "llm", "kmeans", "quantizer", "iterative"),
+)
+def sm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb_v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents0 = ivf_seed_frame(t(spark, sf_dir, "embeddings"), _SM25_K).select(
+        F.col("srk").cast("long").alias("cluster"),
+        F.transform("seed_emb", lambda x: x.cast("double")).alias("cvec"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = emb_v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cluster", F.round(d, 9).alias("d9")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d9", "cluster")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    a0 = assign(cents0)
+    cells = a0.join(emb_v, "vec_id").select(
+        "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    cents1 = (
+        cells.groupBy("cluster", F.col("pos").alias("idx"))
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    a1 = assign(cents1)
+    s0 = a0.groupBy("cluster").agg(F.count("*").cast("long").alias("n_init"))
+    s1 = a1.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_final"),
+        F.round(
+            F.sum(F.col("d9").cast("decimal(28,9)")).cast("double"), 6
+        ).alias("inertia"),
+    )
+    joined = s0.join(s1, "cluster", "left").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_init",
+        F.coalesce("n_final", F.lit(0).cast("long")).alias("n_final"),
+        F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+    )
+    return (
+        joined.select(
+            "cluster",
+            "n_init",
+            "n_final",
+            "inertia",
+            F.when(
+                F.col("n_final") > 0,
+                F.round(F.col("inertia") / F.col("n_final"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )

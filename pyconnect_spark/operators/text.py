@@ -2610,3 +2610,142 @@ def tx38(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("perplexity"),
         )
     )
+
+
+@REGISTRY.register(
+    "tx39_ccnet_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2
+    ),
+    dgc AS (
+      SELECT doc_id, source, gram, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM dg GROUP BY 1, 2, 3
+    ),
+    cg AS (SELECT gram, SUM(n) AS c_ab FROM dgc GROUP BY 1),
+    ctx AS (
+      SELECT string_split(gram, ' ')[1] AS a, SUM(n) AS c_a
+      FROM dgc GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+    ),
+    docbits AS (
+      SELECT d.doc_id, d.source,
+             round(SUM(d.n * -log2((c.c_ab + 0.5) / (x.c_a + 0.5 * vb.v)))
+                   / SUM(d.n), 6) AS bits
+      FROM dgc d
+      JOIN cg c USING (gram)
+      JOIN ctx x ON x.a = string_split(d.gram, ' ')[1]
+      CROSS JOIN vocab vb
+      GROUP BY 1, 2
+    ),
+    dtok AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+      FROM toks WHERE len(w) >= 2
+    ),
+    bucketed AS (
+      SELECT b.source, b.doc_id, b.bits, t.n_tokens,
+             ntile(3) OVER (PARTITION BY b.source
+                            ORDER BY b.bits, b.doc_id) AS bucket
+      FROM docbits b JOIN dtok t USING (doc_id)
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(AVG(bits), 6) AS mean_bits,
+           round(MAX(bits), 6) AS cutoff_bits
+    FROM bucketed GROUP BY 1, 2
+    ORDER BY source, bucket
+    """,
+    doc="CCNet head/middle/tail bucketing — the per-DOCUMENT completion "
+    "of tx38's per-source perplexity: every document scores its word-"
+    "bigram bits-per-gram under the SAME corpus LM (add-0.5 Laplace, "
+    "one bigram explode at doc grain; the corpus c_ab/c_a totals "
+    "re-aggregate from that frame), rounds to 6 dp (the cross-engine "
+    "determinism barrier BEFORE any rank decision), and ranks into "
+    "per-source terciles: head = most-fluent third, tail = the "
+    "surprising third a pipeline drops or down-weights first (CCNet's "
+    "exact split). Emits per (source, bucket) doc/token counts, mean "
+    "bits and the cutoff (the bucket's max bits = the threshold a "
+    "production filter would freeze and reuse). The tercile is NOT a "
+    "per-source ntile window — sources are few but each source's doc "
+    "frame is unbounded, so that window is a single-task sort at "
+    "scale; instead one rankops.with_global_order pass over (source, "
+    "bits, doc_id) yields exact global ranks, per-source start/count "
+    "broadcast back (|sources| rows), and ntile_from_rank reconstructs "
+    "SQL-standard ntile arithmetic from the rank — fully distributed, "
+    "pinned by the repo-wide no-unpartitioned-window plan test.",
+    tags=("text", "llm", "perplexity", "quality", "ccnet", "buckets"),
+)
+def tx39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import ntile_from_rank, with_global_order
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    toks = docs.select("doc_id", "source", w.alias("w")).filter(F.size("w") >= 2)
+    dg = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)),
+            )
+        ).alias("gram"),
+    )
+    dgc = dg.groupBy("doc_id", "source", "gram").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    cg = dgc.groupBy("gram").agg(F.sum("n").alias("c_ab"))
+    ctx = dgc.groupBy(F.split(F.col("gram"), " ")[0].alias("a")).agg(
+        F.sum("n").alias("c_a")
+    )
+    vocab = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")
+    ).agg(F.countDistinct("word").cast("double").alias("v"))
+    nll = F.col("n") * -F.log2(
+        (F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("v"))
+    )
+    docbits = (
+        dgc.join(cg, "gram")
+        .join(ctx, F.split(F.col("gram"), " ")[0] == F.col("a"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(nll) / F.sum("n"), 6).alias("bits"))
+    )
+    dtok = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    scored = docbits.join(dtok, "doc_id")
+    g = with_global_order(
+        scored,
+        [F.col("source"), F.col("bits"), F.col("doc_id")],
+        rank_col="_rk",
+    )
+    src = g.groupBy("source").agg(
+        F.min("_rk").alias("_r0"), F.count("*").cast("long").alias("_nsrc")
+    )
+    bucketed = (
+        g.join(F.broadcast(src), "source")
+        .withColumn("_rs", F.col("_rk") - F.col("_r0") + 1)
+        .withColumn("bucket", ntile_from_rank("_rs", "_nsrc", 3).cast("long"))
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("mean_bits"),
+            F.round(F.max("bits"), 6).alias("cutoff_bits"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -757,3 +757,29 @@ def test_mm09_payload_bytes_never_shuffle(spark):
     text = explain_str(df)
     # one exchange: the per-source collect_list agg
     assert text.count("Exchange hashpartitioning") <= 2
+
+
+def test_sm25_centroids_broadcast_corpus_not_cross_shuffled(spark):
+    # both Lloyd assignment passes must broadcast the k-row centroid
+    # table (BroadcastNestedLoopJoin on the crossJoin); the corpus side
+    # only exchanges on vec_id for the argmin windows and cluster/dim
+    # for the update agg — never a CartesianProduct
+    text = explain_str(_Q["sm25_kmeans_lloyd"](spark, SF))
+    assert "CartesianProduct" not in text
+    assert text.count("BroadcastNestedLoopJoin") >= 2, text
+
+
+def test_tx39_tercile_is_rankops_not_source_window(spark):
+    # the per-source tercile must come from the distributed rank pass
+    # (rankops range-partition + per-source offsets), never an ntile
+    # window partitioned only by source (single task per source at
+    # scale); the corpus LM joins stay equi-joins on gram
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx39_ccnet_buckets"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    # ntile_from_rank is pure arithmetic on the exact rank — the ntile
+    # window function must not appear anywhere in the physical plan
+    assert "ntile(" not in text, text
