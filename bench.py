@@ -365,6 +365,37 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
     return out
 
 
+def host_canary() -> float:
+    """Fixed CPU/memory workload timed min-of-3 — a host-speed yardstick
+    printed next to the suite numbers. This container shows sustained
+    virtualized CPU steal that varies BETWEEN rounds (the same commit
+    measured common-45 at 24.3 s and 37.8 s hours apart), so a frozen
+    cross-round basis alone can't distinguish a code regression from a
+    slow host window. The canary is deterministic (no RNG, no Spark, no
+    disk): readers compare common45_sec ACROSS rounds only after checking
+    canary_sec moved proportionally."""
+    import numpy as np
+
+    a = (np.arange(1 << 20, dtype=np.float64) % 7.3) + 0.5
+    m = np.outer(a[:512] % 1.7, a[:512] % 1.9)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        s = 0.0
+        for _ in range(30):
+            b = b * 1.000001 + 0.25
+            s += float(b.sum())
+        for _ in range(4):
+            s += float((m @ m).sum())
+        h = 0
+        for i in range(2_000_000):
+            h = (h * 1315423911 + i) & 0xFFFFFFFFFFFF
+        assert s > 0 and h >= 0
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -432,6 +463,7 @@ def main() -> None:
         "common45_sec": common_total if len(common) == len(COMMON_45) else None,
         "sf": sf,
         "ann_recall_at_5": recall,
+        "canary_sec": host_canary(),
     }
     if errors:
         detail["errors"] = errors
