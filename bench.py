@@ -243,6 +243,7 @@ HEADLINE = [
     "x70_copurchase_pagerank",
     "sm25_kmeans_lloyd",
     "tx39_ccnet_buckets",
+    "tx40_dsir_selection",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

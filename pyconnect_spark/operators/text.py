@@ -2749,3 +2749,130 @@ def tx39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@REGISTRY.register(
+    "tx40_dsir_selection",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, source, lang,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks WHERE len(w) >= 2
+    ),
+    db AS (
+      SELECT doc_id, source, lang,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 1024 AS b,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM dg GROUP BY 1, 2, 3, 4
+    ),
+    tc AS (SELECT b, SUM(n) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT b, SUM(n) AS cr FROM db GROUP BY 1),
+    tots AS (
+      SELECT (SELECT SUM(n) FROM db WHERE lang = 'en') AS nt,
+             (SELECT SUM(n) FROM db) AS nr
+    ),
+    lr AS (
+      SELECT r.b,
+             round(ln((COALESCE(t.ct, 0) + 1) / (o.nt + 1024))
+                   - ln((r.cr + 1) / (o.nr + 1024)), 9) AS lr
+      FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tots o
+    ),
+    docw AS (
+      SELECT d.doc_id, d.source, d.lang,
+             CAST(SUM(CAST(d.n AS BIGINT)) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(round(d.n * l.lr, 9) AS DECIMAL(20, 9)))
+                        AS DOUBLE), 6) AS logw
+      FROM db d JOIN lr l USING (b)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, source, lang, n_bigrams, logw
+    FROM docw
+    ORDER BY logw DESC, doc_id
+    LIMIT 20
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): every document gets "
+    "an importance weight = its hashed-n-gram likelihood ratio between "
+    "a TARGET distribution (here the lang='en' slice, standing in for "
+    "the curated target corpus) and the RAW pool — log w(x) = sum over "
+    "the doc's bigrams of ln p_target(bucket)/p_raw(bucket), with "
+    "word bigrams hashed into 1024 buckets (the paper's hashed n-gram "
+    "features; md5 low bits, the repo's oracle-replayable hash idiom) "
+    "and add-1 smoothing over the bucket vocabulary. Emits the top-20 "
+    "selection — the resampling step takes these weights into a "
+    "Gumbel/exp draw; the WEIGHT computation is the distributed part "
+    "and is exact here. Plan: ONE bigram explode aggregated to "
+    "(doc, bucket) feeds all three consumers (target counts, raw "
+    "counts, per-doc stream); the 1024-row log-ratio table broadcasts; "
+    "per-doc weights are DECIMAL-exact sums of 9dp-rounded terms "
+    "(order-independent under any partitioning) and the top-20 is "
+    "TakeOrdered, no global sort. At 100 TB this is two passes over "
+    "the token stream and a bucket-table broadcast — the same shape "
+    "DSIR runs at pretraining scale.",
+    tags=("text", "llm", "selection", "dsir", "importance-sampling"),
+)
+def tx40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    toks = docs.select("doc_id", "source", "lang", w.alias("w")).filter(
+        F.size("w") >= 2
+    )
+    dg = toks.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)),
+            )
+        ).alias("gram"),
+    )
+    db = dg.groupBy(
+        "doc_id",
+        "source",
+        "lang",
+        (F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long") % 1024).alias(
+            "b"
+        ),
+    ).agg(F.count("*").cast("double").alias("n"))
+    tc = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("n").alias("ct"))
+    rc = db.groupBy("b").agg(F.sum("n").alias("cr"))
+    tots = db.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0.0)).alias("nt"),
+        F.sum("n").alias("nr"),
+    )
+    lr = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce("ct", F.lit(0.0)) + 1) / (F.col("nt") + 1024))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + 1024)),
+                9,
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum(F.col("n").cast("long")).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.round(F.col("n") * F.col("lr"), 9).cast("decimal(20,9)")
+                ).cast("double"),
+                6,
+            ).alias("logw"),
+        )
+    )
+    return docw.orderBy(F.desc("logw"), "doc_id").limit(20).select(
+        "doc_id", "source", "lang", "n_bigrams", "logw"
+    )

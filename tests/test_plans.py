@@ -783,3 +783,14 @@ def test_tx39_tercile_is_rankops_not_source_window(spark):
     # ntile_from_rank is pure arithmetic on the exact rank — the ntile
     # window function must not appear anywhere in the physical plan
     assert "ntile(" not in text, text
+
+
+def test_tx40_ratio_table_broadcasts_topk_takeordered(spark):
+    # the 1024-bucket log-ratio table must broadcast onto the doc
+    # stream and the final top-20 must be TakeOrdered (per-partition
+    # heaps), never a global sort
+    df = _Q["tx40_dsir_selection"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in text
+    assert "CartesianProduct" not in text
