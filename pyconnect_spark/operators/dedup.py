@@ -2749,3 +2749,89 @@ def dd28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum((F.col("best") < 45).cast("int")).cast("long").alias("n_kept"),
     )
+
+
+def _seed_ivf_ctes_fixed(n_cells: int) -> str:
+    """_SEED_IVF_CTES with a FIXED cell count instead of the auto
+    ceil(sqrt(N)) sizing — same quantizer, same md5 seed pick, same
+    argmax-cos assignment, so the oracle stays shared verbatim with the
+    sm05/dd12 index replay."""
+    from pyconnect_spark.operators.similarity import _SEED_IVF_CTES
+
+    return _SEED_IVF_CTES.replace(
+        "CAST(ceil(sqrt(COUNT(*))) AS BIGINT)", f"CAST({n_cells} AS BIGINT)"
+    )
+
+
+@REGISTRY.register(
+    "dd29_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_seed_ivf_ctes_fixed(8)},
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cbal'), vec_id)
+                 AS rk
+      FROM seedcells
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(SUM(CASE WHEN rk <= 40 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS kept_frac,
+           md5(array_to_string(
+               list(vec_id ORDER BY vec_id) FILTER (WHERE rk <= 40), ','))
+               AS kept_ids_md5
+    FROM ranked GROUP BY cell
+    """,
+    doc="Cluster-balanced sampling (the Minipile / DataComp curation "
+    "move, and the selection-side cousin of SemDeDup): embeddings are "
+    "assigned to a FIXED 8-cell seed quantizer (the shared "
+    "sm05/dd12/sm24 index build — md5 seed pick, argmax-cos JVM fold, "
+    "fully oracle-replayed) and each CLUSTER keeps at most 40 vectors "
+    "by md5 rank — an equal per-cluster budget, so dominant modes stop "
+    "swamping the mixture and small clusters survive verbatim; dd26 "
+    "applies the same hard cap per SOURCE label, this applies it per "
+    "LEARNED mode, which is what curation uses when labels lie or "
+    "don't exist. Output pins the exact kept set per cluster (md5 of "
+    "sorted kept ids) next to the population and kept fraction. Plan: "
+    "one broadcast assignment pass (seed table is k rows), ONE "
+    "cell-keyed exchange for the rank window (window key == shuffle "
+    "key, AQE skew-split covers a hot mode), and a cluster-sized "
+    "output. At 100 TB the quota path ships at most cap rows per "
+    "cluster; the audit counts ride the same exchange as 12-byte "
+    "(cell, vec_id) pairs — embeddings never shuffle.",
+    tags=("dedup", "llm", "sampling", "cluster-balance", "curation"),
+)
+def dd29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyconnect_spark.operators.similarity import seed_ivf_cells_frame
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells = (
+        seed_ivf_cells_frame(emb, 8)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":cbal"))),
+        "vec_id",
+    )
+    ranked = cells.withColumn("rk2", F.row_number().over(w))
+    kept = F.col("rk2") <= 40
+    return ranked.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.round(F.sum(kept.cast("double")) / F.count("*"), 6).alias("kept_frac"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.col("vec_id")))
+                ).cast("array<string>"),
+            )
+        ).alias("kept_ids_md5"),
+    )

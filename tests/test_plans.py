@@ -794,3 +794,16 @@ def test_tx40_ratio_table_broadcasts_topk_takeordered(spark):
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in text
     assert "CartesianProduct" not in text
+
+
+def test_dd29_seed_table_broadcasts_single_cell_exchange(spark):
+    # the 8-row seed quantizer broadcasts onto the embeddings; beyond the
+    # per-vector argmax window, the only wide exchange is the cell-keyed
+    # rank window — embeddings never cartesian-join
+    import re
+
+    df = _Q["dd29_cluster_balanced_sample"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) <= 4, text
