@@ -3211,6 +3211,12 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib_edges = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("share")
     ).localCheckpoint(eager=False)
+    # deliberately NO per-iteration localCheckpoint on `ranks` (unlike
+    # sm20/tx32): measured 2x SLOWER here (12.98 -> 24.78 s at sf0.1,
+    # min-of-2 warm) — five rounds nest shallowly enough that the fused
+    # single plan wins, because AQE reuses the contrib_edges/ranks
+    # exchanges across iterations while checkpoints would serialize the
+    # pipeline into blocking jobs. Only the EDGE frames above are pinned.
     for _ in range(5):
         contrib = (
             contrib_edges.join(
