@@ -3063,3 +3063,83 @@ def ts47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_burst_1h"), "user_id")
         .limit(10)
     )
+
+
+@REGISTRY.register(
+    "ts48_concurrency_peaks",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+      FROM events
+    ),
+    deltas AS (
+      SELECT t0 AS t, CAST(1 AS BIGINT) AS delta, event_id FROM ev
+      UNION ALL
+      SELECT t0 + 60 AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM ev
+    ),
+    swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, event_id
+                              ROWS UNBOUNDED PRECEDING) AS occ
+      FROM deltas
+    )
+    SELECT CAST(floor(t / 3600.0) AS BIGINT) AS hour_epoch,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opens,
+           CAST(MAX(occ) AS BIGINT) AS peak_concurrency
+    FROM swept
+    GROUP BY 1
+    ORDER BY hour_epoch
+    """,
+    doc="Peak concurrency per hour by interval sweep-line — the "
+    "occupancy measurement behind capacity planning (max simultaneous "
+    "sessions/viewers/connections): every event opens a 60-second "
+    "activity interval, each interval emits a +1 at open and a -1 at "
+    "close, and the running sum of deltas under the total order "
+    "(t, opens-before-closes, event_id) IS the live-concurrency step "
+    "function; per hour the report carries open count and the peak. "
+    "ts24 unions intervals PER USER (active seconds); this is the "
+    "corpus-wide height of the interval stack, a different statistic. "
+    "The prefix sum is NOT a global window: rankops.with_global_order "
+    "computes it as a range-partitioned cumsum with broadcast per-"
+    "partition offsets (integer deltas, so the distributed regroup is "
+    "exact under any partitioning), pinned by the repo-wide "
+    "no-unpartitioned-window plan test. Peaks are sampled at delta "
+    "points, the exact semantics of a step function's maximum. At "
+    "100 TB this is two map passes (delta emit), ONE range exchange, "
+    "and an hour-grain agg.",
+    tags=("timeseries", "sweep-line", "concurrency", "capacity", "ops"),
+)
+def ts48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("t0"),
+    )
+    opens = ev.select(
+        F.col("t0").alias("t"), F.lit(1).cast("long").alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        (F.col("t0") + 60).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+        "event_id",
+    )
+    deltas = opens.unionAll(closes)
+    swept = with_global_order(
+        deltas,
+        [F.col("t"), F.desc("delta"), F.col("event_id")],
+        cumsum={"delta": "occ"},
+    )
+    return (
+        swept.groupBy(
+            F.floor(F.col("t") / 3600.0).cast("long").alias("hour_epoch")
+        )
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_opens"),
+            F.max("occ").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("hour_epoch")
+    )

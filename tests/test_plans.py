@@ -807,3 +807,15 @@ def test_dd29_seed_table_broadcasts_single_cell_exchange(spark):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert len(re.findall(r"\(\d+\) Exchange\b", text)) <= 4, text
+
+
+def test_ts48_prefix_sum_is_rankops_not_global_window(spark):
+    # the sweep-line running sum must come from the range-partitioned
+    # cumsum (broadcast offsets), never an unpartitioned window over the
+    # whole delta stream
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts48_concurrency_peaks"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
