@@ -246,6 +246,7 @@ HEADLINE = [
     "tx40_dsir_selection",
     "dd29_cluster_balanced_sample",
     "ts48_concurrency_peaks",
+    "sm26_rocchio_prf",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

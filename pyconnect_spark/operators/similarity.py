@@ -3143,3 +3143,144 @@ def sm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_SM26_COS_X = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * x.xv[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))
+                  * sqrt(list_aggregate(list_transform(x.xv,
+                          y -> y * y), 'sum'))), 9)"""
+
+_SM26_COS_Q = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * q.qv[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q.qv,
+                          y -> y * y), 'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "sm26_rocchio_prf",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 1
+    ),
+    top10 AS (
+      SELECT e.vec_id, e.embedding, {_SM26_COS_Q} AS cos_q
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 1
+      ORDER BY {_SM26_COS_Q} DESC, e.vec_id
+      LIMIT 10
+    ),
+    md AS (
+      SELECT idx, round(AVG(val), 6) AS mv FROM (
+        SELECT unnest(range(1, len(embedding) + 1)) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM top10
+      ) GROUP BY idx
+    ),
+    mv AS (SELECT list(mv ORDER BY idx) AS m FROM md),
+    x AS (
+      SELECT list_transform(range(1, len(q.qv) + 1),
+                 i -> round(q.qv[CAST(i AS INT)]
+                            + 0.75 * mv.m[CAST(i AS INT)], 6)) AS xv
+      FROM q, mv
+    ),
+    final AS (
+      SELECT e.vec_id, {_SM26_COS_X} AS cos9
+      FROM embeddings e CROSS JOIN x
+      WHERE e.vec_id <> 1
+      ORDER BY {_SM26_COS_X} DESC, e.vec_id
+      LIMIT 10
+    ),
+    ranked AS (
+      SELECT vec_id, cos9,
+             row_number() OVER (ORDER BY cos9 DESC, vec_id) AS rk
+      FROM final
+    )
+    SELECT r.vec_id, round(r.cos9, 6) AS cos_sim,
+           CAST(r.rk AS BIGINT) AS rk,
+           CAST(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS was_in_initial
+    FROM ranked r LEFT JOIN top10 t USING (vec_id)
+    """,
+    doc="Rocchio pseudo-relevance feedback (the classic query-expansion "
+    "loop, positive-only form x' = q + 0.75 * centroid(top-10)): the "
+    "query vector's exact top-10 act as pseudo-relevant documents, "
+    "their per-dimension mean (rounded to 6 dp — the sm04 determinism "
+    "barrier) folds into an expanded query, and the re-ranked top-10 "
+    "under the expanded vector reports each hit with its rank and "
+    "whether the INITIAL retrieval already had it — the was_in_initial "
+    "column is the expansion's discovery readout. Fully deterministic "
+    "and oracle-replayed (expansion arithmetic is exact: 0.75 is a "
+    "binary-exact scale, each expanded component rounds once, "
+    "identically in both engines). Plan: two broadcast-query "
+    "TakeOrdered passes over the corpus plus a 10-row-frame dim agg "
+    "between them; the final ranks come from rank_small_frame "
+    "(triangular broadcast join on a proven-10-row frame), no global "
+    "window. At 100 TB each pass is the sm01 shape — corpus never "
+    "shuffles, only k rows per partition surface.",
+    tags=("similarity", "llm", "retrieval", "rocchio", "prf"),
+)
+def sm26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import rank_small_frame
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.transform("embedding", lambda y: y.cast("double")).alias("qv")
+    )
+    cos_q = cosine(F.col("embedding"), F.col("qv"))
+    top10 = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", F.round(cos_q, 9).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), "vec_id")
+        .limit(10)
+    )
+    md = (
+        top10.select(
+            F.posexplode(
+                F.transform("embedding", lambda y: y.cast("double"))
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("mv"))
+    )
+    mv = md.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("m")
+    )
+    x = q.crossJoin(F.broadcast(mv)).select(
+        F.transform(
+            F.zip_with("qv", "m", lambda a, b: a + F.lit(0.75) * b),
+            lambda v: F.round(v, 6),
+        ).alias("xv")
+    )
+    cos_x = cosine(F.col("embedding"), F.col("xv"))
+    final = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(x))
+        .select("vec_id", F.round(cos_x, 9).alias("cos9"))
+        .orderBy(F.desc("cos9"), "vec_id")
+        .limit(10)
+    )
+    ranked = rank_small_frame(
+        final,
+        F.struct((-F.col("cos9")).alias("kneg"), F.col("vec_id").alias("kid")),
+        rank_col="rk",
+    )
+    initial = top10.select("vec_id", F.lit(1).alias("hit"))
+    return ranked.join(F.broadcast(initial), "vec_id", "left").select(
+        "vec_id",
+        F.round("cos9", 6).alias("cos_sim"),
+        F.col("rk").cast("long").alias("rk"),
+        F.coalesce("hit", F.lit(0)).cast("long").alias("was_in_initial"),
+    )

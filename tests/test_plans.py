@@ -819,3 +819,15 @@ def test_ts48_prefix_sum_is_rankops_not_global_window(spark):
     assert not unpartitioned_windows(df)
     text = explain_str(df)
     assert "CartesianProduct" not in text
+
+
+def test_sm26_two_takeordered_passes_no_global_window(spark):
+    # both retrieval passes must be TakeOrdered (corpus never globally
+    # sorts) and the final rank comes from the triangular small-frame
+    # join, not a window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm26_rocchio_prf"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert text.count("TakeOrderedAndProject") >= 2, text
