@@ -2835,3 +2835,91 @@ def dd29(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_ids_md5"),
     )
+
+
+_DD30_COS = """round(
+               list_aggregate(list_transform(range(1, len(t.embedding) + 1),
+                   i -> CAST(t.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(t.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))
+                  * sqrt(list_aggregate(list_transform(e.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "dd30_semantic_decontamination",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT t.vec_id AS tv, t.label AS lbl, {_DD30_COS} AS c9
+      FROM embeddings t JOIN embeddings e
+        ON t.vec_id % 20 <> 0 AND e.vec_id % 20 = 0 AND {_DD30_COS} >= 0.4
+    ),
+    hits AS (
+      SELECT lbl, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT tv) AS n_flagged,
+             round(MAX(c9), 6) AS max_cos
+      FROM pairs GROUP BY 1
+    ),
+    tr AS (
+      SELECT label AS lbl, COUNT(*) AS n_train
+      FROM embeddings WHERE vec_id % 20 <> 0 GROUP BY 1
+    )
+    SELECT CAST(tr.lbl AS BIGINT) AS label,
+           CAST(tr.n_train AS BIGINT) AS n_train,
+           CAST(COALESCE(h.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           h.max_cos
+    FROM tr LEFT JOIN hits h USING (lbl)
+    ORDER BY label
+    """,
+    doc="Embedding-space eval-set decontamination — the semantic twin of "
+    "dd08's n-gram split decontamination and the check the Llama/GPT "
+    "training reports run before training: a deterministic 5% eval "
+    "split (vec_id % 20, standing in for the benchmark suite) is "
+    "swept against every train vector, and any train vector with "
+    "cosine >= 0.4 to ANY eval vector is flagged as a semantic "
+    "near-duplicate of the eval set (paraphrases and translations "
+    "that n-gram decontamination provably misses). Output: per-label "
+    "train size, flagged-vector and flagged-pair counts, max cosine. "
+    "Cosines round to 9 dp before the threshold decision (the dd09 "
+    "barrier). Plan: the eval side BROADCASTS — eval benches are "
+    "KB-MB scale by construction, so the join is a map-only "
+    "BroadcastNestedLoop filter over the train scan, no shuffle of "
+    "the corpus, then a label-keyed agg of the (tiny) hit frame. At "
+    "100 TB this is one linear pass (a BLAS matmul per Arrow batch in "
+    "the production tier, the dd12 IVF cells when even that is too "
+    "hot); the exact tier here is the oracle-checked semantics.",
+    tags=("dedup", "llm", "contamination", "semantic", "eval"),
+)
+def dd30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("embedding").alias("e_emb")
+    )
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    c9 = F.round(cosine(F.col("embedding"), F.col("e_emb")), 9)
+    pairs = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", "label", c9.alias("c9"))
+        .filter(F.col("c9") >= 0.4)
+    )
+    hits = pairs.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("vec_id").cast("long").alias("n_flagged"),
+        F.round(F.max("c9"), 6).alias("max_cos"),
+    )
+    base = tr.groupBy("label").agg(F.count("*").cast("long").alias("n_train"))
+    return (
+        base.join(hits, "label", "left")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_train",
+            F.coalesce("n_flagged", F.lit(0).cast("long")).alias("n_flagged"),
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            "max_cos",
+        )
+        .orderBy("label")
+    )

@@ -3284,3 +3284,176 @@ def sm26(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rk"),
         F.coalesce("hit", F.lit(0)).cast("long").alias("was_in_initial"),
     )
+
+
+_SM27_IP = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * q.qv[CAST(i AS INT)]), 'sum'), 9)"""
+
+_SM27_BOUND = """round(
+               sqrt(list_aggregate(list_transform(e.embedding,
+                        y -> CAST(y AS DOUBLE) * y), 'sum'))
+               * sqrt(list_aggregate(list_transform(q.qv,
+                        y -> y * y), 'sum')), 6)"""
+
+
+@REGISTRY.register(
+    "sm27_mips_norm_pruned",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 2
+    ),
+    s AS (
+      SELECT e.vec_id, {_SM27_IP} AS ip9, {_SM27_BOUND} AS norm_bound
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 2
+    )
+    SELECT vec_id, round(ip9, 6) AS ip, norm_bound
+    FROM s ORDER BY ip9 DESC, vec_id LIMIT 10
+    """,
+    doc="Exact maximum-inner-product top-10 (MIPS — the retrieval scoring "
+    "mode un-normalized two-tower models use) with Cauchy-Schwarz "
+    "norm-bound pruning, the LEMP/FEXIPRO family's admissible filter: "
+    "a deterministic 1/16 sample (vec_id % 16 == 2) yields a lower "
+    "bound on the 10th-best inner product, and every vector whose "
+    "||x||*||q|| upper bound falls below it (minus a 1e-6 absolute "
+    "slack that absorbs double-rounding on the bound side) is skipped "
+    "before its full dot product is evaluated. The bound is admissible "
+    "— ip(x,q) <= ||x||*||q|| — so the pruned top-10 is IDENTICAL to "
+    "brute force, which is exactly what the oracle checks: the DuckDB "
+    "twin is the unpruned scan, and a hash match PROVES the pruning "
+    "dropped no true neighbor. Plan: two broadcast-query map-only "
+    "passes (sample pass -> 1-row threshold broadcast -> bounded pass), "
+    "each ending in TakeOrderedAndProject; the corpus never shuffles. "
+    "At 100 TB the second pass evaluates the cheap two-norm first and "
+    "the full d-dim dot only on survivors — the norm column would be "
+    "precomputed/stored in a production index, turning the scan into "
+    "a one-column filter for most of the corpus.",
+    tags=("similarity", "llm", "mips", "topk", "pruning"),
+)
+def sm27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 2).select(
+        F.transform("embedding", lambda y: y.cast("double")).alias("qv")
+    )
+    ed = F.transform("embedding", lambda y: y.cast("double"))
+    ip = F.aggregate(
+        F.zip_with(ed, F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_q = F.sqrt(
+        F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sample = (
+        emb.filter((F.col("vec_id") % 16 == 2) & (F.col("vec_id") != 2))
+        .crossJoin(F.broadcast(q))
+        .select(F.round(ip, 9).alias("ip9"))
+        .orderBy(F.desc("ip9"))
+        .limit(10)
+    )
+    thr = sample.agg(F.min("ip9").alias("thr"))
+    final = (
+        emb.filter(F.col("vec_id") != 2)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(thr))
+        .withColumn("norm_bound", F.round(norm_e * norm_q, 6))
+        .filter(
+            F.col("norm_bound")
+            >= F.coalesce(F.col("thr"), F.lit(-1e300)) - F.lit(1e-6)
+        )
+        .select("vec_id", F.round(ip, 9).alias("ip9"), "norm_bound")
+        .orderBy(F.desc("ip9"), "vec_id")
+        .limit(10)
+    )
+    return final.select(
+        "vec_id", F.round("ip9", 6).alias("ip"), "norm_bound"
+    )
+
+
+_SM28_COS = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * q.qv[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q.qv,
+                          y -> y * y), 'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "sm28_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+    )
+    SELECT q.query_id, e.vec_id AS neg_id,
+           CAST(e.label AS BIGINT) AS neg_label,
+           round({_SM28_COS}, 6) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY {_SM28_COS} DESC, e.vec_id)
+                AS BIGINT) AS rk
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.q_label
+    QUALIFY rk <= 3
+    """,
+    doc="Hard-negative mining for contrastive / two-tower training: for "
+    "each of 5 fixed probe queries (vec_id 1-5), the top-3 most-similar "
+    "vectors carrying a DIFFERENT label — the near-miss negatives that "
+    "produce informative gradients, mined exactly. One broadcast-query "
+    "TakeOrdered pass per probe (the sm26 idiom: the query row, its "
+    "label and vector, broadcasts; the corpus is scanned map-only with "
+    "the cross-label filter fused into the scan; TakeOrderedAndProject "
+    "keeps 3 rows per partition), ranks attached by rank_small_frame "
+    "on each proven-3-row slice, then a 15-row union. Cosines round to "
+    "9 dp before the rank decision (house determinism barrier). At "
+    "100 TB this shape serves a bounded probe set; for mining over ALL "
+    "anchors the documented path is the IVF tier (sm05/dd12): assign "
+    "anchors and corpus to cells once, mine within cell x cross-label "
+    "— the same exchange the semantic-dedup family already runs.",
+    tags=("similarity", "llm", "contrastive", "hard-negatives", "topk"),
+)
+def sm28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyconnect_spark.operators.rankops import rank_small_frame
+
+    emb = t(spark, sf_dir, "embeddings")
+    passes = []
+    for qid in (1, 2, 3, 4, 5):
+        qi = emb.filter(F.col("vec_id") == qid).select(
+            F.col("label").alias("q_label"),
+            F.transform("embedding", lambda y: y.cast("double")).alias("qv"),
+        )
+        cos = cosine(F.col("embedding"), F.col("qv"))
+        top3 = (
+            emb.crossJoin(F.broadcast(qi))
+            .filter(F.col("label") != F.col("q_label"))
+            .select(
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").cast("long").alias("neg_label"),
+                F.round(cos, 9).alias("cos9"),
+            )
+            .orderBy(F.desc("cos9"), "neg_id")
+            .limit(3)
+        )
+        ranked = rank_small_frame(
+            top3,
+            F.struct((-F.col("cos9")).alias("kneg"), F.col("neg_id").alias("kid")),
+            rank_col="rk",
+        )
+        passes.append(
+            ranked.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "neg_id",
+                "neg_label",
+                F.round("cos9", 6).alias("cos_sim"),
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+    return reduce(DataFrame.unionByName, passes)

@@ -2876,3 +2876,140 @@ def tx40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docw.orderBy(F.desc("logw"), "doc_id").limit(20).select(
         "doc_id", "source", "lang", "n_bigrams", "logw"
     )
+
+
+@REGISTRY.register(
+    "tx41_nb_source_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 512 AS b,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT source AS cls, b, SUM(n) AS nsb FROM db GROUP BY 1, 2),
+    cs AS (SELECT source AS cls, SUM(n) AS ns FROM db GROUP BY 1),
+    ds AS (SELECT source AS cls, COUNT(DISTINCT doc_id) AS nd FROM db GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS d FROM db),
+    grid AS (
+      SELECT c.cls, u.b,
+             round(ln((COALESCE(cb.nsb, 0) + 1) / (c.ns + 512)), 9) AS ll
+      FROM cs c CROSS JOIN (SELECT DISTINCT b FROM db) u
+      LEFT JOIN cb ON cb.cls = c.cls AND cb.b = u.b
+    ),
+    prior AS (
+      SELECT d2.cls,
+             CAST(round(ln(CAST(d2.nd AS DOUBLE) / t.d), 9)
+                  AS DECIMAL(20, 9)) AS lp
+      FROM ds d2 CROSS JOIN tot t
+    ),
+    score AS (
+      SELECT d.doc_id, d.source, g.cls,
+             p.lp + SUM(CAST(round(d.n * g.ll, 9) AS DECIMAL(20, 9))) AS sc
+      FROM db d JOIN grid g USING (b) JOIN prior p ON p.cls = g.cls
+      GROUP BY 1, 2, 3, p.lp
+    ),
+    pred AS (
+      SELECT doc_id, source, cls AS pred_source, sc,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, cls) AS rn
+      FROM score QUALIFY rn = 1
+    )
+    SELECT source, pred_source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(sc) AS DOUBLE) / COUNT(*), 6) AS mean_logscore
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Trained multinomial Naive Bayes source classifier over hashed "
+    "unigrams — the fasttext-style linear text classifier every "
+    "CCNet-descended pipeline trains to score quality/domain, here "
+    "trained on the `source` label and read out as a self-"
+    "classification confusion matrix (true source x predicted source, "
+    "doc counts + mean winning log-score). Words hash into 512 md5 "
+    "buckets (oracle-replayable feature hashing); per-class bucket "
+    "log-likelihoods use add-1 smoothing and round to 9 dp (libm "
+    "barrier); per-doc scores are prior + a DECIMAL-exact sum of "
+    "9 dp-rounded count*loglik terms, so the argmax (tie-break: class "
+    "name ascending) replays bit-for-bit in both engines. Plan: ONE "
+    "token explode aggregated to (doc, bucket) feeds both the trainer "
+    "and the scorer; the model — a (<=512 x n_classes) grid plus "
+    "n_classes priors — broadcasts; scoring is a map-side join + one "
+    "(doc, class)-keyed agg; the argmax window partitions by doc_id "
+    "(millions of partitions, never global). At 100 TB: training is a "
+    "bounded-width agg (512 x classes cells regardless of corpus "
+    "size), scoring is linear in tokens — the same two-pass shape "
+    "DSIR (tx40) runs; this is its multi-class generative twin.",
+    tags=("text", "llm", "classifier", "naive-bayes", "quality"),
+)
+def tx41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("w"),
+    )
+    db = toks.groupBy(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % 512).alias(
+            "b"
+        ),
+    ).agg(F.count("*").cast("double").alias("n"))
+    cb = db.groupBy(F.col("source").alias("cls"), "b").agg(
+        F.sum("n").alias("nsb")
+    )
+    cs = db.groupBy(F.col("source").alias("cls")).agg(F.sum("n").alias("ns"))
+    ds = db.groupBy(F.col("source").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    tot = db.agg(F.countDistinct("doc_id").alias("d"))
+    buckets = db.select("b").distinct()
+    grid = (
+        cs.crossJoin(buckets)
+        .join(cb, ["cls", "b"], "left")
+        .select(
+            "cls",
+            "b",
+            F.round(
+                F.log((F.coalesce("nsb", F.lit(0.0)) + 1) / (F.col("ns") + 512)), 9
+            ).alias("ll"),
+        )
+    )
+    prior = ds.crossJoin(F.broadcast(tot)).select(
+        "cls",
+        F.round(F.log(F.col("nd").cast("double") / F.col("d")), 9)
+        .cast("decimal(20,9)")
+        .alias("lp"),
+    )
+    score = (
+        db.join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "source", "cls")
+        .agg(
+            F.sum(
+                F.round(F.col("n") * F.col("ll"), 9).cast("decimal(20,9)")
+            ).alias("s0")
+        )
+        .join(F.broadcast(prior), "cls")
+        .select("doc_id", "source", "cls", (F.col("lp") + F.col("s0")).alias("sc"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sc"), F.asc("cls"))
+    pred = score.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("source", F.col("cls").alias("pred_source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("sc").cast("double") / F.count("*"), 6
+            ).alias("mean_logscore"),
+        )
+        .orderBy("source", "pred_source")
+    )

@@ -90,6 +90,13 @@ _DECLARED_IN_ROUND = {
     "tx37_token_budget_allocator": 6, "dd28_incremental_neardup": 6,
     "x69_return_rate_outliers": 6, "ts47_sliding_burst_audit": 6,
     "tx38_bigram_source_perplexity": 6, "x70_copurchase_pagerank": 6,
+    # third wave (landed after the above; verify after them)
+    "tx39_ccnet_buckets": 7, "tx40_dsir_selection": 7,
+    "dd29_cluster_balanced_sample": 7, "ts48_concurrency_peaks": 7,
+    "sm25_kmeans_lloyd": 7, "sm26_rocchio_prf": 7,
+    # fourth wave
+    "sm27_mips_norm_pruned": 8, "sm28_hard_negative_mining": 8,
+    "tx41_nb_source_classifier": 8, "dd30_semantic_decontamination": 8,
 }
 
 

@@ -831,3 +831,53 @@ def test_sm26_two_takeordered_passes_no_global_window(spark):
     assert not unpartitioned_windows(df)
     text = explain_str(df)
     assert text.count("TakeOrderedAndProject") >= 2, text
+
+
+def test_sm27_pruning_admissible_and_takeordered(spark):
+    # both MIPS passes must be TakeOrdered broadcast-query scans (no
+    # corpus shuffle, no cartesian); the norm-bound filter must sit in
+    # the plan (a Filter referencing the broadcast threshold)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm27_mips_norm_pruned"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert text.count("TakeOrderedAndProject") >= 2, text
+    assert "norm_bound" in text  # bound filter evaluated in-plan
+
+
+def test_sm28_per_probe_takeordered_no_global_window(spark):
+    # each of the 5 probe passes is a broadcast-query TakeOrdered scan;
+    # ranks come from the triangular small-frame join on proven-3-row
+    # slices — no window anywhere, partitioned or not
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm28_hard_negative_mining"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert text.count("TakeOrderedAndProject") >= 5, text
+
+
+def test_tx41_model_broadcasts_argmax_partitioned_by_doc(spark):
+    # the (<=512 x classes) likelihood grid and the priors broadcast
+    # onto the (doc, bucket) stream; the argmax window partitions by
+    # doc_id (never unpartitioned); no cartesian anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx41_nb_source_classifier"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+
+
+def test_dd30_eval_side_broadcasts_corpus_never_shuffles(spark):
+    # the eval split must broadcast (BroadcastNestedLoopJoin under the
+    # cosine-threshold condition); the train corpus is scanned map-only
+    # with only the tiny hit/label frames exchanging
+    df = _Q["dd30_semantic_decontamination"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" in text, text
