@@ -3243,3 +3243,114 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_r")
     )
+
+
+@REGISTRY.register(
+    "x71_fifo_return_matching",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS s_hi
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    s2 AS (SELECT l_partkey, q, s_hi, s_hi - q AS s_lo FROM supply),
+    ret AS (
+      SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS r_hi
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    r2 AS (SELECT l_partkey, q, r_hi, r_hi - q AS r_lo FROM ret),
+    m AS (
+      SELECT s.l_partkey,
+             COUNT(*) AS n_matches,
+             SUM(least(s.s_hi, r.r_hi) - greatest(s.s_lo, r.r_lo)) AS mq
+      FROM s2 s JOIN r2 r
+        ON s.l_partkey = r.l_partkey
+       AND s.s_hi > r.r_lo AND r.r_hi > s.s_lo
+      GROUP BY 1
+    ),
+    rt AS (SELECT l_partkey, SUM(q) AS rq FROM r2 GROUP BY 1)
+    SELECT m.l_partkey AS part_id,
+           CAST(m.n_matches AS BIGINT) AS n_matches,
+           round(CAST(m.mq AS DOUBLE), 2) AS matched_qty,
+           round(CAST(rt.rq AS DOUBLE), 2) AS return_qty,
+           round(CAST(rt.rq - m.mq AS DOUBLE), 2) AS unmatched_qty
+    FROM m JOIN rt USING (l_partkey)
+    ORDER BY m.mq DESC, m.l_partkey
+    LIMIT 20
+    """,
+    doc="FIFO layer matching WITHOUT iteration — the inventory/cost-"
+    "allocation operator (FIFO costing, lot consumption, returns-to-"
+    "shipment attribution) that row-at-a-time engines do with a "
+    "sequential scan and Spark does with interval algebra: per part, "
+    "shipments form supply layers [cumsum-qty_before, cumsum-qty_after) "
+    "and returns consume the same axis FIFO, so 'return j consumes "
+    "layer i' is EXACTLY an interval-overlap join on cumulative "
+    "coordinates, and the consumed quantity is the overlap width "
+    "least(hi,hi)-greatest(lo,lo). DECIMAL cumsums (exact, order-"
+    "independent under the per-part total order with unique "
+    "(shipdate, orderkey, linenumber) tie-break) make it replay "
+    "bit-for-bit. Top-20 parts by matched quantity, with unmatched "
+    "return overhang. Plan: two partitioned cumsum windows + ONE "
+    "part-keyed join whose range predicates prune within the key "
+    "group; everything co-partitions on l_partkey so the join adds no "
+    "extra exchange beyond the window shuffles. At 100 TB: per-part "
+    "match cardinality is (layers x returns) only within overlap — "
+    "bounded by true consumption chains, not a cross product; hot "
+    "parts are AQE-skew-split territory (docs/SCALE.md playbook).",
+    tags=("extended", "fifo", "interval-join", "inventory"),
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    def layers(df):
+        return df.select(
+            "l_partkey", q.alias("q"), F.sum(q).over(w).alias("hi")
+        ).withColumn("lo", F.col("hi") - F.col("q"))
+
+    s2 = layers(li.filter(F.col("l_returnflag") != "R")).alias("s")
+    r2 = layers(li.filter(F.col("l_returnflag") == "R")).alias("r")
+    m = (
+        s2.join(
+            r2,
+            (F.col("s.l_partkey") == F.col("r.l_partkey"))
+            & (F.col("s.hi") > F.col("r.lo"))
+            & (F.col("r.hi") > F.col("s.lo")),
+        )
+        .groupBy(F.col("s.l_partkey").alias("l_partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.sum(
+                F.least(F.col("s.hi"), F.col("r.hi"))
+                - F.greatest(F.col("s.lo"), F.col("r.lo"))
+            ).alias("mq"),
+        )
+    )
+    rt = r2.groupBy("l_partkey").agg(F.sum("q").alias("rq"))
+    return (
+        m.join(rt, "l_partkey")
+        .orderBy(F.desc("mq"), "l_partkey")
+        .limit(20)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            "n_matches",
+            F.round(F.col("mq").cast("double"), 2).alias("matched_qty"),
+            F.round(F.col("rq").cast("double"), 2).alias("return_qty"),
+            F.round((F.col("rq") - F.col("mq")).cast("double"), 2).alias(
+                "unmatched_qty"
+            ),
+        )
+    )

@@ -3013,3 +3013,110 @@ def tx41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pred_source")
     )
+
+
+@REGISTRY.register(
+    "tx42_ngram_novelty_rate",
+    oracle=r"""
+    WITH split AS (
+      SELECT doc_id, source, text,
+             CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, split,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM split
+    ),
+    grams AS (
+      SELECT doc_id, source, split,
+             unnest(list_transform(range(1, len(w) - 2),
+                    i -> md5(w[i] || ' ' || w[i + 1] || ' '
+                             || w[i + 2] || ' ' || w[i + 3]))) AS g
+      FROM toks WHERE len(w) >= 4
+    ),
+    train_set AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    ev AS (
+      SELECT e.source, e.g,
+             CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM grams e LEFT JOIN train_set t USING (g)
+      WHERE e.split = 'eval'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_grams,
+           CAST(SUM(hit) AS BIGINT) AS n_seen_in_train,
+           round(1.0 - CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6)
+               AS novelty_rate
+    FROM ev GROUP BY source
+    ORDER BY source
+    """,
+    doc="Corpus-level n-gram novelty / memorization-overlap rate (the "
+    "GPT-3-paper benchmark-contamination statistic, and the "
+    "memorization denominator extraction-rate studies start from): "
+    "with the deterministic md5 content split (tx07/dd08 convention), "
+    "what fraction of the EVAL slice's word-4-gram INSTANCES already "
+    "occur anywhere in the TRAIN slice, per source. Complements "
+    "dd07/dd08, which rank per-document-PAIR containment: this is the "
+    "corpus-grain rate a data card reports, computed over every "
+    "instance rather than top-k suspects. Grams travel as md5 digests "
+    "(16-byte join keys, never the raw text); the train side "
+    "deduplicates to a distinct-digest set before the probe join. "
+    "Plan: one explode feeding both sides, a digest-keyed distinct, "
+    "one digest-keyed left join (Bloom-prunable at scale: the train "
+    "digest set is exactly what a runtime row-filter digests down "
+    "to), then a source-grain agg. At 100 TB both sides shuffle "
+    "16-byte keys only; the join is the dd01 fingerprint shape over "
+    "grams instead of documents.",
+    tags=("text", "llm", "contamination", "memorization", "ngram"),
+)
+def tx42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    split = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+    )
+    w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    toks = split.select("doc_id", "source", "split", w.alias("w")).filter(
+        F.size("w") >= 4
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "split",
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 3),
+                lambda x, i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        x,
+                        F.element_at(F.col("w"), i + 2),
+                        F.element_at(F.col("w"), i + 3),
+                        F.element_at(F.col("w"), i + 4),
+                    )
+                ),
+            )
+        ).alias("g"),
+    )
+    train_set = grams.filter(F.col("split") == "train").select("g").distinct()
+    ev = (
+        grams.filter(F.col("split") == "eval")
+        .join(train_set.withColumn("hit", F.lit(1)), "g", "left")
+        .select("source", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    return (
+        ev.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_grams"),
+            F.sum("hit").cast("long").alias("n_seen_in_train"),
+            F.round(
+                1.0 - F.sum("hit").cast("double") / F.count("*"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

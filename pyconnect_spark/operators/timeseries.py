@@ -3143,3 +3143,96 @@ def ts48(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+@REGISTRY.register(
+    "ts49_bollinger_bands",
+    oracle="""
+    WITH closes AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value AS close
+      FROM (
+        SELECT event_type, ts, value,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    banded AS (
+      SELECT event_type, day, close,
+             AVG(close)         OVER w AS mid,
+             STDDEV_SAMP(close) OVER w AS sd,
+             COUNT(*)           OVER w AS n_obs
+      FROM closes
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN round(close - (mid + 2 * sd), 6) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_up,
+           CAST(SUM(CASE WHEN round((mid - 2 * sd) - close, 6) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_down,
+           round(AVG(4 * sd), 6) AS mean_band_width
+    FROM banded
+    WHERE n_obs = 20 AND sd > 1e-9
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Bollinger bands over per-type daily closes: the last value of "
+    "each (event_type, day) — deterministic close via (ts, event_id) "
+    "tie-break — feeds a 20-observation rolling mean +/- 2 sigma "
+    "band, and days piercing a band count as breakouts (the classic "
+    "volatility-envelope signal, same family as ts15/ts43 control "
+    "charts but band-relative rather than z-relative). Warm-up guard: "
+    "only full 20-row frames score, zero-variance frames are skipped, "
+    "and the breakout decision compares the 6 dp-rounded margin (the "
+    "ts15 convention) so an ulp of stddev drift cannot flip a count "
+    "between engines. Plan: one (type, day)-keyed close extraction "
+    "(high-cardinality partitioned window), then a per-type ordered "
+    "frame over the ~|days| close rows — the moving aggregate is "
+    "O(1)/row. At 100 TB the close extraction is the only pass that "
+    "sees raw events; the band pass runs on the day-grain rollup, "
+    "thousands of rows per type regardless of corpus size.",
+    tags=("timeseries", "finance", "window-frame", "anomaly"),
+)
+def ts49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    wrn = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    closes = (
+        ev.withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").alias("close"),
+        )
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    banded = closes.select(
+        "event_type",
+        "close",
+        F.avg("close").over(wb).alias("mid"),
+        F.stddev_samp("close").over(wb).alias("sd"),
+        F.count("*").over(wb).alias("n_obs"),
+    )
+    up = F.round(F.col("close") - (F.col("mid") + 2 * F.col("sd")), 6) > 0
+    dn = F.round((F.col("mid") - 2 * F.col("sd")) - F.col("close"), 6) > 0
+    return (
+        banded.filter((F.col("n_obs") == 20) & (F.col("sd") > 1e-9))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(F.when(up, 1).otherwise(0)).cast("long").alias("n_breakout_up"),
+            F.sum(F.when(dn, 1).otherwise(0)).cast("long").alias("n_breakout_down"),
+            F.round(F.avg(4 * F.col("sd")), 6).alias("mean_band_width"),
+        )
+        .orderBy("event_type")
+    )

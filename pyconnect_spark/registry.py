@@ -97,6 +97,9 @@ _DECLARED_IN_ROUND = {
     # fourth wave
     "sm27_mips_norm_pruned": 8, "sm28_hard_negative_mining": 8,
     "tx41_nb_source_classifier": 8, "dd30_semantic_decontamination": 8,
+    # fifth wave
+    "x71_fifo_return_matching": 9, "ts49_bollinger_bands": 9,
+    "tx42_ngram_novelty_rate": 9,
 }
 
 

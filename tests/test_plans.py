@@ -881,3 +881,35 @@ def test_dd30_eval_side_broadcasts_corpus_never_shuffles(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" in text, text
+
+
+def test_x71_fifo_join_copartitions_on_partkey(spark):
+    # the interval-overlap join must key on l_partkey (equi-join with
+    # range residuals), never a cartesian; cumsum windows partition by
+    # part
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x71_fifo_return_matching"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_ts49_band_pass_runs_on_day_grain(spark):
+    # both windows are partitioned (close extraction by (type, day),
+    # bands by type over day-grain rows); no global window, no cartesian
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts49_bollinger_bands"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_tx42_probe_join_ships_digests_not_text(spark):
+    # the train/eval probe join must key on the md5 digest column; the
+    # exchange before the join carries the 32-hex digest, not raw text
+    df = _Q["tx42_ngram_novelty_rate"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "md5" in text  # digests computed below the join
