@@ -3354,3 +3354,99 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "x72_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+    cnt AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / ca.n_item, 6) AS conf_a_to_b,
+           round(CAST(p.n_pair AS DOUBLE) / cb.n_item, 6) AS conf_b_to_a,
+           round(CAST(nb.n * p.n_pair AS DOUBLE)
+                 / CAST(ca.n_item * cb.n_item AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.item = p.part_a
+    JOIN cnt cb ON cb.item = p.part_b
+    CROSS JOIN nb
+    ORDER BY round(CAST(nb.n * p.n_pair AS DOUBLE)
+                   / CAST(ca.n_item * cb.n_item AS DOUBLE), 9) DESC,
+             p.part_a, p.part_b
+    LIMIT 20
+    """,
+    doc="Market-basket association rules (the Apriori level-2 pass): "
+    "part pairs co-occurring in >= 3 order baskets, scored with both "
+    "directed confidences and lift, top-20 rules by lift. The "
+    "min-support HAVING is the Apriori pruning step — it bounds the "
+    "pair table long before scoring. All statistics are single "
+    "divisions of exact integer counts (bit-deterministic); the rank "
+    "orders by the 9 dp-rounded lift with (a, b) tie-break. Plan: "
+    "basket-keyed self-join (co-partitioned on basket, map-side "
+    "a<b dedup), pair-keyed count agg with partial combiners, two "
+    "broadcast joins onto the tiny frequent-item count table, "
+    "TakeOrdered top-20. At 100 TB baskets are bounded (a basket "
+    "self-join is quadratic only in per-basket size, ~items^2 per "
+    "order), the pair agg ships (int, int) keys, and hot items are "
+    "the documented AQE-skew case; x40 is the same algebra at "
+    "event-type grain, x70 consumes these edges for PageRank.",
+    tags=("extended", "basket", "association-rules", "apriori"),
+)
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = items.select(F.countDistinct("basket").alias("n"))
+    cnt = items.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ca = cnt.select(F.col("item").alias("part_a"), F.col("n_item").alias("na"))
+    cb = cnt.select(F.col("item").alias("part_b"), F.col("n_item").alias("nb_"))
+    lift = (F.col("n") * F.col("n_pair")).cast("double") / (
+        F.col("na") * F.col("nb_")
+    ).cast("double")
+    scored = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("nb_"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(lift, 6).alias("lift"),
+            F.round(lift, 9).alias("_l9"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_l9"), "part_a", "part_b").limit(20).drop("_l9")
+    )

@@ -3236,3 +3236,136 @@ def ts49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts50_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                        / COUNT(value), 6) AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, day, m,
+             SUM(m)     OVER w AS s_k,
+             SUM(m * m) OVER w AS q_k,
+             COUNT(*)   OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT event_type, SUM(m) AS s_n, SUM(m * m) AS q_n, COUNT(*) AS n
+      FROM daily GROUP BY 1
+    ),
+    cost AS (
+      SELECT p.event_type, p.day, p.k, t.n, p.s_k, t.s_n,
+             round((CAST(p.q_k AS DOUBLE)
+                    - CAST(p.s_k AS DOUBLE) * CAST(p.s_k AS DOUBLE) / p.k)
+                   + (CAST(t.q_n - p.q_k AS DOUBLE)
+                      - CAST(t.s_n - p.s_k AS DOUBLE)
+                        * CAST(t.s_n - p.s_k AS DOUBLE) / (t.n - p.k)), 6)
+                 AS sse
+      FROM pre p JOIN tot t USING (event_type)
+      WHERE p.k < t.n
+    ),
+    best AS (
+      SELECT event_type, day, k, n, s_k, s_n, sse,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sse, day) AS rn
+      FROM cost QUALIFY rn = 1
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(k AS BIGINT) AS n_pre, CAST(n - k AS BIGINT) AS n_post,
+           round(CAST(s_k AS DOUBLE) / k, 6) AS pre_mean,
+           round(CAST(s_n - s_k AS DOUBLE) / (n - k), 6) AS post_mean,
+           round(CAST(s_n - s_k AS DOUBLE) / (n - k)
+                 - CAST(s_k AS DOUBLE) / k, 6) AS mean_shift,
+           sse AS split_sse
+    FROM best ORDER BY event_type
+    """,
+    doc="Single-changepoint estimation by binary segmentation (the first "
+    "split of the BinSeg/PELT family; ts18's CUSUM detects that a "
+    "shift happened, this estimates WHERE): per event_type, the daily-"
+    "mean series is split at the day minimizing total within-segment "
+    "SSE, evaluated for every candidate split in one pass from exact "
+    "prefix sums — cost(k) = (Q_k - S_k^2/k) + (Q_rest - S_rest^2/"
+    "(n-k)) needs only DECIMAL running sums of m and m^2, no per-split "
+    "rescan. Daily means round to 6 dp and become DECIMAL, so prefix "
+    "sums are exact and order-independent; the SSE rounds to 6 dp "
+    "before the argmin (tie-break: earlier day). Emits segment sizes, "
+    "means, shift, and the achieved SSE. Plan: day-grain rollup, one "
+    "partitioned cumsum window, a per-type totals join, a per-type "
+    "argmin window over |days| rows. At 100 TB only the day rollup "
+    "sees raw events; each further BinSeg recursion level is one more "
+    "pass over the day-grain frame with segment-id added to the keys.",
+    tags=("timeseries", "changepoint", "binseg", "anomaly"),
+)
+def ts50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("value"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("m").over(w).alias("s_k"),
+        F.sum(F.col("m") * F.col("m")).over(w).alias("q_k"),
+        F.count("*").over(w).alias("k"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("m").alias("s_n"),
+        F.sum(F.col("m") * F.col("m")).alias("q_n"),
+        F.count("*").alias("n"),
+    )
+    sk = F.col("s_k").cast("double")
+    srest = (F.col("s_n") - F.col("s_k")).cast("double")
+    sse = F.round(
+        (F.col("q_k").cast("double") - sk * sk / F.col("k"))
+        + (
+            (F.col("q_n") - F.col("q_k")).cast("double")
+            - srest * srest / (F.col("n") - F.col("k"))
+        ),
+        6,
+    )
+    cost = (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("k") < F.col("n"))
+        .withColumn("sse", sse)
+    )
+    wbest = Window.partitionBy("event_type").orderBy("sse", "day")
+    best = cost.withColumn("rn", F.row_number().over(wbest)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("k").cast("long").alias("n_pre"),
+        (F.col("n") - F.col("k")).cast("long").alias("n_post"),
+        F.round(F.col("s_k").cast("double") / F.col("k"), 6).alias("pre_mean"),
+        F.round(srest / (F.col("n") - F.col("k")), 6).alias("post_mean"),
+        F.round(
+            srest / (F.col("n") - F.col("k"))
+            - F.col("s_k").cast("double") / F.col("k"),
+            6,
+        ).alias("mean_shift"),
+        F.col("sse").alias("split_sse"),
+    ).orderBy("event_type")

@@ -100,6 +100,8 @@ _DECLARED_IN_ROUND = {
     # fifth wave
     "x71_fifo_return_matching": 9, "ts49_bollinger_bands": 9,
     "tx42_ngram_novelty_rate": 9,
+    # sixth wave
+    "ts50_changepoint_binseg": 10, "x72_association_rules": 10,
 }
 
 

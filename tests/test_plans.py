@@ -913,3 +913,26 @@ def test_tx42_probe_join_ships_digests_not_text(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "md5" in text  # digests computed below the join
+
+
+def test_ts50_single_cumsum_pass_with_broadcast_totals(spark):
+    # the per-split SSE must come from ONE partitioned cumsum window
+    # plus a broadcast per-type totals join — never a per-split rescan
+    # or an unpartitioned window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts50_changepoint_binseg"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+
+
+def test_x72_pair_agg_combines_and_count_tables_broadcast(spark):
+    # the basket self-join keys on basket (equi-join); the item count
+    # tables broadcast onto the pair frame; the top-20 is TakeOrdered
+    df = _Q["x72_association_rules"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "TakeOrderedAndProject" in text, text
+    assert has_broadcast_join(df)

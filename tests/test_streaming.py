@@ -1653,3 +1653,67 @@ def test_s31_streaming_cms_equals_batch_sketch(spark, tmp_path):
     for w, n in truth.items():
         assert est[w] >= n, (w, est[w], n)  # one-sided error
     assert est["alpha"] >= est["gamma"]
+
+
+def test_s32_streaming_decontamination_gate(spark, tmp_path):
+    """S32: streaming eval-set decontamination gate (streaming/decontam.py).
+    Docs sharing ANY word-4-gram with the frozen eval set are dropped at
+    ingest; clean docs pass; the gate is stateless so a second drain with
+    the same eval digests gates identically; gram digests match tx42's
+    batch construction (shared gram_digests builder)."""
+    from pyconnect_spark.streaming.decontam import (
+        build_eval_digests,
+        decontam_stream,
+        gram_digests,
+    )
+
+    eval_rows = [(1001, "the quick brown fox jumps over the lazy dog")]
+    schema = "doc_id long, text string"
+    eval_df = spark.createDataFrame(eval_rows, schema)
+    digests = build_eval_digests(eval_df).persist()
+
+    batch1 = [
+        (1, "completely unrelated text about spark engines and shuffles"),
+        (2, "he saw the quick brown fox jumps far away"),  # shares a 4-gram
+    ]
+    batch2 = [
+        (3, "over the lazy dog went the cart"),  # shares "over the lazy dog"
+        (4, "clean document with novel words only here"),
+    ]
+    incoming = str(tmp_path / "incoming")
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+
+    def drain():
+        q = decontam_stream(
+            spark.readStream.schema(schema).parquet(incoming),
+            digests,
+            accepted_dir=accepted,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+
+    assert drain() == {1}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    assert drain() == {1, 4}
+
+    # stream-side grams must equal the batch (tx42) construction
+    got = {
+        r["g"]
+        for r in gram_digests(spark.createDataFrame(eval_rows, schema)).collect()
+    }
+    import hashlib
+
+    words = eval_rows[0][1].split()
+    want = {
+        hashlib.md5(" ".join(words[i : i + 4]).encode()).hexdigest()
+        for i in range(len(words) - 3)
+    }
+    assert got == want
