@@ -3450,3 +3450,94 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("_l9"), "part_a", "part_b").limit(20).drop("_l9")
     )
+
+
+@REGISTRY.register(
+    "x73_er_blocking_audit",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.blk,
+             levenshtein(a.p_name, c.p_name) AS d
+      FROM b a JOIN b c
+        ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    ),
+    stat AS (
+      SELECT blk,
+             COUNT(*) AS n_pairs,
+             SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_exact,
+             SUM(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS n_near
+      FROM pairs GROUP BY 1
+    ),
+    members AS (SELECT blk, COUNT(*) AS n_members FROM b GROUP BY 1)
+    SELECT m.blk, CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           CAST(s.n_exact AS BIGINT) AS n_exact,
+           CAST(s.n_near AS BIGINT) AS n_near,
+           round(CAST(s.n_exact + s.n_near AS DOUBLE) / s.n_pairs, 6)
+               AS match_rate
+    FROM members m JOIN stat s USING (blk)
+    ORDER BY s.n_pairs DESC, m.blk
+    LIMIT 20
+    """,
+    doc="Entity-resolution blocking audit — the candidate-generation "
+    "step every record-linkage / catalog-dedup pipeline runs, "
+    "instrumented: records block on a cheap key (first name token), "
+    "candidate pairs are verified with Levenshtein inside each block "
+    "only, and the audit reports per-block candidate volume, exact and "
+    "near (edit distance 1-3) match counts, and the precision proxy "
+    "match_rate — exactly the readout used to TUNE a blocking scheme "
+    "(a block with huge n_pairs and low match_rate is wasted quadratic "
+    "work; the top-20-by-pairs output IS the skew hot list). All "
+    "counts integral; one division. Plan: block-keyed self-join "
+    "(co-partitioned, a.id < c.id dedup in the join condition), "
+    "per-block combiner agg, TakeOrdered. At 100 TB per-block work is "
+    "quadratic in block size BY DESIGN (that is what the audit "
+    "measures); production blocks are capped/split (the dd25 df-cap "
+    "idiom) and hot blocks are the AQE-skew case. The verify metric "
+    "stays JVM-side (built-in levenshtein, whole-stage codegen).",
+    tags=("extended", "entity-resolution", "blocking", "fuzzy-join"),
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    b = p.select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("c.p_name")).alias("d"),
+    )
+    stat = pairs.groupBy("blk").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0)).alias("n_near"),
+    )
+    members = b.groupBy("blk").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        members.join(stat, "blk")
+        .orderBy(F.desc("n_pairs"), "blk")
+        .limit(20)
+        .select(
+            "blk",
+            "n_members",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_near").cast("long").alias("n_near"),
+            F.round(
+                (F.col("n_exact") + F.col("n_near")).cast("double")
+                / F.col("n_pairs"),
+                6,
+            ).alias("match_rate"),
+        )
+    )

@@ -3120,3 +3120,132 @@ def tx42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+
+@REGISTRY.register(
+    "tx43_filter_ablation_grid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_c,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+             {_sql_count('text', _STOP_RE)} AS n_stop,
+             {_sql_count('text', _PUNCT_RE)} AS n_punct
+      FROM documents
+    ),
+    flags AS (
+      SELECT n_tokens,
+             n_chars_c >= 200 AS len_ok,
+             n_stop * 20 >= n_tokens AS stop_ok,
+             n_punct * 5 <= n_chars_c AS punct_ok
+      FROM scored
+    ),
+    combos(filters, need_len, need_stop, need_punct) AS (
+      VALUES ('none', false, false, false),
+             ('len', true, false, false),
+             ('stop', false, true, false),
+             ('punct', false, false, true),
+             ('len+stop', true, true, false),
+             ('len+punct', true, false, true),
+             ('stop+punct', false, true, true),
+             ('len+stop+punct', true, true, true)
+    ),
+    grid AS (
+      SELECT c.filters,
+             CAST(SUM(CASE WHEN (NOT c.need_len OR f.len_ok)
+                            AND (NOT c.need_stop OR f.stop_ok)
+                            AND (NOT c.need_punct OR f.punct_ok)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN (NOT c.need_len OR f.len_ok)
+                            AND (NOT c.need_stop OR f.stop_ok)
+                            AND (NOT c.need_punct OR f.punct_ok)
+                           THEN f.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
+      FROM flags f CROSS JOIN combos c
+      GROUP BY 1
+    ),
+    tot AS (SELECT n_docs AS d, n_tokens AS t FROM grid WHERE filters = 'none')
+    SELECT g.filters, g.n_docs, g.n_tokens,
+           round(CAST(g.n_docs AS DOUBLE) / tot.d, 6) AS doc_share,
+           round(CAST(g.n_tokens AS DOUBLE) / tot.t, 6) AS token_share
+    FROM grid g CROSS JOIN tot
+    ORDER BY g.filters
+    """,
+    doc="Quality-filter ablation grid — the 2^3 attribution matrix a "
+    "pipeline runs BEFORE freezing its filter stack (which rule "
+    "removes what, and how do rules overlap?): every subset of "
+    "{{length >= 200 chars, stopword ratio >= 5%, punctuation ratio "
+    "<= 20%}} reports surviving docs, surviving tokens, and shares. "
+    "All three predicates are INTEGER comparisons (stop*20 >= tokens "
+    "encodes the 5% ratio with no division), so the grid is exact in "
+    "both engines with no rounding barrier at all; the only doubles "
+    "are the final shares. Plan: ONE scan computes the three flags "
+    "per document, an 8-row combo table cross-joins (row explosion "
+    "x8, map-side), and a single combiner agg produces the whole "
+    "grid — at 100 TB this is exactly one pass over text regardless "
+    "of how many filter subsets are audited, vs the naive 8 scans. "
+    "The operating-curve companion to tx04/tx08 (which apply ONE "
+    "frozen stack) and dd17 (the dedup funnel's sequential stages).",
+    tags=("text", "llm", "quality", "ablation", "filters"),
+)
+def tx43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    flags = docs.select(
+        n_tokens.alias("n_tokens"),
+        (F.length("text").cast("long") >= 200).alias("len_ok"),
+        (_count("text", _STOP_RE).cast("long") * 20 >= n_tokens).alias(
+            "stop_ok"
+        ),
+        (
+            _count("text", _PUNCT_RE).cast("long") * 5
+            <= F.length("text").cast("long")
+        ).alias("punct_ok"),
+    )
+    combos = [
+        ("none", False, False, False),
+        ("len", True, False, False),
+        ("stop", False, True, False),
+        ("punct", False, False, True),
+        ("len+stop", True, True, False),
+        ("len+punct", True, False, True),
+        ("stop+punct", False, True, True),
+        ("len+stop+punct", True, True, True),
+    ]
+    cdf = docs.sparkSession.createDataFrame(
+        combos, "filters string, need_len boolean, need_stop boolean, need_punct boolean"
+    )
+    keep = (
+        (~F.col("need_len") | F.col("len_ok"))
+        & (~F.col("need_stop") | F.col("stop_ok"))
+        & (~F.col("need_punct") | F.col("punct_ok"))
+    )
+    grid = (
+        flags.crossJoin(F.broadcast(cdf))
+        .groupBy("filters")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    tot = grid.filter(F.col("filters") == "none").select(
+        F.col("n_docs").alias("d"), F.col("n_tokens").alias("t")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "filters",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("d"), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("filters")
+    )

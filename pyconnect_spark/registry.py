@@ -102,6 +102,8 @@ _DECLARED_IN_ROUND = {
     "tx42_ngram_novelty_rate": 9,
     # sixth wave
     "ts50_changepoint_binseg": 10, "x72_association_rules": 10,
+    # seventh wave
+    "x73_er_blocking_audit": 11, "tx43_filter_ablation_grid": 11,
 }
 
 

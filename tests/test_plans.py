@@ -936,3 +936,25 @@ def test_x72_pair_agg_combines_and_count_tables_broadcast(spark):
     assert "CartesianProduct" not in text
     assert "TakeOrderedAndProject" in text, text
     assert has_broadcast_join(df)
+
+
+def test_x73_block_join_copartitions_no_cartesian(spark):
+    # the candidate join must key on the block (equi-join with the
+    # id-order residual), never a cartesian; top-20 is TakeOrdered
+    df = _Q["x73_er_blocking_audit"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "TakeOrderedAndProject" in text, text
+    assert "levenshtein" in text  # verify metric stays JVM-side
+
+
+def test_tx43_single_scan_feeds_whole_grid(spark):
+    # the 8-combo ablation must read documents ONCE (one FileScan of
+    # documents) — the combo table broadcasts and explodes map-side
+    df = _Q["tx43_filter_ablation_grid"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*documents", text)
+    assert len(scans) <= 2, text  # grid pass + the totals reuse
