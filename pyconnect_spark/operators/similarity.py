@@ -3457,3 +3457,161 @@ def sm28(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, passes)
+
+
+@REGISTRY.register(
+    "sm29_diag_lda_probe",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label % 2 AS cls, embedding FROM embeddings
+    ),
+    d AS (
+      SELECT cls, unnest(range(1, len(embedding) + 1)) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM e
+    ),
+    st AS (
+      SELECT idx, cls, COUNT(*) AS n,
+             round(AVG(v), 6) AS m, round(VAR_SAMP(v), 6) AS s2
+      FROM d GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT idx,
+             MAX(CASE WHEN cls = 0 THEN m END) AS m0,
+             MAX(CASE WHEN cls = 1 THEN m END) AS m1,
+             MAX(CASE WHEN cls = 0 THEN s2 END) AS s20,
+             MAX(CASE WHEN cls = 1 THEN s2 END) AS s21,
+             MAX(CASE WHEN cls = 0 THEN n END) AS n0,
+             MAX(CASE WHEN cls = 1 THEN n END) AS n1
+      FROM st GROUP BY 1
+    ),
+    wv AS (
+      SELECT idx, m0, m1,
+             round((m1 - m0)
+                   / (round(((n0 - 1) * s20 + (n1 - 1) * s21)
+                            / (n0 + n1 - 2), 9) + 1e-6), 6) AS w
+      FROM piv
+    ),
+    wl AS (SELECT list(w ORDER BY idx) AS wlist FROM wv),
+    cth AS (
+      SELECT CAST(SUM(CAST(round(w * (m0 + m1) / 2, 9) AS DECIMAL(20, 9)))
+                  AS DOUBLE) AS c
+      FROM wv
+    ),
+    scored AS (
+      SELECT e.cls,
+             list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * wl.wlist[CAST(i AS INT)]), 'sum') AS s
+      FROM e CROSS JOIN wl
+    )
+    SELECT CAST(cls AS BIGINT) AS cls,
+           CAST(CASE WHEN round(s - cth.c, 9) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(s), 6) AS mean_score
+    FROM scored CROSS JOIN cth
+    GROUP BY 1, 2, cth.c
+    ORDER BY 1, 2
+    """,
+    doc="Linear-probe evaluation of the embedding space — the standard "
+    "'are these representations any good?' check run on every learned "
+    "embedding table, here as closed-form diagonal LDA (Gaussian "
+    "Naive Bayes probe, the no-iteration member of the linear-probe "
+    "family): binary target label%2, per-dimension class means and "
+    "variances (6 dp barrier) give w_d = (m1-m0)/(pooled var + 1e-6), "
+    "every vector scores w.x against the midpoint threshold (DECIMAL-"
+    "exact sum of 9 dp terms), and the readout is the 2x2 confusion "
+    "matrix with mean scores. Fully oracle-replayed: the weight "
+    "vector assembles in dimension order in both engines and the dot "
+    "products accumulate left-to-right. Plan: one posexplode agg to "
+    "(dim, class) stats — 2d rows — the d-row weight table folds to "
+    "ONE broadcast array + one broadcast scalar, scoring is a map-"
+    "only pass, the confusion agg is 4 rows. At 100 TB this is two "
+    "linear passes and a KB broadcast; upgrading to full-covariance "
+    "LDA or ridge probes swaps the diagonal fold for x12's Gram-"
+    "matrix pattern (d^2 agg cells), same shape.",
+    tags=("similarity", "llm", "probe", "lda", "eval"),
+)
+def sm29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).alias("cls"),
+        "embedding",
+    )
+    d = e.select(
+        "cls",
+        F.posexplode(
+            F.transform("embedding", lambda y: y.cast("double"))
+        ).alias("pos", "v"),
+    )
+    st = d.groupBy("pos", "cls").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.var_samp("v"), 6).alias("s2"),
+    )
+    piv = st.groupBy("pos").agg(
+        F.max(F.when(F.col("cls") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("cls") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("cls") == 0, F.col("s2"))).alias("s20"),
+        F.max(F.when(F.col("cls") == 1, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("cls") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cls") == 1, F.col("n"))).alias("n1"),
+    )
+    vp = F.round(
+        ((F.col("n0") - 1) * F.col("s20") + (F.col("n1") - 1) * F.col("s21"))
+        / (F.col("n0") + F.col("n1") - 2),
+        9,
+    )
+    wv = piv.select(
+        "pos",
+        "m0",
+        "m1",
+        F.round((F.col("m1") - F.col("m0")) / (vp + 1e-6), 6).alias("w"),
+    )
+    wl = wv.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ).alias("wlist")
+    )
+    cth = wv.agg(
+        F.sum(
+            F.round(F.col("w") * (F.col("m0") + F.col("m1")) / 2, 9).cast(
+                "decimal(20,9)"
+            )
+        )
+        .cast("double")
+        .alias("c")
+    )
+    ed = F.transform("embedding", lambda y: y.cast("double"))
+    s = F.aggregate(
+        F.zip_with(ed, F.col("wlist"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(wl))
+        .crossJoin(F.broadcast(cth))
+        .select(
+            F.col("cls").cast("long").alias("cls"),
+            s.alias("s"),
+            F.col("c"),
+        )
+    )
+    return (
+        scored.select(
+            "cls",
+            F.when(F.round(F.col("s") - F.col("c"), 9) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pred"),
+            "s",
+        )
+        .groupBy("cls", "pred")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+        )
+        .orderBy("cls", "pred")
+    )

@@ -3369,3 +3369,149 @@ def ts50(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_shift"),
         F.col("sse").alias("split_sse"),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts51_interrupted_time_series",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                        / COUNT(value), 6) AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(day) AS d0,
+             CAST(date_diff('day', MIN(day), MAX(day)) / 2 AS BIGINT)
+                 AS t_split
+      FROM daily GROUP BY 1
+    ),
+    seg AS (
+      SELECT d.event_type,
+             CAST(date_diff('day', s.d0, d.day) AS BIGINT) AS tt, d.m,
+             CASE WHEN CAST(date_diff('day', s.d0, d.day) AS BIGINT)
+                       <= s.t_split
+                  THEN 'pre' ELSE 'post' END AS seg,
+             s.t_split
+      FROM daily d JOIN spans s USING (event_type)
+    ),
+    fits AS (
+      SELECT event_type, seg, t_split,
+             COUNT(*) AS n,
+             SUM(tt) AS st, SUM(tt * tt) AS stt,
+             SUM(m) AS sy, SUM(tt * m) AS sty
+      FROM seg GROUP BY 1, 2, 3
+    ),
+    coef AS (
+      SELECT event_type, seg, t_split,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                 AS b,
+             CAST(sy AS DOUBLE) / n AS ybar, CAST(st AS DOUBLE) / n AS tbar
+      FROM fits WHERE n >= 3
+    ),
+    ab AS (
+      SELECT event_type, seg, t_split, b, ybar - b * tbar AS a FROM coef
+    )
+    SELECT p.event_type,
+           round(p.b, 6) AS pre_slope,
+           round(q.b, 6) AS post_slope,
+           round(q.b - p.b, 6) AS slope_change,
+           round((q.a + q.b * p.t_split) - (p.a + p.b * p.t_split), 6)
+               AS level_change_at_split
+    FROM ab p JOIN ab q
+      ON p.event_type = q.event_type AND p.seg = 'pre' AND q.seg = 'post'
+    ORDER BY p.event_type
+    """,
+    doc="Interrupted time-series / segmented regression (the causal-"
+    "inference readout layered on a changepoint: ts50 estimates WHERE "
+    "the series broke, this quantifies HOW — slope change and the "
+    "level discontinuity at the break): per event_type the daily-mean "
+    "series splits at its calendar midpoint (standing in for the "
+    "known intervention date) and each segment gets a closed-form OLS "
+    "line from exact sufficient statistics — n, sum t, sum t^2 "
+    "(integers), sum m, sum t*m (DECIMAL, since the daily means pass "
+    "the 6 dp barrier first) — so the slope/intercept are single "
+    "double expressions over order-independent sums, identical in "
+    "both engines. Emits pre/post slopes, the slope change, and the "
+    "level change evaluated AT the split. Plan: day-grain rollup, a "
+    "broadcast per-type span table, one (type, segment) agg of five "
+    "sufficient statistics, a 2-row-per-type self-join. At 100 TB "
+    "only the rollup touches raw events; adding covariates upgrades "
+    "the same shape to normal equations (x12's Gram-matrix pattern).",
+    tags=("timeseries", "regression", "causal", "its"),
+)
+def ts51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("value"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) / 2)
+        .cast("long")
+        .alias("t_split"),
+    )
+    seg = daily.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("tt"),
+        "m",
+        F.when(
+            F.datediff("day", "d0").cast("long") <= F.col("t_split"), "pre"
+        )
+        .otherwise("post")
+        .alias("seg"),
+        "t_split",
+    )
+    fits = seg.groupBy("event_type", "seg", "t_split").agg(
+        F.count("*").alias("n"),
+        F.sum("tt").alias("st"),
+        F.sum(F.col("tt") * F.col("tt")).alias("stt"),
+        F.sum("m").alias("sy"),
+        F.sum(F.col("tt") * F.col("m")).alias("sty"),
+    )
+    b = (
+        F.col("n") * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    coef = fits.filter(F.col("n") >= 3).select(
+        "event_type",
+        "seg",
+        "t_split",
+        b.alias("b"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("st").cast("double") / F.col("n")).alias("tbar"),
+    )
+    ab = coef.select(
+        "event_type",
+        "seg",
+        "t_split",
+        "b",
+        (F.col("ybar") - F.col("b") * F.col("tbar")).alias("a"),
+    )
+    p = ab.filter(F.col("seg") == "pre").alias("p")
+    q = ab.filter(F.col("seg") == "post").alias("q")
+    return (
+        p.join(q, F.col("p.event_type") == F.col("q.event_type"))
+        .select(
+            F.col("p.event_type").alias("event_type"),
+            F.round(F.col("p.b"), 6).alias("pre_slope"),
+            F.round(F.col("q.b"), 6).alias("post_slope"),
+            F.round(F.col("q.b") - F.col("p.b"), 6).alias("slope_change"),
+            F.round(
+                (F.col("q.a") + F.col("q.b") * F.col("p.t_split"))
+                - (F.col("p.a") + F.col("p.b") * F.col("p.t_split")),
+                6,
+            ).alias("level_change_at_split"),
+        )
+        .orderBy("event_type")
+    )

@@ -104,6 +104,8 @@ _DECLARED_IN_ROUND = {
     "ts50_changepoint_binseg": 10, "x72_association_rules": 10,
     # seventh wave
     "x73_er_blocking_audit": 11, "tx43_filter_ablation_grid": 11,
+    # eighth wave
+    "ts51_interrupted_time_series": 12, "sm29_diag_lda_probe": 12,
 }
 
 

@@ -958,3 +958,28 @@ def test_tx43_single_scan_feeds_whole_grid(spark):
 
     scans = re.findall(r"FileScan parquet[^\n]*documents", text)
     assert len(scans) <= 2, text  # grid pass + the totals reuse
+
+
+def test_ts51_sufficient_stats_single_agg_broadcast_spans(spark):
+    # OLS coefficients must come from one (type, segment) agg of exact
+    # sufficient statistics with the span table broadcast — no
+    # per-candidate rescan, no unpartitioned window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts51_interrupted_time_series"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+
+
+def test_sm29_weight_vector_broadcasts_scoring_map_only(spark):
+    # the d-row weight fold must broadcast (array + scalar) onto the
+    # scoring pass; the corpus never cartesian-joins or globally sorts
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm29_diag_lda_probe"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
