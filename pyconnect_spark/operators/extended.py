@@ -3541,3 +3541,127 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("match_rate"),
         )
     )
+
+
+@REGISTRY.register(
+    "x74_littles_law_audit",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS open_d,
+             greatest(MAX(CAST(l.l_shipdate AS DATE)),
+                      CAST(o.o_orderdate AS DATE)) AS close_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT strftime(date_trunc('month', open_d), '%Y-%m') AS month,
+             COUNT(*) AS arrivals,
+             SUM(date_diff('day', open_d, close_d) + 1) AS sum_dur
+      FROM spans GROUP BY 1
+    ),
+    occ AS (
+      SELECT strftime(mstart, '%Y-%m') AS month,
+             SUM(date_diff('day',
+                           greatest(open_d, CAST(mstart AS DATE)),
+                           least(close_d, last_day(CAST(mstart AS DATE))))
+                 + 1) AS od_days,
+             CAST(day(last_day(MIN(CAST(mstart AS DATE)))) AS BIGINT)
+                 AS days_in_month
+      FROM (
+        SELECT open_d, close_d,
+               unnest(generate_series(date_trunc('month', open_d),
+                                      date_trunc('month', close_d),
+                                      INTERVAL 1 MONTH)) AS mstart
+        FROM spans
+      ) GROUP BY 1
+    )
+    SELECT a.month,
+           CAST(a.arrivals AS BIGINT) AS arrivals,
+           round(CAST(a.sum_dur AS DOUBLE) / a.arrivals, 6) AS avg_wait_days,
+           round(CAST(o.od_days AS DOUBLE) / o.days_in_month, 6) AS l_observed,
+           round((CAST(o.od_days AS DOUBLE) / o.days_in_month)
+                 / ((CAST(a.arrivals AS DOUBLE) / o.days_in_month)
+                    * (CAST(a.sum_dur AS DOUBLE) / a.arrivals)), 6)
+               AS littles_ratio
+    FROM arr a JOIN occ o USING (month)
+    ORDER BY a.month
+    """,
+    doc="Little's-law consistency audit (L = lambda * W, the queueing "
+    "identity capacity planning sanity-checks its instrumentation "
+    "with): each order is an open interval [orderdate, last shipdate]; "
+    "per month the audit reports the arrival count, average time-in-"
+    "system W, the OBSERVED average work-in-progress L (open order-"
+    "days / days-in-month, computed by month-overlap arithmetic — no "
+    "per-day explode) and the ratio L / (lambda*W), which departs "
+    "from ~1 exactly where intervals cross month boundaries "
+    "unevenly — the same boundary-effect a real WIP dashboard has to "
+    "explain. All inputs are integer day counts; divisions are "
+    "written identically in both engines. Plan: one orderkey-keyed "
+    "join+agg builds the spans, a per-order MONTH explode (a handful "
+    "of rows per order, vs ts48's per-event deltas) feeds the "
+    "occupancy agg, and the month join is on a tiny frame. At 100 TB "
+    "the span build co-partitions on orderkey and the month frames "
+    "are calendar-bounded.",
+    tags=("extended", "queueing", "littles-law", "operations"),
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("open_d"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("max_ship"))
+        .select(
+            "o_orderkey",
+            "open_d",
+            F.greatest("max_ship", "open_d").alias("close_d"),
+        )
+    )
+    arr = spans.groupBy(
+        F.date_format(F.trunc("open_d", "MM"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("arrivals"),
+        F.sum(F.datediff("close_d", "open_d") + 1).alias("sum_dur"),
+    )
+    months = spans.select(
+        "open_d",
+        "close_d",
+        F.explode(
+            F.sequence(
+                F.trunc("open_d", "MM"),
+                F.trunc("close_d", "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mstart"),
+    )
+    occ = months.groupBy(
+        F.date_format("mstart", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(
+            F.datediff(
+                F.least("close_d", F.last_day("mstart")),
+                F.greatest("open_d", "mstart"),
+            )
+            + 1
+        ).alias("od_days"),
+        F.dayofmonth(F.last_day(F.min("mstart"))).cast("long").alias(
+            "days_in_month"
+        ),
+    )
+    lam_w = (
+        F.col("arrivals").cast("double") / F.col("days_in_month")
+    ) * (F.col("sum_dur").cast("double") / F.col("arrivals"))
+    l_obs = F.col("od_days").cast("double") / F.col("days_in_month")
+    return (
+        arr.join(occ, "month")
+        .select(
+            "month",
+            F.col("arrivals").cast("long").alias("arrivals"),
+            F.round(
+                F.col("sum_dur").cast("double") / F.col("arrivals"), 6
+            ).alias("avg_wait_days"),
+            F.round(l_obs, 6).alias("l_observed"),
+            F.round(l_obs / lam_w, 6).alias("littles_ratio"),
+        )
+        .orderBy("month")
+    )

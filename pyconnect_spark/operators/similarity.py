@@ -3615,3 +3615,77 @@ def sm29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls", "pred")
     )
+
+
+_SM30_COS = """round(
+               list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding,
+                          y -> CAST(y AS DOUBLE) * y), 'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "sm30_reciprocal_nn_pairs",
+    oracle=f"""
+    WITH nn AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {_SM30_COS} AS c9,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SM30_COS} DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      QUALIFY rn = 1
+    )
+    SELECT x.src AS vec_a, x.dst AS vec_b, round(x.c9, 6) AS cos_sim
+    FROM nn x JOIN nn y ON x.dst = y.src AND y.dst = x.src
+    WHERE x.src < x.dst
+    ORDER BY x.src
+    """,
+    doc="Reciprocal nearest-neighbor (RNN) consensus pairs: (a, b) where "
+    "b is a's top-1 neighbor AND a is b's — the mutual-best-match "
+    "criterion unsupervised alignment (MUSE/VecMap), bitext mining and "
+    "high-precision semantic dedup all use, because one-directional "
+    "top-1 is hub-polluted (sm23 measures exactly that pathology; RNN "
+    "is its standard antidote). Exact audit grain: per-vector top-1 "
+    "via a partitioned rank over the pair frame (9 dp cosine barrier, "
+    "vec_id tie-break), then a self-join on mutuality. Plan: the "
+    "pair stage is the sm02 quadratic-truth shape — at 100 TB swap in "
+    "the IVF/LSH candidate generators (sm05/sm03) for the pair frame "
+    "and the per-vector rank + mutuality join are unchanged (argmax "
+    "within candidates, (src,dst)-keyed equi-join); the rank window "
+    "keys on vec_id (== shuffle key, never global).",
+    tags=("similarity", "llm", "rnn", "mutual-nn", "dedup"),
+)
+def sm30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    c9 = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        c9.alias("c9"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c9"), F.asc("dst"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    x = nn.alias("x")
+    y = nn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.dst") == F.col("y.src"))
+            & (F.col("y.dst") == F.col("x.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("vec_a"),
+            F.col("x.dst").alias("vec_b"),
+            F.round(F.col("x.c9"), 6).alias("cos_sim"),
+        )
+        .orderBy("vec_a")
+    )

@@ -106,6 +106,8 @@ _DECLARED_IN_ROUND = {
     "x73_er_blocking_audit": 11, "tx43_filter_ablation_grid": 11,
     # eighth wave
     "ts51_interrupted_time_series": 12, "sm29_diag_lda_probe": 12,
+    # ninth wave
+    "sm30_reciprocal_nn_pairs": 13, "x74_littles_law_audit": 13,
 }
 
 

@@ -983,3 +983,23 @@ def test_sm29_weight_vector_broadcasts_scoring_map_only(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_sm30_rank_partitions_by_vec_mutuality_equijoin(spark):
+    # the per-vector top-1 rank must partition by src (never a global
+    # window); the mutuality check is a (src,dst)-keyed equi-join
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm30_reciprocal_nn_pairs"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_x74_month_overlap_no_day_explode(spark):
+    # occupancy must come from month-grain overlap arithmetic: the only
+    # explode is the per-order month sequence, never per-day rows
+    df = _Q["x74_littles_law_audit"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "month" in text.lower()
+    # one generate (month sequence); a day-grain explode would add more
+    assert text.count("Generate explode") <= 1, text
