@@ -3661,9 +3661,25 @@ def sm30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    c9 = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    # Precompute each vector's norm ONCE before the pair join (N rows,
+    # not N^2 evaluations). Same left-to-right accumulation as cosine(),
+    # so dot/(na*nb) is bit-identical to the fused expression and the
+    # oracle hash is unchanged.
+    ed = F.transform("embedding", lambda y: y.cast("double"))
+    nrm = F.sqrt(F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x))
+    normed = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("a.embedding"), lambda y: y.cast("double")),
+            F.transform(F.col("b.embedding"), lambda y: y.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c9 = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 9)
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),
