@@ -957,11 +957,18 @@ _DD09_COS_SQL = """
     tags=("dedup", "llm", "semantic", "components"),
 )
 def dd09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyconnect_spark.operators.similarity import cosine
+    from pyconnect_spark.operators.similarity import pair_dot, vector_norm
 
     emb = t(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # norms precomputed per vector (N evals, not N^2) — bit-identical to
+    # the fused cosine, see similarity.vector_norm
+    normed = emb.select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = pair_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     edges = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -1211,17 +1218,28 @@ def _dd12_oracle() -> str:
     tags=("dedup", "llm", "semantic", "components", "ann", "scale-tier"),
 )
 def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyconnect_spark.operators.similarity import cosine, seed_ivf_cells
+    from pyconnect_spark.operators.similarity import (
+        pair_dot,
+        seed_ivf_cells,
+        vector_norm,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     corpus = (
         seed_ivf_cells(spark, sf_dir)
         .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            vector_norm(F.col("embedding")).alias("nrm"),
+        )
     )
     a = corpus.alias("a")
     b = corpus.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = pair_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     edges = (
         a.join(
             b,
@@ -2893,14 +2911,23 @@ _DD30_COS = """round(
     tags=("dedup", "llm", "contamination", "semantic", "eval"),
 )
 def dd30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyconnect_spark.operators.similarity import cosine
+    from pyconnect_spark.operators.similarity import pair_dot, vector_norm
 
     emb = t(spark, sf_dir, "embeddings")
+    # norms precomputed per side (linear evals, not |train| x |eval|) —
+    # bit-identical to the fused cosine, see similarity.vector_norm
     ev = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("embedding").alias("e_emb")
+        F.col("embedding").alias("e_emb"),
+        vector_norm(F.col("embedding")).alias("e_nrm"),
     )
-    tr = emb.filter(F.col("vec_id") % 20 != 0)
-    c9 = F.round(cosine(F.col("embedding"), F.col("e_emb")), 9)
+    tr = emb.withColumn("t_nrm", vector_norm(F.col("embedding"))).filter(
+        F.col("vec_id") % 20 != 0
+    )
+    c9 = F.round(
+        pair_dot(F.col("embedding"), F.col("e_emb"))
+        / (F.col("t_nrm") * F.col("e_nrm")),
+        9,
+    )
     pairs = (
         tr.crossJoin(F.broadcast(ev))
         .select("vec_id", "label", c9.alias("c9"))

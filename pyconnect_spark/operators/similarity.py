@@ -39,6 +39,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def vector_norm(a: Column) -> Column:
+    """L2 norm of an array<numeric> column — the SAME left-to-right
+    accumulation :func:`cosine` uses, so ``dot / (norm_a * norm_b)`` with
+    norms precomputed per ROW (N evaluations) is bit-identical to the
+    fused per-PAIR expression (N^2 evaluations). Project this before a
+    pair join in the exact quadratic tiers."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def pair_dot(a: Column, b: Column) -> Column:
+    """Left-to-right dot product of two array<numeric> columns (the
+    numerator of :func:`cosine`), for use with precomputed norms."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 _ORACLE_COS = (
     "list_cosine_similarity("
     "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
@@ -87,9 +107,14 @@ def sm01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    normed = emb.select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    sim = pair_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -3661,25 +3686,18 @@ def sm30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm ONCE before the pair join (N rows,
-    # not N^2 evaluations). Same left-to-right accumulation as cosine(),
-    # so dot/(na*nb) is bit-identical to the fused expression and the
-    # oracle hash is unchanged.
-    ed = F.transform("embedding", lambda y: y.cast("double"))
-    nrm = F.sqrt(F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x))
-    normed = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    # norms precomputed per vector (N evals, not N^2) — bit-identical to
+    # the fused cosine, see vector_norm
+    normed = emb.select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
     a = normed.alias("a")
     b = normed.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("a.embedding"), lambda y: y.cast("double")),
-            F.transform(F.col("b.embedding"), lambda y: y.cast("double")),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    c9 = F.round(
+        pair_dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        9,
     )
-    c9 = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 9)
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),
