@@ -3723,3 +3723,140 @@ def sm30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+def _sm31_d2(e: str, vlist: str) -> str:
+    """DuckDB squared-L2 between embedding column `e` and a DOUBLE list
+    expression `vlist`, left-to-right — mirrors the zip_with fold."""
+    return f"""list_aggregate(list_transform(range(1, len({e}) + 1),
+        i -> (CAST({e}[CAST(i AS INT)] AS DOUBLE) - {vlist}[CAST(i AS INT)])
+             * (CAST({e}[CAST(i AS INT)] AS DOUBLE)
+                - {vlist}[CAST(i AS INT)])), 'sum')"""
+
+
+@REGISTRY.register(
+    "sm31_farthest_first_coreset",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    ),
+    c2 AS (
+      SELECT e.vec_id, list_transform(e.embedding, y -> CAST(y AS DOUBLE)) AS v,
+             round({_sm31_d2('e.embedding', 's1.v')}, 9) AS mind
+      FROM embeddings e, s1 WHERE e.vec_id <> s1.vec_id
+      ORDER BY mind DESC, e.vec_id LIMIT 1
+    ),
+    c3 AS (
+      SELECT e.vec_id, list_transform(e.embedding, y -> CAST(y AS DOUBLE)) AS v,
+             least(round({_sm31_d2('e.embedding', 's1.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c2.v')}, 9)) AS mind
+      FROM embeddings e, s1, c2
+      WHERE e.vec_id <> s1.vec_id AND e.vec_id <> c2.vec_id
+      ORDER BY mind DESC, e.vec_id LIMIT 1
+    ),
+    c4 AS (
+      SELECT e.vec_id, list_transform(e.embedding, y -> CAST(y AS DOUBLE)) AS v,
+             least(round({_sm31_d2('e.embedding', 's1.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c2.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c3.v')}, 9)) AS mind
+      FROM embeddings e, s1, c2, c3
+      WHERE e.vec_id NOT IN (s1.vec_id, c2.vec_id, c3.vec_id)
+      ORDER BY mind DESC, e.vec_id LIMIT 1
+    ),
+    c5 AS (
+      SELECT e.vec_id, list_transform(e.embedding, y -> CAST(y AS DOUBLE)) AS v,
+             least(round({_sm31_d2('e.embedding', 's1.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c2.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c3.v')}, 9),
+                   round({_sm31_d2('e.embedding', 'c4.v')}, 9)) AS mind
+      FROM embeddings e, s1, c2, c3, c4
+      WHERE e.vec_id NOT IN (s1.vec_id, c2.vec_id, c3.vec_id, c4.vec_id)
+      ORDER BY mind DESC, e.vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS rk, vec_id, 0.0 AS radius FROM s1
+    UNION ALL SELECT 2, vec_id, round(mind, 6) FROM c2
+    UNION ALL SELECT 3, vec_id, round(mind, 6) FROM c3
+    UNION ALL SELECT 4, vec_id, round(mind, 6) FROM c4
+    UNION ALL SELECT 5, vec_id, round(mind, 6) FROM c5
+    ORDER BY rk
+    """,
+    doc="Farthest-first traversal (Gonzalez's 2-approximate k-center) — "
+    "the greedy coreset selector data-curation pipelines use to pick "
+    "maximally-diverse exemplars (and the classic k-means++ "
+    "deterministic cousin; dd29 balances WITHIN clusters, this picks "
+    "the frontier BETWEEN them): start from the md5-ranked seed "
+    "(sm25's init idiom), then 4x pick the vector maximizing its "
+    "min squared-L2 distance to everything chosen so far. Emits "
+    "(order, vec_id, radius-at-selection) — the radius column is the "
+    "k-center coverage guarantee curve, the number a curation run "
+    "reports as 'how much of the space do k exemplars cover'. "
+    "Distances round to 9 dp before min/argmax (house barrier); ties "
+    "break on vec_id; the DuckDB twin unrolls all four greedy steps "
+    "as chained CTEs. Plan: k-1 map-only passes, each broadcasting "
+    "the <=k chosen rows and ending in TakeOrdered(1) — at 100 TB "
+    "each greedy step is one linear pass (the standard trade: k "
+    "passes for the 2-approximation guarantee; GonzalezFL/streaming "
+    "variants trade guarantee for passes).",
+    tags=("similarity", "llm", "coreset", "k-center", "curation"),
+)
+def sm31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb_v = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    s1 = (
+        emb_v.orderBy("h", "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rk"),
+            "vec_id",
+            F.col("v").alias("cvec"),
+            F.lit(0.0).alias("radius"),
+        )
+        # each greedy step's 1-row result is pinned (lazy localCheckpoint,
+        # the connected_components idiom) — without it step k's plan
+        # re-embeds every earlier step's subtree exponentially
+        .localCheckpoint(eager=False)
+    )
+    chosen = [s1]
+    d2 = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for k in range(2, 6):
+        seeds = reduce(
+            DataFrame.unionByName,
+            [c.select("vec_id", "cvec") for c in chosen],
+        )
+        nxt = (
+            emb_v.join(
+                seeds.select(F.col("vec_id").alias("_sid")),
+                F.col("vec_id") == F.col("_sid"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(seeds.select("cvec")))
+            .select("vec_id", "v", F.round(d2, 9).alias("d9"))
+            .groupBy("vec_id")
+            .agg(F.min("d9").alias("mind"), F.first("v").alias("v"))
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(k).cast("long").alias("rk"),
+                "vec_id",
+                F.col("v").alias("cvec"),
+                F.col("mind").alias("radius"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        chosen.append(nxt)
+    out = reduce(
+        DataFrame.unionByName,
+        [c.select("rk", "vec_id", F.round("radius", 6).alias("radius")) for c in chosen],
+    )
+    return out.orderBy("rk")

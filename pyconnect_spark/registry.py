@@ -108,6 +108,8 @@ _DECLARED_IN_ROUND = {
     "ts51_interrupted_time_series": 12, "sm29_diag_lda_probe": 12,
     # ninth wave
     "sm30_reciprocal_nn_pairs": 13, "x74_littles_law_audit": 13,
+    # tenth wave
+    "sm31_farthest_first_coreset": 14,
 }
 
 

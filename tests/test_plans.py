@@ -1003,3 +1003,12 @@ def test_x74_month_overlap_no_day_explode(spark):
     assert "month" in text.lower()
     # one generate (month sequence); a day-grain explode would add more
     assert text.count("Generate explode") <= 1, text
+
+
+def test_sm31_greedy_steps_broadcast_seeds_takeordered(spark):
+    # each greedy step broadcasts the <=k chosen rows and ends in
+    # TakeOrdered(1); no cartesian on the corpus, no global window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm31_farthest_first_coreset"](spark, SF)
+    assert not unpartitioned_windows(df)
