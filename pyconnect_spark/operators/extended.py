@@ -3665,3 +3665,131 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# Inverse-CDF thresholds for Poisson(1): P(X <= k) for k = 0..4. A row's
+# md5-derived uniform picks its resample weight by comparison against
+# these constants — deterministic, engine-independent, one pass.
+_X75_P = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+_X75_B = 32
+
+
+def _x75_w_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_X75_P[0]} THEN 0 WHEN {u} < {_X75_P[1]} THEN 1 "
+        f"WHEN {u} < {_X75_P[2]} THEN 2 WHEN {u} < {_X75_P[3]} THEN 3 "
+        f"WHEN {u} < {_X75_P[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@REGISTRY.register(
+    "x75_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT b.b,
+             {_x75_w_sql(
+                 "(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+                 "|| '-' || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) "
+                 "/ 1152921504606846976.0)"
+             )} AS w,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders CROSS JOIN (SELECT unnest(range(1, {_X75_B} + 1)) AS b) b
+    ),
+    means AS (
+      SELECT b, round(CAST(SUM(w * p) AS DOUBLE) / SUM(w), 6) AS m
+      FROM expanded GROUP BY b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk, COUNT(*) OVER () AS n
+      FROM means
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_resamples,
+           round(AVG(m), 6) AS boot_mean,
+           round(MAX(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+           round(MAX(CASE WHEN rk = n - 1 THEN m END), 6) AS ci_hi
+    FROM ranked
+    """,
+    doc="Poisson-bootstrap confidence interval for the mean order value — "
+    "THE distributed bootstrap (Chamandy et al., Google; resampling "
+    "with replacement is impossible in one pass, but per-row "
+    "Poisson(1) weights are i.i.d.-equivalent and embarrassingly "
+    "parallel): every order draws a deterministic md5-derived uniform "
+    "per resample b = 1..32 and converts it to a Poisson weight by "
+    "inverse-CDF constants, giving 32 weighted means in ONE pass over "
+    "the fact; the CI is the 2nd-smallest / 2nd-largest resample mean "
+    "(the ~5%-tails order statistics at B=32). Weighted sums are "
+    "DECIMAL-exact; each mean is a single division rounded at 6 dp; "
+    "the resample grid is a literal 32-row explode. Plan: map-side "
+    "x32 row expansion (no shuffle of the fact beyond the (b)-keyed "
+    "32-group agg with combiners), then order statistics on a 32-row "
+    "frame. At 100 TB the expansion stays map-local and the agg "
+    "carries 32 groups — bootstrap cost is B partial aggregates, not "
+    "B passes. The uncertainty-quantification companion to x65's "
+    "CUPED point estimate.",
+    tags=("extended", "bootstrap", "statistics", "ci"),
+)
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import rank_small_frame
+
+    o = t(spark, sf_dir, "orders")
+    bdf = spark.range(1, _X75_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    w = (
+        F.when(u < _X75_P[0], 0)
+        .when(u < _X75_P[1], 1)
+        .when(u < _X75_P[2], 2)
+        .when(u < _X75_P[3], 3)
+        .when(u < _X75_P[4], 4)
+        .otherwise(5)
+    )
+    expanded = o.crossJoin(F.broadcast(bdf)).select(
+        "b",
+        w.alias("w"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+    )
+    means = (
+        expanded.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("p")).alias("swp"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            F.round(F.col("swp").cast("double") / F.col("sw"), 6).alias("m"),
+        )
+    )
+    # B-row frame: ranks from the triangular broadcast join
+    # (rank_small_frame), count broadcast — no WindowExec at all
+    ranked = rank_small_frame(
+        means,
+        F.struct(F.col("m").alias("km"), F.col("b").alias("kb")),
+        rank_col="rk",
+    ).crossJoin(
+        F.broadcast(means.agg(F.count("*").cast("long").alias("n")))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_resamples"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.max(F.when(F.col("rk") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rk") == F.col("n") - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
+    )

@@ -110,6 +110,8 @@ _DECLARED_IN_ROUND = {
     "sm30_reciprocal_nn_pairs": 13, "x74_littles_law_audit": 13,
     # tenth wave
     "sm31_farthest_first_coreset": 14,
+    # eleventh wave
+    "x75_poisson_bootstrap_ci": 15,
 }
 
 

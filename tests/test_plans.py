@@ -1012,3 +1012,13 @@ def test_sm31_greedy_steps_broadcast_seeds_takeordered(spark):
 
     df = _Q["sm31_farthest_first_coreset"](spark, SF)
     assert not unpartitioned_windows(df)
+
+
+def test_x75_expansion_is_map_side_32_group_agg(spark):
+    # the resample grid must broadcast (map-side x32 expansion); the only
+    # wide exchange carries 32 groups; the final order stats run on a
+    # 32-row frame (allowlisted tiny window)
+    df = _Q["x75_poisson_bootstrap_ci"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
