@@ -3515,3 +3515,106 @@ def ts51(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts52_peak_prominence",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                        / COUNT(value), 6) AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT event_type, day, m,
+             lag(m, 1)  OVER w AS l1, lag(m, 2)  OVER w AS l2,
+             lead(m, 1) OVER w AS r1, lead(m, 2) OVER w AS r2,
+             median(CAST(m AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS med,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS n_ctx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(m AS DOUBLE), 6) AS height,
+           round(CAST(m AS DOUBLE) - med, 6) AS prominence
+    FROM ctx
+    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+      AND r1 IS NOT NULL AND r2 IS NOT NULL
+      AND m > l1 AND m > l2 AND m > r1 AND m > r2
+      AND n_ctx = 15
+      AND round(CAST(m AS DOUBLE) - med, 6) > 0
+    ORDER BY round(CAST(m AS DOUBLE) - med, 6) DESC, event_type, day
+    LIMIT 20
+    """,
+    doc="Local-peak detection with rolling-median prominence (the "
+    "operational scipy.find_peaks shape, distributed): a day is a peak "
+    "when its mean strictly exceeds both 2-day flanks (exact DECIMAL "
+    "comparisons — no rounding lottery at the extrema test), scored "
+    "by height above the +-7-day rolling MEDIAN (robust local "
+    "baseline: a level shift or trend doesn't inflate prominence the "
+    "way a rolling-mean baseline would — the complement to ts36's MAD "
+    "and ts15's z-scores, which flag outliers; this localizes peak "
+    "EVENTS). Full 15-row context required (edge days can't score), "
+    "top-20 peaks by 6 dp-rounded prominence with (type, day) "
+    "tie-break. Both engines interpolate the even-count median "
+    "identically ((a+b)/2 of the middle pair in double). Plan: "
+    "day-grain rollup, per-type lag/lead + median frames (partitioned "
+    "windows, type == shuffle key), TakeOrdered top-20. At 100 TB "
+    "only the rollup sees raw events; the peak pass runs on |days| "
+    "rows per type.",
+    tags=("timeseries", "peaks", "anomaly", "robust"),
+)
+def ts52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("value"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wm = w.rowsBetween(-7, 7)
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "m",
+        F.lag("m", 1).over(w).alias("l1"),
+        F.lag("m", 2).over(w).alias("l2"),
+        F.lead("m", 1).over(w).alias("r1"),
+        F.lead("m", 2).over(w).alias("r2"),
+        F.expr("percentile(CAST(m AS DOUBLE), 0.5)").over(wm).alias("med"),
+        F.count("*").over(wm).alias("n_ctx"),
+    )
+    prom = F.round(F.col("m").cast("double") - F.col("med"), 6)
+    return (
+        ctx.filter(
+            F.col("l1").isNotNull()
+            & F.col("l2").isNotNull()
+            & F.col("r1").isNotNull()
+            & F.col("r2").isNotNull()
+            & (F.col("m") > F.col("l1"))
+            & (F.col("m") > F.col("l2"))
+            & (F.col("m") > F.col("r1"))
+            & (F.col("m") > F.col("r2"))
+            & (F.col("n_ctx") == 15)
+            & (prom > 0)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("m").cast("double"), 6).alias("height"),
+            prom.alias("prominence"),
+        )
+        .orderBy(F.desc("prominence"), "event_type", "day")
+        .limit(20)
+    )

@@ -112,6 +112,8 @@ _DECLARED_IN_ROUND = {
     "sm31_farthest_first_coreset": 14,
     # eleventh wave
     "x75_poisson_bootstrap_ci": 15,
+    # twelfth wave
+    "ts52_peak_prominence": 16,
 }
 
 

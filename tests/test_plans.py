@@ -1022,3 +1022,15 @@ def test_x75_expansion_is_map_side_32_group_agg(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_ts52_peak_pass_on_day_grain_partitioned_windows(spark):
+    # lag/lead and the rolling-median frame must all partition by
+    # event_type; top-20 is TakeOrdered; only the rollup sees raw events
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts52_peak_prominence"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "TakeOrderedAndProject" in text, text
