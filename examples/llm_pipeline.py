@@ -148,6 +148,26 @@ def main() -> None:
     print(tx37(spark, sf_dir).orderBy(F.desc("epochs"), "source")
           .limit(3).toPandas().to_string(index=False))
 
+    # 9c. round-6 curation additions, composed on the same survivors:
+    #     - semantic decontamination: flag train vectors too close to
+    #       the frozen eval split (dd30; the S32 gate runs the n-gram
+    #       twin of this at ingest)
+    #     - diverse exemplars: farthest-first coreset with its k-center
+    #       coverage radii (sm31)
+    #     - uncertainty: Poisson-bootstrap CI on the order-value metric
+    #       the curated corpus is supposed to move (x75)
+    from pyconnect_spark.operators.dedup import dd30
+    from pyconnect_spark.operators.extended import x75
+    from pyconnect_spark.operators.similarity import sm31
+
+    print("semantic decontamination (labels with flagged train vectors):")
+    print(dd30(spark, sf_dir).filter(F.col("n_flagged") > 0)
+          .toPandas().to_string(index=False))
+    print("farthest-first coreset (selection order + coverage radius):")
+    print(sm31(spark, sf_dir).toPandas().to_string(index=False))
+    print("Poisson-bootstrap CI for mean order value:")
+    print(x75(spark, sf_dir).toPandas().to_string(index=False))
+
     # 10. ship the curated corpus: Z-order the (lang, quality-signal)
     #     layout for multi-column file skipping, then upsert a late
     #     correction batch touching one partition only
