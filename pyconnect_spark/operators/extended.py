@@ -3793,3 +3793,196 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == F.col("n") - 1, F.col("m"))), 6
         ).alias("ci_hi"),
     )
+
+
+@REGISTRY.register(
+    "x76_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, SUM(obs) AS r FROM o GROUP BY 1),
+    ct AS (SELECT lang, SUM(obs) AS c FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT r.source, c.lang,
+             COALESCE(o.obs, 0) AS obs,
+             r.r * c.c / n.n AS e
+      FROM rt r CROSS JOIN ct c CROSS JOIN n
+      LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+    ),
+    terms AS (
+      SELECT CAST(round((obs - e) * (obs - e) / e, 9) AS DECIMAL(20, 9))
+                 AS term
+      FROM cells
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS nr, (SELECT COUNT(*) FROM ct) AS nc
+    )
+    SELECT CAST(d.nr * d.nc AS BIGINT) AS n_cells,
+           CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+           round(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
+                      / (n.n * least(d.nr - 1, d.nc - 1))), 6) AS cramers_v
+    FROM dims d CROSS JOIN n
+    """,
+    doc="Chi-square test of independence over the source x lang "
+    "contingency table (the categorical-drift / association test a "
+    "data card runs on any two labelings — does language depend on "
+    "source?), with Cramer's V as the normalized effect size: expected "
+    "counts from the margins (including structural zeros via the "
+    "margin cross join), per-cell (O-E)^2/E terms rounded to 9 dp and "
+    "summed as DECIMAL (order-independent — the cell frame is small "
+    "but the barrier keeps the cross-engine hash exact), chi2 and V "
+    "rounded at 6 dp. Plan: one (source, lang) combiner agg over the "
+    "fact, then margin tables of |sources| and |langs| rows cross-"
+    "joined into the cell grid — everything after the first agg is "
+    "KB-sized however large the corpus. The hypothesis-test companion "
+    "to x51's PSI (which measures drift magnitude, not significance).",
+    tags=("extended", "statistics", "chi-square", "independence"),
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    rt = o.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(o, ["source", "lang"], "left")
+        .select(
+            F.coalesce("obs", F.lit(0.0)).alias("obs"),
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    terms = cells.select(
+        F.round(
+            (F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e"))
+            / F.col("e"),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("term")
+    )
+    chi = terms.agg(F.sum("term").alias("chi_dec"))
+    dims = rt.agg(F.count("*").alias("nr")).crossJoin(
+        ct.agg(F.count("*").alias("nc"))
+    )
+    return (
+        dims.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("nr") * F.col("nc")).cast("long").alias("n_cells"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.round(F.col("chi_dec").cast("double"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi_dec").cast("double")
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "x77_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    ),
+    ecdf AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS k1,
+             SUM(c2) OVER (ORDER BY value) AS k2,
+             (SELECT SUM(c1) FROM vals) AS n1,
+             (SELECT SUM(c2) FROM vals) AS n2
+      FROM vals
+    ),
+    scored AS (
+      SELECT value, n1, n2,
+             round(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2), 9)
+                 AS d9
+      FROM ecdf
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(d9, 6) AS ks_d,
+           value AS at_value,
+           round(d9 * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+               AS ks_scaled
+    FROM scored
+    ORDER BY d9 DESC, value
+    LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the 'view' and "
+    "'click' value distributions — the distribution-shift test (x51's "
+    "PSI bins and loses the tail; KS is bin-free and exact), computed "
+    "as the sup-norm between two ECDFs evaluated on the pooled "
+    "distinct-value grid: per-value counts for both samples come from "
+    "ONE combiner agg, the two running counts are rankops' "
+    "range-partitioned DISTRIBUTED cumsum (integer-exact under any "
+    "regroup; no unpartitioned window anywhere — the classic ECDF "
+    "construction is precisely the global-order primitive rankops "
+    "exists for), ECDF values are single divisions, and D plus its "
+    "location and the sqrt(n1*n2/(n1+n2))-scaled statistic emerge "
+    "from a TakeOrdered(1). At 100 TB the distinct-value frame is "
+    "bounded by value cardinality, the cumsum exchanges range-"
+    "partitioned count pairs, and the fact is read once.",
+    tags=("extended", "statistics", "ks-test", "ecdf", "drift"),
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    ecdf = with_global_order(
+        vals,
+        [F.col("value")],
+        cumsum={"c1": "k1", "c2": "k2"},
+        totals={"c1": "n1", "c2": "n2"},
+    )
+    d9 = F.round(
+        F.abs(
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k2").cast("double") / F.col("n2")
+        ),
+        9,
+    )
+    return (
+        ecdf.select("value", "n1", "n2", d9.alias("d9"))
+        .orderBy(F.desc("d9"), "value")
+        .limit(1)
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round("d9", 6).alias("ks_d"),
+            F.col("value").alias("at_value"),
+            F.round(
+                F.col("d9")
+                * F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    / (F.col("n1") + F.col("n2"))
+                ),
+                6,
+            ).alias("ks_scaled"),
+        )
+    )

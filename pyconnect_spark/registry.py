@@ -114,6 +114,8 @@ _DECLARED_IN_ROUND = {
     "x75_poisson_bootstrap_ci": 15,
     # twelfth wave
     "ts52_peak_prominence": 16,
+    # thirteenth wave
+    "x76_chi_square_independence": 17, "x77_ks_two_sample": 17,
 }
 
 

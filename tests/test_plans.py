@@ -1034,3 +1034,24 @@ def test_ts52_peak_pass_on_day_grain_partitioned_windows(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "TakeOrderedAndProject" in text, text
+
+
+def test_x76_post_agg_frames_are_kb_sized(spark):
+    # after the (source, lang) combiner agg everything is margin-table
+    # sized; no cartesian on the fact, no window at all
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x76_chi_square_independence"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_x77_ecdf_is_rankops_not_global_window(spark):
+    # the two running counts must come from rankops' range-partitioned
+    # cumsum — never an unpartitioned running-sum window over the
+    # pooled value grid
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x77_ks_two_sample"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
