@@ -3986,3 +3986,90 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_scaled"),
         )
     )
+
+
+@REGISTRY.register(
+    "x78_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS s,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+                 AS ss
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(s) AS st, SUM(ss) AS sst, COUNT(*) AS k
+      FROM g
+    ),
+    parts AS (
+      SELECT t.k, t.nn,
+             CAST((SELECT SUM(CAST(round(CAST(s AS DOUBLE)
+                                         * CAST(s AS DOUBLE) / n, 9)
+                                   AS DECIMAL(24,9))) FROM g) AS DOUBLE)
+               - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE) / t.nn AS ssb,
+             CAST(t.sst AS DOUBLE)
+               - CAST((SELECT SUM(CAST(round(CAST(s AS DOUBLE)
+                                             * CAST(s AS DOUBLE) / n, 9)
+                                       AS DECIMAL(24,9))) FROM g) AS DOUBLE)
+                 AS ssw
+      FROM tot t
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_rows,
+           round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+    FROM parts
+    """,
+    doc="One-way ANOVA F-statistic for value by event_type — the "
+    "classical does-the-group-mean-differ test completing the "
+    "hypothesis-testing trio (x76 chi-square: categorical x "
+    "categorical; x77 KS: two full distributions; this: numeric "
+    "across k groups): per-group n / sum / sum-of-squares are "
+    "DECIMAL-exact in one combiner agg (values are 2-decimal "
+    "fixed-point, so even the squares are exact), the squared-sum/n "
+    "terms round at 9 dp into a DECIMAL fold (the k-row frame's "
+    "order barrier), and SSB/SSW/F are closed forms over those exact "
+    "scalars. Plan: ONE pass over the fact into k rows, then "
+    "arithmetic — the canonical sufficient-statistics shape (ts51's "
+    "OLS, x65's CUPED); at 100 TB the combiner agg is the only thing "
+    "that scales.",
+    tags=("extended", "statistics", "anova", "f-test"),
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dv).alias("s"),
+        F.sum(dv * dv).alias("ss"),
+    )
+    gterm = g.agg(
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n"),
+                9,
+            ).cast("decimal(24,9)")
+        )
+        .cast("double")
+        .alias("sq_over_n"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count("*").alias("k"),
+    )
+    ssb = (
+        F.col("sq_over_n")
+        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nn")
+    )
+    ssw = F.col("sst").cast("double") - F.col("sq_over_n")
+    return gterm.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )

@@ -744,3 +744,138 @@ def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_bytes") * 1.0 / (st["s"] * _SHARD_BYTES), 6
         ).alias("fill_frac"),
     )
+
+
+_MM10_K = 40
+
+_MM10_ORACLE = f"""
+    WITH chk AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))), 'sum')
+                  AS BIGINT) AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 + checksum % 64 AS BIGINT) AS w,
+             CAST(16 + (checksum // 64) % 64 AS BIGINT) AS h
+      FROM chk
+    ),
+    assigned AS (
+      SELECT doc_id, b.name,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY
+                 abs(ln(CAST(w AS DOUBLE) / h) - ln(b.ratio)), b.ord) AS rn
+      FROM dims, LATERAL (
+        SELECT * FROM (VALUES
+          {", ".join(f"('{n}', CAST({r!r} AS DOUBLE), {i})" for i, (n, r) in enumerate(_ASPECT_BUCKETS))}
+        ) v(name, ratio, ord)
+      ) b
+    ),
+    best AS (SELECT doc_id, name FROM assigned WHERE rn = 1),
+    ranked AS (
+      SELECT doc_id, name,
+             row_number() OVER (
+               PARTITION BY name
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+      FROM best
+    )
+    SELECT name AS aspect_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN qr <= {_MM10_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           md5(string_agg(CASE WHEN qr <= {_MM10_K}
+                               THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id)) AS kept_digest
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@REGISTRY.register(
+    "mm10_aspect_quota_sample",
+    oracle=_MM10_ORACLE,
+    doc="Per-aspect-bucket quota sampling — the bucket-balancing step of "
+    "resolution-bucketed diffusion training (a dominant 1:1 bucket "
+    "starves wide/tall batch shapes; capping it is the mm08 audit's "
+    "actionable follow-up, and exactly dd26's md5-rank hard cap "
+    "applied per aspect bucket instead of per source): every decoded "
+    "asset lands in its mm08 bucket, each bucket keeps at most "
+    f"{_MM10_K} assets by md5(doc_id) rank (deterministic, "
+    "oracle-replayable 'random'), and the kept set is PINNED by an "
+    "md5 digest of the sorted kept ids (the dd29 idiom) so the sweep "
+    "hash-checks membership, not just counts. Plan: decode stub -> "
+    "5-row bucket broadcast -> per-asset argmin window (doc-keyed) -> "
+    "per-bucket rank window (bucket == shuffle key, 5 partitions of "
+    "(bucket, doc_id) pairs — payloads never shuffle) -> 5-row agg. "
+    "A real deployment swaps the decode stub; every downstream step "
+    "is unchanged at 100 TB.",
+    tags=("multimodal", "buckets", "sampling", "quota", "diffusion"),
+)
+def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    dims = decode_media(staged).select(
+        "doc_id",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("name"),
+                F.lit(r).alias("ratio"),
+                F.lit(i).alias("ord"),
+            )
+            for i, (n, r) in enumerate(_ASPECT_BUCKETS)
+        ]
+    )
+    scored = dims.select("doc_id", "w", "h", F.explode(buckets).alias("b")).select(
+        "doc_id",
+        F.col("b.name").alias("name"),
+        F.col("b.ord").alias("ord"),
+        F.abs(
+            F.log(F.col("w").cast("double") / F.col("h"))
+            - F.log(F.col("b.ratio"))
+        ).alias("dist"),
+    )
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("dist", "ord"))
+    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+    qr = F.row_number().over(
+        Window.partitionBy("name").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = best.select("doc_id", "name").withColumn("qr", qr)
+    kept_ids = F.sort_array(
+        F.collect_list(
+            F.when(F.col("qr") <= _MM10_K, F.col("doc_id"))
+        )
+    )
+    return (
+        ranked.groupBy(F.col("name").alias("aspect_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.sum(F.when(F.col("qr") <= _MM10_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(kept_ids, lambda x: x.cast("string")),
+                )
+            ).alias("kept_digest"),
+        )
+        .orderBy("aspect_bucket")
+    )

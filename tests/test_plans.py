@@ -1055,3 +1055,28 @@ def test_x77_ecdf_is_rankops_not_global_window(spark):
     assert not unpartitioned_windows(df)
     text = explain_str(df)
     assert "CartesianProduct" not in text
+
+
+def test_x78_single_combiner_agg_feeds_closed_forms(spark):
+    # one pass over the fact into k rows; everything after is arithmetic
+    # on broadcast scalars — no window, no cartesian on the fact
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x78_anova_oneway"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_mm10_quota_rank_keys_on_bucket_payloads_never_shuffle(spark):
+    # the quota rank window partitions by bucket; the exchange carries
+    # (bucket, doc_id) pairs only — the binary payload column must be
+    # pruned out before any exchange
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["mm10_aspect_quota_sample"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", text):
+        assert "payload" not in m.group(0)
