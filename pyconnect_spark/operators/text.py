@@ -3249,3 +3249,162 @@ def tx43(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("filters")
     )
+
+
+@REGISTRY.register(
+    "tx44_heaps_law",
+    oracle=r"""
+    WITH sp AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 + 1 AS bkt,
+             string_split_regex(trim(text), '\s+') AS wl
+      FROM documents
+    ),
+    toks AS (
+      SELECT bkt,
+             unnest(list_transform(range(1, len(wl) - 1),
+                    i -> md5(wl[i] || ' ' || wl[i + 1] || ' ' || wl[i + 2])))
+                 AS w
+      FROM sp WHERE len(wl) >= 3
+    ),
+    wmin AS (SELECT w, MIN(bkt) AS fb FROM toks GROUP BY 1),
+    newv AS (SELECT fb AS bkt, COUNT(*) AS nv FROM wmin GROUP BY 1),
+    tokc AS (SELECT bkt, COUNT(*) AS nt FROM toks GROUP BY 1),
+    grid AS (
+      SELECT k.k,
+             (SELECT SUM(nt) FROM tokc WHERE bkt <= k.k) AS n_tokens,
+             (SELECT SUM(nv) FROM newv WHERE bkt <= k.k) AS vocab
+      FROM (SELECT unnest(range(1, 9)) AS k) k
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(20,9))
+                 AS x,
+             CAST(round(ln(CAST(vocab AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+      FROM grid
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(8 AS BIGINT) AS n_prefixes,
+           CAST((SELECT MAX(n_tokens) FROM grid) AS BIGINT) AS n_tokens,
+           CAST((SELECT MAX(vocab) FROM grid) AS BIGINT) AS vocab,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+               AS beta,
+           round(exp(CAST(sy AS DOUBLE) / n
+                     - ((n * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * CAST(sx AS DOUBLE) / n), 6) AS k_coef
+    FROM fit
+    """,
+    doc="Heaps'-law vocabulary-growth fit V(n) = K * n^beta — the "
+    "sublinearity constant that sizes tokenizer vocabularies and "
+    "predicts how much NEW vocabulary the next 10x of corpus brings "
+    "(the capacity-planning twin of tx14's Zipf audit — Heaps and "
+    "Zipf exponents are duals); the vocabulary unit here is the word "
+    "TRIGRAM digest (the synthetic fixture's unigram vocabulary "
+    "saturates in the first prefix — real Heaps needs an open unit "
+    "class, and n-gram growth is what packing/dedup planning actually "
+    "consumes): documents land in 8 md5-ordered corpus prefixes, each "
+    "unit contributes to the vocabulary at its FIRST prefix (one "
+    "min-agg — cumulative-distinct without any running distinct "
+    "state), the 8 (ln instances, ln vocab) points get "
+    "the ts51 closed-form OLS through the 9 dp DECIMAL barrier, and "
+    "the readout is beta, K, and the endpoint corpus totals. Plan: "
+    "one token explode feeds the word-min agg and the per-prefix "
+    "token counts; the grid/fit frames are 8 rows. At 100 TB the "
+    "word-min agg is the vocabulary-sized shuffle dd01 already "
+    "ships (16-byte-ish keys), and the prefix count is a combiner "
+    "agg — one corpus pass total.",
+    tags=("text", "llm", "heaps", "vocabulary", "scaling-law"),
+)
+def tx44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+        + 1
+    )
+    wl = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    sp = docs.select(bkt.alias("bkt"), wl.alias("wl")).filter(
+        F.size("wl") >= 3
+    )
+    toks = sp.select(
+        "bkt",
+        F.explode(
+            F.transform(
+                F.slice(F.col("wl"), 1, F.size("wl") - 2),
+                lambda x, i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        x,
+                        F.element_at(F.col("wl"), i + 2),
+                        F.element_at(F.col("wl"), i + 3),
+                    )
+                ),
+            )
+        ).alias("w"),
+    )
+    wmin = toks.groupBy("w").agg(F.min("bkt").alias("fb"))
+    newv = wmin.groupBy(F.col("fb").alias("bkt")).agg(
+        F.count("*").alias("nv")
+    )
+    tokc = toks.groupBy("bkt").agg(F.count("*").alias("nt"))
+    ks = docs.sparkSession.range(1, 9).select(F.col("id").alias("k"))
+    grid = (
+        ks.join(F.broadcast(tokc), F.col("bkt") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .join(
+            ks.join(F.broadcast(newv), F.col("bkt") <= F.col("k"))
+            .groupBy("k")
+            .agg(F.sum("nv").alias("vocab")),
+            "k",
+        )
+    )
+    pts = grid.select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tots = grid.agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.max("vocab").cast("long").alias("vocab"),
+    )
+    beta = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return fit.crossJoin(F.broadcast(tots)).select(
+        F.lit(8).cast("long").alias("n_prefixes"),
+        "n_tokens",
+        "vocab",
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.round(
+            F.exp(
+                F.col("sy").cast("double") / F.col("n")
+                - beta * F.col("sx").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("k_coef"),
+    )

@@ -118,6 +118,8 @@ _DECLARED_IN_ROUND = {
     "x76_chi_square_independence": 17, "x77_ks_two_sample": 17,
     # fourteenth wave
     "x78_anova_oneway": 18, "mm10_aspect_quota_sample": 18,
+    # fifteenth wave
+    "tx44_heaps_law": 19,
 }
 
 

@@ -1080,3 +1080,13 @@ def test_mm10_quota_rank_keys_on_bucket_payloads_never_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", text):
         assert "payload" not in m.group(0)
+
+
+def test_tx44_one_corpus_pass_eight_row_fit(spark):
+    # the gram explode feeds both the unit-min agg and the prefix token
+    # counts; the grid/fit frames are 8 rows; no window, no cartesian
+    # on the fact
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx44_heaps_law"](spark, SF)
+    assert not unpartitioned_windows(df)
