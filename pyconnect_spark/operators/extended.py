@@ -4073,3 +4073,195 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+@REGISTRY.register(
+    "x79_welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS grp,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS s,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+                 AS ss
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT grp, n,
+             CAST(s AS DOUBLE) / n AS mu,
+             (CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS v
+      FROM g
+    ),
+    pair AS (
+      SELECT a.n AS n1, b.n AS n2, a.mu AS mu1, b.mu AS mu2,
+             a.v AS v1, b.v AS v2
+      FROM stats a JOIN stats b
+        ON a.grp = 'view' AND b.grp = 'click'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(mu1 - mu2, 6) AS mean_diff,
+           round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_dof
+    FROM pair
+    """,
+    doc="Welch's unequal-variance two-sample t-test ('view' vs 'click' "
+    "values) with the Welch-Satterthwaite effective dof — the "
+    "parametric member of the two-sample pair (x80 is its rank-based "
+    "twin; x65 CUPED consumes exactly this shape after variance "
+    "reduction): group n / sum / sum-of-squares are DECIMAL-exact in "
+    "one combiner agg (2-decimal fixed-point values square exactly), "
+    "means/variances/t/dof are closed forms over those exact scalars "
+    "written identically in both engines, rounded once at 6 dp. "
+    "Plan: ONE pass over the fact into 2 rows, then arithmetic — the "
+    "x78/ts51 sufficient-statistics shape.",
+    tags=("extended", "statistics", "t-test", "welch"),
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    dv = F.col("value").cast("decimal(12,2)")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(dv).alias("s"),
+        F.sum(dv * dv).alias("ss"),
+    )
+    stats = g.select(
+        "grp",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    a = stats.filter(F.col("grp") == "view").alias("a")
+    b = stats.filter(F.col("grp") == "click").alias("b")
+    pair = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        F.col("a.mu").alias("mu1"),
+        F.col("b.mu").alias("mu2"),
+        F.col("a.v").alias("v1"),
+        F.col("b.v").alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return pair.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("mu1") - F.col("mu2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mu1") - F.col("mu2")) / F.sqrt(se1 + se2), 6
+        ).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+@REGISTRY.register(
+    "x80_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             SUM(c1 + c2) OVER (ORDER BY value) AS k
+      FROM vals
+    ),
+    sums AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * (k - c) + c + 1)) AS r1_twice,
+             SUM(c * c * c - c) AS tie_t
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((CAST(r1_twice AS DOUBLE) - n1 * (n1 + 1)) / 2, 6) AS u_stat,
+           round(((CAST(r1_twice AS DOUBLE) - n1 * (n1 + 1)) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie_t AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z_stat
+    FROM sums
+    """,
+    doc="Mann-Whitney U ('view' vs 'click' values) with the tie-"
+    "corrected normal approximation — the rank-based (distribution-"
+    "free) twin of x79's Welch t: per-distinct-value counts from one "
+    "combiner agg, the pooled cumulative count from rankops' "
+    "range-partitioned cumsum, and the rank sum computed EXACTLY in "
+    "integers via doubled average ranks (tie group at cumulative "
+    "offset k_before with c members has avg rank k_before + (c+1)/2, "
+    "so 2*R1 = sum c1*(2*k_before + c + 1) is integer-exact under "
+    "any regroup — no floating ranks anywhere). U, the tie-corrected "
+    "variance (sum c^3 - c), and z are closed forms over those "
+    "integer scalars. Plan: fact pass -> distinct-value grid -> "
+    "rankops cumsum -> 1-row fold; the same distributed-ECDF "
+    "machinery as x77 answering the significance question instead "
+    "of the sup-norm one.",
+    tags=("extended", "statistics", "mann-whitney", "rank-test"),
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    ).withColumn("c", F.col("c1") + F.col("c2"))
+    cum = with_global_order(vals, [F.col("value")], cumsum={"c": "k"})
+    sums = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * (F.col("k") - F.col("c")) + F.col("c") + 1)
+        ).alias("r1_twice"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_t"
+        ),
+    )
+    u = (F.col("r1_twice").cast("double") - F.col("n1") * (F.col("n1") + 1)) / 2
+    nn = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12
+        * (
+            (nn + 1)
+            - F.col("tie_t").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    return sums.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - F.col("n1").cast("double") * F.col("n2") / 2) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )

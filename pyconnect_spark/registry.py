@@ -120,6 +120,8 @@ _DECLARED_IN_ROUND = {
     "x78_anova_oneway": 18, "mm10_aspect_quota_sample": 18,
     # fifteenth wave
     "tx44_heaps_law": 19,
+    # sixteenth wave
+    "x79_welch_t_test": 20, "x80_mann_whitney_u": 20,
 }
 
 

@@ -1090,3 +1090,23 @@ def test_tx44_one_corpus_pass_eight_row_fit(spark):
 
     df = _Q["tx44_heaps_law"](spark, SF)
     assert not unpartitioned_windows(df)
+
+
+def test_x79_two_row_sufficient_stats(spark):
+    # one combiner pass into 2 group rows; closed forms after — no
+    # window, no cartesian on the fact
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x79_welch_t_test"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_x80_rank_sum_is_rankops_integer_fold(spark):
+    # the pooled cumulative count must come from rankops' cumsum; the
+    # rank sum folds in integers (no floating rank column anywhere)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x80_mann_whitney_u"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
