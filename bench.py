@@ -247,9 +247,35 @@ HEADLINE = [
     "dd29_cluster_balanced_sample",
     "ts48_concurrency_peaks",
     "sm26_rocchio_prf",
+    # round-6 waves 4-16
+    "sm27_mips_norm_pruned",
+    "sm28_hard_negative_mining",
+    "tx41_nb_source_classifier",
+    "dd30_semantic_decontamination",
+    "x71_fifo_return_matching",
+    "ts49_bollinger_bands",
+    "tx42_ngram_novelty_rate",
+    "ts50_changepoint_binseg",
+    "x72_association_rules",
+    "x73_er_blocking_audit",
+    "tx43_filter_ablation_grid",
+    "ts51_interrupted_time_series",
+    "sm29_diag_lda_probe",
+    "x74_littles_law_audit",
+    "sm31_farthest_first_coreset",
+    "x75_poisson_bootstrap_ci",
+    "ts52_peak_prominence",
+    "x76_chi_square_independence",
+    "x77_ks_two_sample",
+    "x78_anova_oneway",
+    "mm10_aspect_quota_sample",
+    "tx44_heaps_law",
+    "x79_welch_t_test",
+    "x80_mann_whitney_u",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
-    # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.
+    # dd02/dd09 stay un-benched: deliberate quadratic exact tiers, and
+    # sm30 (reciprocal NN) joins them — same all-pairs audit grain.
 ]
 
 
