@@ -1,0 +1,127 @@
+"""Independent numpy reference checks for the classical-statistics
+operators (x76-x80). The DuckDB oracle proves cross-ENGINE determinism;
+these prove cross-IMPLEMENTATION correctness: a third, textbook-formula
+computation in numpy/pandas must agree with the distributed result to
+1e-5 (the operators round outputs at 6 dp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyconnect_spark.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events():
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    df["value"] = df["value"].round(2)  # operators cast to DECIMAL(12,2)
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _row(spark, name):
+    out = get(name).builder(spark, SF).collect()
+    assert len(out) == 1
+    return out[0].asDict()
+
+
+def test_x79_matches_textbook_welch(spark, events):
+    a = events.loc[events.event_type == "view", "value"].to_numpy()
+    b = events.loc[events.event_type == "click", "value"].to_numpy()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se)
+    dof = se**2 / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+    )
+    got = _row(spark, "x79_welch_t_test")
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["t_stat"] - t) < 1e-5
+    assert abs(got["welch_dof"] - dof) < 1e-3
+
+
+def test_x80_matches_textbook_mann_whitney(spark, events):
+    a = events.loc[events.event_type == "view", "value"].to_numpy()
+    b = events.loc[events.event_type == "click", "value"].to_numpy()
+    pooled = np.concatenate([a, b])
+    # average ranks with ties (scipy.stats.rankdata 'average' semantics)
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_vals = pooled[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j + 1 < len(sorted_vals) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    r1 = ranks[: len(a)].sum()
+    u1 = r1 - len(a) * (len(a) + 1) / 2
+    n1, n2, nn = len(a), len(b), len(a) + len(b)
+    _, counts = np.unique(pooled, return_counts=True)
+    tie_t = float((counts**3 - counts).sum())
+    var = n1 * n2 / 12 * ((nn + 1) - tie_t / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2) / np.sqrt(var)
+    got = _row(spark, "x80_mann_whitney_u")
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert abs(got["u_stat"] - u1) < 1e-5
+    assert abs(got["z_stat"] - z) < 1e-5
+
+
+def test_x78_matches_textbook_anova(spark, events):
+    groups = [g["value"].to_numpy() for _, g in events.groupby("event_type")]
+    grand = np.concatenate(groups)
+    ssb = sum(len(g) * (g.mean() - grand.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(grand)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = _row(spark, "x78_anova_oneway")
+    assert got["n_groups"] == k and got["n_rows"] == n
+    assert abs(got["f_stat"] - f) < 1e-4
+    assert abs(got["ss_between"] - ssb) < 1e-2
+    assert abs(got["ss_within"] - ssw) < 1e-2
+
+
+def test_x76_matches_textbook_chi2(spark, docs):
+    ct = pd.crosstab(docs["source"], docs["lang"]).to_numpy().astype(float)
+    rowt = ct.sum(axis=1, keepdims=True)
+    colt = ct.sum(axis=0, keepdims=True)
+    e = rowt @ colt / ct.sum()
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = np.sqrt(chi2 / (ct.sum() * min(ct.shape[0] - 1, ct.shape[1] - 1)))
+    got = _row(spark, "x76_chi_square_independence")
+    assert got["n_cells"] == ct.size
+    assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(got["chi2"] - chi2) < 1e-4
+    assert abs(got["cramers_v"] - v) < 1e-5
+
+
+def test_x77_matches_textbook_ks(spark, events):
+    a = np.sort(events.loc[events.event_type == "view", "value"].to_numpy())
+    b = np.sort(events.loc[events.event_type == "click", "value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(f1 - f2).max()
+    got = _row(spark, "x77_ks_two_sample")
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["ks_d"] - d) < 1e-5
+
+
+def test_x75_bootstrap_ci_brackets_sample_mean(spark):
+    # not a formula identity (the resamples are md5-deterministic), but
+    # the CI must bracket the plain sample mean and be ordered
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    mean = orders["o_totalprice"].round(2).mean()
+    got = _row(spark, "x75_poisson_bootstrap_ci")
+    assert got["n_resamples"] == 32
+    assert got["ci_lo"] < got["ci_hi"]
+    assert got["ci_lo"] < mean < got["ci_hi"]
