@@ -1092,7 +1092,7 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register(
     "dd11_source_overlap",
-    oracle="""
+    oracle=r"""
     WITH fp AS (
       SELECT DISTINCT source,
              md5(array_to_string(
