@@ -109,3 +109,52 @@ def test_csv_line_reader_escape_roundtrip(fields):
         assert csv_line_reader()(line) == []
         return
     assert csv_line_reader()(line) == [f.strip("\r\t\n ") for f in fields]
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=1, max_value=20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fifo_interval_overlap_identity(rows):
+    """x71's load-bearing math: 'matched quantity between supply layer i
+    and return j = overlap width of their cumulative-coordinate
+    intervals' must equal the sequential FIFO consumption loop, for ANY
+    interleaving of supplies and returns (clamped to available supply —
+    returns beyond total supply are unmatched overhang in both views)."""
+    supplies = [q for is_ret, q in rows if not is_ret]
+    returns = [q for is_ret, q in rows if is_ret]
+
+    # interval-algebra view (what x71's join computes)
+    s_hi, s_intervals = 0, []
+    for q in supplies:
+        s_intervals.append((s_hi, s_hi + q))
+        s_hi += q
+    r_hi, r_intervals = 0, []
+    for q in returns:
+        r_intervals.append((r_hi, r_hi + q))
+        r_hi += q
+    algebra = {}
+    for i, (slo, shi) in enumerate(s_intervals):
+        for j, (rlo, rhi) in enumerate(r_intervals):
+            w = min(shi, rhi) - max(slo, rlo)
+            if w > 0:
+                algebra[(i, j)] = w
+
+    # sequential FIFO loop (what a row-at-a-time engine runs)
+    seq = {}
+    li, left_in_layer = 0, (supplies[0] if supplies else 0)
+    for j, need in enumerate(returns):
+        while need > 0 and li < len(supplies):
+            take = min(need, left_in_layer)
+            if take > 0:
+                seq[(li, j)] = seq.get((li, j), 0) + take
+                need -= take
+                left_in_layer -= take
+            if left_in_layer == 0:
+                li += 1
+                left_in_layer = supplies[li] if li < len(supplies) else 0
+
+    assert algebra == seq
