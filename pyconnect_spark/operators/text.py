@@ -3408,3 +3408,113 @@ def tx44(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("k_coef"),
     )
+
+
+@REGISTRY.register(
+    "tx45_data_card",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_ch,
+             {_sql_count('text', _STOP_RE)} AS n_stop,
+             {_sql_count('text', _PUNCT_RE)} AS n_punct,
+             md5(text) AS fp
+      FROM documents
+    ),
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(n_tok) AS n_tokens,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT fp) AS n_distinct,
+             median(CAST(n_tok AS DOUBLE)) AS p50_tokens,
+             SUM(CASE WHEN n_ch >= 200 AND n_stop * 20 >= n_tok
+                       AND n_punct * 5 <= n_ch THEN 1 ELSE 0 END) AS n_pass
+      FROM scored
+    ),
+    topsrc AS (
+      SELECT source, COUNT(*) AS c FROM scored GROUP BY 1
+      ORDER BY c DESC, source LIMIT 1
+    )
+    SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_langs AS BIGINT) AS n_langs,
+           CAST(b.n_sources AS BIGINT) AS n_sources,
+           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_docs, 6)
+               AS exact_dup_rate,
+           round(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 6) AS mean_tokens,
+           round(b.p50_tokens, 6) AS p50_tokens,
+           round(CAST(b.n_pass AS DOUBLE) / b.n_docs, 6) AS quality_pass_rate,
+           t.source AS top_source,
+           round(CAST(t.c AS DOUBLE) / b.n_docs, 6) AS top_source_share
+    FROM base b CROSS JOIN topsrc t
+    """,
+    doc="The one-row corpus data card — the summary block every dataset "
+    "release publishes (datasheets / data cards), composed from the "
+    "repo's own primitives in ONE text scan: doc and token counts, "
+    "language/source cardinalities, the exact-duplicate rate (dd01's "
+    "md5 fingerprint distinct), median doc length, the share passing "
+    "the tx43 quality stack (integer predicates, no rounding "
+    "lottery), and the dominant source with its share (x38's "
+    "de-domination input). Every ratio is a single division of exact "
+    "counts rounded once. Plan: one scan feeds a global agg (count-"
+    "distincts expand internally to two-stage partial aggs — still "
+    "one pass over text) plus a |sources|-row top-1; at 100 TB this "
+    "is the cheapest query in the repo per byte scanned, and the one "
+    "a user runs FIRST.",
+    tags=("text", "llm", "data-card", "summary"),
+)
+def tx45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    scored = docs.select(
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        F.length("text").cast("long").alias("n_ch"),
+        _count("text", _STOP_RE).cast("long").alias("n_stop"),
+        _count("text", _PUNCT_RE).cast("long").alias("n_punct"),
+        F.md5("text").alias("fp"),
+    )
+    qpass = (
+        (F.col("n_ch") >= 200)
+        & (F.col("n_stop") * 20 >= F.col("n_tok"))
+        & (F.col("n_punct") * 5 <= F.col("n_ch"))
+    )
+    base = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.expr("percentile(CAST(n_tok AS DOUBLE), 0.5)").alias("p50"),
+        F.sum(F.when(qpass, 1).otherwise(0)).alias("n_pass"),
+    )
+    topsrc = (
+        scored.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "source")
+        .limit(1)
+    )
+    return base.crossJoin(F.broadcast(topsrc)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.round(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens"),
+        F.round(F.col("p50"), 6).alias("p50_tokens"),
+        F.round(
+            F.col("n_pass").cast("double") / F.col("n_docs"), 6
+        ).alias("quality_pass_rate"),
+        F.col("source").alias("top_source"),
+        F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias(
+            "top_source_share"
+        ),
+    )

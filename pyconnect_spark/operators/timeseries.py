@@ -3618,3 +3618,165 @@ def ts52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("prominence"), "event_type", "day")
         .limit(20)
     )
+
+
+@REGISTRY.register(
+    "ts53_anomaly_ensemble",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                        / COUNT(value), 6) AS DECIMAL(18,6)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             AVG(CAST(m AS DOUBLE)) AS mu,
+             STDDEV_SAMP(CAST(m AS DOUBLE)) AS sd,
+             median(CAST(m AS DOUBLE)) AS med
+      FROM daily GROUP BY 1
+    ),
+    mad AS (
+      SELECT d.event_type,
+             median(abs(CAST(d.m AS DOUBLE) - s.med)) AS mad
+      FROM daily d JOIN stats s USING (event_type)
+      GROUP BY 1
+    ),
+    diffs AS (
+      SELECT event_type, day, m,
+             CAST(m AS DOUBLE)
+               - CAST(lag(m) OVER (PARTITION BY event_type ORDER BY day)
+                      AS DOUBLE) AS dd
+      FROM daily
+    ),
+    dstats AS (
+      SELECT event_type, STDDEV_SAMP(dd) AS dsd
+      FROM diffs WHERE dd IS NOT NULL GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, CAST(d.m AS DOUBLE) AS m,
+             CASE WHEN s.sd > 1e-9
+                   AND round(abs(CAST(d.m AS DOUBLE) - s.mu) / s.sd, 6) > 2
+                  THEN 1 ELSE 0 END AS f_z,
+             CASE WHEN md.mad > 1e-9
+                   AND round(abs(CAST(d.m AS DOUBLE) - s.med)
+                             / (1.4826 * md.mad), 6) > 3
+                  THEN 1 ELSE 0 END AS f_mad,
+             CASE WHEN f.dd IS NOT NULL AND ds.dsd > 1e-9
+                   AND round(abs(f.dd) / ds.dsd, 6) > 2
+                  THEN 1 ELSE 0 END AS f_jump
+      FROM daily d
+      JOIN stats s USING (event_type)
+      JOIN mad md ON md.event_type = d.event_type
+      JOIN dstats ds ON ds.event_type = d.event_type
+      JOIN diffs f ON f.event_type = d.event_type AND f.day = d.day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(m, 6) AS daily_mean,
+           CAST(f_z + f_mad + f_jump AS BIGINT) AS votes,
+           CAST(f_z AS BIGINT) AS f_z, CAST(f_mad AS BIGINT) AS f_mad,
+           CAST(f_jump AS BIGINT) AS f_jump
+    FROM scored
+    WHERE f_z + f_mad + f_jump >= 2
+    ORDER BY event_type, day
+    """,
+    doc="Majority-vote anomaly ensemble at day grain — how production "
+    "alerting actually ships the detectors this repo implements "
+    "individually (ts15 z-score, ts36 MAD, day-over-day jump): each "
+    "daily mean is scored by three independent rules (|z| > 2 against "
+    "the per-type global mean/std; |m - median| > 3 * 1.4826 * MAD, "
+    "the robust tier; |day-over-day diff| > 2 sigma of diffs, the "
+    "velocity tier) and only days flagged by >= 2 detectors surface — "
+    "single-rule false positives cancel, which is the entire point of "
+    "ensembling. Every comparison is on a 6 dp-rounded statistic "
+    "(house barrier); zero-variance guards on each rule. Plan: one "
+    "day-grain rollup feeds four small per-type stat aggregates "
+    "(|types| rows each, broadcast back) and one lag window "
+    "partitioned by type — at 100 TB the rollup is the only pass "
+    "over raw events, like ts49-ts52.",
+    tags=("timeseries", "anomaly", "ensemble", "robust"),
+)
+def ts53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("value"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    md = F.col("m").cast("double")
+    stats = daily.groupBy("event_type").agg(
+        F.avg(md).alias("mu"),
+        F.stddev_samp(md).alias("sd"),
+        F.expr("percentile(CAST(m AS DOUBLE), 0.5)").alias("med"),
+    )
+    mad = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(abs(CAST(m AS DOUBLE) - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.withColumn("dd", md - F.lag(md).over(w))
+    dstats = diffs.filter(F.col("dd").isNotNull()).groupBy("event_type").agg(
+        F.stddev_samp("dd").alias("dsd")
+    )
+    scored = (
+        diffs.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(dstats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            md.alias("mv"),
+            F.when(
+                (F.col("sd") > 1e-9)
+                & (F.round(F.abs(md - F.col("mu")) / F.col("sd"), 6) > 2),
+                1,
+            )
+            .otherwise(0)
+            .alias("f_z"),
+            F.when(
+                (F.col("mad") > 1e-9)
+                & (
+                    F.round(
+                        F.abs(md - F.col("med")) / (1.4826 * F.col("mad")), 6
+                    )
+                    > 3
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("f_mad"),
+            F.when(
+                F.col("dd").isNotNull()
+                & (F.col("dsd") > 1e-9)
+                & (F.round(F.abs(F.col("dd")) / F.col("dsd"), 6) > 2),
+                1,
+            )
+            .otherwise(0)
+            .alias("f_jump"),
+        )
+    )
+    votes = F.col("f_z") + F.col("f_mad") + F.col("f_jump")
+    return (
+        scored.filter(votes >= 2)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("mv", 6).alias("daily_mean"),
+            votes.cast("long").alias("votes"),
+            F.col("f_z").cast("long").alias("f_z"),
+            F.col("f_mad").cast("long").alias("f_mad"),
+            F.col("f_jump").cast("long").alias("f_jump"),
+        )
+        .orderBy("event_type", "day")
+    )

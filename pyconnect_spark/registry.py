@@ -122,6 +122,8 @@ _DECLARED_IN_ROUND = {
     "tx44_heaps_law": 19,
     # sixteenth wave
     "x79_welch_t_test": 20, "x80_mann_whitney_u": 20,
+    # seventeenth wave
+    "ts53_anomaly_ensemble": 21, "tx45_data_card": 21,
 }
 
 

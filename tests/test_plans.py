@@ -1110,3 +1110,24 @@ def test_x80_rank_sum_is_rankops_integer_fold(spark):
     assert not unpartitioned_windows(df)
     text = explain_str(df)
     assert "CartesianProduct" not in text
+
+
+def test_ts53_rollup_feeds_broadcast_stat_tables(spark):
+    # one day rollup; per-type stat frames broadcast back; the only
+    # window is the per-type lag
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts53_anomaly_ensemble"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+
+
+def test_tx45_single_scan_one_row_card(spark):
+    # the card is one global agg + a |sources|-row top-1; no window,
+    # no cartesian on the fact
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx45_data_card"](spark, SF)
+    assert not unpartitioned_windows(df)
