@@ -274,6 +274,7 @@ HEADLINE = [
     "x80_mann_whitney_u",
     "ts53_anomaly_ensemble",
     "tx45_data_card",
+    "sm32_matryoshka_recall",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers, and

@@ -3860,3 +3860,107 @@ def sm31(spark: SparkSession, sf_dir: str) -> DataFrame:
         [c.select("rk", "vec_id", F.round("radius", 6).alias("radius")) for c in chosen],
     )
     return out.orderBy("rk")
+
+
+_SM32_DIMS = (64, 32, 16, 8)
+
+
+def _sm32_cos(prefix: int) -> str:
+    return f"""round(
+               list_aggregate(list_transform(range(1, {prefix} + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * q.qv[CAST(i AS INT)]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, {prefix} + 1),
+                          i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                               * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)),
+                       'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, {prefix} + 1),
+                          i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]),
+                       'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "sm32_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 3
+    ),
+    {", ".join(
+        f'''t{d} AS (
+      SELECT e.vec_id FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 3
+      ORDER BY {_sm32_cos(d)} DESC, e.vec_id LIMIT 5
+    )''' for d in _SM32_DIMS
+    )}
+    {"".join(
+        f'''
+    SELECT CAST({d} AS BIGINT) AS n_dims,
+           CAST((SELECT COUNT(*) FROM t{d} a JOIN t64 b
+                 ON a.vec_id = b.vec_id) AS BIGINT) AS n_overlap,
+           round((SELECT COUNT(*) FROM t{d} a JOIN t64 b
+                  ON a.vec_id = b.vec_id) / 5.0, 6)
+               AS recall_vs_full
+    {"UNION ALL" if d != _SM32_DIMS[-1] else ""}''' for d in _SM32_DIMS
+    )}
+    ORDER BY n_dims DESC
+    """,
+    doc="Matryoshka / truncated-dimension retrieval audit — the "
+    "evaluation run before shipping MRL-style embeddings at a reduced "
+    "dimension (store d/8 of the bytes, keep how much of the "
+    "ranking?): the probe query's exact top-5 under prefix-truncated "
+    "cosines (64/32/16/8 dims) is compared against the full-dimension "
+    "top-5, reporting overlap and recall per truncation level — the "
+    "memory-vs-recall curve that sizes a vector store (sm07's int8 "
+    "audit asks the same question about precision; this asks it about "
+    "WIDTH; JL projection sm14 is the dense-rotation alternative). "
+    "Each tier is the sm01 broadcast-query TakeOrdered shape over a "
+    "PREFIX of the stored array — column pruning still reads the full "
+    "vector here, but a production Matryoshka store lays prefixes out "
+    "as separate columns so the scan itself shrinks; 9 dp barrier "
+    "before every rank decision. At 100 TB: four map-only passes (or "
+    "one pass emitting four scores), KB-sized overlap joins after.",
+    tags=("similarity", "llm", "matryoshka", "recall", "truncation"),
+)
+def sm32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.transform("embedding", lambda y: y.cast("double")).alias("qv")
+    )
+
+    def top5(prefix: int) -> DataFrame:
+        ep = F.slice(
+            F.transform("embedding", lambda y: y.cast("double")), 1, prefix
+        )
+        qp = F.slice(F.col("qv"), 1, prefix)
+        dot = F.aggregate(
+            F.zip_with(ep, qp, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ne = F.sqrt(F.aggregate(ep, F.lit(0.0), lambda acc, x: acc + x * x))
+        nq = F.sqrt(F.aggregate(qp, F.lit(0.0), lambda acc, x: acc + x * x))
+        return (
+            emb.filter(F.col("vec_id") != 3)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(dot / (ne * nq), 9).alias("c9"))
+            .orderBy(F.desc("c9"), "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+
+    full = top5(_SM32_DIMS[0]).localCheckpoint(eager=False)
+    outs = []
+    for d in _SM32_DIMS:
+        td = full if d == _SM32_DIMS[0] else top5(d)
+        ov = td.join(full, "vec_id").agg(F.count("*").alias("n_overlap"))
+        outs.append(
+            ov.select(
+                F.lit(d).cast("long").alias("n_dims"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.round(F.col("n_overlap") / 5.0, 6).alias("recall_vs_full"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy(F.desc("n_dims"))

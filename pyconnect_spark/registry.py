@@ -124,6 +124,8 @@ _DECLARED_IN_ROUND = {
     "x79_welch_t_test": 20, "x80_mann_whitney_u": 20,
     # seventeenth wave
     "ts53_anomaly_ensemble": 21, "tx45_data_card": 21,
+    # eighteenth wave
+    "sm32_matryoshka_recall": 22,
 }
 
 

@@ -1131,3 +1131,14 @@ def test_tx45_single_scan_one_row_card(spark):
 
     df = _Q["tx45_data_card"](spark, SF)
     assert not unpartitioned_windows(df)
+
+
+def test_sm32_four_broadcast_passes_no_window(spark):
+    # each truncation tier is a broadcast-query TakeOrdered pass; the
+    # overlap joins run on 5-row frames; no window anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm32_matryoshka_recall"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
