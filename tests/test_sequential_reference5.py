@@ -1,0 +1,98 @@
+"""Fifth batch of independent reference checks: sm32 vs numpy prefix
+cosines, tx45 vs a pandas data card, ts53 vs a pandas detector ensemble."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from pyconnect_spark.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+_STOP = re.compile(r"\b(the|a|of|and|value|row)\b")
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def test_sm32_matches_numpy_prefix_cosines(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = mat[ids == 3][0]
+    mask = ids != 3
+
+    def top5(d):
+        m = mat[mask][:, :d]
+        qq = q[:d]
+        cos = np.round(
+            (m @ qq) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qq)), 9
+        )
+        return set(ids[mask][np.lexsort((ids[mask], -cos))[:5]])
+
+    full = top5(64)
+    got = {
+        r["n_dims"]: r["n_overlap"]
+        for r in get("sm32_matryoshka_recall").builder(spark, SF).collect()
+    }
+    for d in (64, 32, 16, 8):
+        assert got[d] == len(top5(d) & full), d
+
+
+def test_tx45_matches_pandas_card(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_tok = docs["text"].str.strip().str.split(r"\s+").str.len()
+    n_stop = docs["text"].apply(lambda t: len(_STOP.findall(t)))
+    n_punct = docs["text"].apply(lambda t: len(_PUNCT.findall(t)))
+    qpass = (
+        (docs["text"].str.len() >= 200)
+        & (n_stop * 20 >= n_tok)
+        & (n_punct * 5 <= docs["text"].str.len())
+    )
+    fp = docs["text"].apply(lambda t: hashlib.md5(t.encode()).hexdigest())
+    got = get("tx45_data_card").builder(spark, SF).collect()[0]
+    assert got["n_docs"] == len(docs)
+    assert got["n_tokens"] == int(n_tok.sum())
+    assert got["n_langs"] == docs["lang"].nunique()
+    assert got["n_sources"] == docs["source"].nunique()
+    assert abs(got["exact_dup_rate"] - round(1 - fp.nunique() / len(docs), 6)) < 1e-9
+    assert abs(got["quality_pass_rate"] - round(qpass.mean(), 6)) < 1e-9
+    top = docs.groupby("source").size().reset_index(name="c").sort_values(
+        ["c", "source"], ascending=[False, True]
+    ).iloc[0]
+    assert got["top_source"] == top["source"]
+    assert abs(got["top_source_share"] - round(top["c"] / len(docs), 6)) < 1e-9
+
+
+def test_ts53_matches_pandas_ensemble(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["v2"] = ev["value"].round(2)
+    daily = (
+        ev.groupby(["event_type", "day"])["v2"].agg(["sum", "count"]).reset_index()
+    )
+    daily["m"] = (daily["sum"] / daily["count"]).round(6)
+    want = []
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        m = grp["m"].to_numpy(dtype=float)
+        mu, sd = m.mean(), m.std(ddof=1)
+        med = float(np.median(m))
+        mad = float(np.median(np.abs(m - med)))
+        dd = np.diff(m)
+        dsd = dd.std(ddof=1) if len(dd) > 1 else 0.0
+        for i in range(len(m)):
+            fz = int(sd > 1e-9 and round(abs(m[i] - mu) / sd, 6) > 2)
+            fm = int(mad > 1e-9 and round(abs(m[i] - med) / (1.4826 * mad), 6) > 3)
+            fj = int(
+                i > 0 and dsd > 1e-9 and round(abs(m[i] - m[i - 1]) / dsd, 6) > 2
+            )
+            if fz + fm + fj >= 2:
+                want.append((et, str(grp["day"][i]), fz + fm + fj))
+    got = [
+        (r["event_type"], r["day"], r["votes"])
+        for r in get("ts53_anomaly_ensemble").builder(spark, SF).collect()
+    ]
+    assert got == sorted(want)
