@@ -3518,3 +3518,127 @@ def tx45(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source_share"
         ),
     )
+
+
+@REGISTRY.register(
+    "tx46_span_corruption_plan",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    planned AS (
+      SELECT doc_id, source, n,
+             CAST(floor(n * 0.15 / 3) AS BIGINT) AS n_spans
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, source, n, n_spans,
+             1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-'
+                                       || CAST(k AS VARCHAR)), 1, 15))
+                      AS BIGINT) % greatest(n - 2, 1) AS start
+      FROM planned, LATERAL (SELECT unnest(range(1, n_spans + 1)) AS k) s
+      WHERE n_spans >= 1
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, source, n, least(start + o, n) AS p
+      FROM spans, LATERAL (SELECT unnest(range(0, 3)) AS o) t
+    ),
+    per_doc AS (
+      SELECT doc_id, source, MAX(n) AS n,
+             COUNT(*) AS n_masked
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_masked,
+           CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(pl.n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(p.n_masked) AS BIGINT) AS n_masked,
+           round(CAST(SUM(p.n_masked) AS DOUBLE) / SUM(p.n), 6)
+               AS realized_rate
+    FROM per_doc p JOIN planned pl USING (doc_id)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="T5/UL2-style span-corruption mask planning — the denoising-"
+    "pretraining data-prep step that decides WHICH token spans each "
+    "document masks (15% corruption budget, mean span 3), made "
+    "deterministic and oracle-replayable: span starts are md5(doc_id, "
+    "span_index) draws over the token range, span positions explode "
+    "and DISTINCT-merge (overlapping spans collapse exactly like the "
+    "real packer's sentinel merge), and the per-source readout reports "
+    "docs/tokens/spans/masked counts and the realized rate — which "
+    "lands BELOW 15% exactly where span overlap and short docs bite, "
+    "the number a pretraining run monitors. Plan: one token-count "
+    "scan, a per-doc span-index explode (n*0.05 rows/doc), a "
+    "(doc, pos) distinct, a source-grain agg — all integer md5 "
+    "arithmetic, no RNG. At 100 TB the mask PLAN ships as (doc, pos) "
+    "pairs next to the packed sequences (tx12), and replaying the "
+    "same md5 draws reproduces it bit-for-bit on any cluster.",
+    tags=("text", "llm", "span-corruption", "t5", "masking"),
+)
+def tx46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), _TOKEN_RE)).cast("long")
+    planned = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.floor(n * 0.15 / 3).cast("long").alias("n_spans"),
+    )
+    start = 1 + F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("doc_id").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.greatest(F.col("n") - 2, F.lit(1))
+    spans = (
+        planned.filter(F.col("n_spans") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            "n_spans",
+            F.explode(F.sequence(F.lit(1), F.col("n_spans"))).alias("k"),
+        )
+        .select("doc_id", "source", "n", start.alias("start"))
+    )
+    pos = spans.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+        "start",
+    ).select(
+        "doc_id",
+        "source",
+        "n",
+        F.least(F.col("start") + F.col("o"), F.col("n")).alias("p"),
+    ).distinct()
+    per_doc = pos.groupBy("doc_id", "source").agg(
+        F.max("n").alias("n"), F.count("*").alias("n_masked")
+    )
+    return (
+        per_doc.join(planned.select("doc_id", "n_spans"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_masked"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_masked").cast("long").alias("n_masked"),
+            F.round(
+                F.sum("n_masked").cast("double") / F.sum("n"), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )

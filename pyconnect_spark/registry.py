@@ -126,6 +126,8 @@ _DECLARED_IN_ROUND = {
     "ts53_anomaly_ensemble": 21, "tx45_data_card": 21,
     # eighteenth wave
     "sm32_matryoshka_recall": 22,
+    # nineteenth wave
+    "tx46_span_corruption_plan": 23,
 }
 
 

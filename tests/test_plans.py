@@ -1142,3 +1142,15 @@ def test_sm32_four_broadcast_passes_no_window(spark):
     assert not unpartitioned_windows(df)
     text = explain_str(df)
     assert "CartesianProduct" not in text
+
+
+def test_tx46_mask_plan_is_integer_md5_arithmetic(spark):
+    # the span plan is one token-count scan + bounded explodes + a
+    # source agg; no window, no cartesian, no RNG anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx46_span_corruption_plan"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "rand" not in text.lower().replace("operand", "")
