@@ -96,3 +96,25 @@ def test_ts53_matches_pandas_ensemble(spark):
         for r in get("ts53_anomaly_ensemble").builder(spark, SF).collect()
     ]
     assert got == sorted(want)
+
+
+def test_tx46_matches_python_mask_plan(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg = {}
+    for _, r in docs.iterrows():
+        n = len(r["text"].strip().split())
+        n_spans = int(n * 0.15 // 3)
+        if n_spans < 1:
+            continue
+        pos = set()
+        for k in range(1, n_spans + 1):
+            h = hashlib.md5(f"{r['doc_id']}-{k}".encode()).hexdigest()
+            start = 1 + int(h[:15], 16) % max(n - 2, 1)
+            pos.update(min(start + o, n) for o in range(3))
+        d, t, s, m = agg.get(r["source"], (0, 0, 0, 0))
+        agg[r["source"]] = (d + 1, t + n, s + n_spans, m + len(pos))
+    got = {
+        r["source"]: (r["n_docs_masked"], r["n_tokens"], r["n_spans"], r["n_masked"])
+        for r in get("tx46_span_corruption_plan").builder(spark, SF).collect()
+    }
+    assert got == agg
