@@ -276,6 +276,7 @@ HEADLINE = [
     "tx45_data_card",
     "sm32_matryoshka_recall",
     "tx46_span_corruption_plan",
+    "dd32_dedup_manifest",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers, and

@@ -2950,3 +2950,95 @@ def dd30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@REGISTRY.register(
+    "dd32_dedup_manifest",
+    oracle=f"""
+    WITH RECURSIVE fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    ex AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY 1),
+    lab AS (SELECT fp.doc_id, ex.rep FROM fp JOIN ex USING (f)),
+    reps AS (SELECT doc_id FROM lab WHERE doc_id = rep),
+    sh0 AS ({_DD05_SHINGLES_SQL}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN reps USING (doc_id)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM reps
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS root FROM reach GROUP BY 1)
+    SELECT l.doc_id,
+           CASE WHEN l.doc_id <> l.rep THEN 'dup_exact'
+                WHEN c.root <> l.doc_id THEN 'dup_near'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN l.doc_id <> l.rep THEN l.rep
+                WHEN c.root <> l.doc_id THEN c.root
+                ELSE l.doc_id END AS representative
+    FROM lab l LEFT JOIN cc c ON c.node = l.doc_id
+    ORDER BY l.doc_id
+    """,
+    doc="Per-document dedup decision manifest — the 'why was my document "
+    "dropped' audit table a production dedup pipeline ships NEXT TO "
+    "the curated corpus (dd17 reports the funnel's COUNTS; this is the "
+    "same funnel at document grain, the provenance record): tier 1 "
+    "collapses exact copies onto the min-id fingerprint representative "
+    "(dd01/dd21 semantics), tier 2 runs near-dup clustering over the "
+    "exact SURVIVORS only (dd05's LSH-verified edges + connected "
+    "components), and every document gets (verdict, representative) "
+    "with verdicts in {{kept, dup_exact, dup_near}} — dup_exact points "
+    "at its fingerprint twin, dup_near at its cluster root. The "
+    "DuckDB twin replays both tiers (recursive-CTE components over "
+    "the exact edge set), so a hash match re-proves LSH-candidate "
+    "completeness at manifest grain. Plan: one fingerprint agg "
+    "(16-byte keys), the dd05 candidate/verify/CC machinery on the "
+    "exact-rep slice, two label joins — at 100 TB identical posture "
+    "to dd01 + dd05, and the manifest ships as parquet keyed by "
+    "doc_id for point lookups.",
+    tags=("dedup", "llm", "manifest", "provenance", "funnel"),
+)
+def dd32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
+    lab = fp.join(ex, "f").select("doc_id", "rep")
+    reps = docs.join(
+        lab.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    edges = lsh_verified_edges(reps, 0.8)
+    comp = connected_components(
+        reps.select(F.col("doc_id").alias("node")), edges
+    )
+    return (
+        lab.join(
+            comp.select(F.col("node").alias("doc_id"), "root"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("rep"), "dup_exact")
+            .when(F.col("root") != F.col("doc_id"), "dup_near")
+            .otherwise("kept")
+            .alias("verdict"),
+            F.when(F.col("doc_id") != F.col("rep"), F.col("rep"))
+            .when(F.col("root") != F.col("doc_id"), F.col("root"))
+            .otherwise(F.col("doc_id"))
+            .alias("representative"),
+        )
+        .orderBy("doc_id")
+    )

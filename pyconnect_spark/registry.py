@@ -128,6 +128,8 @@ _DECLARED_IN_ROUND = {
     "sm32_matryoshka_recall": 22,
     # nineteenth wave
     "tx46_span_corruption_plan": 23,
+    # twentieth wave
+    "dd32_dedup_manifest": 24,
 }
 
 

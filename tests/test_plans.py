@@ -1154,3 +1154,13 @@ def test_tx46_mask_plan_is_integer_md5_arithmetic(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "rand" not in text.lower().replace("operand", "")
+
+
+def test_dd32_manifest_inherits_dd05_shapes(spark):
+    # fingerprint agg on 16-byte keys; near tier runs on the exact-rep
+    # slice only; no cartesian, no unpartitioned window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd32_dedup_manifest"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
