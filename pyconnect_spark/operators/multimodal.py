@@ -659,7 +659,7 @@ _SHARD_BYTES = 512
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_assets,
            CAST(SUM(n) AS BIGINT) AS total_bytes,
-           list_reduce(
+           greatest(list_reduce(
              list_transform(list(n ORDER BY doc_id),
                             x -> struct_pack(s := CAST(1 AS BIGINT),
                                              f := CAST(x AS BIGINT))),
@@ -667,11 +667,12 @@ _SHARD_BYTES = 512
                             THEN struct_pack(s := a.s, f := a.f + x.f)
                             ELSE struct_pack(
                                 s := a.s + CAST(1 AS BIGINT),
-                                f := x.f) END).s AS n_shards,
+                                f := x.f) END).s,
+                    CAST(1 AS BIGINT)) AS n_shards,
            CAST(SUM(CASE WHEN n > {_SHARD_BYTES} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_oversize,
            round(SUM(n) * 1.0 /
-                 (list_reduce(
+                 (greatest(list_reduce(
                     list_transform(list(n ORDER BY doc_id),
                                    x -> struct_pack(
                                        s := CAST(1 AS BIGINT),
@@ -681,7 +682,8 @@ _SHARD_BYTES = 512
                                                     f := a.f + x.f)
                                    ELSE struct_pack(
                                        s := a.s + CAST(1 AS BIGINT),
-                                       f := x.f) END).s
+                                       f := x.f) END).s,
+                           CAST(1 AS BIGINT))
                   * {_SHARD_BYTES}), 6) AS fill_frac
     FROM sz GROUP BY source
     """,
@@ -734,14 +736,19 @@ def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(a["s"].alias("s"), (a["f"] + n).alias("f")),
         ).otherwise(F.struct((a["s"] + 1).alias("s"), n.alias("f"))),
     )
+    # greatest(s, 1): the Spark fold seeds (s=0, f=SHARD) so a source
+    # whose assets are ALL zero-byte would report 0 shards, while the
+    # oracle's list_reduce seeds from the first element (s=1). One shard
+    # is the right answer for a non-empty source; guard both engines.
+    n_shards = F.greatest(st["s"], F.lit(1).cast("long"))
     return per_src.select(
         "source",
         "n_assets",
         "total_bytes",
-        st["s"].alias("n_shards"),
+        n_shards.alias("n_shards"),
         "n_oversize",
         F.round(
-            F.col("total_bytes") * 1.0 / (st["s"] * _SHARD_BYTES), 6
+            F.col("total_bytes") * 1.0 / (n_shards * _SHARD_BYTES), 6
         ).alias("fill_frac"),
     )
 

@@ -2755,7 +2755,7 @@ def ts43(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              (epoch(MAX(ts)) - epoch(MIN(ts))) / 3600.0 AS span_hours
-      FROM events GROUP BY event_type
+      FROM events GROUP BY event_type HAVING COUNT(*) >= 2
     ),
     agg AS (
       SELECT event_type,
@@ -2796,6 +2796,9 @@ def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_h = (F.col("sec") - F.lag("sec").over(w)) / 3600.0
     g = ev.withColumn("gap_h", gap_h)
     is_gap = F.round(F.col("gap_h"), 9) > 1.0
+    # Types with a single event have no gaps: the oracle's span-to-agg
+    # inner join drops them, so both engines filter to n_events >= 2
+    # (also removes the 0-span divide-by-zero degenerate).
     return g.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
         F.round((F.max("sec") - F.min("sec")) / 3600.0, 6).alias(
@@ -2812,7 +2815,7 @@ def ts44(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.max("sec") - F.min("sec")) / 3600.0),
             6,
         ).alias("downtime_pct"),
-    )
+    ).where(F.col("n_events") >= 2)
 
 
 @REGISTRY.register(
