@@ -2280,69 +2280,161 @@ def dd23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_2P60 = 1152921504606846976.0  # 2^60, the hash-space width as double
+
+
 @REGISTRY.register(
     "dd24_theta_source_overlap",
-    oracle=None,
-    doc="Approximate cross-source overlap via Theta sketches (Apache "
-    "DataSketches through Spark 4's theta_sketch_agg / theta_union / "
-    "theta_intersection) — the scale tier of dd11's exact matrix: each "
-    "source aggregates ONE sketch of its head fingerprints (KB "
-    "regardless of corpus size), and every pairwise shared-count / "
-    "Jaccard estimate comes from sketch set-algebra on the |sources|-row "
-    "table — no cross-source fingerprint join at all, which is the "
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                               CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS sh
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5('kmv:' || sh), 1, 15)) AS BIGINT) AS hv
+      FROM sh0
+    ),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    bk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM sh
+      ) WHERE rn <= {_KMV_K}
+    ),
+    exact AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_shared
+      FROM sh x JOIN sh y ON x.hv = y.hv AND x.source < y.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b
+      FROM counts a JOIN counts b ON a.source < b.source
+    ),
+    m AS (
+      SELECT p.source_a, p.source_b, u.hv,
+             MAX(u.in_a) AS in_a, MAX(u.in_b) AS in_b
+      FROM pairs p JOIN (
+        SELECT source, hv, 1 AS in_a, 0 AS in_b FROM bk
+        UNION ALL
+        SELECT source, hv, 0, 1 FROM bk
+      ) u ON (u.in_a = 1 AND u.source = p.source_a)
+          OR (u.in_b = 1 AND u.source = p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT m.*, row_number() OVER (PARTITION BY source_a, source_b
+                                       ORDER BY hv) AS rn
+        FROM m
+      ) WHERE rn <= {_KMV_K}
+    ),
+    stats AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS kk, MAX(hv) AS kth,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS c
+      FROM topk GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             CASE WHEN kk < {_KMV_K} THEN CAST(kk AS DOUBLE)
+                  ELSE {_KMV_K - 1} * {_KMV_2P60!r} / CAST(kth AS DOUBLE)
+             END AS est_union,
+             CAST(c AS DOUBLE) / kk AS est_jacc
+      FROM stats
+    )
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+           COALESCE(x.exact_shared, 0) AS exact_shared,
+           CAST(floor(round(e.est_jacc * e.est_union, 9)) AS BIGINT)
+               AS est_shared,
+           round(e.est_jacc, 6) AS est_jaccard
+    FROM pairs p
+    JOIN est e USING (source_a, source_b)
+    LEFT JOIN exact x USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """,
+    doc="Approximate cross-source content overlap via md5-deterministic "
+    f"KMV/bottom-k sketches (the Theta sketch's core, k={_KMV_K}) — the "
+    "scale tier of dd11's exact matrix, at word-3-shingle grain (content "
+    "overlap, the contamination signal head fingerprints miss): each "
+    "source keeps only its k smallest md5 shingle hashes (KB regardless "
+    "of corpus size), and every pairwise shared-count / Jaccard estimate "
+    "comes from sketch set-algebra on the k-row samples — no cross-"
+    "source shingle join for the estimates at all, which is the "
     "difference between a 100 TB overlap audit reading each source once "
-    "and one shuffling a fingerprint exchange per source pair. Theta "
-    "(not HLL) because intersection is a first-class sketch op. Emits "
-    "exact alongside estimates; tolerance pinned by "
-    "test_theta_overlap_tolerance. Sketch estimator is engine-private "
-    "-> rows-only driver check (x49's tier).",
-    tags=("dedup", "llm", "sketch", "theta", "overlap", "mergeable"),
+    "and one shuffling a shingle exchange per source pair. KMV (not "
+    "HLL) because intersection is first-class: the k smallest of the "
+    "merged sample form a uniform coordinated sample of the union, "
+    "est_jaccard = matches/k (Beyer et al. 2007), est_union = "
+    "(k-1)/U_(k); below capacity the sketch degrades to exact set "
+    "algebra. Because the hash is md5, DuckDB rebuilds the IDENTICAL "
+    "sketches — the estimator itself is hash-checked (tx31's "
+    "replayable-sketch trade; round-6 verdict task #3). Bottom-k is "
+    "tournament-mergeable, so the per-source sketch builds as a "
+    "two-level rank (16 md5 sub-shards, then k-of-16k) — no task ever "
+    "sorts more than one shard, the tx34 idiom; the exact_shared audit "
+    "column joins only fingerprints present in >=2 sources (dd11's "
+    "shape) and is the one corpus-scale exchange, dropped at 100 TB "
+    "where the sketch IS the product. DataSketches theta_sketch_agg is "
+    "the interop alternative; this variant trades cross-system sketch "
+    "bytes for replayability.",
+    tags=("dedup", "llm", "sketch", "theta", "kmv", "overlap", "mergeable"),
 )
 def dd24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
-    fp = docs.select(
-        "source",
-        F.md5(
-            F.concat_ws(
-                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
-            )
-        ).alias("fp"),
-    ).distinct()
-    sk = fp.groupBy("source").agg(
-        F.theta_sketch_agg("fp").alias("sk"),
-        F.count("*").cast("long").alias("n"),
-    )
-    a, b = sk.alias("a"), sk.alias("b")
-    est = (
-        a.join(b, F.col("a.source") < F.col("b.source"))
+    sh = (
+        _word_shingles(docs.select(F.col("source").alias("doc_id"), "text"))
         .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-            F.theta_sketch_estimate(
-                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            F.col("doc_id").alias("source"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("sh"))), 1, 15),
+                16,
+                10,
             )
             .cast("long")
-            .alias("est_shared"),
-            F.theta_sketch_estimate(
-                F.theta_union(F.col("a.sk"), F.col("b.sk"))
-            )
-            .cast("long")
-            .alias("est_union"),
+            .alias("hv"),
         )
+        .distinct()
+    )
+    sh = track(sh.cache())  # counts + exact + sketch all read it
+    counts = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    # two-level tournament bottom-k: per-(source, md5-shard) rank first so
+    # no task sorts more than a shard, then k-of-(16k) per source — exact
+    # because bottom-k is tournament-mergeable.
+    lvl1 = (
+        sh.withColumn("shard", F.col("hv").bitwiseAND(F.lit(15)))
         .withColumn(
-            "est_jaccard",
-            F.round(
-                F.col("est_shared") / F.col("est_union").cast("double"), 6
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "shard").orderBy("hv")
             ),
         )
+        .where(F.col("rn") <= _KMV_K)
+    )
+    bk = (
+        lvl1.withColumn(
+            "rn2",
+            F.row_number().over(Window.partitionBy("source").orderBy("hv")),
+        )
+        .where(F.col("rn2") <= _KMV_K)
+        .select("source", "hv")
     )
     exact = (
-        fp.alias("x")
+        sh.alias("x")
         .join(
-            fp.alias("y"),
-            (F.col("x.fp") == F.col("y.fp"))
+            sh.alias("y"),
+            (F.col("x.hv") == F.col("y.hv"))
             & (F.col("x.source") < F.col("y.source")),
         )
         .groupBy(
@@ -2351,8 +2443,52 @@ def dd24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("exact_shared"))
     )
+    a, b = counts.alias("a"), counts.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    u = bk.select("source", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionAll(
+        bk.select("source", "hv", F.lit(0), F.lit(1))
+    )
+    m = (
+        pairs.select("source_a", "source_b")
+        .join(
+            u,
+            ((F.col("in_a") == 1) & (F.col("source") == F.col("source_a")))
+            | ((F.col("in_b") == 1) & (F.col("source") == F.col("source_b"))),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topk = m.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source_a", "source_b").orderBy("hv")
+        ),
+    ).where(F.col("rn") <= _KMV_K)
+    stats = topk.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("kk"),
+        F.max("hv").alias("kth"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("c"),
+    )
+    est = stats.select(
+        "source_a",
+        "source_b",
+        F.when(F.col("kk") < _KMV_K, F.col("kk").cast("double"))
+        .otherwise(
+            F.lit(float(_KMV_K - 1)) * _KMV_2P60 / F.col("kth").cast("double")
+        )
+        .alias("est_union"),
+        (F.col("c").cast("double") / F.col("kk")).alias("est_jacc"),
+    )
     return (
-        est.join(exact, ["source_a", "source_b"], "left")
+        pairs.join(est, ["source_a", "source_b"])
+        .join(exact, ["source_a", "source_b"], "left")
         .fillna(0, subset=["exact_shared"])
         .select(
             "source_a",
@@ -2360,8 +2496,10 @@ def dd24(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "exact_shared",
-            "est_shared",
-            "est_jaccard",
+            F.floor(F.round(F.col("est_jacc") * F.col("est_union"), 9))
+            .cast("long")
+            .alias("est_shared"),
+            F.round("est_jacc", 6).alias("est_jaccard"),
         )
         .orderBy("source_a", "source_b")
     )

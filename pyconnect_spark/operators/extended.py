@@ -1406,49 +1406,157 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REGISTRY.register(
+    "x49_hll_mergeable_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, day, h & 255 AS bucket,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END AS rho
+      FROM h
+    ),
+    daily AS (
+      SELECT event_type, day, bucket, MAX(rho) AS reg
+      FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, MAX(reg) AS reg
+      FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_present,
+             SUM(1::BIGINT << CAST(53 - reg AS INT)) AS s_present
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(256 - n_present AS DOUBLE) AS zeros,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               * 9007199254740992.0
+               / CAST(s_present
+                      + (256 - n_present) * (1::BIGINT << 53) AS DOUBLE)
+                 AS raw_est
+      FROM agg
+    ),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN raw_est <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE raw_est END AS est
+      FROM est
+    ),
+    meta AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT m.event_type, m.n_days, m.exact_users,
+           CAST(floor(round(f.est, 9)) AS BIGINT) AS est_users,
+           round(abs(CAST(floor(round(f.est, 9)) AS BIGINT)
+                     - m.exact_users) * 1.0 / m.exact_users, 6) AS rel_err
+    FROM meta m JOIN fin f USING (event_type)
+    """,
+    doc="Mergeable-sketch distinct rollup — an md5-deterministic "
+    "HyperLogLog (Flajolet et al. 2007, m=256 registers): per-(type, "
+    "day) register tables aggregate once, then MERGE via per-bucket MAX "
+    "to per-type totals — the re-aggregable distinct that "
+    "approx_count_distinct cannot provide (its per-group estimates "
+    "cannot merge), and the mechanism behind pre-aggregated "
+    "distinct-user dashboards at 100 TB: store the daily register table "
+    "(<=256 rows per group, not users), answer any date-range distinct "
+    "by MAX-merging registers, never rescan the fact. Because the hash "
+    "is md5 (bucket = low 8 bits, rho = leading-zero rank of the "
+    "remaining 52), DuckDB rebuilds the IDENTICAL registers and the "
+    "estimator itself is hash-checked — tx31's replayable-sketch trade "
+    "applied to HLL, eliminating round-6's permanent no_oracle class. "
+    "The register sum folds in exact integer arithmetic "
+    "(SUM(1<<(53-reg)), fits bigint at m=256) so no FP-ordering "
+    "nondeterminism enters before the single final division; the "
+    "small-range linear-counting branch (est<=2.5m with empty "
+    "registers) is the standard correction, identical in both engines. "
+    "Mergeability is pinned by test_hll_rollup_tolerance (registers "
+    "are algebraic MAXes). DataSketches HLL (hll_sketch_agg) is the "
+    "interop alternative when cross-system sketch exchange matters; "
+    "this variant trades that for replayability.",
+    tags=("agg", "sketch", "hll", "mergeable", "approx"),
+)
 def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct rollup (Apache DataSketches HLL via
-    Spark 3.5+'s hll_sketch_agg / hll_union_agg): per-(type, day) user
-    sketches aggregate once, then UNION to per-type totals — the
-    re-aggregable distinct that approx_count_distinct cannot provide
-    (its per-group estimates cannot merge), and the mechanism behind
-    pre-aggregated distinct-user dashboards at 100 TB: store the daily
-    sketch table (bytes per group, not users), answer any date-range
-    distinct by unioning sketches, never rescan the fact. Emits exact
-    alongside estimate; the tolerance contract (<= 5% rel. error) is
-    pinned by test_hll_rollup_tolerance. Estimator output is
-    engine-specific -> rows-only driver check (same tier as x08's
-    sketches)."""
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    merged = daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
-        F.count("*").cast("long").alias("n_days"),
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(F.col("h"), 8)
+    hashed = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), h.alias("h")
+    ).select(
+        "event_type",
+        "day",
+        F.col("h").bitwiseAND(F.lit(255)).alias("bucket"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .alias("rho"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_users")
+    daily = hashed.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("reg")
     )
-    return merged.join(exact, "event_type").select(
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+    agg = merged.groupBy("event_type").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")
+        ).alias("s_present"),
+    )
+    alpha_m2_2p53 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+    est = agg.select(
+        "event_type",
+        (256 - F.col("n_present")).cast("double").alias("zeros"),
+        (
+            F.lit(alpha_m2_2p53)
+            / (
+                F.col("s_present")
+                + (256 - F.col("n_present"))
+                * F.shiftleft(F.lit(1).cast("long"), 53)
+            ).cast("double")
+        ).alias("raw_est"),
+    ).select(
+        "event_type",
+        F.when(
+            (F.col("raw_est") <= 640.0) & (F.col("zeros") > 0),
+            256.0 * F.log(256.0 / F.col("zeros")),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("est"),
+    )
+    meta = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("ts").cast("date")).cast("long").alias("n_days"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    est_users = F.floor(F.round(F.col("est"), 9)).cast("long")
+    return meta.join(est, "event_type").select(
         "event_type",
         "n_days",
         "exact_users",
-        "est_users",
+        est_users.alias("est_users"),
         F.round(
-            F.abs(F.col("est_users") - F.col("exact_users"))
+            F.abs(est_users - F.col("exact_users"))
             / F.col("exact_users"),
             6,
         ).alias("rel_err"),
     )
-
-
-REGISTRY.register(
-    "x49_hll_mergeable_rollup",
-    oracle=None,
-    doc=x49.__doc__,
-    tags=("agg", "sketch", "hll", "mergeable", "approx"),
-)(x49)
 
 
 @REGISTRY.register(

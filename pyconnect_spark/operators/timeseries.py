@@ -2386,59 +2386,178 @@ def ts39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_K = 512
+
+
 @REGISTRY.register(
     "ts40_quantile_sketch_rollup",
-    oracle=None,
-    doc="Mergeable-quantile rollup (Apache DataSketches KLL via Spark "
-    "4's kll_sketch_agg_double / kll_merge_agg_double): per-(type, day) "
-    "value sketches aggregate once, then MERGE to per-type quantiles — "
-    "the re-aggregable percentile that percentile_approx cannot provide "
-    "(its per-group digests cannot merge), and the mechanism behind "
-    "latency/value dashboards at 100 TB: store the daily sketch table "
-    "(KB per group, not values), answer any date-range p50/p95/p99 by "
-    "merging sketches, never rescan the fact. Emits exact percentiles "
-    "alongside estimates; the tolerance contract (KLL k=200 => ~1.65% "
-    "rank error) is pinned by test_kll_rollup_tolerance. Sketch bytes "
-    "are engine-private -> rows-only driver check (x49's tier).",
-    tags=("timeseries", "sketch", "kll", "quantile", "mergeable", "approx"),
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, event_id, value,
+             CAST(('0x' || substr(md5('kqs:' || CAST(event_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    d AS (
+      SELECT * FROM (
+        SELECT h.*, row_number() OVER (PARTITION BY event_type, day
+                                       ORDER BY hv, event_id) AS rn
+        FROM h
+      ) WHERE rn <= {_QSK_K}
+    ),
+    s AS (
+      SELECT * FROM (
+        SELECT event_type, event_id, value, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv, event_id) AS rn2
+        FROM d
+      ) WHERE rn2 <= {_QSK_K}
+    ),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS kk
+      FROM s
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(MAX(kk) AS BIGINT) AS n_sample,
+             MAX(CASE WHEN rk = CAST(ceil(0.5 * kk) AS BIGINT)
+                      THEN value END) AS e50,
+             MAX(CASE WHEN rk = CAST(ceil(0.95 * kk) AS BIGINT)
+                      THEN value END) AS e95,
+             MAX(CASE WHEN rk = CAST(ceil(0.99 * kk) AS BIGINT)
+                      THEN value END) AS e99
+      FROM r GROUP BY 1
+    ),
+    er AS (
+      SELECT ev.event_type,
+             SUM(CASE WHEN ev.value <= e.e50 THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS r50,
+             SUM(CASE WHEN ev.value <= e.e95 THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS r95,
+             SUM(CASE WHEN ev.value <= e.e99 THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS r99
+      FROM events ev JOIN est e USING (event_type)
+      GROUP BY 1
+    ),
+    meta AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events GROUP BY 1
+    )
+    SELECT m.event_type, m.n_days, e.n_sample,
+           round(e.e50, 6) AS est_p50, round(abs(x.r50 - 0.5), 6) AS rank_err_p50,
+           round(e.e95, 6) AS est_p95, round(abs(x.r95 - 0.95), 6) AS rank_err_p95,
+           round(e.e99, 6) AS est_p99, round(abs(x.r99 - 0.99), 6) AS rank_err_p99
+    FROM meta m JOIN est e USING (event_type) JOIN er x USING (event_type)
+    """,
+    doc="Mergeable-quantile rollup via a deterministic bottom-k reservoir "
+    f"(k={_QSK_K}, md5-keyed): per-(type, day) samples keep the k events "
+    "with smallest md5(event_id) — a uniform without-replacement sample "
+    "that is TOURNAMENT-MERGEABLE (the k smallest hashes of a union are "
+    "the k smallest of the per-day k-smallest), so daily sample tables "
+    "MERGE to any date-range sample without rescanning the fact: the "
+    "re-aggregable percentile that percentile_approx cannot provide, "
+    "and the mechanism behind latency dashboards at 100 TB (store "
+    "k rows per group-day, merge on query). Quantiles read off the "
+    "merged sample by nearest-rank (ceil(q*k) — an actual data value, "
+    "like KLL returns), and the output reports each estimate's REALIZED "
+    "rank error against one exact fact pass — rank space is where a "
+    "quantile sketch's guarantee lives (uniform k-sample => rank error "
+    "~ sqrt(q(1-q)/k), ~2.2% at k=512/q=0.5). Because the reservoir is "
+    "md5-keyed, DuckDB rebuilds the IDENTICAL sample and the estimator "
+    "itself is hash-checked (tx31's replayable-sketch trade; round-6 "
+    "verdict task #3 stretch) — no FP enters before the final division: "
+    "sampling is integer hash ranks, selection is integer nearest-rank. "
+    "All windows partition by (type[, day]); the merge level ranks at "
+    "most days*k rows per type. DataSketches KLL (kll_sketch_agg_double) "
+    "is the interop alternative with better worst-case rank error at "
+    "equal bytes; this variant trades that for replayability and "
+    "arbitrary-predicate re-aggregation (a sample answers ANY "
+    "downstream statistic, not just quantiles).",
+    tags=("timeseries", "sketch", "quantile", "reservoir", "mergeable", "approx"),
 )
 def ts40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
-    merged = daily.groupBy("event_type").agg(
-        F.kll_merge_agg_double("sk").alias("sk"),
-        F.count("*").cast("long").alias("n_days"),
-    )
-    est = merged.select(
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
         "event_type",
-        "n_days",
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        "value",
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kqs:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = ev.withColumn("hv", hv)
+    daily = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type", "day").orderBy("hv", "event_id")
+        ),
+    ).where(F.col("rn") <= _QSK_K)
+    samp = daily.withColumn(
+        "rn2",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hv", "event_id")
+        ),
+    ).where(F.col("rn2") <= _QSK_K)
+    ranked = samp.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("kk"),
+    )
+    est = ranked.groupBy("event_type").agg(
+        F.max("kk").cast("long").alias("n_sample"),
         *[
-            F.round(
-                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 6
-            ).alias(f"est_p{int(q * 100)}")
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.ceil(F.lit(q) * F.col("kk")).cast("long"),
+                    F.col("value"),
+                )
+            ).alias(f"e{int(q * 100)}")
             for q in (0.5, 0.95, 0.99)
         ],
     )
-    exact = ev.groupBy("event_type").agg(
-        *[
-            F.round(F.percentile("value", F.lit(q)), 6).alias(
-                f"exact_p{int(q * 100)}"
-            )
-            for q in (0.5, 0.95, 0.99)
-        ]
+    er = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(F.col("value") <= F.col(f"e{p}"), 1).otherwise(0)
+                    )
+                    * 1.0
+                    / F.count("*")
+                ).alias(f"r{p}")
+                for p in (50, 95, 99)
+            ]
+        )
     )
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "n_days",
-        "exact_p50",
-        "est_p50",
-        "exact_p95",
-        "est_p95",
-        "exact_p99",
-        "est_p99",
+    meta = ev.groupBy("event_type").agg(
+        F.count_distinct("day").cast("long").alias("n_days")
     )
+    out = meta.join(est, "event_type").join(er, "event_type")
+    cols = ["event_type", "n_days", "n_sample"]
+    for p, q in ((50, 0.5), (95, 0.95), (99, 0.99)):
+        cols.append(F.round(F.col(f"e{p}"), 6).alias(f"est_p{p}"))
+        cols.append(
+            F.round(F.abs(F.col(f"r{p}") - F.lit(q)), 6).alias(f"rank_err_p{p}")
+        )
+    return out.select(*cols)
 
 
 @REGISTRY.register(
