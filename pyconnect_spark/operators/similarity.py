@@ -3672,41 +3672,49 @@ _SM30_COS = """round(
     "criterion unsupervised alignment (MUSE/VecMap), bitext mining and "
     "high-precision semantic dedup all use, because one-directional "
     "top-1 is hub-polluted (sm23 measures exactly that pathology; RNN "
-    "is its standard antidote). Exact audit grain: per-vector top-1 "
-    "via a partitioned rank over the pair frame (9 dp cosine barrier, "
-    "vec_id tie-break), then a self-join on mutuality. Plan: the "
-    "pair stage is the sm02 quadratic-truth shape — at 100 TB swap in "
-    "the IVF/LSH candidate generators (sm05/sm03) for the pair frame "
-    "and the per-vector rank + mutuality join are unchanged (argmax "
-    "within candidates, (src,dst)-keyed equi-join); the rank window "
-    "keys on vec_id (== shuffle key, never global).",
+    "is its standard antidote). Exact audit grain on sm23's Arrow-BLAS "
+    "pattern (round-6 verdict task #2; the interpreted zip_with "
+    "all-pairs join this replaces benched >20 min at 10x): the corpus "
+    "matrix rides an sc.broadcast and each Arrow batch computes its "
+    "query block's top-1 as ONE numpy matmul with a 9 dp rounding "
+    "barrier BEFORE the (cos DESC, vec_id) rank decision, so BLAS "
+    "accumulation order can't flip a rank boundary vs the oracle's "
+    "left-to-right fold; the mutuality self-join on (src,dst) is "
+    "unchanged. Plan: at 100 TB swap in the IVF/LSH candidate "
+    "generators (sm05/sm03) for the per-batch block — argmax within "
+    "candidates and the (src,dst)-keyed equi-join are unchanged.",
     tags=("similarity", "llm", "rnn", "mutual-nn", "dedup"),
 )
 def sm30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import numpy as np
 
-    emb = t(spark, sf_dir, "embeddings")
-    # norms precomputed per vector (N evals, not N^2) — bit-identical to
-    # the fused cosine, see vector_norm
-    normed = emb.select(
-        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
-    )
-    a = normed.alias("a")
-    b = normed.alias("b")
-    c9 = F.round(
-        pair_dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        9,
-    )
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        c9.alias("c9"),
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("c9"), F.asc("dst"))
-    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # audit tier: corpus matrix is KB-bounded at fixture scale (N x 64
+    # doubles); the sm23 broadcast-matmul donor pattern
+    crows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in crows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def top1_batches(it):
+        ids, mat, nrm = bc.value
+        for pdf in it:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ mat.T) / (qn[:, None] * nrm[None, :]), 9)
+            qids = pdf["vec_id"].to_numpy()
+            out_s, out_d, out_c = [], [], []
+            for i, qid in enumerate(qids):
+                s = S[i].copy()
+                s[ids == qid] = -np.inf  # exclude self
+                j = np.lexsort((ids, -s))[0]  # rank by (-cos, vec_id)
+                out_s.append(qid)
+                out_d.append(ids[j])
+                out_c.append(s[j])
+            yield pd.DataFrame({"src": out_s, "dst": out_d, "c9": out_c})
+
+    nn = emb.mapInPandas(top1_batches, schema="src long, dst long, c9 double")
     x = nn.alias("x")
     y = nn.alias("y")
     return (

@@ -986,11 +986,18 @@ def test_sm29_weight_vector_broadcasts_scoring_map_only(spark):
 
 
 def test_sm30_rank_partitions_by_vec_mutuality_equijoin(spark):
-    # the per-vector top-1 rank must partition by src (never a global
-    # window); the mutuality check is a (src,dst)-keyed equi-join
+    # the top-1 stage must be the Arrow broadcast-matmul (MapInPandas,
+    # sm23's donor pattern), never the interpreted all-pairs theta-join
+    # (benched >20 min at 10x); the mutuality check stays a (src,dst)-
+    # keyed equi-join (SortMerge/BroadcastHash, no nested loop), and
+    # there is no window at all — argmax happens inside the batch
     from pyconnect_spark.plans import unpartitioned_windows
 
     df = _Q["sm30_reciprocal_nn_pairs"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" in text
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
     assert not unpartitioned_windows(df)
 
 
