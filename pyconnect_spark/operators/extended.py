@@ -3651,6 +3651,149 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ERB_CAP = 64
+
+
+@REGISTRY.register(
+    "x73b_er_blocking_capped",
+    oracle=f"""
+    WITH b AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT b.*, row_number() OVER (
+          PARTITION BY blk
+          ORDER BY md5('erb:' || CAST(p_partkey AS VARCHAR)), p_partkey
+        ) AS rk
+        FROM b
+      ) WHERE rk <= {_ERB_CAP}
+    ),
+    pairs AS (
+      SELECT a.blk, levenshtein(a.p_name, c.p_name) AS d
+      FROM kept a JOIN kept c
+        ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+    ),
+    stat AS (
+      SELECT blk,
+             COUNT(*) AS n_pairs_verified,
+             SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_exact,
+             SUM(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS n_near
+      FROM pairs GROUP BY 1
+    ),
+    members AS (SELECT blk, COUNT(*) AS n_members FROM b GROUP BY 1)
+    SELECT m.blk, CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(m.n_members * (m.n_members - 1) // 2 AS BIGINT)
+               AS n_pairs_full,
+           CAST(CASE WHEN m.n_members > {_ERB_CAP} THEN 1 ELSE 0 END
+                AS BIGINT) AS capped,
+           CAST(s.n_pairs_verified AS BIGINT) AS n_pairs_verified,
+           CAST(s.n_exact AS BIGINT) AS n_exact,
+           CAST(s.n_near AS BIGINT) AS n_near,
+           round(CAST(s.n_exact + s.n_near AS DOUBLE) / s.n_pairs_verified,
+                 6) AS est_match_rate
+    FROM members m JOIN stat s USING (blk)
+    ORDER BY n_pairs_full DESC, m.blk
+    LIMIT 20
+    """,
+    doc="Production-capped ER blocking audit — x73's scale posture made "
+    f"real (round-6 verdict task #4, dd25's df-cap idiom): blocks over "
+    f"{_ERB_CAP} members are SAMPLED down to a deterministic md5-ranked "
+    f"{_ERB_CAP}-member subset before the quadratic Levenshtein verify, "
+    "so per-block work is bounded by cap^2 pairs NO MATTER how large "
+    "the block — the audit stays O(blocks * cap^2) at 100 TB while "
+    "x73's uncapped twin remains the exact cross-check at audit grain. "
+    "Each hot-list row reports full candidate volume (n_pairs_full, "
+    "computed arithmetically from the member count — no join needed), "
+    "whether the block was capped, how many pairs were actually "
+    "verified, and the match rate ESTIMATED from the sample (an md5 "
+    "member sample induces a uniform pair sample, so the rate is "
+    "unbiased; a capped block's n_exact/n_near are sample counts, not "
+    "totals — the capped flag tells the reader which regime each row "
+    "is in). Plan: one rank window PARTITIONED by block (sorts members "
+    "within a block only — at 100 TB a pathological block splits into "
+    "md5 sub-streams first, tx34's scheme), block-keyed self-join on "
+    "the <=cap survivors, combiner agg, TakeOrdered. At sf0.01 every "
+    "fixture block (~250 members) exercises the capped branch; at "
+    "sf0.001 (<=33 members) the sample IS the block and the audit "
+    "degrades to x73 exactly (pinned by test_x73b_uncapped_equals_x73).",
+    tags=("extended", "entity-resolution", "blocking", "fuzzy-join", "capped"),
+)
+def x73b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part")
+    b = p.select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    kept = (
+        b.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("blk").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.lit("erb:"), F.col("p_partkey").cast("string")
+                        )
+                    ),
+                    "p_partkey",
+                )
+            ),
+        )
+        .where(F.col("rk") <= _ERB_CAP)
+        .drop("rk")
+    )
+    a = kept.alias("a")
+    c = kept.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.p_partkey") < F.col("c.p_partkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("c.p_name")).alias("d"),
+    )
+    stat = pairs.groupBy("blk").agg(
+        F.count("*").cast("long").alias("n_pairs_verified"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near"),
+    )
+    members = b.groupBy("blk").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        members.join(stat, "blk")
+        .select(
+            "blk",
+            "n_members",
+            F.expr("CAST(n_members * (n_members - 1) DIV 2 AS BIGINT)").alias(
+                "n_pairs_full"
+            ),
+            F.when(F.col("n_members") > _ERB_CAP, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("capped"),
+            "n_pairs_verified",
+            "n_exact",
+            "n_near",
+            F.round(
+                (F.col("n_exact") + F.col("n_near")).cast("double")
+                / F.col("n_pairs_verified"),
+                6,
+            ).alias("est_match_rate"),
+        )
+        .orderBy(F.desc("n_pairs_full"), "blk")
+        .limit(20)
+    )
+
+
 @REGISTRY.register(
     "x74_littles_law_audit",
     oracle="""

@@ -130,6 +130,8 @@ _DECLARED_IN_ROUND = {
     "tx46_span_corruption_plan": 23,
     # twentieth wave
     "dd32_dedup_manifest": 24,
+    # round 7, first wave
+    "x73b_er_blocking_capped": 25,
 }
 
 

@@ -111,6 +111,27 @@ def test_kll_rollup_tolerance(spark):
         assert r["rank_err_p99"] <= 0.018, tuple(r)
 
 
+def test_x73b_uncapped_equals_x73(spark):
+    """x73b (production block cap): when every block fits under the cap
+    (sf0.001 blocks are <= 33 members vs cap 64) the md5 member sample
+    IS the block, so the capped audit must reproduce x73's exact
+    per-block counts bit-for-bit — the degradation contract that makes
+    the capped twin trustworthy."""
+    from pyconnect_spark.operators.extended import x73, x73b
+
+    sf = "/root/testdata/sf0.001"
+    full = {r["blk"]: r for r in x73(spark, sf).collect()}
+    capped = {r["blk"]: r for r in x73b(spark, sf).collect()}
+    assert set(full) == set(capped)
+    for blk, f in full.items():
+        c = capped[blk]
+        assert c["capped"] == 0
+        assert c["n_pairs_verified"] == c["n_pairs_full"] == f["n_pairs"]
+        assert c["n_exact"] == f["n_exact"]
+        assert c["n_near"] == f["n_near"]
+        assert c["est_match_rate"] == f["match_rate"]
+
+
 def test_theta_overlap_tolerance(spark):
     """dd24: the md5-KMV (k=64) estimates must track the exact shingle
     set algebra within the sketch's statistical guarantee: jaccard
