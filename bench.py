@@ -378,6 +378,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
     from pyconnect_spark.operators.similarity import (
         clustered_embeddings,
         ivfadc_topk,
+        pq_adc_topk,
     )
 
     cl_rows = clustered_embeddings(spark, n=512).collect()
@@ -397,6 +398,14 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 5) -> dict:
         got.setdefault(r["q_id"], set()).add(r["vec_id"])
     hits = sum(len(got.get(q, set()) & t) for q, t in cl_truth.items())
     out["sm18_ivfadc_clustered"] = round(hits / (k * len(cl_truth)), 3)
+    # sm17's PQ consumer on the same structured corpus (round-6 verdict
+    # task #5: both PQ consumers show their merit on data with structure;
+    # pinned >= 0.9 by test_ivfadc.py::test_pq_adc_clustered_recall)
+    got = {}
+    for r in pq_adc_topk(clustered_embeddings(spark, n=512), n_codes=256).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in cl_truth.items())
+    out["sm17_pq_adc_clustered"] = round(hits / (k * len(cl_truth)), 3)
     return out
 
 
@@ -500,6 +509,15 @@ def main() -> None:
         "ann_recall_at_5": recall,
         "canary_sec": host_canary(),
     }
+    # Canary-normalized cross-round metric (round-6 verdict task #6):
+    # common45 wall-clock divided by the deterministic host-speed canary.
+    # Host CPU steal inflates both proportionally, so THIS ratio — not the
+    # raw seconds — is what readers compare across rounds (first baseline
+    # pair recorded in BASELINE.md "Round 7: canary-normalized basis").
+    if detail["common45_sec"] and detail["canary_sec"]:
+        detail["common45_per_canary"] = round(
+            detail["common45_sec"] / detail["canary_sec"], 2
+        )
     if errors:
         detail["errors"] = errors
         detail["partial_total"] = total

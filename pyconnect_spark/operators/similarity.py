@@ -2049,12 +2049,27 @@ def sm16(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "quantization", "pq", "adc"),
 )
 def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(t(spark, sf_dir, "embeddings"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    *,
+    shortlist: int = 100,
+    k: int = 5,
+    n_queries: int = 5,
+    n_codes: int = 16,
+) -> DataFrame:
+    """PQ-ADC top-k over an arbitrary (vec_id, embedding) frame — sm17's
+    pipeline factored out (pure code motion, defaults identical) so the
+    clustered structured-fixture tier can ride the SAME searcher in
+    bench's ann_recall_at_5 and tests/test_ivfadc.py, the way
+    ivfadc_topk serves sm18."""
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
-    codes = pq_best_codes(emb).select("vec_id", "j", "k")
-    cb = pq_codebook(emb)
-    q = emb.filter(F.col("vec_id") < 5).select(
+    codes = pq_best_codes(emb, n_codes=n_codes).select("vec_id", "j", "k")
+    cb = pq_codebook(emb, n_codes=n_codes)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
     )
@@ -2072,22 +2087,22 @@ def sm17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
     )
     w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    shortlist = (
+    short = (
         adc.withColumn("adc_rk", F.row_number().over(w_adc))
-        .filter(F.col("adc_rk") <= 100)
+        .filter(F.col("adc_rk") <= shortlist)
         .select("q_id", "vec_id")
     )
-    q_emb = emb.filter(F.col("vec_id") < 5).select(
+    q_emb = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     sim = cosine(F.col("embedding"), F.col("q_emb"))
     w = Window.partitionBy("q_id").orderBy(F.desc("_raw"), "vec_id")
     return (
-        shortlist.join(emb, "vec_id")
+        short.join(emb, "vec_id")
         .join(F.broadcast(q_emb), "q_id")
         .select("q_id", "vec_id", sim.alias("_raw"))
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= k)
         .select(
             "q_id",
             "vec_id",

@@ -18,6 +18,7 @@ from pyconnect_spark.operators.similarity import (
     clustered_embeddings,
     ivf_seed_frame,
     ivfadc_topk,
+    pq_adc_topk,
     pq_best_codes,
     seed_ivf_cells_frame,
 )
@@ -48,6 +49,19 @@ def test_clustered_recall_at_5_is_production_shaped(spark, clustered):
         got.setdefault(r["q_id"], set()).add(r["vec_id"])
     recall = sum(len(got.get(q, set()) & t) for q, t in truth.items()) / 25.0
     assert recall >= 0.8, f"clustered IVFADC recall@5 = {recall}"
+
+
+def test_pq_adc_clustered_recall(spark, clustered):
+    # round-6 verdict task #5: sm17's PQ-ADC consumer must also show its
+    # merit on data with structure — measured 1.0 on the clustered
+    # fixture (vs 0.76 on the i.i.d.-Gaussian parquet worst case),
+    # pinned >= 0.9; bench tracks it per-run as sm17_pq_adc_clustered
+    truth = _truth(clustered.collect())
+    got: dict[int, set] = {}
+    for r in pq_adc_topk(clustered, n_codes=256).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recall = sum(len(got.get(q, set()) & t) for q, t in truth.items()) / 25.0
+    assert recall >= 0.9, f"clustered PQ-ADC recall@5 = {recall}"
 
 
 def test_codes_are_residual_encoded(spark, clustered):
