@@ -3296,7 +3296,17 @@ def _x70_oracle_sql() -> str:
 )
 def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 0.85
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedup (orderkey, partkey) BEFORE the basket self-join, then a plain
+    # count(*): within a deduped basket each (src, dst) pair occurs once
+    # per order, so count(*) == countDistinct(orderkey) — but the distinct
+    # shrinks the join input AND replaces the two-phase distinct-aggregate
+    # with a map-side-combinable count. Measured 17.7 -> 9.4 s at sf0.1
+    # (min-of-2 warm, identical output) — round-6 verdict task #8.
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -3309,7 +3319,7 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .agg(F.countDistinct("a.l_orderkey").cast("double").alias("w"))
+        .agg(F.count("*").cast("double").alias("w"))
         .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
