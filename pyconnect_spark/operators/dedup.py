@@ -3180,3 +3180,174 @@ def dd32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@REGISTRY.register(
+    "dd33_leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    ex AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY 1),
+    lab AS (SELECT fp.doc_id, ex.rep FROM fp JOIN ex USING (f)),
+    reps AS (SELECT doc_id FROM lab WHERE doc_id = rep),
+    sh0 AS ({_DD05_SHINGLES_SQL}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN reps USING (doc_id)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM reps
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS root FROM reach GROUP BY 1),
+    grp AS (
+      SELECT l.doc_id, COALESCE(c.root, l.rep) AS grp
+      FROM lab l LEFT JOIN cc c ON c.node = l.rep
+    ),
+    assigned AS (
+      SELECT g.doc_id, g.grp,
+             CAST(('0x' || substr(md5('split:' || CAST(g.grp AS VARCHAR)),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS ug,
+             CAST(('0x' || substr(md5('split:' || CAST(g.doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS ud
+      FROM grp g
+    ),
+    named AS (
+      SELECT a.doc_id, a.grp,
+             CASE WHEN a.ug < 0.8 THEN 'train'
+                  WHEN a.ug < 0.9 THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN a.ud < 0.8 THEN 'train'
+                  WHEN a.ud < 0.9 THEN 'val' ELSE 'test' END AS doc_grain_split,
+             CASE WHEN r.ud < 0.8 THEN 'train'
+                  WHEN r.ud < 0.9 THEN 'val' ELSE 'test' END AS root_doc_grain_split,
+             CASE WHEN r.ug < 0.8 THEN 'train'
+                  WHEN r.ug < 0.9 THEN 'val' ELSE 'test' END AS root_group_split
+      FROM assigned a JOIN assigned r ON r.doc_id = a.grp
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT n.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT n.grp) AS BIGINT) AS n_groups,
+           CAST(SUM(t.nt) AS BIGINT) AS n_tokens,
+           round(COUNT(*) * 1.0 / MAX(total.n), 6) AS doc_share,
+           CAST(SUM(CASE WHEN n.doc_grain_split <> n.root_doc_grain_split
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_docs_doc_grain,
+           CAST(SUM(CASE WHEN n.split <> n.root_group_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_docs_group_grain
+    FROM named n JOIN toks t USING (doc_id) CROSS JOIN total
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Leakage-safe train/val/test split assignment — the splitter a "
+    "training pipeline must run AFTER dedup, not before: hashing "
+    "doc_id into splits leaks near-duplicates across the boundary "
+    "(an eval doc whose paraphrase sits in train), so the split key "
+    "is each document's DEDUP-GROUP root — dd32's two-tier "
+    "representative (exact fingerprint twin, then the exact-survivor's "
+    "LSH-verified near-dup cluster root), which every member shares — "
+    "hashed md5-uniform into 80/10/10. Emits per split: docs, distinct "
+    "groups, tokens, doc share, and the LEAKAGE AUDIT: how many "
+    "documents WOULD have landed on a different side than their group "
+    "root under naive doc-grain hashing (the avoided contamination, "
+    "measured from the data) next to the group-grain count (zero BY "
+    "CONSTRUCTION — the column computes it rather than asserting it). "
+    "Plan: dd01's fingerprint agg + dd05's candidate/verify/CC "
+    "machinery on the exact-rep slice (identical posture to dd32, the "
+    "manifest this splitter consumes in production), then one md5 coin "
+    "per group and a broadcast-sized split summary; the only corpus-"
+    "scale exchanges are the fingerprint agg and the shingle join "
+    "already inside the dedup tiers. The group-as-unit split is the "
+    "Pile/C4-era published practice for decontamination-safe holdouts.",
+    tags=("dedup", "llm", "splits", "leakage", "decontamination", "curation"),
+)
+def dd33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
+    lab = fp.join(ex, "f").select("doc_id", "rep")
+    reps = docs.join(
+        lab.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    edges = lsh_verified_edges(reps, 0.8)
+    comp = connected_components(
+        reps.select(F.col("doc_id").alias("node")), edges
+    )
+    grp = lab.join(
+        comp.select(F.col("node").alias("rep"), "root"), "rep", "left"
+    ).select("doc_id", F.coalesce("root", "rep").alias("grp"))
+
+    def coin(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    def split_of(u):
+        return (
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        )
+
+    assigned = grp.select(
+        "doc_id",
+        "grp",
+        split_of(coin(F.col("grp"))).alias("split"),
+        split_of(coin(F.col("doc_id"))).alias("doc_grain_split"),
+    )
+    root_split = assigned.select(
+        F.col("doc_id").alias("grp"),
+        F.col("doc_grain_split").alias("root_doc_grain_split"),
+        F.col("split").alias("root_group_split"),
+    )
+    named = assigned.join(root_split, "grp")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("nt"),
+    )
+    total = docs.count()
+    return (
+        named.join(toks, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("grp").cast("long").alias("n_groups"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(F.count("*") * 1.0 / total, 6).alias("doc_share"),
+            F.sum(
+                F.when(
+                    F.col("doc_grain_split") != F.col("root_doc_grain_split"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("leaked_docs_doc_grain"),
+            F.sum(
+                F.when(F.col("split") != F.col("root_group_split"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("leaked_docs_group_grain"),
+        )
+        .orderBy("split")
+    )

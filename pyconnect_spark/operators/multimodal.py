@@ -886,3 +886,117 @@ def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aspect_bucket")
     )
+
+
+_MM11_T = 224  # letterbox target edge (ViT/CLIP-era default)
+
+
+@REGISTRY.register(
+    "mm11_resize_plan",
+    oracle=f"""
+    WITH chk AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))), 'sum')
+                  AS BIGINT) AS checksum
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, source,
+             CAST(16 + checksum % 64 AS BIGINT) AS w,
+             CAST(16 + (checksum // 64) % 64 AS BIGINT) AS h
+      FROM chk
+    ),
+    plan AS (
+      SELECT source,
+             greatest(w, h) AS mx,
+             (w * {_MM11_T}) // greatest(w, h) AS out_w,
+             (h * {_MM11_T}) // greatest(w, h) AS out_h,
+             CASE WHEN greatest(w, h) < {_MM11_T} THEN 1 ELSE 0 END AS up
+      FROM dims
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(up) AS BIGINT) AS n_upscaled,
+           round(SUM(up) * 1.0 / COUNT(*), 6) AS upscaled_share,
+           round(CAST(SUM(CAST(round({_MM11_T}.0 / mx, 9)
+                               AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_scale,
+           CAST(SUM({_MM11_T} * {_MM11_T} - out_w * out_h) AS BIGINT)
+               AS total_pad_px,
+           round(CAST(SUM(CAST(round(out_w * out_h / {_MM11_T * _MM11_T}.0, 9)
+                               AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_keep_frac
+    FROM plan GROUP BY 1 ORDER BY 1
+    """,
+    doc="Aspect-preserving letterbox resize plan per source (target "
+    f"{_MM11_T}x{_MM11_T}, the ViT/CLIP preprocessing default) — the "
+    "cost-and-quality study a multimodal pipeline runs BEFORE the "
+    "expensive resize job: per source, how many assets must UPSCALE "
+    "(interpolation artifacts — the quality flag), the mean scale "
+    "factor, total padded pixels the letterbox wastes, and the mean "
+    "kept-pixel fraction of each target square. Output dims are exact "
+    "integer arithmetic ((edge * T) DIV max-edge — no FP in the plan "
+    "decisions); the two FP means cross the repo's round-9/DECIMAL-sum "
+    "barrier so they are order-free under any repartitioning. Plan: "
+    "decode stub (mapInPandas, mm02's Arrow batch shape — a real "
+    "deployment plugs PIL/ffmpeg into _fake_decode and every "
+    "downstream step is unchanged) -> map-only per-asset arithmetic -> "
+    "one per-source combiner agg; payload bytes never shuffle, and at "
+    "100 TB the actual resize runs as the same mapInPandas over the "
+    "binary column with THIS table as its pre-flight budget.",
+    tags=("multimodal", "resize", "letterbox", "preprocessing", "plan"),
+)
+def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    dims = decode_media(staged).select("doc_id", "width", "height")
+    src = docs.select("doc_id", "source")
+    T = _MM11_T
+    mx = F.greatest("width", "height")
+    plan = (
+        dims.join(src, "doc_id")
+        .select(
+            "source",
+            mx.alias("mx"),
+            F.expr(f"CAST(width * {T} DIV greatest(width, height) AS BIGINT)").alias("out_w"),
+            F.expr(f"CAST(height * {T} DIV greatest(width, height) AS BIGINT)").alias("out_h"),
+            F.when(mx < T, 1).otherwise(0).alias("up"),
+        )
+    )
+    dec = "decimal(20,9)"
+    return (
+        plan.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("up").cast("long").alias("n_upscaled"),
+            F.round(F.sum("up") * 1.0 / F.count("*"), 6).alias("upscaled_share"),
+            F.round(
+                F.sum(F.round(F.lit(float(T)) / F.col("mx"), 9).cast(dec))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_scale"),
+            F.sum(T * T - F.col("out_w") * F.col("out_h"))
+            .cast("long")
+            .alias("total_pad_px"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("out_w") * F.col("out_h") / F.lit(float(T * T)), 9
+                    ).cast(dec)
+                )
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_keep_frac"),
+        )
+        .orderBy("source")
+    )

@@ -3987,3 +3987,163 @@ def sm32(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, outs).orderBy(F.desc("n_dims"))
+
+
+_SM33_LEVELS = (1, 2, 4, 8)
+
+_SM33_PAIR_COS = """round(
+               list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * x), 'sum'))), 9)"""
+
+
+@REGISTRY.register(
+    "sm33_probe_recall_curve",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    probes AS (
+      SELECT vec_id AS q_id, srk AS q_cell, rk AS prk FROM sscored
+      WHERE rk <= {max(_SM33_LEVELS)} AND vec_id < 5
+    ),
+    cand AS (
+      SELECT p.q_id, c.vec_id, p.prk, {_SM33_PAIR_COS} AS cos9
+      FROM probes p
+      JOIN seedcells c ON c.cell = p.q_cell AND c.vec_id <> p.q_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = p.q_id
+    ),
+    truth AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS q_id, e.vec_id, {_SM33_PAIR_COS} AS cos9,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SM33_PAIR_COS} DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rk <= 5
+    ),
+    lv AS (SELECT unnest(ARRAY{list(_SM33_LEVELS)}) AS n_probe),
+    got AS (
+      SELECT * FROM (
+        SELECT l.n_probe, c.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY l.n_probe, c.q_id
+                                  ORDER BY c.cos9 DESC, c.vec_id) AS rk
+        FROM lv l JOIN cand c ON c.prk <= l.n_probe
+      ) WHERE rk <= 5
+    ),
+    ncand AS (
+      SELECT l.n_probe, COUNT(*) AS n_candidates
+      FROM lv l JOIN cand c ON c.prk <= l.n_probe GROUP BY 1
+    ),
+    hits AS (
+      SELECT g.n_probe, CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits
+      FROM got g LEFT JOIN truth t
+        ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(h.n_probe AS BIGINT) AS n_probe,
+           cnt.n_cells,
+           round(h.n_probe * 1.0 / cnt.n_cells, 6) AS cells_scanned_frac,
+           CAST(n.n_candidates AS BIGINT) AS n_candidates,
+           round(h.n_hits / 25.0, 6) AS recall_at_5
+    FROM hits h JOIN ncand n USING (n_probe) CROSS JOIN cnt
+    ORDER BY n_probe
+    """,
+    doc="IVF probe-count tuning curve — recall@5 vs exact ground truth at "
+    f"n_probe in {_SM33_LEVELS}, with candidate volume and the fraction "
+    "of cells scanned per level: THE production knob for any IVF "
+    "deployment (sm05 fixed n_probe=8 after exactly this sweep was run "
+    "by hand; this query makes the sweep a declared, hash-checked "
+    "artifact a pipeline can re-run when the corpus drifts). One shared "
+    "auto-sized seed quantizer (ceil(sqrt(N)) cells, the FAISS nlist "
+    "convention), ONE candidate-cosine computation carrying each "
+    "candidate's probe rank — a candidate reached via the p-th probed "
+    "cell participates in every level >= p, so the four levels are "
+    "filters over one frame, never four index scans; per-(level, query) "
+    "top-5 ranks partition by their own keys, and ground truth is one "
+    "broadcast-query exact pass (sm01's shape). All cosines cross the "
+    "9 dp barrier before ranking; recall and candidate counts are exact "
+    "integers with single divisions. At 100 TB each level's candidate "
+    "set is cell-bounded (the corpus is partitioned by cell, a query "
+    "touches n_probe partitions) and the curve runs on a deterministic "
+    "query sample exactly as here.",
+    tags=("similarity", "llm", "ann", "ivf", "tuning", "recall"),
+)
+def sm33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = math.ceil(math.sqrt(emb.count()))
+    ranked = seed_ivf_cells_frame(emb, n_cells).localCheckpoint(eager=False)
+    cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("rk") <= max(_SM33_LEVELS)) & (F.col("vec_id") < 5)
+    ).select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"), F.col("rk").alias("prk"))
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    cand = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .join(F.broadcast(q_emb), "q_id")
+        .join(emb, "vec_id")
+        .select("q_id", "vec_id", "prk", F.round(sim, 9).alias("cos9"))
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        emb.join(F.broadcast(q_emb), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cos9"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    lv = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _SM33_LEVELS])).alias("n_probe")
+    )
+    leveled = lv.join(cand, F.col("prk") <= F.col("n_probe"))
+    got = (
+        leveled.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_probe", "q_id").orderBy(
+                    F.desc("cos9"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("n_probe", "q_id", "vec_id")
+    )
+    ncand = leveled.groupBy("n_probe").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    hits = (
+        got.join(truth.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("n_probe")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return (
+        hits.join(ncand, "n_probe")
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.lit(n_cells).cast("long").alias("n_cells"),
+            F.round(F.col("n_probe") * 1.0 / n_cells, 6).alias(
+                "cells_scanned_frac"
+            ),
+            "n_candidates",
+            F.round(F.col("n_hits") / 25.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("n_probe")
+    )

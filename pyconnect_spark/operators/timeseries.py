@@ -3902,3 +3902,147 @@ def ts53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_LB_LAGS = 10
+_LB_CHI2_95_DOF10 = 18.307  # chi-square 0.95 quantile, dof = 10 (fixed table)
+
+
+@REGISTRY.register(
+    "ts54_ljung_box_whiteness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) / COUNT(*) AS m
+      FROM daily GROUP BY 1 HAVING COUNT(*) >= 15
+    ),
+    lagged AS (
+      SELECT d.event_type, d.day, d.y, mu.m, mu.n,
+             {", ".join(f"lag(d.y, {k}) OVER (PARTITION BY d.event_type ORDER BY d.day) AS l{k}" for k in range(1, _LB_LAGS + 1))}
+      FROM daily d JOIN mu USING (event_type)
+    ),
+    sums AS (
+      SELECT event_type, MAX(n) AS n,
+             CAST(SUM(CAST(round((y - m) * (y - m), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS den,
+             {", ".join(f"CAST(SUM(CASE WHEN l{k} IS NULL THEN CAST(0 AS DECIMAL(28,9)) ELSE CAST(round((y - m) * (l{k} - m), 9) AS DECIMAL(28,9)) END) AS DOUBLE) AS num{k}" for k in range(1, _LB_LAGS + 1))}
+      FROM lagged GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, n,
+             {", ".join(f"round(num{k} / den, 9) AS r{k}" for k in range(1, _LB_LAGS + 1))}
+      FROM sums
+    ),
+    q AS (
+      SELECT event_type, n,
+             r1, r7,
+             n * (n + 2.0) * ({" + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, _LB_LAGS + 1))}) AS q10
+      FROM r
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           round(r1, 6) AS acf_1,
+           round(r7, 6) AS acf_7,
+           round(q10, 6) AS q10,
+           CAST({_LB_LAGS} AS BIGINT) AS dof,
+           CAST(CASE WHEN round(q10, 9) <= {_LB_CHI2_95_DOF10}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_white_noise
+    FROM q
+    """,
+    doc="Ljung-Box portmanteau whiteness test (Q over ACF lags 1..10) on "
+    "each type's daily-volume series — the JOINT-significance upgrade "
+    "of ts28's per-lag ACF readout, and the standard residual-diagnosis "
+    "gate after fitting ts21/ts22/ts39 forecasts (a model whose "
+    "residuals fail whiteness is leaving signal on the table; a RAW "
+    "series that PASSES needs no model beyond ts15's z-scores). Uses "
+    "the Box-Jenkins r_k (lag products over the centered series, one "
+    "shared denominator), Q = n(n+2) * sum r_k^2/(n-k), compared to "
+    "the fixed chi-square 95% critical value for dof=10 — a one-row "
+    "broadcast constant, no CDF evaluation. Determinism: the per-type "
+    "mean is one exact integer-sum division; every lag product rounds "
+    "to 9 dp and accumulates as DECIMAL (order-free under any "
+    "repartitioning, the repo's FP-sum convention); r_k rounds to 9 dp "
+    "before squaring. Plan: the corpus collapses to the shared "
+    "|types|x|days| daily exchange; ten lags come from ONE window pass "
+    "PARTITIONED by type (key == shuffle key); everything after is "
+    "calendar-sized. Types with under 15 days are excluded in both "
+    "engines (Q needs n >> lags).",
+    tags=("timeseries", "stats", "ljung-box", "whiteness", "acf"),
+)
+def ts54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    mu = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("y") / F.count("*")).alias("m"),
+        )
+        .where(F.col("n") >= 15)
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "y",
+        "m",
+        "n",
+        *[F.lag("y", k).over(w).alias(f"l{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    dec = "decimal(28,9)"
+    sums = lagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round((F.col("y") - F.col("m")) * (F.col("y") - F.col("m")), 9)
+            .cast(dec)
+        )
+        .cast("double")
+        .alias("den"),
+        *[
+            F.sum(
+                F.when(F.col(f"l{k}").isNull(), F.lit(0).cast(dec)).otherwise(
+                    F.round(
+                        (F.col("y") - F.col("m"))
+                        * (F.col(f"l{k}") - F.col("m")),
+                        9,
+                    ).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias(f"num{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    r = sums.select(
+        "event_type",
+        "n",
+        *[
+            F.round(F.col(f"num{k}") / F.col("den"), 9).alias(f"r{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    q10 = (
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * sum(
+            F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - F.lit(k))
+            for k in range(1, _LB_LAGS + 1)
+        )
+    )
+    return r.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("r1", 6).alias("acf_1"),
+        F.round("r7", 6).alias("acf_7"),
+        F.round(q10, 6).alias("q10"),
+        F.lit(_LB_LAGS).cast("long").alias("dof"),
+        F.when(F.round(q10, 9) <= _LB_CHI2_95_DOF10, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_white_noise"),
+    )

@@ -132,6 +132,9 @@ _DECLARED_IN_ROUND = {
     "dd32_dedup_manifest": 24,
     # round 7, first wave
     "x73b_er_blocking_capped": 25,
+    # round 7, second wave
+    "ts54_ljung_box_whiteness": 26, "sm33_probe_recall_curve": 26,
+    "dd33_leakage_safe_splits": 26, "mm11_resize_plan": 26,
 }
 
 

@@ -1171,3 +1171,51 @@ def test_dd32_manifest_inherits_dd05_shapes(spark):
     df = _Q["dd32_dedup_manifest"](spark, SF)
     assert not unpartitioned_windows(df)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_ts54_single_daily_exchange_partitioned_lags(spark):
+    # ten lags must come from ONE window pass partitioned by type over the
+    # day-grain rollup; the per-type mean attaches as a broadcast join
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts54_ljung_box_whiteness"](spark, SF)
+    text = explain_str(df)
+    assert not unpartitioned_windows(df)
+    assert text.count("Window") <= 2  # one logical window pass (AQE may reprint)
+    assert has_broadcast_join(df)
+
+
+def test_sm33_levels_filter_one_candidate_frame(spark):
+    # the four probe levels must be filters over ONE candidate-cosine
+    # frame (shared via localCheckpoint), never four index scans; all
+    # rank windows partition by (level, query)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm33_probe_recall_curve"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    # candidate frame is checkpoint-pinned: the plan reads the RDD scan,
+    # not a re-derived seed-quantizer chain per level
+    assert "Scan ExistingRDD" in text
+
+
+def test_dd33_fingerprint_grain_no_cartesian(spark):
+    # split assignment must ride dd32's fingerprint/cluster machinery:
+    # no cartesian products, no unpartitioned windows; document text
+    # reaches only the shingle explode, never a pair join
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd33_leakage_safe_splits"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_mm11_decode_is_arrow_no_shuffle_of_payload(spark):
+    # the decode stub streams Arrow batches (MapInPandas); the plan has
+    # no Window at all and the only exchange is the per-source agg of
+    # fixed-width ints — payload bytes never shuffle
+    df = _Q["mm11_resize_plan"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" in text
+    assert "Window" not in text
