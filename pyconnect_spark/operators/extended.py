@@ -4526,3 +4526,86 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u - F.col("n1").cast("double") * F.col("n2") / 2) / F.sqrt(var), 6
         ).alias("z_stat"),
     )
+
+
+@REGISTRY.register(
+    "x81_duplicate_payment_audit",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice AS p,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey,
+             a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+             a.p AS amount_a, b.p AS amount_b,
+             CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS gap_days,
+             round(abs(a.p - b.p) / greatest(a.p, b.p), 9) AS rd9
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND abs(date_diff('day', a.d, b.d)) <= 14
+    )
+    SELECT o_custkey, orderkey_a, orderkey_b,
+           round(amount_a, 2) AS amount_a,
+           round(amount_b, 2) AS amount_b,
+           gap_days,
+           round(rd9, 6) AS rel_diff
+    FROM pairs WHERE rd9 <= 0.02
+    ORDER BY gap_days, o_custkey, orderkey_a, orderkey_b
+    LIMIT 20
+    """,
+    doc="Near-duplicate payment audit — the accounts-payable / fraud "
+    "screen: order pairs from the SAME customer with amounts within 2% "
+    "of each other inside a 14-day window (double-submits and "
+    "double-charges rarely repeat to the cent once fees/FX touch them "
+    "— the published AP-audit heuristic is a relative band, not "
+    "equality), tightest gaps first. The 2% decision crosses the 9 dp "
+    "rounding barrier in both engines; gaps are integer day diffs; the "
+    "top-20 is fully tie-broken (gap, customer, both keys). Plan: a "
+    "self-join EQUI-keyed on custkey with the band predicates inside "
+    "the join condition — candidate volume is bounded by per-customer "
+    "order counts (the fixture maxes at 25), never the corpus; "
+    "TakeOrdered, no global sort. At 100 TB this is one "
+    "customer-hashed exchange of four fixed-width columns; a "
+    "pathological customer is the AQE skew case, and the band "
+    "predicates evaluate inside the join, so nothing quadratic ever "
+    "materializes.",
+    tags=("extended", "audit", "fraud", "duplicates", "finance"),
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap = F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+    rd9 = F.round(
+        F.abs(F.col("a.p") - F.col("b.p"))
+        / F.greatest(F.col("a.p"), F.col("b.p")),
+        9,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (gap <= 14),
+        )
+        .withColumn("rd9", rd9)
+        .where(F.col("rd9") <= 0.02)
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.round("a.p", 2).alias("amount_a"),
+            F.round("b.p", 2).alias("amount_b"),
+            gap.cast("long").alias("gap_days"),
+            F.round("rd9", 6).alias("rel_diff"),
+        )
+        .orderBy("gap_days", "o_custkey", "orderkey_a", "orderkey_b")
+        .limit(20)
+    )

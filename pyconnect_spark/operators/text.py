@@ -3642,3 +3642,94 @@ def tx46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx47_collocations_pmi",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    uni AS (
+      SELECT u.word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(w) AS u(word) GROUP BY 1
+    ),
+    n AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    b AS (SELECT SUM(c_ab) AS b FROM (
+      SELECT COUNT(*) AS c_ab
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+      GROUP BY w[i], w[i + 1]
+    )),
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+             round(ln((bi.c_ab * 1.0 / b.b)
+                      / ((ua.c * 1.0 / n.n) * (ub.c * 1.0 / n.n))), 9) AS pmi9
+      FROM bi JOIN uni ua ON ua.word = bi.w1
+              JOIN uni ub ON ub.word = bi.w2
+      CROSS JOIN n CROSS JOIN b
+    )
+    SELECT w1, w2, c_ab, c_a, c_b, round(pmi9, 6) AS pmi
+    FROM scored
+    ORDER BY pmi9 DESC, w1, w2 LIMIT 20
+    """,
+    doc="Collocation extraction by pointwise mutual information over "
+    "adjacent word bigrams (min count 5, top-20 by PMI): the classic "
+    "multiword-expression detector (Church & Hanks 1990) a tokenizer/"
+    "vocab pipeline runs to decide which word pairs deserve merged "
+    "tokens — the corpus-statistics complement of tx32's learned BPE "
+    "merges (BPE merges by raw frequency; PMI surfaces pairs that are "
+    "RARE but always together). PMI = ln(p(ab)/(p(a)p(b))) with "
+    "probabilities as single divisions of exact integer counts (bigram "
+    "count over total bigrams, unigram counts over total tokens), "
+    "rounded to 9 dp before the rank decision, (w1, w2) tie-break. "
+    "Plan: ONE token explode feeds both gram aggs (combiner-shrunk: "
+    "at most |vocab| and |vocab-pair| rows reach the exchanges), the "
+    "two scalar totals broadcast, the bigram->unigram joins key on the "
+    "vocab-bounded words, and the top-20 is TakeOrdered — never a "
+    "global sort. At 100 TB this is two word-keyed exchanges over "
+    "fixed-width gram counts, the tx10/tx38 posture.",
+    tags=("text", "llm", "collocations", "pmi", "vocab"),
+)
+def tx47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    words = toks.select(F.explode("w").alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    n = uni.agg(F.sum("c").alias("n"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_all = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    b = bi_all.agg(F.sum("c_ab").alias("b"))
+    bi = bi_all.where(F.col("c_ab") >= 5)
+    ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    pmi9 = F.round(
+        F.log(
+            (F.col("c_ab") * 1.0 / F.col("b"))
+            / ((F.col("c_a") * 1.0 / F.col("n")) * (F.col("c_b") * 1.0 / F.col("n")))
+        ),
+        9,
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(b))
+        .withColumn("pmi9", pmi9)
+        .orderBy(F.desc("pmi9"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1", "w2", "c_ab", "c_a", "c_b",
+            F.round("pmi9", 6).alias("pmi"),
+        )
+    )

@@ -4046,3 +4046,146 @@ def ts54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_white_noise"),
     )
+
+
+_XC_MAX_LAG = 7
+
+
+@REGISTRY.register(
+    "ts55_lead_lag_xcorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG} + 1)) AS lg),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lg,
+             a.n AS x, b.n AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + CAST(l.lg AS INT) * INTERVAL 1 DAY
+                  AND a.event_type < b.event_type
+    ),
+    stats AS (
+      SELECT type_a, type_b, lg,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+    ),
+    corr AS (
+      SELECT type_a, type_b, lg, k,
+             round((k * sxy - sx * sy) * 1.0
+                   / sqrt((k * sxx - sx * sx) * 1.0 * (k * syy - sy * sy)),
+                   9) AS r9
+      FROM stats
+      WHERE (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT corr.*, row_number() OVER (
+          PARTITION BY type_a, type_b ORDER BY r9 DESC, lg) AS rn
+        FROM corr
+      ) WHERE rn = 1
+    ),
+    zero AS (
+      SELECT type_a, type_b, r9 AS r0 FROM corr WHERE lg = 0
+    )
+    SELECT b.type_a, b.type_b,
+           CAST(b.lg AS BIGINT) AS best_lag,
+           CAST(b.k AS BIGINT) AS n_days,
+           round(b.r9, 6) AS best_corr,
+           round(z.r0, 6) AS corr_lag0
+    FROM best b JOIN zero z USING (type_a, type_b)
+    ORDER BY b.type_a, b.type_b
+    """,
+    doc="Lead-lag cross-correlation between event-type pairs: daily-count "
+    f"series correlated at every lag in [-{_XC_MAX_LAG}, {_XC_MAX_LAG}] "
+    "days, reporting each pair's best lag, the correlation there, and "
+    "the lag-0 baseline — the 'does click lead purchase by k days?' "
+    "question behind marketing-mix and capacity models, and the "
+    "CROSS-series completion of ts28's autocorrelation (x65's CUPED "
+    "consumes exactly such a leading covariate once this query finds "
+    "one). Determinism by construction: daily counts are integers, so "
+    "all five correlation sufficient statistics are EXACT integer sums "
+    "under any partitioning — the only FP is one final "
+    "division/sqrt, rounded to 9 dp before the best-lag rank (earlier "
+    "lag tie-break). Pairs with under 10 overlapping days or zero "
+    "variance drop in both engines. Plan: the corpus collapses to the "
+    "shared |types|x|days| daily exchange once; the 15-lag explode and "
+    "self-join run on calendar-sized frames (|types|^2 x lags x days "
+    "rows); the best-lag window partitions by pair. At 100 TB nothing "
+    "downstream of the daily rollup grows with the corpus.",
+    tags=("timeseries", "xcorr", "lead-lag", "stats"),
+)
+def ts55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lg")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), F.col("day").alias("day_a"), F.col("n").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), F.col("day").alias("day_b"), F.col("n").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("day_b") == F.expr("date_add(day_a, lg)"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+    )
+    stats = (
+        pairs.groupBy("type_a", "type_b", "lg")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .where(F.col("k") >= 10)
+    )
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = stats.where((vx > 0) & (vy > 0)).select(
+        "type_a",
+        "type_b",
+        "lg",
+        "k",
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / F.sqrt(vx * 1.0 * vy),
+            9,
+        ).alias("r9"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.desc("r9"), "lg")
+    best = corr.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    zero = corr.where(F.col("lg") == 0).select(
+        "type_a", "type_b", F.col("r9").alias("r0")
+    )
+    return (
+        best.join(zero, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lg").cast("long").alias("best_lag"),
+            F.col("k").cast("long").alias("n_days"),
+            F.round("r9", 6).alias("best_corr"),
+            F.round("r0", 6).alias("corr_lag0"),
+        )
+        .orderBy("type_a", "type_b")
+    )

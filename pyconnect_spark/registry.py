@@ -135,6 +135,9 @@ _DECLARED_IN_ROUND = {
     # round 7, second wave
     "ts54_ljung_box_whiteness": 26, "sm33_probe_recall_curve": 26,
     "dd33_leakage_safe_splits": 26, "mm11_resize_plan": 26,
+    # round 7, third wave
+    "tx47_collocations_pmi": 27, "ts55_lead_lag_xcorr": 27,
+    "x81_duplicate_payment_audit": 27,
 }
 
 

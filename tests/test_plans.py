@@ -1219,3 +1219,32 @@ def test_mm11_decode_is_arrow_no_shuffle_of_payload(spark):
     text = explain_str(df)
     assert "MapInPandas" in text
     assert "Window" not in text
+
+
+def test_tx47_gram_aggs_takeordered_no_global_sort(spark):
+    # PMI top-20: partial (map-side) gram counts + TakeOrderedAndProject;
+    # scalar totals broadcast; never a global sort of the bigram table
+    text = explain_str(_Q["tx47_collocations_pmi"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+    assert "partial_count" in text
+    assert "Window" not in text
+
+
+def test_ts55_calendar_frames_after_daily_rollup(spark):
+    # everything after the daily rollup is calendar-sized: the lag table
+    # broadcasts, the best-lag window partitions by pair
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts55_lead_lag_xcorr"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_x81_band_join_is_custkey_equi(spark):
+    # the band predicates ride INSIDE a custkey-keyed equi-join — the plan
+    # must show a hash/sort-merge join, never a nested loop over orders
+    df = _Q["x81_duplicate_payment_audit"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "TakeOrderedAndProject" in text

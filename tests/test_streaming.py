@@ -1717,3 +1717,90 @@ def test_s32_streaming_decontamination_gate(spark, tmp_path):
         for i in range(len(words) - 3)
     }
     assert got == want
+
+
+def test_s33_streaming_reservoir_equals_batch(spark, tmp_path):
+    """S33: streaming md5-reservoir state (streaming/reservoirstate.py),
+    the stream twin of round-7's deterministic ts40. Two drains over the
+    sf0.001 events split by event-id parity must leave a state whose
+    dashboard readout EQUALS batch ts40's estimate columns bit-for-bit
+    (tournament bottom-k is order- and batching-insensitive), and a
+    directly replayed epoch must be a byte-level no-op (idempotent
+    merge — strictly stronger than S30's epoch-rename repair)."""
+    from pyconnect_spark.operators._util import t as _t
+    from pyconnect_spark.operators.timeseries import ts40
+    from pyconnect_spark.streaming.reservoirstate import (
+        query_reservoir_quantiles,
+        reservoir_rollup_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events").select("event_type", "ts", "event_id", "value")
+    incoming = str(tmp_path / "incoming")
+    state = str(tmp_path / "res-state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = reservoir_rollup_stream(
+            spark.readStream.schema(
+                "event_type string, ts timestamp, event_id long, value double"
+            ).parquet(incoming),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    drain()
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    drain()
+
+    got = {
+        r["key"]: r for r in query_reservoir_quantiles(spark, state).collect()
+    }
+    want = {r["event_type"]: r for r in ts40(spark, sf).collect()}
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        assert g["n_days"] == w["n_days"]
+        assert g["n_sample"] == w["n_sample"]
+        for q in (50, 95, 99):
+            assert g[f"est_p{q}"] == w[f"est_p{q}"], (key, q)
+
+    # idempotent replay: re-running the newest epoch's update against the
+    # SAME batch must reproduce the state exactly (distinct-then-rerank
+    # makes the duplicate union a no-op)
+    import os as _os
+
+    live = sorted(d for d in _os.listdir(state) if d.startswith("v="))
+    newest = max(int(d.split("=")[1]) for d in live)
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _os.path.join(state, f"v={newest}")
+        ).collect()
+    )
+    from pyconnect_spark.streaming.reservoirstate import _bottom_k, _hv
+
+    batch2 = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_type").alias("key"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        _hv("event_id").alias("hv"),
+    )
+    prev = spark.read.parquet(_os.path.join(state, f"v={newest}"))
+    replayed = _bottom_k(
+        prev.unionByName(_bottom_k(batch2, 512, "key", "day")).dropDuplicates(
+            ["key", "day", "event_id"]
+        ),
+        512,
+        "key",
+        "day",
+    )
+    after = sorted(tuple(r) for r in replayed.collect())
+    assert after == before
