@@ -26,7 +26,7 @@ parallelism, and are additionally validated against the exact tiers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyconnect_spark.cachereg import track
@@ -3182,6 +3182,96 @@ def dd32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by dd33 (split summary) and dd34 (cross-split contamination):
+# the group-grain split assignment — dd32's two-tier dedup-group root,
+# md5-hashed 80/10/10 — as a DuckDB CTE chain ending in
+# split(doc_id, grp, split).
+_DD33_SPLIT_CTES = f"""fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    ex AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY 1),
+    lab AS (SELECT fp.doc_id, ex.rep FROM fp JOIN ex USING (f)),
+    reps AS (SELECT doc_id FROM lab WHERE doc_id = rep),
+    sh0 AS ({_DD05_SHINGLES_SQL}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN reps USING (doc_id)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM reps
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS root FROM reach GROUP BY 1),
+    grp AS (
+      SELECT l.doc_id, COALESCE(c.root, l.rep) AS grp
+      FROM lab l LEFT JOIN cc c ON c.node = l.rep
+    ),
+    split AS (
+      SELECT g.doc_id, g.grp,
+             CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(g.grp AS VARCHAR)),
+                                            1, 8)) AS BIGINT) / 4294967296.0 < 0.8
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split:' || CAST(g.grp AS VARCHAR)),
+                                            1, 8)) AS BIGINT) / 4294967296.0 < 0.9
+                  THEN 'val' ELSE 'test' END AS split
+      FROM grp g
+    )"""
+
+
+def split_coin(col: Column) -> Column:
+    """md5-uniform [0,1) coin keyed 'split:<value>' — dd33/dd34's shared
+    deterministic split hash (the dd15/dd23 coin family)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def leakage_safe_splits_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, grp, split): dd32's two-tier dedup-group root per doc,
+    md5-hashed into train/val/test 80/10/10 at GROUP grain — the split
+    key every member of a dedup cluster shares. Oracle twin:
+    _DD33_SPLIT_CTES. Shared by dd33 (summary) and dd34 (cross-split
+    contamination)."""
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
+    lab = fp.join(ex, "f").select("doc_id", "rep")
+    reps = docs.join(
+        lab.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    edges = lsh_verified_edges(reps, 0.8)
+    comp = connected_components(
+        reps.select(F.col("doc_id").alias("node")), edges
+    )
+    grp = lab.join(
+        comp.select(F.col("node").alias("rep"), "root"), "rep", "left"
+    ).select("doc_id", F.coalesce("root", "rep").alias("grp"))
+    u = split_coin(F.col("grp"))
+    return grp.select(
+        "doc_id",
+        "grp",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+
+
+
 @REGISTRY.register(
     "dd33_leakage_safe_splits",
     oracle=f"""
@@ -3277,21 +3367,8 @@ def dd32(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd33(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5("text").alias("f"))
-    ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
-    lab = fp.join(ex, "f").select("doc_id", "rep")
-    reps = docs.join(
-        lab.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
-    edges = lsh_verified_edges(reps, 0.8)
-    comp = connected_components(
-        reps.select(F.col("doc_id").alias("node")), edges
-    )
-    grp = lab.join(
-        comp.select(F.col("node").alias("rep"), "root"), "rep", "left"
-    ).select("doc_id", F.coalesce("root", "rep").alias("grp"))
+    assigned0 = leakage_safe_splits_frame(docs)
+    grp = assigned0.select("doc_id", "grp")
 
     def coin(col):
         return (
@@ -3310,11 +3387,9 @@ def dd33(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         )
 
-    assigned = grp.select(
+    assigned = assigned0.join(
+        grp.select("doc_id", split_of(coin(F.col("doc_id"))).alias("doc_grain_split")),
         "doc_id",
-        "grp",
-        split_of(coin(F.col("grp"))).alias("split"),
-        split_of(coin(F.col("doc_id"))).alias("doc_grain_split"),
     )
     root_split = assigned.select(
         F.col("doc_id").alias("grp"),
@@ -3348,6 +3423,83 @@ def dd33(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("leaked_docs_group_grain"),
+        )
+        .orderBy("split")
+    )
+
+
+@REGISTRY.register(
+    "dd34_split_contamination",
+    oracle=f"""
+    WITH RECURSIVE {_DD33_SPLIT_CTES},
+    toks AS (
+      SELECT s.doc_id, s.split, string_split_regex(trim(d.text), '\\s+') AS w
+      FROM split s JOIN documents d USING (doc_id)
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(w) - 2),
+                    i -> md5(w[i] || ' ' || w[i + 1] || ' '
+                             || w[i + 2] || ' ' || w[i + 3]))) AS g
+      FROM toks WHERE len(w) >= 4
+    ),
+    train_set AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    ev AS (
+      SELECT e.split, e.doc_id, e.g,
+             CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM grams e LEFT JOIN train_set t USING (g)
+      WHERE e.split <> 'train'
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_instances,
+           CAST(SUM(hit) AS BIGINT) AS n_seen_in_train,
+           round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6)
+               AS contamination_rate
+    FROM ev GROUP BY 1 ORDER BY 1
+    """,
+    doc="Residual contamination audit ACROSS dd33's leakage-safe splits: "
+    "for the val and test sides, what fraction of their word-4-gram "
+    "instances already occur anywhere in train (tx42's GPT-3-paper "
+    "statistic, pointed at the split boundary instead of a content "
+    "split). dd33 guarantees no exact or >=0.8-Jaccard near-duplicate "
+    "straddles a split; THIS query measures what remains below that "
+    "threshold — shared boilerplate, quotations, low-overlap "
+    "paraphrases — which is exactly the number a release report must "
+    "publish next to the split table (group-safe splitting bounds "
+    "pair-level duplication; it cannot bound gram-level overlap, so "
+    "measure it, don't assert it). Plan: the dd33 split assignment "
+    "(dd01 fingerprint agg + dd05 candidate/verify/CC on exact reps) "
+    "joins back to ONE gram explode; grams travel as md5 digests "
+    "(16-byte keys, the tx42/dd01 shape); the train side reduces to a "
+    "distinct digest set before the probe join, so the exchange "
+    "carries |distinct grams|, never |instances|. At 100 TB identical "
+    "posture to tx42 plus dd33's machinery, both already scale-shaped.",
+    tags=("dedup", "llm", "splits", "contamination", "decontamination", "audit"),
+)
+def dd34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.streaming.decontam import gram_digests
+
+    docs = t(spark, sf_dir, "documents")
+    splits = leakage_safe_splits_frame(docs).select("doc_id", "split")
+    grams = gram_digests(docs).join(splits, "doc_id")
+    train_set = (
+        grams.where(F.col("split") == "train").select("g").distinct()
+    )
+    ev = (
+        grams.where(F.col("split") != "train")
+        .join(train_set.withColumn("hit", F.lit(1)), "g", "left")
+        .select("split", "doc_id", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_gram_instances"),
+            F.sum("hit").cast("long").alias("n_seen_in_train"),
+            F.round(
+                F.sum("hit").cast("double") / F.count("*"), 6
+            ).alias("contamination_rate"),
         )
         .orderBy("split")
     )

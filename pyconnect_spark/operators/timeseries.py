@@ -4189,3 +4189,161 @@ def ts55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@REGISTRY.register(
+    "ts56_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, n,
+             CAST(date_diff('day', DATE '2020-01-01', day) AS BIGINT) AS d
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             round((b.n - a.n) * 1.0 / (b.d - a.d), 9) AS s9
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, s9,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s9, s9) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    ),
+    med AS (
+      SELECT event_type, MAX(m) AS m,
+             SUM(CASE WHEN rk = (m + 1) // 2 THEN s9 ELSE 0 END)
+               + SUM(CASE WHEN rk = (m + 2) // 2 THEN s9 ELSE 0 END)
+                 AS med2
+      FROM ranked GROUP BY 1
+    ),
+    ols AS (
+      SELECT event_type,
+             round((k * sdn - sd * sn) * 1.0 / (k * sdd - sd * sd), 9)
+                 AS ols9
+      FROM (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(n) AS BIGINT) AS sn,
+               CAST(SUM(d * n) AS BIGINT) AS sdn,
+               CAST(SUM(d * d) AS BIGINT) AS sdd
+        FROM idx GROUP BY 1
+      )
+    )
+    SELECT m.event_type,
+           CAST(m.m AS BIGINT) AS n_pairs,
+           round(m.med2 / 2.0, 6) AS theil_sen_slope,
+           round(o.ols9, 6) AS ols_slope,
+           round(abs(m.med2 / 2.0 - o.ols9), 6) AS slope_gap
+    FROM med m JOIN ols o USING (event_type)
+    ORDER BY m.event_type
+    """,
+    doc="Theil-Sen robust trend estimator per event-type daily series — "
+    "the median of all pairwise slopes (29.3% breakdown point: up to "
+    "a third of the days can be arbitrarily corrupted before the "
+    "estimate moves, vs ts21's OLS where ONE outlier day drags the "
+    "fit), reported next to the OLS slope with the gap as the "
+    "robustness diagnostic a capacity planner reads before trusting "
+    "either (big gap = outlier days are steering OLS; agreeing slopes "
+    "= clean series). Pairwise slopes are single divisions of exact "
+    "integer count/day differences rounded to 9 dp before ranking; "
+    "the median is rank-selected (even counts average the two middle "
+    "order statistics — both engines pick ranks (m+1)//2 and "
+    "(m+2)//2, integer arithmetic). Plan: the corpus collapses to the "
+    "shared daily exchange; the O(days^2) pair join runs per type on "
+    "calendar-sized frames (~435 pairs per 30-day type) and the rank "
+    "window partitions by type — at 100 TB nothing downstream of the "
+    "daily rollup grows with the corpus, and a years-long series "
+    "switches to the published O(n log n) randomized median-of-slopes "
+    "refinement over the same exchange.",
+    tags=("timeseries", "trend", "robust", "theil-sen", "stats"),
+)
+def ts56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.datediff(F.col("day"), F.lit("2020-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.n") - F.col("a.n")) * 1.0 / (F.col("b.d") - F.col("a.d")),
+            9,
+        ).alias("s9"),
+    )
+    w = Window.partitionBy("event_type").orderBy("s9")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s9",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("m"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("m"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rk") == F.expr("CAST((m + 1) DIV 2 AS BIGINT)"),
+                    F.col("s9"),
+                ).otherwise(0.0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("rk") == F.expr("CAST((m + 2) DIV 2 AS BIGINT)"),
+                    F.col("s9"),
+                ).otherwise(0.0)
+            )
+        ).alias("med2"),
+    )
+    # OLS slope from exact integer sufficient statistics (ts51's fold):
+    # slope = (k*Sdn - Sd*Sn) / (k*Sdd - Sd^2) — all-integer numerator
+    # and denominator, one final division (regr_slope's textbook form)
+    ols_stats = idx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("d") * F.col("n")).cast("long").alias("sdn"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    ols = ols_stats.select(
+        "event_type",
+        F.round(
+            (F.col("k") * F.col("sdn") - F.col("sd") * F.col("sn"))
+            * 1.0
+            / (F.col("k") * F.col("sdd") - F.col("sd") * F.col("sd")),
+            9,
+        ).alias("ols9"),
+    )
+    return (
+        med.join(ols, "event_type")
+        .select(
+            "event_type",
+            F.col("m").alias("n_pairs"),
+            F.round(F.col("med2") / 2.0, 6).alias("theil_sen_slope"),
+            F.round("ols9", 6).alias("ols_slope"),
+            F.round(F.abs(F.col("med2") / 2.0 - F.col("ols9")), 6).alias(
+                "slope_gap"
+            ),
+        )
+        .orderBy("event_type")
+    )

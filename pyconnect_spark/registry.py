@@ -138,6 +138,8 @@ _DECLARED_IN_ROUND = {
     # round 7, third wave
     "tx47_collocations_pmi": 27, "ts55_lead_lag_xcorr": 27,
     "x81_duplicate_payment_audit": 27,
+    # round 7, fourth wave
+    "ts56_theil_sen_trend": 28, "dd34_split_contamination": 28,
 }
 
 

@@ -1248,3 +1248,24 @@ def test_x81_band_join_is_custkey_equi(spark):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "TakeOrderedAndProject" in text
+
+
+def test_ts56_pair_join_after_daily_rollup(spark):
+    # the O(days^2) slope join must consume the day-grain rollup (the
+    # only corpus-scale exchange); rank windows partition by type
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts56_theil_sen_trend"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_dd34_train_side_distinct_before_probe(spark):
+    # the train gram side must reduce to a distinct digest set before
+    # the membership probe — instances never cross the probe exchange
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd34_split_contamination"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
