@@ -3733,3 +3733,110 @@ def tx47(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pmi9", 6).alias("pmi"),
         )
     )
+
+
+@REGISTRY.register(
+    "tx48_readability_scores",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source, trim(text) AS tx FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(tx, '\s+')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(tx, '[.!?]+')), 1)
+                  AS BIGINT) AS sents,
+             CAST(greatest(len(regexp_extract_all(lower(tx),
+                                                  '[aeiouy]+')), 1)
+                  AS BIGINT) AS syls
+      FROM d
+    ),
+    scored AS (
+      SELECT source, words, sents, syls,
+             round(206.835 - 1.015 * (words * 1.0 / sents)
+                           - 84.6 * (syls * 1.0 / words), 9) AS fre9,
+             round(0.39 * (words * 1.0 / sents)
+                   + 11.8 * (syls * 1.0 / words) - 15.59, 9) AS fkgl9
+      FROM counts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(fre9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_flesch,
+           round(CAST(SUM(CAST(fkgl9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_fk_grade,
+           CAST(SUM(CASE WHEN fre9 < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_hard,
+           round(SUM(CASE WHEN fre9 < 30.0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS very_hard_share
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    doc="Readability scoring per source — Flesch Reading Ease and "
+    "Flesch-Kincaid grade level, the classic complexity signals a "
+    "curriculum/quality pipeline mixes next to tx08's surface ratios "
+    "(FineWeb-Edu-style educational-value filtering starts from "
+    "exactly these): words from the whitespace split, sentences from "
+    "terminal-punctuation runs, syllables from the standard "
+    "vowel-group heuristic (runs of [aeiouy] — the published cheap "
+    "approximation; a real syllabifier slots into the same per-doc "
+    "arithmetic), all floored at 1 so empty/fragment docs score "
+    "rather than divide by zero. Per-doc scores are two divisions of "
+    "exact integer counts rounded to 9 dp; per-source means cross the "
+    "DECIMAL-sum barrier (order-free at any parallelism); the "
+    "very-hard share (FRE < 30, the 'college graduate' band) gives "
+    "the filterable tail. Plan: ONE map-only pass over text (regexp "
+    "counts, no explode at all — cheaper than any tokenizing query "
+    "here) into a per-source combiner agg; at 100 TB this is the "
+    "tx08 posture: linear scan, |sources|-row output.",
+    tags=("text", "llm", "quality", "readability", "flesch"),
+)
+def tx48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tx = F.trim(F.col("text"))
+    words = F.size(F.split(tx, r"\s+")).cast("long")
+    sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(trim(text), '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    syls = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(trim(text)), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    counts = docs.select(
+        "source", words.alias("words"), sents.alias("sents"), syls.alias("syls")
+    )
+    fre9 = F.round(
+        206.835
+        - 1.015 * (F.col("words") * 1.0 / F.col("sents"))
+        - 84.6 * (F.col("syls") * 1.0 / F.col("words")),
+        9,
+    )
+    fkgl9 = F.round(
+        0.39 * (F.col("words") * 1.0 / F.col("sents"))
+        + 11.8 * (F.col("syls") * 1.0 / F.col("words"))
+        - 15.59,
+        9,
+    )
+    scored = counts.select("source", fre9.alias("fre9"), fkgl9.alias("fkgl9"))
+    dec = "decimal(20,9)"
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("fre9").cast(dec)).cast("double") / F.count("*"), 6
+            ).alias("mean_flesch"),
+            F.round(
+                F.sum(F.col("fkgl9").cast(dec)).cast("double") / F.count("*"), 6
+            ).alias("mean_fk_grade"),
+            F.sum(F.when(F.col("fre9") < 30.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_very_hard"),
+            F.round(
+                F.sum(F.when(F.col("fre9") < 30.0, 1).otherwise(0)) * 1.0
+                / F.count("*"),
+                6,
+            ).alias("very_hard_share"),
+        )
+        .orderBy("source")
+    )

@@ -4347,3 +4347,158 @@ def ts56(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts57_classical_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    trend AS (
+      SELECT event_type, day, n, i, dow, nd,
+             CASE WHEN i >= 4 AND i <= nd - 3 THEN
+               round((SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) / 7.0, 9)
+             END AS tr
+      FROM idx
+    ),
+    detr AS (
+      SELECT event_type, dow, round(n - tr, 9) AS dt
+      FROM trend WHERE tr IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             round(CAST(SUM(CAST(dt AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS s
+      FROM detr GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT t.event_type, round(t.n - t.tr - s.s, 9) AS r,
+             t.n AS n
+      FROM trend t JOIN seas s
+        ON s.event_type = t.event_type AND s.dow = t.dow
+      WHERE t.tr IS NOT NULL
+    ),
+    vars AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days_used,
+             CAST(SUM(CAST(round(r * r, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 AS ssr,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             CAST(SUM(n * n) AS BIGINT) AS snn
+      FROM resid GROUP BY 1
+    ),
+    amp AS (
+      SELECT event_type, round(MAX(s) - MIN(s), 6) AS seasonal_amplitude
+      FROM seas GROUP BY 1
+    )
+    SELECT v.event_type, v.n_days_used,
+           a.seasonal_amplitude,
+           round(v.ssr / v.n_days_used, 6) AS resid_var,
+           round(1.0 - (v.ssr / v.n_days_used)
+                 / ((v.snn - v.sn * v.sn * 1.0 / v.n_days_used)
+                    / v.n_days_used), 6) AS decomposition_r2
+    FROM vars v JOIN amp a USING (event_type)
+    ORDER BY v.event_type
+    """,
+    doc="Classical additive seasonal decomposition (the moving-average "
+    "textbook method STL refines): per type, trend = centered 7-day "
+    "moving average of daily volume, weekly seasonal = day-of-week "
+    "means of the detrended series, residual = what's left — "
+    "reporting the seasonal amplitude (peak-to-trough weekly swing), "
+    "residual variance, and the decomposition R² (share of variance "
+    "the trend+seasonal structure explains; the model-free "
+    "counterpart of ts39's Holt-Winters FIT — this one makes no "
+    "smoothing-parameter choices at all, which is why it's the "
+    "standard first look). Determinism: daily counts are integers, "
+    "the 7-day MA is an exact integer sum over a ROWS frame divided "
+    "once, every residual product crosses the round-9/DECIMAL-sum "
+    "barrier, and raw-variance terms are exact integer sums. Edge "
+    "days without a full MA window drop in both engines (the "
+    "textbook convention). Plan: one daily exchange; MA and "
+    "row-index windows partition by type (key == shuffle key); "
+    "seasonal/variance aggs are calendar-sized. At 100 TB nothing "
+    "downstream of the daily rollup grows with the corpus.",
+    tags=("timeseries", "seasonal", "decomposition", "stl", "stats"),
+)
+def ts57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wc = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.dayofweek("day").cast("long").alias("dow"),
+        F.count("*").over(wc).alias("nd"),
+    )
+    ma = F.sum("n").over(w.rowsBetween(-3, 3)) / 7.0
+    trend = idx.select(
+        "event_type",
+        "day",
+        "n",
+        "dow",
+        F.when(
+            (F.col("i") >= 4) & (F.col("i") <= F.col("nd") - 3),
+            F.round(ma, 9),
+        ).alias("tr"),
+    )
+    detr = trend.where(F.col("tr").isNotNull()).select(
+        "event_type", "dow", F.round(F.col("n") - F.col("tr"), 9).alias("dt")
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.round(
+            F.sum(F.col("dt").cast("decimal(20,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("s")
+    )
+    resid = (
+        trend.where(F.col("tr").isNotNull())
+        .join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("n") - F.col("tr") - F.col("s"), 9).alias("r"),
+        )
+    )
+    vars = resid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days_used"),
+        F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("ssr"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    amp = seas.groupBy("event_type").agg(
+        F.round(F.max("s") - F.min("s"), 6).alias("seasonal_amplitude")
+    )
+    rvar = F.col("ssr") / F.col("n_days_used")
+    tvar = (
+        F.col("snn") - F.col("sn") * F.col("sn") * 1.0 / F.col("n_days_used")
+    ) / F.col("n_days_used")
+    return (
+        vars.join(amp, "event_type")
+        .select(
+            "event_type",
+            "n_days_used",
+            "seasonal_amplitude",
+            F.round(rvar, 6).alias("resid_var"),
+            F.round(1.0 - rvar / tvar, 6).alias("decomposition_r2"),
+        )
+        .orderBy("event_type")
+    )

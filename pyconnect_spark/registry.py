@@ -140,6 +140,9 @@ _DECLARED_IN_ROUND = {
     "x81_duplicate_payment_audit": 27,
     # round 7, fourth wave
     "ts56_theil_sen_trend": 28, "dd34_split_contamination": 28,
+    # round 7, fifth wave
+    "tx48_readability_scores": 29, "ts57_classical_decomposition": 29,
+    "x82_revenue_bridge": 29,
 }
 
 

@@ -1269,3 +1269,29 @@ def test_dd34_train_side_distinct_before_probe(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_tx48_map_only_scan_no_explode(spark):
+    # readability is ONE map-only text pass: regexp counts, no Generate
+    # (explode) and no Window anywhere
+    text = explain_str(_Q["tx48_readability_scores"](spark, SF))
+    assert "Generate" not in text
+    assert "Window" not in text
+
+
+def test_ts57_windows_partition_by_type(spark):
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts57_classical_decomposition"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_x82_no_window_at_all(spark):
+    # the month-lag attaches via a calendar-shift self-join — the plan
+    # must carry no Window node (the naive lag-over-months shape was a
+    # global single-partition window)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x82_revenue_bridge"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "Window" not in explain_str(df)
