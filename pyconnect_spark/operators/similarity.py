@@ -4147,3 +4147,122 @@ def sm33(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+
+
+@REGISTRY.register(
+    "sm34_anisotropy_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, y -> CAST(y AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT v.vec_id, u.i, v.x[u.i] AS val
+      FROM v, unnest(range(1, len(v.x) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT i,
+             round(CAST(SUM(CAST(round(val, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / COUNT(*), 9) AS c
+      FROM dims GROUP BY 1
+    ),
+    carr AS (
+      SELECT list(c ORDER BY i) AS c FROM cent
+    ),
+    scored AS (
+      SELECT v.vec_id,
+             round(list_aggregate(list_transform(range(1, len(v.x) + 1),
+                       i -> v.x[CAST(i AS INT)] * ca.c[CAST(i AS INT)]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(v.x,
+                              y -> y * y), 'sum'))
+                      * sqrt(list_aggregate(list_transform(ca.c,
+                              y -> y * y), 'sum'))), 9) AS cc,
+             round(sqrt(list_aggregate(list_transform(v.x, y -> y * y),
+                                       'sum')), 9) AS nrm
+      FROM v CROSS JOIN carr ca
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(cc AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos_to_centroid,
+           round(CAST(SUM(CAST(round(cc * cc, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_sq_cos,
+           round(MIN(nrm), 6) AS min_norm,
+           round(CAST(SUM(CAST(nrm AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_norm,
+           round(MAX(nrm), 6) AS max_norm,
+           round(MAX(nrm) / MIN(nrm), 6) AS norm_spread
+    FROM scored
+    """,
+    doc="Embedding-space anisotropy / norm-health audit — the QA pass an "
+    "embedding pipeline runs BEFORE trusting cosine math downstream "
+    "(Ethayarajh 2019: contextual embedding spaces are anisotropic — "
+    "vectors crowd a narrow cone, so raw cosines saturate and "
+    "centering/whitening is needed; Timkey & van Schijndel 2021 trace "
+    "it to rogue dimensions): mean cosine to the corpus centroid (the "
+    "standard anisotropy estimate — near 0 is isotropic, near 1 is a "
+    "cone), its second moment, and the norm distribution "
+    "(min/mean/max, spread) that decides whether dot-product and "
+    "cosine retrieval will even agree (sm27's MIPS pruning assumes "
+    "bounded norm spread). Consumes the same per-dim posexplode agg "
+    "as sm04/sm20 (d-row exchange), the centroid broadcasts as one "
+    "array, and scoring is one map-only JVM fold pass; per-dim means "
+    "and per-vector cosines cross the round-9/DECIMAL-sum barrier so "
+    "the audit is hash-replayed end to end. At 100 TB: one d-row "
+    "exchange + one linear scan — nothing quadratic, nothing "
+    "collected.",
+    tags=("similarity", "llm", "embeddings", "anisotropy", "audit", "qa"),
+)
+def sm34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    dims = v.select(
+        "vec_id", F.posexplode("x").alias("i0", "val")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "val")
+    dec = "decimal(28,9)"
+    cent = dims.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("val"), 9).cast(dec)).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    carr = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("c")
+    )
+    dot = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    nx = F.sqrt(
+        F.aggregate("x", F.lit(0.0), lambda acc, y: acc + y * y)
+    )
+    nc = F.sqrt(
+        F.aggregate("c", F.lit(0.0), lambda acc, y: acc + y * y)
+    )
+    scored = v.crossJoin(F.broadcast(carr)).select(
+        F.round(dot / (nx * nc), 9).alias("cc"),
+        F.round(nx, 9).alias("nrm"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("cc").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("mean_cos_to_centroid"),
+        F.round(
+            F.sum(F.round(F.col("cc") * F.col("cc"), 9).cast(dec)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_sq_cos"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("mean_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.max("nrm") / F.min("nrm"), 6).alias("norm_spread"),
+    )

@@ -4502,3 +4502,81 @@ def ts57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts58_hourly_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(n) AS tn, COUNT(*) AS n_hours
+      FROM hourly GROUP BY 1
+    ),
+    ranked AS (
+      SELECT h.event_type, h.hr, h.n, t.tn, t.n_hours,
+             row_number() OVER (PARTITION BY h.event_type
+                                ORDER BY h.n DESC, h.hr) AS rk
+      FROM hourly h JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(n_hours) AS BIGINT) AS n_active_hours,
+           CAST(MAX(CASE WHEN rk = 1 THEN hr END) AS BIGINT) AS peak_hour,
+           round(MAX(CASE WHEN rk = 1 THEN n * 1.0 / tn END), 6)
+               AS peak_share,
+           round(CAST(SUM(CAST(round((n * 1.0 / tn) * (n * 1.0 / tn), 9)
+                               AS DECIMAL(20,9))) AS DOUBLE), 6)
+               AS hhi_concentration
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Hour-of-day load profile per event type: peak hour, its traffic "
+    "share, and the Herfindahl concentration of the 24-hour "
+    "distribution (HHI = sum of squared hourly shares: 1/24 ~ 0.042 "
+    "is perfectly flat, 1.0 is a single-hour spike) — the intra-day "
+    "complement of ts32's weekday/weekend split and the capacity "
+    "number an autoscaling policy reads (flat HHI = provision for "
+    "mean; spiky HHI = provision for the peak hour). All shares are "
+    "single divisions of exact integer counts; squared shares round "
+    "to 9 dp and accumulate as DECIMAL (the repo's FP-sum "
+    "convention — order-free under any partial-aggregation order). "
+    "Plan: one (type, hour) "
+    "combiner rollup — 24 x |types| rows — then calendar-sized "
+    "arithmetic; the rank window partitions by type. At 100 TB "
+    "nothing downstream of the rollup grows with the corpus.",
+    tags=("timeseries", "profile", "hourly", "capacity", "concentration"),
+)
+def ts58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.count("*").alias("n_hours")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "hr")
+    ranked = hourly.join(tot, "event_type").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    share = F.col("n") * 1.0 / F.col("tn")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_hours").cast("long").alias("n_active_hours"),
+            F.max(F.when(F.col("rk") == 1, F.col("hr")))
+            .cast("long")
+            .alias("peak_hour"),
+            F.round(F.max(F.when(F.col("rk") == 1, share)), 6).alias(
+                "peak_share"
+            ),
+            F.round(
+                F.sum(
+                    F.round(share * share, 9).cast("decimal(20,9)")
+                ).cast("double"),
+                6,
+            ).alias("hhi_concentration"),
+        )
+        .orderBy("event_type")
+    )

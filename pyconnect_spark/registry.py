@@ -143,6 +143,8 @@ _DECLARED_IN_ROUND = {
     # round 7, fifth wave
     "tx48_readability_scores": 29, "ts57_classical_decomposition": 29,
     "x82_revenue_bridge": 29,
+    # round 7, sixth wave
+    "sm34_anisotropy_audit": 30, "ts58_hourly_profile": 30,
 }
 
 

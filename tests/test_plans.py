@@ -1295,3 +1295,19 @@ def test_x82_no_window_at_all(spark):
     df = _Q["x82_revenue_bridge"](spark, SF)
     assert not unpartitioned_windows(df)
     assert "Window" not in explain_str(df)
+
+
+def test_sm34_d_row_exchange_broadcast_centroid(spark):
+    # the centroid must come from the d-row posexplode agg and attach as
+    # a broadcast; scoring is one map-only fold pass, no window
+    df = _Q["sm34_anisotropy_audit"](spark, SF)
+    text = explain_str(df)
+    assert "Window" not in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_ts58_rollup_then_calendar_frames(spark):
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts58_hourly_profile"](spark, SF)
+    assert not unpartitioned_windows(df)
