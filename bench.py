@@ -277,10 +277,26 @@ HEADLINE = [
     "sm32_matryoshka_recall",
     "tx46_span_corruption_plan",
     "dd32_dedup_manifest",
+    # round 7
+    "sm30_reciprocal_nn_pairs",  # benched since the Arrow-BLAS rewrite
+    "x73b_er_blocking_capped",
+    "ts54_ljung_box_whiteness",
+    "sm33_probe_recall_curve",
+    "dd33_leakage_safe_splits",
+    "mm11_resize_plan",
+    "tx47_collocations_pmi",
+    "ts55_lead_lag_xcorr",
+    "x81_duplicate_payment_audit",
+    "ts56_theil_sen_trend",
+    "dd34_split_contamination",
+    "tx48_readability_scores",
+    "ts57_classical_decomposition",
+    "x82_revenue_bridge",
+    "sm34_anisotropy_audit",
+    "ts58_hourly_profile",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
-    # dd02/dd09 stay un-benched: deliberate quadratic exact tiers, and
-    # sm30 (reciprocal NN) joins them — same all-pairs audit grain.
+    # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.
 ]
 
 
