@@ -294,6 +294,9 @@ HEADLINE = [
     "x82_revenue_bridge",
     "sm34_anisotropy_audit",
     "ts58_hourly_profile",
+    "tx49_word_burstiness",
+    "ts59_poisson_fit",
+    "dd35_threshold_sensitivity",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -1922,7 +1922,7 @@ def dd20(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    sh = _word_shingles(docs, 5)
+    sh = _word_shingles(docs, 3)  # dd05's grain (_DD05_SHINGLES_SQL twin)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     ranked = sh.join(freq, "sh").select(
@@ -3502,4 +3502,126 @@ def dd34(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
         .orderBy("split")
+    )
+
+
+_DD35_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@REGISTRY.register(
+    "dd35_threshold_sensitivity",
+    oracle=f"""
+    WITH sh0 AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh0 x JOIN sh0 y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b,
+             round(CAST(nc AS DOUBLE) / (za.n + zb.n - nc), 9) AS j9
+      FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+    ),
+    th AS (SELECT unnest(ARRAY{list(_DD35_THRESHOLDS)}) AS t),
+    base AS (
+      SELECT th.t AS threshold,
+             CAST(COUNT(e.a) AS BIGINT) AS n_pairs,
+             round(CAST(SUM(CAST(e.j9 AS DECIMAL(20,9))) AS DOUBLE)
+                   / greatest(COUNT(e.a), 1), 6) AS mean_jaccard
+      FROM th LEFT JOIN edges e ON round(e.j9, 9) >= th.t
+      GROUP BY 1
+    ),
+    docs_in AS (
+      SELECT t AS threshold,
+             CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (
+        SELECT th.t, e.a AS doc FROM th JOIN edges e ON round(e.j9, 9) >= th.t
+        UNION
+        SELECT th.t, e.b FROM th JOIN edges e ON round(e.j9, 9) >= th.t
+      ) GROUP BY 1
+    )
+    SELECT b.threshold, b.n_pairs,
+           COALESCE(d.n_docs, 0) AS n_docs, b.mean_jaccard
+    FROM base b LEFT JOIN docs_in d ON d.threshold = b.threshold
+    ORDER BY b.threshold
+    """,
+    doc="Dedup-threshold sensitivity curve: candidate near-dup pairs and "
+    "their mean Jaccard at every policy threshold 0.5-0.9 from ONE "
+    "pairwise-similarity computation (thresholds are filters over one "
+    "edge frame, never five re-joins) — the tuning artifact a pipeline "
+    "owner reads before freezing dd05's 0.8 (dd22 plots the LSH "
+    "S-curve in SIGNATURE space; this is the same decision in "
+    "VERIFIED-jaccard space, where the policy actually binds). "
+    "n_docs counts the documents involved at each threshold (distinct "
+    "union of pair endpoints). Word-3-gram shingles (dd05's grain), "
+    "exact integer intersections, jaccard through the 9 dp barrier, "
+    "DECIMAL-sum means. Plan: dd02's shingle equi-join (only shingles "
+    "present in >=2 docs produce matches) + one combiner agg per pair, "
+    "then a 5-row threshold explode over the edge frame. At 100 TB the "
+    "edge source swaps to dd03's LSH candidates exactly like dd05 — "
+    "the curve math above the edges is unchanged.",
+    tags=("dedup", "llm", "threshold", "tuning", "sensitivity"),
+)
+def dd35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = _word_shingles(docs, 3)  # dd05's grain (_DD05_SHINGLES_SQL twin)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    edges = (
+        common.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("nc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("nc")),
+                9,
+            ).alias("j9"),
+        )
+    )
+    edges = track(edges.cache())  # threshold filters + endpoint union read it
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in _DD35_THRESHOLDS])
+        ).alias("threshold")
+    )
+    joined = th.join(
+        edges, F.round(F.col("j9"), 9) >= F.col("threshold"), "left"
+    )
+    base = joined.groupBy("threshold").agg(
+        F.count("a").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("j9").cast("decimal(20,9)")).cast("double")
+            / F.greatest(F.count("a"), F.lit(1)),
+            6,
+        ).alias("mean_jaccard"),
+    )
+    docs_in = (
+        joined.where(F.col("a").isNotNull())
+        .select("threshold", F.explode(F.array("a", "b")).alias("doc"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc").cast("long").alias("n_docs"))
+    )
+    return (
+        base.join(docs_in, "threshold", "left")
+        .select(
+            "threshold",
+            "n_pairs",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "mean_jaccard",
+        )
+        .orderBy("threshold")
     )

@@ -3840,3 +3840,73 @@ def tx48(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx49_word_burstiness",
+    oracle=r"""
+    WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    stats AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY 1
+    ),
+    top AS (
+      SELECT word, n, df FROM stats
+      ORDER BY n DESC, word LIMIT 20
+    )
+    SELECT t.word, t.n, t.df,
+           round(d.nd * (1.0 - exp(-(t.n * 1.0 / d.nd))), 6)
+               AS expected_df,
+           round(t.df / (d.nd * (1.0 - exp(-(t.n * 1.0 / d.nd)))), 6)
+               AS dispersion,
+           round(t.n * 1.0 / t.df, 6) AS burst_rate
+    FROM top t CROSS JOIN d
+    ORDER BY t.n DESC, t.word
+    """,
+    doc="Word burstiness audit (Church & Gale 1995): for the top-20 corpus "
+    "words, the observed document frequency against the Poisson "
+    "expectation D*(1-exp(-n/D)) — dispersion near 1 means the word "
+    "spreads independently (function-word behavior), well below 1 means "
+    "it BURSTS (content words cluster in few documents: once a word "
+    "appears it repeats), and burst_rate = n/df is the mean occurrences "
+    "per containing document. This is the statistic behind burst-aware "
+    "TF weighting and stopword induction — tx14's Zipf audit ranks by "
+    "total frequency, tx31 sketches it; this measures HOW each word's "
+    "mass distributes across documents, a signal total frequency cannot "
+    "carry. Exact integer (n, df) counts from one token explode "
+    "(combiner-shrunk to |vocab| rows); the expectation is one "
+    "exp/divide chain over the broadcast doc count, computed on the "
+    "20-row TakeOrdered slice only. At 100 TB: tx10's posture — one "
+    "gram exchange, never a global sort.",
+    tags=("text", "llm", "burstiness", "dispersion", "stopwords"),
+)
+def tx49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    stats = w.groupBy("word").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    )
+    top = stats.orderBy(F.desc("n"), "word").limit(20)
+    nd = docs.agg(F.count("*").cast("long").alias("nd"))
+    exp_df = F.col("nd") * (1.0 - F.exp(-(F.col("n") * 1.0 / F.col("nd"))))
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "n",
+            "df",
+            F.round(exp_df, 6).alias("expected_df"),
+            F.round(F.col("df") / exp_df, 6).alias("dispersion"),
+            F.round(F.col("n") * 1.0 / F.col("df"), 6).alias("burst_rate"),
+        )
+        .orderBy(F.desc("n"), "word")
+    )

@@ -4580,3 +4580,113 @@ def ts58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts59_poisson_fit",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, gap_s FROM g
+      WHERE gap_s IS NOT NULL AND gap_s > 0
+    ),
+    rate AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             COUNT(*) / CAST(SUM(gap_s) AS DOUBLE) AS lam
+      FROM gaps GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ga.event_type, ga.gap_s, r.n, r.lam,
+             row_number() OVER (PARTITION BY ga.event_type
+                                ORDER BY ga.gap_s, ga.gap_s) AS rk
+      FROM gaps ga JOIN rate r USING (event_type)
+    ),
+    dist AS (
+      SELECT event_type, n, lam,
+             round(greatest(
+               abs(rk * 1.0 / n - (1.0 - exp(-(lam * gap_s)))),
+               abs((rk - 1) * 1.0 / n - (1.0 - exp(-(lam * gap_s))))
+             ), 9) AS d9
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           round(MAX(lam) * 3600.0, 6) AS events_per_hour,
+           round(MAX(d9), 6) AS ks_distance,
+           CAST(CASE WHEN round(MAX(d9) * sqrt(MAX(n)), 9) <= 1.358
+                     THEN 1 ELSE 0 END AS BIGINT) AS poisson_plausible
+    FROM dist GROUP BY 1 ORDER BY 1
+    """,
+    doc="Poisson-arrivals goodness-of-fit per event stream: inter-arrival "
+    "gaps against the exponential law with the MLE rate (lambda = "
+    "n/sum gaps), scored by the one-sample Kolmogorov-Smirnov distance "
+    "with the 95% plausibility verdict (D*sqrt(n) <= 1.358, the "
+    "asymptotic critical value as a fixed constant) — the assumption "
+    "check BEHIND the rest of the stack: x75's bootstrap, ts47's burst "
+    "thresholds and queueing math (x74) all quietly assume "
+    "Poisson-like arrivals, ts30 measures burstiness descriptively, "
+    "and THIS query says whether the exponential model is actually "
+    "tenable per stream. One-sample KS against a CONTINUOUS "
+    "distribution compares both ECDF step edges (rk/n and (rk-1)/n) at "
+    "every observed gap — the textbook D+, D- construction. "
+    "Determinism: gaps are integer epoch seconds, lambda is one "
+    "division, the theoretical CDF is IEEE exp on identical inputs, "
+    "distances round to 9 dp before the max, and ties in gap_s are "
+    "harmless (equal gaps produce the same CDF value; the ECDF edge "
+    "set is rank-driven). Plan: one lag window and one rank window, "
+    "both PARTITIONED by type (key == shuffle key); everything else is "
+    "per-type aggregates. At 100 TB: the ts44 posture — a single "
+    "type-keyed exchange; at extreme per-type volumes the KS scan runs "
+    "on a deterministic md5 gap sample (ts40's reservoir) with the "
+    "same downstream arithmetic.",
+    tags=("timeseries", "poisson", "ks-test", "goodness-of-fit", "stats"),
+)
+def ts59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("ts").cast("double").alias("sec")
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gaps = (
+        ev.withColumn("gap_s", F.col("sec") - F.lag("sec").over(w))
+        .where(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+        .select("event_type", "gap_s")
+    )
+    rate = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") / F.sum("gap_s").cast("double")).alias("lam"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_s")
+    ranked = gaps.join(F.broadcast(rate), "event_type").withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    cdf = 1.0 - F.exp(-(F.col("lam") * F.col("gap_s")))
+    d9 = F.round(
+        F.greatest(
+            F.abs(F.col("rk") * 1.0 / F.col("n") - cdf),
+            F.abs((F.col("rk") - 1) * 1.0 / F.col("n") - cdf),
+        ),
+        9,
+    )
+    dist = ranked.select("event_type", "n", "lam", d9.alias("d9"))
+    return (
+        dist.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.round(F.max("lam") * 3600.0, 6).alias("events_per_hour"),
+            F.round(F.max("d9"), 6).alias("ks_distance"),
+            F.when(
+                F.round(F.max("d9") * F.sqrt(F.max("n")), 9) <= 1.358, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("poisson_plausible"),
+        )
+        .orderBy("event_type")
+    )

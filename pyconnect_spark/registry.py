@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~288 declared queries the whole surface re-verifies every ~6
+with ~291 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -145,6 +145,9 @@ _DECLARED_IN_ROUND = {
     "x82_revenue_bridge": 29,
     # round 7, sixth wave
     "sm34_anisotropy_audit": 30, "ts58_hourly_profile": 30,
+    # round 7, seventh wave
+    "tx49_word_burstiness": 31, "ts59_poisson_fit": 31,
+    "dd35_threshold_sensitivity": 31,
 }
 
 

@@ -1311,3 +1311,28 @@ def test_ts58_rollup_then_calendar_frames(spark):
 
     df = _Q["ts58_hourly_profile"](spark, SF)
     assert not unpartitioned_windows(df)
+
+
+def test_tx49_takeordered_gram_counts(spark):
+    text = explain_str(_Q["tx49_word_burstiness"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+    assert "partial_count" in text
+    assert "Window" not in text
+
+
+def test_ts59_windows_partition_by_type(spark):
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts59_poisson_fit"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_dd35_one_edge_frame_thresholds_as_filters(spark):
+    # the five thresholds must be filters over ONE cached edge frame
+    # (InMemoryTableScan), never five shingle re-joins
+    df = _Q["dd35_threshold_sensitivity"](spark, SF)
+    df.collect()  # populate the cache
+    text = explain_str(df)
+    assert "InMemoryTableScan" in text or "Scan ExistingRDD" in text
+    assert "CartesianProduct" not in text
