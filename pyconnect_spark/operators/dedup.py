@@ -1922,7 +1922,7 @@ def dd20(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    sh = _word_shingles(docs, 3)  # dd05's grain (_DD05_SHINGLES_SQL twin)
+    sh = _word_shingles(docs, 5)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     ranked = sh.join(freq, "sh").select(
