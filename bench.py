@@ -297,6 +297,9 @@ HEADLINE = [
     "tx49_word_burstiness",
     "ts59_poisson_fit",
     "dd35_threshold_sensitivity",
+    "ts60_runs_test",
+    "tx50_rank_stability",
+    "sm35_mean_removal_shift",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -3910,3 +3910,139 @@ def tx49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "word")
     )
+
+
+_TX50_K = 50
+
+
+@REGISTRY.register(
+    "tx50_rank_stability",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    corpus AS (
+      SELECT word, row_number() OVER (ORDER BY COUNT(*) DESC, word) AS cr
+      FROM w GROUP BY word
+      ORDER BY COUNT(*) DESC, word LIMIT {_TX50_K}
+    ),
+    per_src AS (
+      SELECT source, word,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, word) AS sr,
+             COUNT(*) AS c
+      FROM w GROUP BY source, word
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    joined AS (
+      SELECT s.source, c.cr,
+             CASE WHEN p.sr IS NULL THEN {_TX50_K + 1} ELSE p.sr END AS sr
+      FROM corpus c CROSS JOIN srcs s
+      LEFT JOIN per_src p
+        ON p.word = c.word AND p.source = s.source AND p.sr <= {_TX50_K}
+    ),
+    stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM((cr - sr) * (cr - sr)) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN sr <= {_TX50_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM joined GROUP BY 1
+    )
+    SELECT source, n_shared,
+           round(1.0 - 6.0 * d2 / (k * (CAST(k AS DOUBLE) * k - 1)), 6)
+               AS spearman_rho,
+           round(n_shared * 1.0 / k, 6) AS topk_overlap
+    FROM stats
+    ORDER BY source
+    """,
+    doc="Lexical rank stability per source: Spearman's rho between the "
+    f"corpus-wide top-{_TX50_K} word frequency ranking and each "
+    "source's own ranking of those words (corpus head words a source "
+    "ranks outside its own top-k take rank k+1 — the standard "
+    "truncated-list convention), plus the plain top-k overlap share — "
+    "the drift detector that catches a source whose LANGUAGE USE "
+    "diverges from the mix even when tx36's KL on raw frequencies "
+    "stays flat (rank correlation ignores mass, so a source that "
+    "uses the same words at very different relative intensities "
+    "lights up here first). Determinism: both rankings order by "
+    "(count DESC, word) — total orders of exact integer counts — so "
+    "rho's d² sum is pure integer arithmetic with ONE final division. "
+    "Plan: one token explode feeds the corpus agg (TakeOrdered to "
+    f"{_TX50_K} rows, broadcast) and the per-(source, word) agg whose "
+    "rank window partitions by source; everything after the joins is "
+    f"|sources| x {_TX50_K} rows. At 100 TB: two vocab-bounded gram "
+    "exchanges, the tx10/tx47 posture.",
+    tags=("text", "llm", "drift", "spearman", "rank-stability"),
+)
+def tx50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    corpus = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(_TX50_K)
+    )
+    from pyconnect_spark.operators.rankops import rank_small_frame
+
+    corpus_r = rank_small_frame(
+        corpus,
+        F.struct((-F.col("c")).alias("nc"), F.col("word").alias("kw")),
+        rank_col="cr",
+    ).select("word", "cr")
+    per_src = (
+        w.groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "sr",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "word")
+            ),
+        )
+    )
+    joined = (
+        corpus_r.crossJoin(
+            per_src.select("source").distinct()
+        )
+        .join(
+            per_src.where(F.col("sr") <= _TX50_K).select(
+                "source", "word", "sr"
+            ),
+            ["source", "word"],
+            "left",
+        )
+        .select(
+            "source",
+            "cr",
+            F.coalesce("sr", F.lit(_TX50_K + 1)).alias("sr"),
+        )
+    )
+    stats = joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum((F.col("cr") - F.col("sr")) * (F.col("cr") - F.col("sr")))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("sr") <= _TX50_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared"),
+    )
+    return stats.select(
+        "source",
+        "n_shared",
+        F.round(
+            1.0
+            - 6.0
+            * F.col("d2")
+            / (F.col("k") * (F.col("k").cast("double") * F.col("k") - 1)),
+            6,
+        ).alias("spearman_rho"),
+        F.round(F.col("n_shared") * 1.0 / F.col("k"), 6).alias("topk_overlap"),
+    ).orderBy("source")

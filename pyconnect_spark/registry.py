@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~291 declared queries the whole surface re-verifies every ~6
+with ~294 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -148,6 +148,9 @@ _DECLARED_IN_ROUND = {
     # round 7, seventh wave
     "tx49_word_burstiness": 31, "ts59_poisson_fit": 31,
     "dd35_threshold_sensitivity": 31,
+    # round 7, eighth wave
+    "ts60_runs_test": 32, "tx50_rank_stability": 32,
+    "sm35_mean_removal_shift": 32,
 }
 
 

@@ -1336,3 +1336,29 @@ def test_dd35_one_edge_frame_thresholds_as_filters(spark):
     text = explain_str(df)
     assert "InMemoryTableScan" in text or "Scan ExistingRDD" in text
     assert "CartesianProduct" not in text
+
+
+def test_ts60_windows_partition_by_type(spark):
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts60_runs_test"](spark, SF)
+    assert not unpartitioned_windows(df)
+
+
+def test_tx50_corpus_head_broadcast_source_ranks_partitioned(spark):
+    # the corpus top-k must be TakeOrdered + rank_small_frame (no global
+    # window); per-source ranks partition by source
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx50_rank_stability"](spark, SF)
+    assert not unpartitioned_windows(df)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+
+
+def test_sm35_two_scans_broadcast_centroid(spark):
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm35_mean_removal_shift"](spark, SF)
+    assert not unpartitioned_windows(df)
+    assert "CartesianProduct" not in explain_str(df)
