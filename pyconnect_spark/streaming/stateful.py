@@ -181,3 +181,75 @@ except ImportError:  # pragma: no cover - pyspark < 4.0 or no protobuf
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0 and protobuf"
         )
+
+
+ALERT_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_suppressed", T.LongType()),
+    ]
+)
+ALERT_STATE = T.StructType(
+    [
+        T.StructField("last_alert_sec", T.DoubleType()),
+        T.StructField("suppressed", T.LongType()),
+    ]
+)
+
+
+def alert_gate_per_key(
+    stream: DataFrame, threshold: float, cooldown_s: float = 3600.0
+) -> DataFrame:
+    """S34: threshold alerting with per-key cooldown suppression — the
+    operator between a detector (S21 CUSUM, ts15/ts36 rules) and a
+    pager: the FIRST above-threshold event per key fires an alert row,
+    and further breaches inside `cooldown_s` are counted but NOT
+    re-emitted (alert-storm suppression, the on-call dedup every
+    production monitor ships). State per key = (last alert epoch,
+    suppressed-since count); the suppressed counter is carried to the
+    next EMITTED alert so no breach is ever silently lost — the
+    at-least-once accounting contract. Rows sort by (ts, event_id)
+    within each batch; the gate is a deterministic fold, so replays of
+    the same ordered batches reproduce identical alert streams (pinned
+    stream-vs-recompute in test_s34). At scale the state is two numbers
+    per key in the state store (RocksDB provider for large keyspaces),
+    and the cooldown clock is EVENT time, so backfills behave."""
+
+    def _gate(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last, supp) = state.get if state.exists else (float("-inf"), 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out_ts, out_v, out_supp = [], [], []
+        for ts_, v in zip(rows["ts"], rows["value"]):
+            if float(v) < threshold:
+                continue
+            sec = ts_.timestamp()
+            if sec - last >= cooldown_s:
+                out_ts.append(ts_)
+                out_v.append(float(v))
+                out_supp.append(supp)
+                last = sec
+                supp = 0
+            else:
+                supp += 1
+        state.update((last, supp))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out_ts),
+                "ts": out_ts,
+                "value": out_v,
+                "n_suppressed": out_supp,
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _gate,
+        outputStructType=ALERT_OUTPUT,
+        stateStructType=ALERT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1804,3 +1804,88 @@ def test_s33_streaming_reservoir_equals_batch(spark, tmp_path):
     )
     after = sorted(tuple(r) for r in replayed.collect())
     assert after == before
+
+
+def test_s34_alert_gate_cooldown_suppression(spark, tmp_path):
+    """S34: threshold alerting with per-key event-time cooldown
+    (streaming/stateful.py alert_gate_per_key). The emitted alert
+    stream across TWO drains must equal a sequential Python fold over
+    the full event-time-ordered sequence (same gate, same cooldown) —
+    including a drain-2 breach suppressed because it falls inside the
+    cooldown of a drain-1 alert (state survives the batch boundary),
+    and the suppressed-counter accounting: every breach is either an
+    alert or counted in a later alert's n_suppressed (none lost)."""
+    from pyconnect_spark.streaming.stateful import alert_gate_per_key
+
+    threshold, cooldown = 5.0, 3600.0
+    d = tmp_path / "alert-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "alert-ckpt")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def mk(eid, hh, mm, k, v):
+        return {
+            "event_id": eid,
+            "ts": f"2024-03-01 {hh:02d}:{mm:02d}:00",
+            "event_type": k,
+            "value": v,
+        }
+
+    chunk1 = [
+        mk(1, 0, 0, "a", 9.0),   # alert (first breach)
+        mk(2, 0, 30, "a", 8.0),  # suppressed (inside 1h)
+        mk(3, 1, 30, "a", 7.0),  # alert (cooldown elapsed)
+        mk(4, 0, 10, "b", 2.0),  # below threshold — ignored
+        mk(5, 0, 20, "b", 6.0),  # alert
+    ]
+    chunk2 = [
+        mk(6, 2, 0, "a", 9.9),   # suppressed: 00:30 inside cooldown of 01:30
+        mk(7, 2, 45, "a", 6.5),  # alert (>= 1h after 01:30) carrying supp=1
+        mk(8, 0, 50, "b", 7.7),  # suppressed vs b's 00:20 alert
+    ]
+
+    collected = []
+
+    def run_once(fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = (
+            alert_gate_per_key(stream, threshold, cooldown)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, eid: collected.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("c1.jsonl", chunk1)
+    run_once("c2.jsonl", chunk2)
+
+    got = sorted(
+        (r["event_type"], r["ts"].strftime("%H:%M"), r["value"], r["n_suppressed"])
+        for r in collected
+    )
+
+    # sequential reference: same gate folded over the ordered sequence
+    ref = []
+    state = {}
+    for r in sorted(chunk1 + chunk2, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        if r["value"] < threshold:
+            continue
+        hh, mm = int(r["ts"][11:13]), int(r["ts"][14:16])
+        sec = hh * 3600 + mm * 60
+        last, supp = state.get(r["event_type"], (float("-inf"), 0))
+        if sec - last >= cooldown:
+            ref.append((r["event_type"], r["ts"][11:16], r["value"], supp))
+            state[r["event_type"]] = (sec, 0)
+        else:
+            state[r["event_type"]] = (last, supp + 1)
+    assert got == sorted(ref), (got, ref)
+
+    # accounting: breaches = alerts + suppressed-in-alerts + trailing state
+    n_breaches = sum(1 for r in chunk1 + chunk2 if r["value"] >= threshold)
+    trailing = sum(s for _, s in state.values())
+    assert n_breaches == len(got) + sum(g[3] for g in got) + trailing
