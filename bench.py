@@ -300,6 +300,9 @@ HEADLINE = [
     "ts60_runs_test",
     "tx50_rank_stability",
     "sm35_mean_removal_shift",
+    # round 8
+    "sm23b_hubness_scaled",
+    "sm30b_reciprocal_nn_scaled",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -3247,7 +3247,18 @@ def leakage_safe_splits_frame(docs: DataFrame) -> DataFrame:
     md5-hashed into train/val/test 80/10/10 at GROUP grain — the split
     key every member of a dedup cluster shares. Oracle twin:
     _DD33_SPLIT_CTES. Shared by dd33 (summary) and dd34 (cross-split
-    contamination)."""
+    contamination).
+
+    Scope of the leakage guarantee: groups come from
+    :func:`lsh_verified_edges` (banded-LSH candidates, then exact
+    word-Jaccard >= 0.8 on candidates only), so "zero leaked groups by
+    construction" is relative to LSH candidate RECALL — a true >= 0.8
+    pair whose signatures collide in no band would be split apart and
+    not counted. That recall is measured (dd05's agreement tests pin it
+    at 1.0 on the fixtures; banding theory bounds the miss rate at the
+    0.8 threshold to ~(1-0.8^8)^8 ≈ 1.6%) and the residual is exactly
+    what dd34 reports as cross-split near-dup contamination — the audit
+    that would catch a banding miss in production."""
     fp = docs.select("doc_id", F.md5("text").alias("f"))
     ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
     lab = fp.join(ex, "f").select("doc_id", "rep")

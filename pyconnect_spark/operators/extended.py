@@ -4662,8 +4662,6 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extended", "finance", "bridge", "waterfall", "decomposition"),
 )
 def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = t(spark, sf_dir, "lineitem")
     monthly = (
         li.groupBy(

@@ -3701,11 +3701,20 @@ def tx47(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = toks.select(F.explode("w").alias("word"))
     uni = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
     n = uni.agg(F.sum("c").alias("n"))
-    bigrams = toks.select(
-        F.explode(
-            F.expr("transform(sequence(1, greatest(size(w) - 1, 0)), i -> struct(w[i-1] AS w1, w[i] AS w2))")
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # Guard: a <2-token doc has zero bigrams. Without the filter,
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, so the transform
+    # would index w[1]/w[-1] — INVALID_ARRAY_INDEX under ANSI mode
+    # (phantom NULL bigrams with ANSI off). The DuckDB oracle's
+    # range(1, 1) is empty, so the engines agree only with this filter.
+    bigrams = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     bi_all = bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c_ab")
     )

@@ -151,6 +151,8 @@ _DECLARED_IN_ROUND = {
     # round 7, eighth wave
     "ts60_runs_test": 32, "tx50_rank_stability": 32,
     "sm35_mean_removal_shift": 32,
+    # round 8, first wave (the sm23/sm30 ANN-candidate scale tiers)
+    "sm23b_hubness_scaled": 33, "sm30b_reciprocal_nn_scaled": 33,
 }
 
 
@@ -193,6 +195,18 @@ def _compute_priority(merged, root=None):
                 row.get("hash_match")
                 or (row.get("rows_match") and name not in has_oracle)
             )
+            # The declared rows-only class (registry oracle=None, i.e.
+            # tx27's external-codec scorer): the driver records
+            # err="no_oracle" with the executed row count and nothing
+            # else, so such a row can never satisfy `green` — without
+            # this clause the query would sit at evidence=0 forever and
+            # burn the #1 window slot EVERY round (round-7 verdict task
+            # #7). A clean driver execution (rows produced, no real
+            # error) IS the strongest external signal this class can
+            # emit; exactness is pinned elsewhere (pytest zlib replay +
+            # golden-byte contract + the sweep's DuckDB bounds check).
+            if name not in has_oracle and row.get("err") == "no_oracle":
+                green = (row.get("spark_rows") or 0) > 0
             if green:
                 evidence[name] = max(evidence[name], rnd)
                 if latest_failed.get(name, 0) <= rnd:

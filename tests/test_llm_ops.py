@@ -844,3 +844,122 @@ def test_dd05_lsh_tier_agrees_with_exact_tier(spark):
         scale = {(r.a, r.b) for r in lsh_verified_edges(docs, 0.8).collect()}
         assert exact, sf  # the fixture must actually exercise the tier
         assert scale == exact, (sf, scale ^ exact)
+
+
+def test_tx47_handles_sub_two_token_docs(spark, tmp_path):
+    """Regression (round-8 advice): a <2-token doc must yield ZERO
+    bigrams. The old sequence(1, greatest(size(w)-1, 0)) produced the
+    DESCENDING [1, 0] for 1-token docs — INVALID_ARRAY_INDEX under ANSI
+    mode, phantom NULL bigrams without it — while the DuckDB oracle's
+    range(1, 1) is empty. Fixture corpora have no such docs, so this
+    synth corpus pins the guard."""
+    import math
+
+    docs = (
+        [(i, "alpha beta") for i in range(6)]
+        + [(10 + i, "solo") for i in range(3)]
+        + [(20, ""), (21, "   ")]  # empty + whitespace-only
+    )
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "synth" / "documents.parquet")
+    )
+
+    from pyconnect_spark.operators.text import tx47
+
+    rows = tx47(spark, d).collect()
+    # Only (alpha, beta) clears the >=5 count floor; one-word and empty
+    # docs contribute unigrams (n = 12 + 3 + 2 = 17; the two degenerate
+    # docs each tokenize to [""], matching DuckDB's string_split_regex)
+    # but ZERO bigrams (b = 6). pmi = ln((6/6) / ((6/17)^2)) = ln(289/36).
+    assert [
+        (r.w1, r.w2, r.c_ab, r.c_a, r.c_b, r.pmi) for r in rows
+    ] == [("alpha", "beta", 6, 6, 6, round(math.log(289.0 / 36.0), 6))]
+
+
+def _clustered_sf_dir(spark, tmp_path, n=512):
+    """Write the structured synthetic corpus as an sf_dir so the
+    sf_dir-shaped builders can run on it (the IVF family's design-target
+    data; the parquet fixture is the published i.i.d.-Gaussian worst
+    case — see sm05/sm18 docstrings)."""
+    from pyconnect_spark.operators.similarity import clustered_embeddings
+
+    d = str(tmp_path / "clustered")
+    clustered_embeddings(spark, n=n).write.parquet(
+        str(tmp_path / "clustered" / "embeddings.parquet")
+    )
+    return d
+
+
+def test_sm30b_scale_tier_equals_exact_on_clustered(spark, tmp_path):
+    """Round-7 verdict task #2 (the dd09->dd12 precedent): the declared
+    ANN-candidate scale tier must agree with the exact driver-collect
+    tier on data with cluster structure. On the clustered fixture the
+    IVF candidates contain every true top-1, so the mutual-NN pair sets
+    are IDENTICAL (measured 88/88 both directions; on the i.i.d.
+    parquet worst case recall is ~0.3 — exactly the sm05/sm18-documented
+    IVF degradation, which is why docs/SCALE.md gates tier choice on the
+    sm24/sm33 structure audits)."""
+    from pyconnect_spark.operators.similarity import sm30, sm30b
+
+    d = _clustered_sf_dir(spark, tmp_path)
+    exact = {(r.vec_a, r.vec_b, r.cos_sim) for r in sm30(spark, d).collect()}
+    scaled = {(r.vec_a, r.vec_b, r.cos_sim) for r in sm30b(spark, d).collect()}
+    assert exact, "fixture must produce mutual pairs"
+    assert scaled == exact, (len(scaled), len(exact), scaled ^ exact)
+
+
+def test_sm23b_scale_tier_equals_exact_restricted_to_sample(spark, tmp_path):
+    """sm23b = hubness over an md5 query sample against IVF candidates.
+    On the clustered fixture the candidate step must lose NOTHING: the
+    summary row equals a pure-numpy exact top-5 computed over the same
+    deterministic sample (so the only declared delta vs sm23 is the
+    sampling itself)."""
+    import hashlib
+
+    import numpy as np
+
+    from pyconnect_spark.operators.similarity import (
+        _SM23B_SAMPLE,
+        clustered_embeddings,
+        round9_half_up,
+        sm23b,
+    )
+
+    n = 512
+    d = _clustered_sf_dir(spark, tmp_path, n=n)
+    rows = sorted(clustered_embeddings(spark, n=n).collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+
+    def coin(vid):
+        return int(hashlib.md5(f"hub:{vid}".encode()).hexdigest()[:8], 16) / 2**32
+
+    sample = [int(v) for v in ids if coin(v) < _SM23B_SAMPLE]
+    k = np.zeros(n)
+    for q in sample:
+        qi = int(np.where(ids == q)[0][0])
+        s = round9_half_up((mat @ mat[qi]) / (nrm * nrm[qi]))
+        s[qi] = -np.inf
+        for j in np.lexsort((ids, -s))[:5]:
+            k[j] += 1.0
+    mu, m2r, m3r = k.mean(), (k * k).mean(), (k**3).mean()
+    m2 = m2r - mu * mu
+    want = (
+        n,
+        len(sample),
+        int(k.max()),
+        int(ids[k == k.max()].min()),
+        round((k == 0).sum() / n, 6),
+        round((m3r - 3 * mu * m2 - mu**3) / m2**1.5, 6),
+    )
+    got = sm23b(spark, d).collect()[0]
+    assert (
+        got.n_vectors,
+        got.n_queries,
+        got.max_nk,
+        got.top_hub_id,
+        got.antihub_frac,
+        got.nk_skew,
+    ) == want

@@ -1362,3 +1362,36 @@ def test_sm35_two_scans_broadcast_centroid(spark):
     df = _Q["sm35_mean_removal_shift"](spark, SF)
     assert not unpartitioned_windows(df)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_sm23b_scale_tier_no_corpus_collect_no_mapinpandas(spark):
+    # the SCALE tier of the hubness audit: candidates come from the
+    # broadcast-seed IVF join (BroadcastHashJoin on the tiny seed frame,
+    # cell-keyed corpus-probe equi-join), windows partition by q_id/
+    # vec_id, and there is NO Arrow driver-matrix stage at all — the
+    # corpus is never collected (that's sm23's audit grain)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm23b_hubness_scaled"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" not in text
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+    assert not unpartitioned_windows(df)
+
+
+def test_sm30b_scale_tier_cell_equijoin_no_allpairs(spark):
+    # the SCALE tier of mutual-NN: the candidate join must be the
+    # cell-keyed equi-join (the only nested-loop is the deliberate
+    # broadcast of the ~sqrt(N)-row seed table inside
+    # seed_ivf_cells_frame, the dd12 pattern), the top-1 window
+    # partitions by src, the mutuality check stays a (src,dst)
+    # equi-join, and no driver-matrix Arrow stage exists
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm30b_reciprocal_nn_scaled"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" not in text
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+    assert not unpartitioned_windows(df)

@@ -147,9 +147,19 @@ def test_new_declarations_never_displace_older_unledgered_wave():
         Path(registry.__file__).resolve().parents[1]
     ):
         for n, row in rows.items():
-            if isinstance(row, dict) and not row.get("err") and (
+            if not isinstance(row, dict):
+                continue
+            if not row.get("err") and (
                 row.get("hash_match")
                 or (row.get("rows_match") and n not in oracles)
+            ):
+                green_ever.add(n)
+            # declared rows-only class: a clean driver execution counts
+            # (mirrors _compute_priority's no_oracle clause)
+            elif (
+                n not in oracles
+                and row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
             ):
                 green_ever.add(n)
     old_wave = [
