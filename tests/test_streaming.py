@@ -1889,3 +1889,95 @@ def test_s34_alert_gate_cooldown_suppression(spark, tmp_path):
     n_breaches = sum(1 for r in chunk1 + chunk2 if r["value"] >= threshold)
     trailing = sum(s for _, s in state.values())
     assert n_breaches == len(got) + sum(g[3] for g in got) + trailing
+
+
+def test_s35_alert_gate_tws_equals_s34_semantics(spark, tmp_path):
+    """S35 (round-7 verdict task #8): the alert gate on
+    transformWithStateInPandas — the Spark 4 stateful-processor API —
+    must emit the SAME alert stream as S34's applyInPandasWithState
+    operator: across two drains, the output equals the sequential
+    Python fold over the event-time-ordered sequence, including a
+    drain-2 breach suppressed by a drain-1 alert's cooldown (named
+    ValueState slot survives the batch boundary) and the
+    nothing-is-lost suppressed-counter accounting."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from pyconnect_spark.streaming.stateful import AlertGateProcessor, alert_gate_tws
+
+    if AlertGateProcessor is None:
+        pytest.skip("stateful-processor API unavailable")
+
+    threshold, cooldown = 5.0, 3600.0
+    d = tmp_path / "tws-alert-in"
+    d.mkdir()
+    ckpt = str(tmp_path / "tws-alert-ckpt")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def mk(eid, hh, mm, k, v):
+        return {
+            "event_id": eid,
+            "ts": f"2024-03-01 {hh:02d}:{mm:02d}:00",
+            "event_type": k,
+            "value": v,
+        }
+
+    # same scenario as test_s34 so the two APIs are pinned against the
+    # same oracle (and hence against each other)
+    chunk1 = [
+        mk(1, 0, 0, "a", 9.0),
+        mk(2, 0, 30, "a", 8.0),
+        mk(3, 1, 30, "a", 7.0),
+        mk(4, 0, 10, "b", 2.0),
+        mk(5, 0, 20, "b", 6.0),
+    ]
+    chunk2 = [
+        mk(6, 2, 0, "a", 9.9),
+        mk(7, 2, 45, "a", 6.5),
+        mk(8, 0, 50, "b", 7.7),
+    ]
+
+    collected = []
+
+    def run_once(fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = (
+            alert_gate_tws(stream, threshold, cooldown)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, eid: collected.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("c1.jsonl", chunk1)
+    run_once("c2.jsonl", chunk2)
+
+    got = sorted(
+        (r["event_type"], r["ts"].strftime("%H:%M"), r["value"], r["n_suppressed"])
+        for r in collected
+    )
+
+    ref = []
+    state = {}
+    for r in sorted(chunk1 + chunk2, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        if r["value"] < threshold:
+            continue
+        hh, mm = int(r["ts"][11:13]), int(r["ts"][14:16])
+        sec = hh * 3600 + mm * 60
+        last, supp = state.get(r["event_type"], (float("-inf"), 0))
+        if sec - last >= cooldown:
+            ref.append((r["event_type"], r["ts"][11:16], r["value"], supp))
+            state[r["event_type"]] = (sec, 0)
+        else:
+            state[r["event_type"]] = (last, supp + 1)
+    assert got == sorted(ref), (got, ref)
+
+    n_breaches = sum(1 for r in chunk1 + chunk2 if r["value"] >= threshold)
+    trailing = sum(s for _, s in state.values())
+    assert n_breaches == len(got) + sum(g[3] for g in got) + trailing

@@ -27,9 +27,22 @@ from pyconnect_spark.catalog import load_table
 from pyconnect_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.environ.get("SCALE10X_DIR", "/tmp/scale10x")
 SHIFT = 10_000_000
-COPIES = 10
+# SCALE_COPIES=100 runs the 100x probe (round-7 verdict task #3: 10x can
+# miss super-linear terms that 100x exposes; ~6M docs / 60M lineitem rows
+# fits the 128 GiB sandbox). SCALE_SALT_TEXT=1 appends a per-copy token to
+# document text: verbatim replication grows exact-dup cliques x COPIES, so
+# pair-producing dedup queries at 100x would measure the QUADRATIC growth
+# of the true result (10^4 per clique), not the engine — salting models
+# "100x more data" instead of "100x more copies of the same data". Record
+# which mode a ratio used; verbatim remains the default (it is how dd14's
+# sublinearity and dd12's fixed-nlist failure were measured).
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+SALT_TEXT = os.environ.get("SCALE_SALT_TEXT", "") == "1"
+OUT = os.environ.get(
+    "SCALE10X_DIR",
+    f"/tmp/scale{COPIES}x" + ("_salted" if SALT_TEXT else ""),
+)
 
 # key columns to shift per table so replicated rows get distinct ids while
 # joins stay consistent within each copy
@@ -52,6 +65,10 @@ def replicate(spark) -> None:
             d = df
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if SALT_TEXT and tbl == "documents" and i > 0:
+                d = d.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                )
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
@@ -67,7 +84,8 @@ def measure(spark, names: list[str]) -> None:
     builders = ALL.builders()
     for name in names:
         res = {}
-        for label, d in (("1x", SF), ("10x", OUT)):
+        nx = f"{COPIES}x"
+        for label, d in (("1x", SF), (nx, OUT)):
             best, rows = float("inf"), 0
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -75,10 +93,10 @@ def measure(spark, names: list[str]) -> None:
                 best = min(best, time.perf_counter() - t0)
             res[label] = (best, rows)
             clear_operator_caches()
-        r1, r10 = res["1x"], res["10x"]
+        r1, rn = res["1x"], res[nx]
         print(
             f"{name}: 1x={r1[0]:.2f}s({r1[1]} rows) "
-            f"10x={r10[0]:.2f}s({r10[1]} rows) ratio={r10[0] / r1[0]:.1f}x"
+            f"{nx}={rn[0]:.2f}s({rn[1]} rows) ratio={rn[0] / r1[0]:.1f}x"
         )
 
 
