@@ -303,6 +303,14 @@ HEADLINE = [
     # round 8
     "sm23b_hubness_scaled",
     "sm30b_reciprocal_nn_scaled",
+    "sm36_cell_silhouette",
+    "tx51_zipf_slope",
+    "ts61_mann_kendall",
+    "x83_ship_lag_sla",
+    "dd36_source_copy_matrix",
+    "mm12_payload_routing_plan",
+    "sm37_lsh_table_curve",
+    "dd37_minhash_size_curve",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -3636,3 +3636,244 @@ def dd35(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@REGISTRY.register(
+    "dd36_source_copy_matrix",
+    oracle=f"""
+    WITH sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    lab AS (
+      SELECT e.a, e.b,
+             least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM edges e
+      JOIN documents da ON da.doc_id = e.a
+      JOIN documents db ON db.doc_id = e.b
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_docs_a,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_docs_b,
+           CAST(SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cross-source near-duplicate matrix: >= 0.8 word-Jaccard edges "
+    "(the dd05 edge machinery — declared plan = banded-LSH candidates "
+    "+ exact verify on candidates) aggregated to (source, source) "
+    "grain with the pair normalized by least/greatest — the 'who "
+    "copies from whom' provenance audit (mirror detection, licensing "
+    "exposure, and the mixture-weight double-count dd13 soft-weights "
+    "against; dd11 is the pairwise EXACT-text version, this is its "
+    "near-dup completion). n_within counts intra-source edges — a "
+    "high off-diagonal says dedup must run across source boundaries, "
+    "not per-source. Same edge-recall scope note as dd33: the declared "
+    "tier's completeness is relative to LSH candidate recall, pinned "
+    "1.0 on the fixtures by test_dd05_lsh_tier_agrees_with_exact_tier. "
+    "Plan: the edge build is dd05's (banded buckets, candidate-only "
+    "verify), then two doc_id-keyed label joins and a "
+    "|sources|^2-bounded rollup — nothing new touches corpus scale.",
+    tags=("dedup", "llm", "provenance", "sources", "matrix"),
+)
+def dd36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = lsh_verified_edges(docs, 0.8)
+    src = docs.select("doc_id", "source")
+    lab = (
+        edges.join(
+            src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            (F.col("sa") == F.col("sb")).cast("int").alias("within"),
+        )
+    )
+    return (
+        lab.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.count_distinct("a").cast("long").alias("n_docs_a"),
+            F.count_distinct("b").cast("long").alias("n_docs_b"),
+            F.sum("within").cast("long").alias("n_within"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_DD37_SIZES = (16, 32, 64)
+
+
+def _dd37_oracle() -> str:
+    prefix = {
+        k: " + ".join(
+            f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+        )
+        for k in _DD37_SIZES
+    }
+    est_case = " ".join(
+        f"WHEN l.k = {k} THEN ({prefix[k]}) * 1.0 / {k}" for k in _DD37_SIZES
+    )
+    return f"""
+    WITH {_minhash_pipeline_ctes()},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+      SELECT p.doc_a AS a, p.doc_b AS b, COUNT(*) AS nc
+      FROM pairs p
+      JOIN shingles x ON x.doc_id = p.doc_a
+      JOIN shingles y ON y.doc_id = p.doc_b AND y.sh = x.sh
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT p.doc_a AS a, p.doc_b AS b,
+             CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(cm.nc, 0)) AS j
+      FROM pairs p
+      LEFT JOIN common cm ON cm.a = p.doc_a AND cm.b = p.doc_b
+      JOIN sz za ON za.doc_id = p.doc_a
+      JOIN sz zb ON zb.doc_id = p.doc_b
+    ),
+    lv AS (SELECT unnest(ARRAY{list(_DD37_SIZES)}) AS k),
+    est AS (
+      SELECT l.k, e.j, CASE {est_case} END AS est
+      FROM ex e
+      JOIN sig sa ON sa.doc_id = e.a
+      JOIN sig sb ON sb.doc_id = e.b
+      CROSS JOIN lv l
+    )
+    SELECT CAST(k AS BIGINT) AS n_hashes,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(abs(est - j), 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+           CAST(SUM(CASE WHEN est >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_est_above_07
+    FROM est GROUP BY k ORDER BY k
+    """
+
+
+@REGISTRY.register(
+    "dd37_minhash_size_curve",
+    oracle=_dd37_oracle(),
+    doc="MinHash signature-size sensitivity curve: estimate error vs "
+    "exact Jaccard over dd03's own candidate pairs at 16/32/64 hashes "
+    "— the knob that prices the dedup index (signature bytes per doc "
+    "and band-join width are both linear in n_hashes; estimator "
+    "std-dev is sqrt(J(1-J)/k), so the curve should halve per 4x and "
+    "the measured table verifies it on THIS corpus before a deploy "
+    "commits 64 when 32 would do). The first-k prefix of the 64-hash "
+    "signature IS a valid k-hash MinHash (each row is an independent "
+    "affine permutation), so the three levels are arithmetic over ONE "
+    "signature table — never three pipelines. est = agree/k is exact "
+    "binary (k a power of two); exact J joins shingles on candidate "
+    "pairs only (the lsh_verified_edges posture); per-pair error "
+    "crosses the 9 dp barrier before the DECIMAL mean. At 100 TB: the "
+    "candidate set is band-bounded, the signature table is one row per "
+    "doc, and the curve is |levels| x |candidates| arithmetic.",
+    tags=("dedup", "llm", "minhash", "tuning", "calibration"),
+)
+def dd37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    base = _word_shingles(docs)
+    sz = base.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = base.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = base.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        pairs.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    ex = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("nc"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("nc"), F.lit(0)))
+            ).alias("j"),
+        )
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sigb"))
+
+    def est(k: int):
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice("siga", 1, k),
+                    F.slice("sigb", 1, k),
+                    lambda p, q: p == q,
+                ),
+                lambda v: v,
+            )
+        )
+        return agree.cast("double") / F.lit(float(k))
+
+    leveled = (
+        ex.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "j",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k"),
+                            est(k).alias("est"),
+                        )
+                        for k in _DD37_SIZES
+                    ]
+                )
+            ).alias("lv"),
+        )
+        .select("j", F.col("lv.k").alias("n_hashes"), F.col("lv.est").alias("est"))
+    )
+    return (
+        leveled.groupBy("n_hashes")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("est") - F.col("j")), 9).cast(
+                        "decimal(20,9)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_abs_err"),
+            F.sum((F.col("est") >= 0.7).cast("int"))
+            .cast("long")
+            .alias("n_est_above_07"),
+        )
+        .orderBy("n_hashes")
+    )

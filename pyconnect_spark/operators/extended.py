@@ -4708,3 +4708,132 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bridge_residual"
         ),
     ).orderBy("month")
+
+
+@REGISTRY.register(
+    "x83_ship_lag_sla",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT priority, lag_d,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY lag_d, l_orderkey, l_linenumber)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM lag
+    ),
+    pct AS (
+      SELECT priority, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN lag_d END) AS p50,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN lag_d END) AS p95,
+             MAX(lag_d) AS mx
+      FROM ranked GROUP BY priority
+    ),
+    agg AS (
+      SELECT priority,
+             round(CAST(SUM(CAST(lag_d AS DECIMAL(20,0))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_lag,
+             round(SUM(CASE WHEN lag_d > 90 THEN 1.0 ELSE 0 END)
+                   / COUNT(*), 6) AS frac_over_90d
+      FROM lag GROUP BY priority
+    )
+    SELECT p.priority, CAST(p.n AS BIGINT) AS n_lines,
+           a.mean_lag, p.p50 AS p50_days, p.p95 AS p95_days,
+           p.mx AS max_days, a.frac_over_90d
+    FROM pct p JOIN agg a USING (priority)
+    ORDER BY priority
+    """,
+    doc="Order-to-ship lag SLA audit per order priority: exact "
+    "nearest-rank p50/p95/max of datediff(l_shipdate, o_orderdate) "
+    "plus the share of lines beyond a 90-day breach threshold — the "
+    "fulfillment-ops percentile panel (priority classes exist to buy "
+    "latency; this measures whether they do). Lags are exact integer "
+    "days, so nearest-rank percentiles are exact in both engines "
+    "(value at row ceil(q*n) under the total order (lag, orderkey, "
+    "linenumber)) and the mean is a DECIMAL sum with one division. "
+    "Plan: the lineitem-orders join is the bucketed-orderkey equi-join "
+    "(shuffle-free under the docs/SCALE.md layout), then one "
+    "priority-partitioned rank window — 5 priority classes at any "
+    "corpus size, so the window keys are balanced and the output is 5 "
+    "rows. At 100 TB nothing but the fact join touches corpus-scale "
+    "rows; a production variant would pre-aggregate to a per-day lag "
+    "histogram (integer-bounded) and read percentiles off cumulative "
+    "counts, same answers.",
+    tags=("extended", "sla", "percentiles", "fulfillment", "ops"),
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    lag = li.join(
+        od, li["l_orderkey"] == od["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "lag_d", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("priority")
+    ranked = lag.select(
+        "priority",
+        "lag_d",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    pct = ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                F.col("lag_d"),
+            )
+        ).alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("lag_d"),
+            )
+        ).alias("p95_days"),
+        F.max("lag_d").alias("max_days"),
+    )
+    agg = lag.groupBy("priority").agg(
+        F.round(
+            F.sum(F.col("lag_d").cast("decimal(20,0)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_lag"),
+        F.round(
+            F.sum(F.when(F.col("lag_d") > 90, 1.0).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("frac_over_90d"),
+    )
+    return (
+        pct.join(agg, "priority")
+        .select(
+            "priority",
+            "n_lines",
+            "mean_lag",
+            "p50_days",
+            "p95_days",
+            "max_days",
+            "frac_over_90d",
+        )
+        .orderBy("priority")
+    )

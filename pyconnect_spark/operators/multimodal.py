@@ -1000,3 +1000,135 @@ def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MM12_INLINE_CAP = 4096  # bytes: payloads beyond this route to binaryFile pointers
+_MM12_TINY_FLOOR = 64    # bytes: below this, payloads are suspect (truncated/empty)
+
+
+@REGISTRY.register(
+    "mm12_payload_routing_plan",
+    oracle=f"""
+    WITH p AS (
+      SELECT source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+             doc_id
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, nb,
+             row_number() OVER (PARTITION BY source ORDER BY nb, doc_id)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM p
+    ),
+    pct AS (
+      SELECT source, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN nb END) AS p50,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN nb END) AS p95,
+             MAX(nb) AS mx
+      FROM ranked GROUP BY source
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN nb < {_MM12_TINY_FLOOR} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tiny,
+             CAST(SUM(CASE WHEN nb > {_MM12_INLINE_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pointer,
+             CAST(SUM(CASE WHEN nb > {_MM12_INLINE_CAP}
+                           THEN nb ELSE 0 END) AS BIGINT) AS pointer_bytes,
+             CAST(SUM(nb) AS BIGINT) AS total_bytes
+      FROM p GROUP BY source
+    )
+    SELECT p.source, CAST(p.n AS BIGINT) AS n_assets,
+           p.p50 AS p50_bytes, p.p95 AS p95_bytes, p.mx AS max_bytes,
+           a.n_tiny, a.n_pointer,
+           CAST(p.n - a.n_pointer AS BIGINT) AS n_inline,
+           round(a.pointer_bytes * 1.0 / a.total_bytes, 6)
+               AS pointer_byte_frac
+    FROM pct p JOIN agg a USING (source)
+    ORDER BY p.source
+    """,
+    doc="Inline-vs-pointer payload routing plan per source: exact "
+    "nearest-rank p50/p95/max payload bytes, the tiny-payload count "
+    "(< 64 B — truncated/empty blobs a decode stage should quarantine) "
+    "and the routing split at the 4 KiB inline cap — rows above it "
+    "carry a PATH + spark.read.format('binaryFile') pointer instead of "
+    "inline bytes (the docs/SCALE.md multimodal layout rule: inline "
+    "blobs ride the row and shuffle with it; pointer blobs never "
+    "shuffle at all). pointer_byte_frac = share of total bytes that "
+    "leaves the table under the plan — the actual shuffle-savings "
+    "number. All quantities are exact integers until the one division; "
+    "percentiles are value-at-ceil(q*n) under the total order (bytes, "
+    "doc_id). Plan: one metadata scan (octet_length, no decode), a "
+    "source-partitioned rank window, |sources| output rows.",
+    tags=("multimodal", "layout", "routing", "ops"),
+)
+def mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("nb"),
+        "doc_id",
+    )
+    w = Window.partitionBy("source").orderBy("nb", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = p.select(
+        "source",
+        "nb",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    pct = ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_assets"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                F.col("nb"),
+            )
+        ).alias("p50_bytes"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("nb"),
+            )
+        ).alias("p95_bytes"),
+        F.max("nb").alias("max_bytes"),
+    )
+    agg = p.groupBy("source").agg(
+        F.sum((F.col("nb") < _MM12_TINY_FLOOR).cast("int"))
+        .cast("long")
+        .alias("n_tiny"),
+        F.sum((F.col("nb") > _MM12_INLINE_CAP).cast("int"))
+        .cast("long")
+        .alias("n_pointer"),
+        F.sum(
+            F.when(F.col("nb") > _MM12_INLINE_CAP, F.col("nb")).otherwise(0)
+        )
+        .cast("long")
+        .alias("pointer_bytes"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+    )
+    return (
+        pct.join(agg, "source")
+        .select(
+            "source",
+            "n_assets",
+            "p50_bytes",
+            "p95_bytes",
+            "max_bytes",
+            "n_tiny",
+            "n_pointer",
+            (F.col("n_assets") - F.col("n_pointer")).cast("long").alias("n_inline"),
+            F.round(
+                F.col("pointer_bytes") * 1.0 / F.col("total_bytes"), 6
+            ).alias("pointer_byte_frac"),
+        )
+        .orderBy("source")
+    )

@@ -4732,3 +4732,242 @@ def sm35(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@REGISTRY.register(
+    "sm36_cell_silhouette",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    two AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN srk END) AS cell,
+             MAX(CASE WHEN rk = 1 THEN cos9 END) AS c1,
+             MAX(CASE WHEN rk = 2 THEN cos9 END) AS c2
+      FROM sscored WHERE rk <= 2 GROUP BY vec_id
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(round(c1 - c2, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+           round(SUM(CASE WHEN round(c1 - c2, 9) < 0.05 THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS boundary_frac
+    FROM two GROUP BY cell ORDER BY cell
+    """,
+    doc="Per-cell assignment-margin audit (a centroid-based silhouette): "
+    "for every vector, margin = cos(own centroid) - cos(second-best "
+    "centroid) — both already computed by the shared seed-IVF index "
+    "build (sm05/sm24/dd12/_SEED_IVF_CTES), so the audit is nearly "
+    "free. Low mean margin / high boundary fraction (< 0.05) says the "
+    "Voronoi boundaries cut through the data: probe misses will be "
+    "common and the IVF family degrades toward brute force. This is "
+    "the MEASURED input to the index-choice gate docs/SCALE.md §2 "
+    "prescribes (with sm24 balance and sm33's recall curve): the "
+    "round-8 OPQ experiment showed rotation cannot rescue a "
+    "structure-free corpus, so the decision must come from audits "
+    "like this one, run per-corpus before committing a cell layout. "
+    "Plan: the N x sqrt(N) scoring pass IS the index build; this adds "
+    "one conditional agg at vec grain and a cell-count-sized rollup — "
+    "no new corpus-scale exchange. tests pin clustered >> uniform "
+    "margins (the gate actually separates the two fixtures).",
+    tags=("similarity", "ivf", "audit", "silhouette", "scale-tier"),
+)
+def sm36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = seed_ivf_cells(spark, sf_dir)
+    two = (
+        ranked.filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cell"))).alias("cell"),
+            F.max(F.when(F.col("rk") == 1, F.col("cos9"))).alias("c1"),
+            F.max(F.when(F.col("rk") == 2, F.col("cos9"))).alias("c2"),
+        )
+    )
+    m = F.round(F.col("c1") - F.col("c2"), 9)
+    return (
+        two.select(F.col("cell").cast("long").alias("cell"), m.alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("m").cast("decimal(20,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(F.when(F.col("m") < 0.05, 1.0).otherwise(0.0))
+                / F.count("*"),
+                6,
+            ).alias("boundary_frac"),
+        )
+        .orderBy("cell")
+    )
+
+
+_SM37_LEVELS = (2, 4, 8, 12)
+
+
+@REGISTRY.register(
+    "sm37_lsh_table_curve",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             (CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,12)) AS BIGINT)
+              % 1000001)/1000000.0 - 0.5 AS w
+      FROM (SELECT unnest(range(72)) AS p) p,
+           (SELECT unnest(range(64)) AS d) d
+    ), ev AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), bits AS (
+      SELECT ev.vec_id, pl.p,
+             CASE WHEN round(sum(ev.val * pl.w), 9) > 0 THEN 1 ELSE 0 END AS bit
+      FROM ev JOIN planes pl ON ev.d = pl.d
+      GROUP BY ev.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(bit * (1::BIGINT << (p % 6))) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, p // 6
+    ), qb AS (
+      SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id < 5
+    ), pairs AS (
+      SELECT q.q_id, c.vec_id, CAST(MIN(c.tbl) AS BIGINT) AS mt
+      FROM buckets c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE c.vec_id <> q.q_id GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.q_id, p.vec_id, p.mt, {_SM33_PAIR_COS} AS cos9
+      FROM pairs p
+      JOIN embeddings e ON e.vec_id = p.vec_id
+      JOIN embeddings q ON q.vec_id = p.q_id
+    ), truth AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS q_id, e.vec_id, {_SM33_PAIR_COS} AS cos9,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SM33_PAIR_COS} DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rk <= 5
+    ), lv AS (SELECT unnest(ARRAY{list(_SM37_LEVELS)}) AS n_tables),
+    got AS (
+      SELECT * FROM (
+        SELECT l.n_tables, s.q_id, s.vec_id,
+               row_number() OVER (PARTITION BY l.n_tables, s.q_id
+                                  ORDER BY s.cos9 DESC, s.vec_id) AS rk
+        FROM lv l JOIN scored s ON s.mt < l.n_tables
+      ) WHERE rk <= 5
+    ),
+    ncand AS (
+      SELECT l.n_tables, COUNT(*) AS n_candidates
+      FROM lv l JOIN scored s ON s.mt < l.n_tables GROUP BY 1
+    ),
+    hits AS (
+      SELECT g.n_tables, CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits
+      FROM got g LEFT JOIN truth t
+        ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+      GROUP BY 1
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT CAST(h.n_tables AS BIGINT) AS n_tables,
+           CAST(c.n_candidates AS BIGINT) AS n_candidates,
+           round(c.n_candidates / (5.0 * (nn.n - 1)), 6) AS candidate_frac,
+           round(h.n_hits / 25.0, 6) AS recall_at_5
+    FROM hits h JOIN ncand c USING (n_tables) CROSS JOIN nn
+    ORDER BY n_tables
+    """,
+    doc="LSH table-count tuning curve — sm33's IVF probe sweep for the "
+    f"OTHER index family: recall@5 and candidate volume at L in "
+    f"{_SM37_LEVELS} tables of sm03's 12x6-bit single-probe index "
+    "(a candidate reached first in table t participates in every "
+    "level > t, so the four levels are filters over ONE collision "
+    "frame carrying min-table ranks — never four index builds). "
+    "Together sm33 (IVF knob) + sm37 (LSH knob) + sm36 (structure "
+    "margin) are the complete measured basis for the index-choice "
+    "gate in docs/SCALE.md §2: run all three on a corpus sample, read "
+    "off which family buys recall cheapest. The md5-derived "
+    "hyperplanes regenerate inside DuckDB (sm03's oracle pattern), so "
+    "bits -> buckets -> collision -> rerank replay exactly; 9 dp "
+    "barrier before every rank. At 100 TB the exploded (table|bucket) "
+    "index is written once (L-fold storage, the LSH trade) and the "
+    "curve runs on a deterministic query sample.",
+    tags=("similarity", "llm", "ann", "lsh", "tuning", "recall"),
+)
+def sm37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, n_planes=72)
+    keys = (
+        emb.select(
+            "vec_id",
+            F.explode(lsh_tables(F.col("embedding"), planes, 12, 6)).alias("key"),
+        )
+        .select("vec_id", F.shiftright(F.col("key"), 32).alias("tbl"), "key")
+    )
+    qk = keys.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("key").alias("qkey")
+    )
+    pairs = (
+        keys.join(F.broadcast(qk), F.col("key") == F.col("qkey"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.min("tbl").cast("long").alias("mt"))
+    )
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    scored = (
+        pairs.join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("q_id", "vec_id", "mt", F.round(sim, 9).alias("cos9"))
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        emb.join(F.broadcast(q_emb), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cos9"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    lv = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _SM37_LEVELS])).alias("n_tables")
+    )
+    leveled = lv.join(scored, F.col("mt") < F.col("n_tables"))
+    got = (
+        leveled.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_tables", "q_id").orderBy(
+                    F.desc("cos9"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("n_tables", "q_id", "vec_id")
+    )
+    ncand = leveled.groupBy("n_tables").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    hits = (
+        got.join(truth.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("n_tables")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    n = emb.count()
+    return (
+        hits.join(ncand, "n_tables")
+        .select(
+            F.col("n_tables").cast("long").alias("n_tables"),
+            "n_candidates",
+            F.round(F.col("n_candidates") / (5.0 * (n - 1)), 6).alias(
+                "candidate_frac"
+            ),
+            F.round(F.col("n_hits") / 25.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("n_tables")
+    )

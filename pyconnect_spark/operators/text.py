@@ -4055,3 +4055,101 @@ def tx50(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spearman_rho"),
         F.round(F.col("n_shared") * 1.0 / F.col("k"), 6).alias("topk_overlap"),
     ).orderBy("source")
+
+
+@REGISTRY.register(
+    "tx51_zipf_slope",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, u.word
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w
+            FROM documents) d, unnest(w) AS u(word)
+    ),
+    cnt AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, word) AS r
+      FROM cnt QUALIFY r <= 100
+    ),
+    pts AS (
+      SELECT source,
+             round(ln(CAST(r AS DOUBLE)), 9) AS x,
+             round(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT source, n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS ln_c0
+    FROM s ORDER BY source
+    """,
+    doc="Zipf's-law slope per source: OLS of ln(frequency) on ln(rank) "
+    "over each source's top-100 word ranks. Natural text sits near "
+    "slope -1 (Zipf 1949); a much flatter slope flags template/"
+    "boilerplate-heavy sources (mass spread over many equally-common "
+    "strings) and a much steeper one flags degenerate repetition — a "
+    "one-number vocabulary-health screen next to tx44's Heaps "
+    "coefficient and tx49's burstiness. Determinism: ranks are total "
+    "orders (count DESC, word); every ln() is rounded to 9 dp and "
+    "summed as DECIMAL; slope and intercept are the same closed-form "
+    "expressions over those exact sums in both engines. Plan: ONE "
+    "token explode into a combiner-shrunk (source, word) count, a "
+    "source-partitioned top-100 window over vocab-bounded rows, and a "
+    "|sources|-row stats agg — at 100 TB the only corpus-scale "
+    "exchange is the gram count, the tx10/tx38 posture.",
+    tags=("text", "llm", "zipf", "vocab", "audit"),
+)
+def tx51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    cnt = toks.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "word")
+    ranked = (
+        cnt.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 9)
+    y = F.round(F.log(F.col("c").cast("double")), 9)
+    pts = ranked.select("source", x.alias("x"), y.alias("y"))
+    s = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxx"),
+        F.col("sxy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("ln_c0"),
+    ).orderBy("source")

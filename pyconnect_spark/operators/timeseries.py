@@ -4846,3 +4846,137 @@ def ts60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_random"),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts61_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_term
+      FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2)
+      WHERE t > 1 GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n_days, s.s_stat,
+           round((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                  - COALESCE(ties.tie_term, 0)) / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                         - COALESCE(ties.tie_term, 0)) / 18.0), 6) AS z,
+           CASE WHEN abs(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                              ELSE 0 END
+                 / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                         - COALESCE(ties.tie_term, 0)) / 18.0)) > 1.96
+                THEN (CASE WHEN s.s_stat > 0 THEN 'increasing'
+                           ELSE 'decreasing' END)
+                ELSE 'no_trend' END AS verdict
+    FROM nd JOIN s USING (event_type)
+    LEFT JOIN ties USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Mann-Kendall nonparametric trend test per event type over the "
+    "daily event-count series: S = sum over all day pairs of "
+    "sign(n_j - n_i), j > i — monotone-trend detection with NO "
+    "distributional assumption and no linearity requirement, the "
+    "standard hydrology/ops companion to ts56's Theil-Sen slope "
+    "magnitude (Mann 1945, Kendall 1975; tie-corrected variance "
+    "n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, continuity-corrected z). "
+    "Everything is EXACT integers (daily counts, sign sums, tie terms) "
+    "until the single variance division, so both engines agree "
+    "bit-for-bit without rounding barriers. Plan: one combiner-shrunk "
+    "daily rollup is the only corpus-scale exchange; the O(days^2) "
+    "pair join runs on calendar-sized frames (ts56's posture — ~90 "
+    "days x types at any corpus size); tie groups are a second "
+    "calendar-frame rollup.",
+    tags=("timeseries", "trend", "nonparametric", "stats-test"),
+)
+def ts61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.when(F.col("b.n") > F.col("a.n"), 1)
+            .when(F.col("b.n") < F.col("a.n"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = nd.join(s, "event_type").join(ties, "event_type", "left")
+    var_s = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ) / 18.0
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    z = s_adj / F.sqrt(var_s)
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(
+            F.abs(z) > 1.96,
+            F.when(F.col("s_stat") > 0, "increasing").otherwise("decreasing"),
+        )
+        .otherwise("no_trend")
+        .alias("verdict"),
+    ).orderBy("event_type")

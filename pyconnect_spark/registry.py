@@ -153,6 +153,11 @@ _DECLARED_IN_ROUND = {
     "sm35_mean_removal_shift": 32,
     # round 8, first wave (the sm23/sm30 ANN-candidate scale tiers)
     "sm23b_hubness_scaled": 33, "sm30b_reciprocal_nn_scaled": 33,
+    # round 8, second wave
+    "sm36_cell_silhouette": 34, "tx51_zipf_slope": 34,
+    "ts61_mann_kendall": 34, "x83_ship_lag_sla": 34,
+    "dd36_source_copy_matrix": 34, "mm12_payload_routing_plan": 34,
+    "sm37_lsh_table_curve": 34, "dd37_minhash_size_curve": 34,
 }
 
 

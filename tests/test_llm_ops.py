@@ -963,3 +963,33 @@ def test_sm23b_scale_tier_equals_exact_restricted_to_sample(spark, tmp_path):
         got.antihub_frac,
         got.nk_skew,
     ) == want
+
+
+def test_sm36_margin_separates_clustered_from_uniform(spark, tmp_path):
+    """The silhouette gate must actually separate the two corpus shapes:
+    corpus-wide mean assignment margin on the clustered fixture far
+    above the i.i.d.-Gaussian parquet fixture, and boundary dwellers
+    rare on clustered data. This is the measured input the SCALE.md §2
+    index-choice gate relies on (the round-8 OPQ experiment showed
+    rotation cannot substitute for this decision)."""
+    from pyconnect_spark.operators.similarity import sm36
+
+    d = _clustered_sf_dir(spark, tmp_path)
+
+    def corpus_margin(sf):
+        rows = sm36(spark, sf).collect()
+        n = sum(r.n_vectors for r in rows)
+        mean = sum(r.mean_margin * r.n_vectors for r in rows) / n
+        boundary = sum(r.boundary_frac * r.n_vectors for r in rows) / n
+        return mean, boundary
+
+    m_clustered, b_clustered = corpus_margin(d)
+    m_uniform, b_uniform = corpus_margin("/root/testdata/sf0.001")
+    assert m_clustered > 3 * m_uniform, (m_clustered, m_uniform)
+    # boundary_frac separates only weakly (measured 0.43 vs 0.57): with
+    # ceil(sqrt(512)) = 23 seeds over 16 true clusters, several seeds
+    # land in the SAME cluster, so a clustered vector's top-2 centroids
+    # are often redundant twins — the metric reads quantizer redundancy
+    # as well as data structure, which is why mean_margin (uncapped by
+    # twins) is the primary gate number
+    assert b_clustered < b_uniform, (b_clustered, b_uniform)

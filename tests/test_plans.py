@@ -1395,3 +1395,97 @@ def test_sm30b_scale_tier_cell_equijoin_no_allpairs(spark):
     assert "CartesianProduct" not in text
     assert has_broadcast_join(df)
     assert not unpartitioned_windows(df)
+
+
+def test_sm36_margin_audit_rides_index_build(spark):
+    # the margin audit must add NO new corpus-scale exchange beyond the
+    # shared seed-IVF scoring pass: broadcast seed join, vec-partitioned
+    # window, cell-sized rollup
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm36_cell_silhouette"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not unpartitioned_windows(df)
+    assert "MapInPandas" not in explain_str(df)
+
+
+def test_tx51_one_explode_source_partitioned_rank(spark):
+    # one token explode -> combiner-shrunk (source, word) counts; the
+    # top-100 rank partitions by source; stats agg is |sources| rows
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx51_zipf_slope"](spark, SF)
+    text = explain_str(df)
+    assert text.count("Generate explode") <= 1
+    assert not unpartitioned_windows(df)
+
+
+def test_ts61_pair_join_after_daily_rollup(spark):
+    # the O(days^2) sign join must key on event_type over the daily
+    # rollup (calendar frames), never touch raw events twice unshrunk
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts61_mann_kendall"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_x83_priority_partitioned_percentiles(spark):
+    # the rank window partitions by priority (5 balanced classes); the
+    # lineitem-orders join is an equi-join on orderkey
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x83_ship_lag_sla"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_dd36_inherits_dd05_edge_shapes(spark):
+    # edges come from the banded-LSH candidate machinery (band-bucket
+    # equi-joins), then two doc_id label joins; no all-pairs anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd36_source_copy_matrix"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_mm12_metadata_scan_no_decode_no_explode(spark):
+    # routing plan reads octet_length only: no Arrow decode stage, no
+    # explode; one source-partitioned rank window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["mm12_payload_routing_plan"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" not in text
+    assert "Generate explode" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_sm37_levels_filter_one_collision_frame(spark):
+    # the four table-count levels must be filters over ONE collision
+    # frame (min-table ranks), not four index builds: exactly one
+    # corpus-side LSH key evaluation feeds the curve
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm37_lsh_table_curve"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("keys_udf") <= 2  # corpus keys + query keys, never per level
+
+
+def test_dd37_one_signature_table_levels_as_arithmetic(spark):
+    # the three signature sizes must be prefix arithmetic over ONE
+    # signature build (never three MinHash pipelines): exactly one
+    # shingle-explode chain feeds sig, and levels appear as an inline
+    # explode of structs, not repeated scans
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd37_minhash_size_curve"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)

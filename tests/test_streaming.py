@@ -1981,3 +1981,80 @@ def test_s35_alert_gate_tws_equals_s34_semantics(spark, tmp_path):
     n_breaches = sum(1 for r in chunk1 + chunk2 if r["value"] >= threshold)
     trailing = sum(s for _, s in state.values())
     assert n_breaches == len(got) + sum(g[3] for g in got) + trailing
+
+
+def test_s36_streaming_vocab_equals_batch(spark, tmp_path):
+    """S36: streaming exact vocabulary heavy-hitters (streaming/
+    vocabstate.py), the stream twin of tx10's tokenizer wordcount. Two
+    drains over sf0.001 documents split by doc-id parity must leave a
+    state whose top-50 dashboard EQUALS batch tx10 bit-for-bit (exact
+    word-keyed sums are batching-insensitive), and a directly replayed
+    epoch must rebuild from its parent (sum-merge is not idempotent;
+    the S30 epoch discipline is the repair)."""
+    from pyconnect_spark.operators._util import t as _t
+    from pyconnect_spark.operators.text import tx10
+    from pyconnect_spark.streaming.vocabstate import (
+        query_vocab_topk,
+        vocab_rollup_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    incoming = str(tmp_path / "incoming")
+    state = str(tmp_path / "vocab-state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = vocab_rollup_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                incoming
+            ),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    drain()
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(incoming)
+    drain()
+
+    got = [(r.word, r.n) for r in query_vocab_topk(spark, state).collect()]
+    want = [(r.word, r.n) for r in tx10(spark, sf).collect()]
+    assert got == want
+
+    # replay idempotence via the epoch discipline: re-running the NEWEST
+    # epoch must rebuild from its parent, leaving the same state
+    import os
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("v=")
+    )
+    newest = versions[-1]
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{state}/v={newest}").collect())
+    )
+    # simulate the crash-replay: foreachBatch re-invoked with the same
+    # epoch id over the same (second) chunk
+    from pyconnect_spark.streaming.sketchstate import _latest_state
+
+    chunk2 = docs.where(F.col("doc_id") % 2 == 1)
+    fresh = (
+        chunk2.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    prev = _latest_state(spark, state, below=newest)
+    merged = (
+        prev.unionByName(fresh)
+        .groupBy("word")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    after = sorted(map(tuple, merged.collect()))
+    assert after == before
