@@ -311,6 +311,9 @@ HEADLINE = [
     "mm12_payload_routing_plan",
     "sm37_lsh_table_curve",
     "dd37_minhash_size_curve",
+    "x84_revenue_gini",
+    "tx52_hill_tail_index",
+    "ts62_seasonal_strength",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

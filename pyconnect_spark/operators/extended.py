@@ -4837,3 +4837,119 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@REGISTRY.register(
+    "x84_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey,
+             COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,2)))),
+                      0) AS rev
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c_custkey, rev,
+             row_number() OVER (ORDER BY rev, c_custkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM rev
+    ),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM(rev) AS srev,
+             SUM(r * rev) AS srv,
+             SUM(CASE WHEN r > n - CAST(ceil(0.1 * n) AS BIGINT)
+                      THEN rev ELSE 0 END) AS top10,
+             SUM(CASE WHEN r <= n // 2 THEN rev ELSE 0 END) AS bot50
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(srev AS DOUBLE), 2) AS total_rev,
+           round(2.0 * CAST(srv AS DOUBLE) / (n * CAST(srev AS DOUBLE))
+                 - (n + 1) * 1.0 / n, 6) AS gini,
+           round(CAST(top10 AS DOUBLE) / CAST(srev AS DOUBLE), 6)
+               AS top10_share,
+           round(CAST(bot50 AS DOUBLE) / CAST(srev AS DOUBLE), 6)
+               AS bottom50_share
+    FROM s
+    """,
+    doc="Revenue concentration panel: exact Gini coefficient over "
+    "per-customer revenue (zeros included via the customer left join — "
+    "never-ordered customers count), top-decile share and bottom-half "
+    "share — the whale-dependence metric next to x54's Herfindahl and "
+    "x55's Pareto ABC. Gini = 2*sum(rank*rev)/(n*sum(rev)) - (n+1)/n "
+    "under the ASC total order (rev, custkey); revenue is DECIMAL-exact "
+    "(2 dp price x 2 dp discount = exact 4 dp), rank*rev sums as exact "
+    "DECIMAL, and the three final divisions are single identical IEEE "
+    "expressions in both engines. Plan: the rank is rankops."
+    "with_global_order — range-partition by (rev, custkey), per-"
+    "partition row_number plus broadcast prefix offsets — so the exact "
+    "GLOBAL rank exists with no unpartitioned WindowExec (the oracle's "
+    "OVER () is the semantic spec, not the plan); one customer-grain "
+    "rollup is the only corpus-scale exchange. At 100 TB: rollup "
+    "shuffles custkey pairs, the rank shuffles the |customers|-row "
+    "rollup once by range, the panel is a one-row agg.",
+    tags=("extended", "finance", "gini", "concentration", "rankops"),
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    cu = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .join(li, od["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+                ),
+                F.lit(0).cast("decimal(38,4)"),
+            ).alias("rev")
+        )
+    )
+    ranked = with_global_order(
+        rev,
+        [F.col("rev"), F.col("c_custkey")],
+        rank_col="r",
+        totals={"rev": "srev"},
+        total_count_col="n",
+    )
+    s = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("srev").alias("srev"),
+        F.sum(F.col("r") * F.col("rev")).alias("srv"),
+        F.sum(
+            F.when(
+                F.col("r") > F.col("n") - F.ceil(0.1 * F.col("n")).cast("long"),
+                F.col("rev"),
+            ).otherwise(F.lit(0).cast("decimal(38,4)"))
+        ).alias("top10"),
+        F.sum(
+            F.when(
+                F.col("r") <= (F.col("n") / 2).cast("long"), F.col("rev")
+            ).otherwise(F.lit(0).cast("decimal(38,4)"))
+        ).alias("bot50"),
+    )
+    n = F.col("n")
+    srev = F.col("srev").cast("double")
+    return s.select(
+        n.alias("n_customers"),
+        F.round(srev, 2).alias("total_rev"),
+        F.round(
+            2.0 * F.col("srv").cast("double") / (n * srev)
+            - (n + 1) * 1.0 / n,
+            6,
+        ).alias("gini"),
+        F.round(F.col("top10").cast("double") / srev, 6).alias("top10_share"),
+        F.round(F.col("bot50").cast("double") / srev, 6).alias(
+            "bottom50_share"
+        ),
+    )

@@ -4153,3 +4153,89 @@ def tx51(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("ln_c0"),
     ).orderBy("source")
+
+
+_TX52_K = 10
+
+
+@REGISTRY.register(
+    "tx52_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents QUALIFY r <= {_TX52_K} + 1
+    ),
+    thr AS (
+      SELECT source, n_chars AS xk FROM ranked WHERE r = {_TX52_K} + 1
+    ),
+    s AS (
+      SELECT ranked.source,
+             CAST(SUM(CAST(round(ln(ranked.n_chars * 1.0 / thr.xk), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS h
+      FROM ranked JOIN thr ON thr.source = ranked.source
+      WHERE ranked.r <= {_TX52_K}
+      GROUP BY 1
+    )
+    SELECT s.source, CAST({_TX52_K} AS BIGINT) AS k,
+           CAST(thr.xk AS BIGINT) AS xmin_threshold,
+           round({_TX52_K} / s.h, 6) AS hill_alpha
+    FROM s JOIN thr ON thr.source = s.source
+    ORDER BY s.source
+    """,
+    doc="Hill tail-index estimator per source over document lengths "
+    "(n_chars): alpha = k / sum_(i<=k) ln(x_(i) / x_(k+1)) on the k=10 "
+    "largest docs — the standard heavy-tail exponent (Hill 1975). "
+    "Document lengths in crawl corpora are famously Pareto-tailed; a "
+    "small alpha (~1) says a handful of mega-documents dominate token "
+    "mass (shard-packing hazard for tx12/tx34 and a quota-sampling "
+    "hazard for dd26 — one doc can blow a 2048-token budget or a "
+    "source quota), while alpha >> 2 says the tail is tame. "
+    "Determinism: lengths are exact integers, the top-(k+1) is a total "
+    "order (n_chars DESC, doc_id), each log-ratio crosses the 9 dp "
+    "barrier into a DECIMAL sum, and alpha is one division. Plan: the "
+    "scan reads ONE integer column (n_chars — no text bytes touched, "
+    "column pruning does the work), a source-partitioned top-(k+1) "
+    "window over |sources| balanced keys, then |sources|-row "
+    "arithmetic. At 100 TB this is a metadata-column scan, nothing "
+    "else.",
+    tags=("text", "llm", "tail", "pareto", "audit"),
+)
+def tx52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = (
+        docs.select("source", "n_chars", "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _TX52_K + 1)
+    )
+    thr = ranked.filter(F.col("r") == _TX52_K + 1).select(
+        "source", F.col("n_chars").alias("xk")
+    )
+    s = (
+        ranked.filter(F.col("r") <= _TX52_K)
+        .join(thr, "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("n_chars") * 1.0 / F.col("xk")), 9
+                ).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return (
+        s.join(thr, "source")
+        .select(
+            "source",
+            F.lit(_TX52_K).cast("long").alias("k"),
+            F.col("xk").cast("long").alias("xmin_threshold"),
+            F.round(F.lit(_TX52_K) / F.col("h"), 6).alias("hill_alpha"),
+        )
+        .orderBy("source")
+    )

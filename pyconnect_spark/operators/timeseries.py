@@ -4980,3 +4980,166 @@ def ts61(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("verdict"),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts62_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    trend AS (
+      SELECT event_type, day, n, i, dow, nd,
+             CASE WHEN i >= 4 AND i <= nd - 3 THEN
+               round((SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) / 7.0, 9)
+             END AS tr
+      FROM idx
+    ),
+    detr AS (
+      SELECT event_type, dow, round(n - tr, 9) AS dt
+      FROM trend WHERE tr IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             round(CAST(SUM(CAST(dt AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS s
+      FROM detr GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT t.event_type,
+             round(t.n - t.tr - s.s, 9) AS r,
+             round(t.n - t.tr, 9) AS sr,
+             round(t.n - s.s, 9) AS tr2
+      FROM trend t JOIN seas s
+        ON s.event_type = t.event_type AND s.dow = t.dow
+      WHERE t.tr IS NOT NULL
+    ),
+    v AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(round(r * r, 9) AS DECIMAL(28,9))) AS DOUBLE) AS qr,
+             CAST(SUM(CAST(r AS DECIMAL(20,9))) AS DOUBLE) AS lr,
+             CAST(SUM(CAST(round(sr * sr, 9) AS DECIMAL(28,9))) AS DOUBLE) AS qs,
+             CAST(SUM(CAST(sr AS DECIMAL(20,9))) AS DOUBLE) AS ls,
+             CAST(SUM(CAST(round(tr2 * tr2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS qt,
+             CAST(SUM(CAST(tr2 AS DECIMAL(20,9))) AS DOUBLE) AS lt
+      FROM parts GROUP BY 1
+    )
+    SELECT event_type, m AS n_days_used,
+           round(greatest(1.0 - (qr / m - (lr / m) * (lr / m))
+                                / (qt / m - (lt / m) * (lt / m)), 0.0)
+                 + 0.0, 6) AS trend_strength,
+           round(greatest(1.0 - (qr / m - (lr / m) * (lr / m))
+                                / (qs / m - (ls / m) * (ls / m)), 0.0)
+                 + 0.0, 6) AS seasonal_strength
+    FROM v ORDER BY event_type
+    """,
+    doc="Seasonal- and trend-strength indices (Hyndman & Athanasopoulos, "
+    "FPP3 ch. 4.3, the STL feature every forecasting triage starts "
+    "with): F_T = max(0, 1 - var(R)/var(T+R)) and "
+    "F_S = max(0, 1 - var(R)/var(S+R)) over ts57's classical "
+    "decomposition components (7-day MA trend, day-of-week seasonal, "
+    "residual) — one number per type answering 'does this series even "
+    "HAVE structure worth a seasonal model (ts39) or is ts21's plain "
+    "trend enough'. Shares ts57's machinery verbatim; variances use "
+    "the exact round-9/DECIMAL raw-moment barrier and the two strength "
+    "expressions are identical single formulas in both engines (+0.0 "
+    "normalizes the -0.0 canon at the clamp). Plan: identical to ts57 "
+    "— one daily exchange, type-partitioned windows, calendar-sized "
+    "aggs; nothing downstream of the daily rollup grows with the "
+    "corpus.",
+    tags=("timeseries", "seasonal", "strength", "stl", "triage"),
+)
+def ts62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wc = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.dayofweek("day").cast("long").alias("dow"),
+        F.count("*").over(wc).alias("nd"),
+    )
+    ma = F.sum("n").over(w.rowsBetween(-3, 3)) / 7.0
+    trend = idx.select(
+        "event_type",
+        "day",
+        "n",
+        "dow",
+        F.when(
+            (F.col("i") >= 4) & (F.col("i") <= F.col("nd") - 3),
+            F.round(ma, 9),
+        ).alias("tr"),
+    )
+    detr = trend.where(F.col("tr").isNotNull()).select(
+        "event_type", "dow", F.round(F.col("n") - F.col("tr"), 9).alias("dt")
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.round(
+            F.sum(F.col("dt").cast("decimal(20,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("s")
+    )
+    parts = (
+        trend.where(F.col("tr").isNotNull())
+        .join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.round(F.col("n") - F.col("tr") - F.col("s"), 9).alias("r"),
+            F.round(F.col("n") - F.col("tr"), 9).alias("sr"),
+            F.round(F.col("n") - F.col("s"), 9).alias("tr2"),
+        )
+    )
+
+    def q(c):
+        return (
+            F.sum(F.round(F.col(c) * F.col(c), 9).cast("decimal(28,9)"))
+            .cast("double")
+        )
+
+    def l(c):
+        return F.sum(F.col(c).cast("decimal(20,9)")).cast("double")
+
+    v = parts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m"),
+        q("r").alias("qr"),
+        l("r").alias("lr"),
+        q("sr").alias("qs"),
+        l("sr").alias("ls"),
+        q("tr2").alias("qt"),
+        l("tr2").alias("lt"),
+    )
+    m = F.col("m")
+
+    def var(qc, lc):
+        return F.col(qc) / m - (F.col(lc) / m) * (F.col(lc) / m)
+
+    return v.select(
+        "event_type",
+        m.alias("n_days_used"),
+        F.round(
+            F.greatest(F.lit(1.0) - var("qr", "lr") / var("qt", "lt"), F.lit(0.0))
+            + 0.0,
+            6,
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(F.lit(1.0) - var("qr", "lr") / var("qs", "ls"), F.lit(0.0))
+            + 0.0,
+            6,
+        ).alias("seasonal_strength"),
+    ).orderBy("event_type")

@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~294 declared queries the whole surface re-verifies every ~6
+with ~304 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -158,6 +158,9 @@ _DECLARED_IN_ROUND = {
     "ts61_mann_kendall": 34, "x83_ship_lag_sla": 34,
     "dd36_source_copy_matrix": 34, "mm12_payload_routing_plan": 34,
     "sm37_lsh_table_curve": 34, "dd37_minhash_size_curve": 34,
+    # round 8, third wave
+    "x84_revenue_gini": 35, "tx52_hill_tail_index": 35,
+    "ts62_seasonal_strength": 35,
 }
 
 

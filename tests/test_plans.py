@@ -1489,3 +1489,42 @@ def test_dd37_one_signature_table_levels_as_arithmetic(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_x84_global_rank_is_rankops_no_unpartitioned_window(spark):
+    # the exact global revenue rank must come from with_global_order
+    # (range partition + per-partition row_number + broadcast prefix
+    # offsets) — the oracle's OVER () is the semantic spec, never the
+    # Spark plan
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x84_revenue_gini"](spark, SF)
+    text = explain_str(df)
+    assert not unpartitioned_windows(df)
+    # the range exchange itself hides behind with_global_order's
+    # localCheckpoint (lineage truncation — same as x77/x80's rankops
+    # consumers); the no-unpartitioned-window assertion plus the
+    # broadcast prefix-offset join is the visible signature
+    assert "CartesianProduct" not in text
+
+
+def test_tx52_reads_metadata_column_only(spark):
+    # the tail index must never touch text bytes: the documents scan
+    # reads (source, n_chars, doc_id) only; rank partitions by source
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx52_hill_tail_index"](spark, SF)
+    assert not unpartitioned_windows(df)
+    cols = read_schema(df)
+    assert "text" not in cols, cols
+
+
+def test_ts62_shares_ts57_shapes(spark):
+    # strength indices ride the decomposition: one daily rollup, type-
+    # partitioned MA/rank windows, calendar-sized aggs
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts62_seasonal_strength"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
