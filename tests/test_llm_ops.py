@@ -993,3 +993,55 @@ def test_sm36_margin_separates_clustered_from_uniform(spark, tmp_path):
     # as well as data structure, which is why mean_margin (uncapped by
     # twins) is the primary gate number
     assert b_clustered < b_uniform, (b_clustered, b_uniform)
+
+
+def test_round9_half_up_matches_engine_rounding(spark):
+    """round9_half_up (the numpy-side 9-dp barrier) must agree with
+    F.round/DuckDB round — HALF-UP away from zero — on exact boundary
+    values where np.round (banker's) disagrees."""
+    import duckdb
+    import numpy as np
+
+    cases = [1.5e-9, 2.5e-9, -1.5e-9, -2.5e-9, 0.1234567895, 7.0000000005]
+    got = S.round9_half_up(np.array(cases))
+    # np.round would give 2e-9 for BOTH 1.5e-9 and 2.5e-9 (half-to-even)
+    want_duck = [
+        float(
+            duckdb.sql(f"SELECT round(CAST({repr(c)} AS DOUBLE), 9)").fetchone()[0]
+        )
+        for c in cases
+    ]
+    want_spark = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in cases], "v double")
+        .select(F.round("v", 9))
+        .collect()
+    ]
+    assert list(got) == want_duck == want_spark, (list(got), want_duck, want_spark)
+    # and the specific banker's divergence is real (sanity of the test)
+    assert list(np.round(np.array([1.5e-9, 2.5e-9]), 9)) == [2e-9, 2e-9]
+    assert list(got[:2]) == [2e-9, 3e-9]
+
+
+def test_audit_corpus_matrix_caps_loudly(spark):
+    """sm23/sm30's audit-tier collect must fail loudly past
+    AUDIT_MAX_VECTORS instead of silently becoming a driver-memory bomb
+    (round-8 advice item)."""
+    import pytest as _pytest
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    ids, mat, nrm = S.audit_corpus_matrix(emb)
+    assert len(ids) == 50 and mat.shape == (50, 2) and nrm.shape == (50,)
+
+    import pyconnect_spark.operators.similarity as sim
+
+    old = sim.AUDIT_MAX_VECTORS
+    try:
+        sim.AUDIT_MAX_VECTORS = 10
+        with _pytest.raises(ValueError, match="audit tier got 50"):
+            sim.audit_corpus_matrix(emb)
+    finally:
+        sim.AUDIT_MAX_VECTORS = old
