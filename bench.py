@@ -314,6 +314,9 @@ HEADLINE = [
     "x84_revenue_gini",
     "tx52_hill_tail_index",
     "ts62_seasonal_strength",
+    "tx53_bigram_entropy_rate",
+    "ts63_page_hinkley",
+    "dd38_cluster_source_purity",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -3877,3 +3877,110 @@ def dd37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_hashes")
     )
+
+
+@REGISTRY.register(
+    "dd38_cluster_source_purity",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(root) AS root FROM reach GROUP BY 1),
+    mem AS (
+      SELECT cc.root, d.source FROM cc JOIN documents d USING (doc_id)
+    ),
+    sizes AS (
+      SELECT root, CAST(COUNT(*) AS BIGINT) AS size FROM mem GROUP BY 1
+    ),
+    bysrc AS (
+      SELECT root, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM mem GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT b.root,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             MAX(b.c) AS maxc,
+             CAST(SUM(CAST(round((b.c * 1.0 / s.size)
+                                 * ln(b.c * 1.0 / s.size), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS se
+      FROM bysrc b JOIN sizes s USING (root) GROUP BY 1
+    )
+    SELECT s.root AS cluster_root, s.size,
+           e.n_sources,
+           round(-e.se + 0.0, 6) AS source_entropy,
+           round(e.maxc * 1.0 / s.size, 6) AS majority_frac
+    FROM sizes s JOIN ent e USING (root)
+    WHERE s.size >= 2
+    ORDER BY s.size DESC, s.root
+    """,
+    doc="Source purity of near-duplicate clusters: for every multi-member "
+    "cluster from dd05's machinery (banded-LSH candidates + exact >= "
+    "0.8 verify + connected components), the number of distinct "
+    "sources, the Shannon entropy of the within-cluster source "
+    "distribution, and the majority-source fraction — dd36 counts "
+    "cross-source EDGES, this asks whether whole dup GROUPS are "
+    "single-source (entropy 0: per-source dedup would suffice) or "
+    "melting pots (per-source dedup silently keeps one copy per "
+    "source, the mixture-weight double count dd13 soft-weights "
+    "against). Each p*ln p crosses the 9 dp barrier into a DECIMAL "
+    "sum (+0.0 normalizes the -0.0 canon for pure clusters). Plan: "
+    "dd05's edge/CC shapes verbatim, one doc_id label join, "
+    "cluster-count-sized rollups; at 100 TB nothing beyond the "
+    "candidate tier touches corpus scale.",
+    tags=("dedup", "llm", "provenance", "entropy", "clusters"),
+)
+def dd38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = lsh_verified_edges(docs, 0.8)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("node")), edges
+    )
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "source"), "node"
+    ).select("root", "source")
+    sizes = mem.groupBy("root").agg(F.count("*").cast("long").alias("size"))
+    bysrc = mem.groupBy("root", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    p = F.col("c") * 1.0 / F.col("size")
+    ent = (
+        bysrc.join(sizes, "root")
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.max("c").alias("maxc"),
+            F.sum(F.round(p * F.log(p), 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("se"),
+        )
+    )
+    return (
+        sizes.join(ent, "root")
+        .where(F.col("size") >= 2)
+        .select(
+            F.col("root").alias("cluster_root"),
+            "size",
+            "n_sources",
+            F.round(-F.col("se") + 0.0, 6).alias("source_entropy"),
+            F.round(F.col("maxc") * 1.0 / F.col("size"), 6).alias(
+                "majority_frac"
+            ),
+        )
+        .orderBy(F.desc("size"), "cluster_root")
+    )

@@ -4239,3 +4239,112 @@ def tx52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx53_bigram_entropy_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    bi AS (
+      SELECT source, w[i] AS w1, w[i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT source, SUM(c) AS n2, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM bi GROUP BY 1),
+    h2 AS (
+      SELECT bi.source,
+             CAST(SUM(CAST(round((bi.c * 1.0 / t.n2)
+                                 * ln(bi.c * 1.0 / t.n2), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS s2
+      FROM bi JOIN tot t ON t.source = bi.source GROUP BY 1
+    ),
+    marg AS (
+      SELECT source, w1, SUM(c) AS cm FROM bi GROUP BY 1, 2
+    ),
+    h1 AS (
+      SELECT m.source,
+             CAST(SUM(CAST(round((m.cm * 1.0 / t.n2)
+                                 * ln(m.cm * 1.0 / t.n2), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS s1
+      FROM marg m JOIN tot t ON t.source = m.source GROUP BY 1
+    )
+    SELECT t.source, CAST(t.n2 AS BIGINT) AS n_bigrams, t.n_types,
+           round(-h2.s2, 6) AS bigram_entropy,
+           round(-h1.s1, 6) AS marginal_entropy,
+           round(-h2.s2 - (-h1.s1), 6) AS cond_entropy
+    FROM tot t JOIN h2 ON h2.source = t.source
+               JOIN h1 ON h1.source = t.source
+    ORDER BY t.source
+    """,
+    doc="Bigram conditional entropy rate per source: H(W2|W1) = "
+    "H(bigram) - H(first-word marginal), in nats — the "
+    "next-word-predictability number (Shannon's entropy-rate estimate "
+    "at order 1) that separates templated/boilerplate sources (low "
+    "conditional entropy: the next word is nearly determined) from "
+    "natural prose, complementing tx20's cross-entropy-vs-corpus and "
+    "tx38's per-source perplexity (those measure DIVERGENCE from a "
+    "reference model; this measures the source's own internal "
+    "predictability, reference-free). Each p*ln(p) term crosses the "
+    "9 dp barrier into a DECIMAL sum; probabilities are single "
+    "integer-over-integer divisions. The <2-token doc guard is "
+    "inherited from the tx47 fix (range(1, 0+1) is empty in BOTH "
+    "engines). Plan: one token pass into a combiner-shrunk (source, "
+    "w1, w2) count — the only corpus-scale exchange; the marginal is "
+    "a second rollup OF THE COUNTS (vocab-pair-bounded), totals "
+    "broadcast back by source key.",
+    tags=("text", "llm", "entropy", "boilerplate", "audit"),
+)
+def tx53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    bi = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.w2")
+        .groupBy("source", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = bi.groupBy("source").agg(
+        F.sum("c").alias("n2"), F.count("*").cast("long").alias("n_types")
+    )
+    term = lambda c: F.round(  # noqa: E731
+        (F.col(c) * 1.0 / F.col("n2")) * F.log(F.col(c) * 1.0 / F.col("n2")), 9
+    ).cast("decimal(20,9)")
+    h2 = (
+        bi.join(tot.select("source", "n2"), "source")
+        .groupBy("source")
+        .agg(F.sum(term("c")).cast("double").alias("s2"))
+    )
+    marg = bi.groupBy("source", "w1").agg(F.sum("c").alias("cm"))
+    h1 = (
+        marg.join(tot.select("source", "n2"), "source")
+        .groupBy("source")
+        .agg(F.sum(term("cm")).cast("double").alias("s1"))
+    )
+    return (
+        tot.join(h2, "source")
+        .join(h1, "source")
+        .select(
+            "source",
+            F.col("n2").cast("long").alias("n_bigrams"),
+            "n_types",
+            F.round(-F.col("s2"), 6).alias("bigram_entropy"),
+            F.round(-F.col("s1"), 6).alias("marginal_entropy"),
+            F.round(-F.col("s2") - (-F.col("s1")), 6).alias("cond_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -5143,3 +5143,126 @@ def ts62(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts63_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n * n) AS BIGINT) AS snn
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             round(d.n - s.sn * 1.0 / s.nd, 9) AS dv
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, day,
+             CAST(SUM(CAST(dv AS DECIMAL(20,9)))
+                  OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS m
+      FROM dev
+    ),
+    ph AS (
+      SELECT event_type, day,
+             round(m - MIN(m) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING), 9) AS ph
+      FROM cum
+    ),
+    pk AS (
+      SELECT event_type, MAX(ph) AS mph FROM ph GROUP BY 1
+    ),
+    peak AS (
+      SELECT ph.event_type, MIN(ph.day) AS peak_day, MAX(ph.ph) AS mph
+      FROM ph JOIN pk ON pk.event_type = ph.event_type AND ph.ph = pk.mph
+      GROUP BY 1
+    )
+    SELECT s.event_type, s.nd AS n_days,
+           round(p.mph, 6) AS ph_max,
+           strftime(p.peak_day, '%Y-%m-%d') AS peak_day,
+           round(3.0 * sqrt(s.snn * 1.0 / s.nd
+                            - (s.sn * 1.0 / s.nd) * (s.sn * 1.0 / s.nd)),
+                 6) AS lambda_3sd,
+           CASE WHEN p.mph > 3.0 * sqrt(s.snn * 1.0 / s.nd
+                            - (s.sn * 1.0 / s.nd) * (s.sn * 1.0 / s.nd))
+                THEN 'drift' ELSE 'stable' END AS verdict
+    FROM stats s JOIN peak p USING (event_type)
+    ORDER BY s.event_type
+    """,
+    doc="Page-Hinkley mean-shift detection per event type over the daily "
+    "count series (Page 1954; the sequential drift test every "
+    "streaming-ML monitor ships): cumulative deviation from the "
+    "series mean m_t = sum(x_i - mean), PH_t = m_t - min_(s<=t) m_s, "
+    "alarm when max PH exceeds lambda = 3 sd — an UPWARD mean shift "
+    "makes m_t climb away from its running minimum (ts50's binary "
+    "segmentation finds WHERE a level shifts offline; PH is the "
+    "one-pass monitor shape, and its running-min formulation needs "
+    "no sequential state, unlike ts43's EWMA fold). Determinism: "
+    "daily counts and raw moments are exact integers; deviations "
+    "cross the 9 dp barrier into a DECIMAL running sum over a "
+    "type-partitioned ROWS frame; the threshold is one closed-form "
+    "expression; peak day tie-breaks to the earliest. Plan: one daily "
+    "exchange, two type-partitioned running windows (key == shuffle "
+    "key), calendar-sized joins.",
+    tags=("timeseries", "drift", "changepoint", "monitoring"),
+)
+def ts63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    dev = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.col("n") - F.col("sn") * 1.0 / F.col("nd"), 9).alias("dv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        "event_type",
+        "day",
+        F.sum(F.col("dv").cast("decimal(20,9)")).over(w).cast("double").alias("m"),
+    )
+    ph = cum.select(
+        "event_type",
+        "day",
+        F.round(F.col("m") - F.min("m").over(w), 9).alias("ph"),
+    )
+    pk = ph.groupBy("event_type").agg(F.max("ph").alias("mph"))
+    peak = (
+        ph.join(pk, "event_type")
+        .where(F.col("ph") == F.col("mph"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("peak_day"), F.max("ph").alias("mph"))
+    )
+    mean = F.col("sn") * 1.0 / F.col("nd")
+    lam = 3.0 * F.sqrt(F.col("snn") * 1.0 / F.col("nd") - mean * mean)
+    return (
+        stats.join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").alias("n_days"),
+            F.round(F.col("mph"), 6).alias("ph_max"),
+            F.date_format("peak_day", "yyyy-MM-dd").alias("peak_day"),
+            F.round(lam, 6).alias("lambda_3sd"),
+            F.when(F.col("mph") > lam, "drift").otherwise("stable").alias(
+                "verdict"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -161,6 +161,9 @@ _DECLARED_IN_ROUND = {
     # round 8, third wave
     "x84_revenue_gini": 35, "tx52_hill_tail_index": 35,
     "ts62_seasonal_strength": 35,
+    # round 8, fourth wave
+    "tx53_bigram_entropy_rate": 36, "ts63_page_hinkley": 36,
+    "dd38_cluster_source_purity": 36,
 }
 
 

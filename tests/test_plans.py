@@ -1528,3 +1528,37 @@ def test_ts62_shares_ts57_shapes(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_tx53_one_bigram_exchange_marginal_from_counts(spark):
+    # one token pass into the (source, w1, w2) count; the marginal is a
+    # rollup OF THE COUNTS, never a second corpus pass
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx53_bigram_entropy_rate"](spark, SF)
+    text = explain_str(df)
+    assert text.count("Generate explode") <= 1
+    assert not unpartitioned_windows(df)
+
+
+def test_ts63_running_windows_partition_by_type(spark):
+    # PH's cumulative sum and running min are type-partitioned ROWS
+    # frames over the daily rollup — no sequential state, no
+    # unpartitioned window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts63_page_hinkley"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_dd38_inherits_dd05_edge_shapes(spark):
+    # purity rides dd05's candidate/verify/CC machinery: no all-pairs,
+    # no unpartitioned window; rollups are cluster-count-sized
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd38_cluster_source_purity"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
