@@ -317,6 +317,9 @@ HEADLINE = [
     "tx53_bigram_entropy_rate",
     "ts63_page_hinkley",
     "dd38_cluster_source_purity",
+    "ts64_hurst_rs",
+    "x85_abc_xyz_matrix",
+    "sm38_rerank_depth_curve",
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

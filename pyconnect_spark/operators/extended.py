@@ -4953,3 +4953,145 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom50_share"
         ),
     )
+
+
+@REGISTRY.register(
+    "x85_abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    abc AS (
+      SELECT pk, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, pk
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM rev
+    ),
+    lab_a AS (
+      SELECT pk, rev,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                  THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                  THEN 'B' ELSE 'C' END AS abc
+      FROM abc
+    ),
+    wk AS (
+      SELECT l_partkey AS pk, date_trunc('week', CAST(l_shipdate AS DATE)) AS w,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT pk,
+             round(CASE WHEN SUM(q) > 0 THEN
+               sqrt(greatest(CAST(SUM(q * q) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(q) AS DOUBLE) / COUNT(*)), 0.0))
+               / (CAST(SUM(q) AS DOUBLE) / COUNT(*))
+             ELSE 0.0 END, 9) AS cv9
+      FROM wk GROUP BY 1
+    ),
+    lab AS (
+      SELECT a.pk, a.rev, a.abc,
+             CASE WHEN c.cv9 < 0.5 THEN 'X'
+                  WHEN c.cv9 < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+             c.cv9
+      FROM lab_a a JOIN cv c USING (pk)
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(rev) AS DOUBLE)
+                 / (SELECT CAST(SUM(rev) AS DOUBLE) FROM rev), 6)
+               AS rev_share,
+           round(CAST(SUM(CAST(cv9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cv
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="ABC-XYZ inventory classification matrix: parts classed by "
+    "cumulative revenue share (A <= 80%, B <= 95%, C rest — x55's "
+    "Pareto cut) CROSSED with weekly-demand variability (X: CV < 0.5 "
+    "steady, Y: CV < 1.0, Z: erratic) — the 9-cell planning matrix "
+    "every supply-chain system keys policy on (AX = automate "
+    "replenishment, CZ = make-to-order). Revenue and weekly-quantity "
+    "moments are DECIMAL-exact; the CV crosses the 9 dp barrier before "
+    "the class thresholds; the cumulative share uses the exact total "
+    "order (rev DESC, partkey). Plan: two part-grain rollups of the "
+    "fact (revenue, weekly demand) are the only corpus-scale "
+    "exchanges; the ABC cumulative share runs through rankops."
+    "with_global_order (range partition + prefix offsets — the "
+    "oracle's OVER () is the semantic spec, x84's pattern), and the "
+    "matrix is a 9-row agg. At 100 TB: two fact passes, one "
+    "|parts|-row range shuffle, done.",
+    tags=("extended", "inventory", "abc-xyz", "pareto", "ops"),
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        ).alias("rev")
+    )
+    ranked = with_global_order(
+        rev,
+        [F.col("rev").desc(), F.col("pk")],
+        cumsum={"rev": "cum"},
+        totals={"rev": "tot"},
+    )
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    lab_a = ranked.select(
+        "pk",
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc"),
+    )
+    wk = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("week", F.col("l_shipdate").cast("date")).alias("w"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    mean_q = F.sum("q").cast("double") / F.count("*")
+    var_q = F.greatest(
+        F.sum(F.col("q") * F.col("q")).cast("double") / F.count("*")
+        - mean_q * mean_q,
+        F.lit(0.0),
+    )
+    cv = wk.groupBy("pk").agg(
+        F.round(
+            F.when(F.sum("q") > 0, F.sqrt(var_q) / mean_q).otherwise(0.0), 9
+        ).alias("cv9")
+    )
+    lab = lab_a.join(cv, "pk").select(
+        "rev",
+        "abc",
+        F.when(F.col("cv9") < 0.5, "X")
+        .when(F.col("cv9") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "cv9",
+    )
+    tot = rev.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        lab.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("double").alias("srev"),
+            F.round(
+                F.sum(F.col("cv9").cast("decimal(20,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            F.round(F.col("srev") / F.col("t"), 6).alias("rev_share"),
+            "mean_cv",
+        )
+        .orderBy("abc", "xyz")
+    )

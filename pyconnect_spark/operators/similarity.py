@@ -4971,3 +4971,203 @@ def sm37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tables")
     )
+
+
+_SM38_DEPTHS = (10, 25, 50, 100)
+# rerank cosine between shortlist member e and query q — the shared
+# left-to-right fold idiom (same expression sm33's truth uses)
+_SM38_RERANK_COS = _SM33_PAIR_COS
+
+
+@REGISTRY.register(
+    "sm38_rerank_depth_curve",
+    oracle=f"""
+    WITH seedrank AS (
+      SELECT vec_id AS sid, embedding AS semb,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT j.j, s.k,
+             list_transform(list_slice(s.semb, j.j*8 + 1, j.j*8 + 8),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT unnest(range(8)) AS j) j,
+           (SELECT k, semb FROM seedrank WHERE k <= 16) s
+    ),
+    xv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT xv.vec_id, cb.j, cb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (x[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS dist
+      FROM xv CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, k FROM (
+        SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qx
+      FROM embeddings WHERE vec_id < 5
+    ),
+    lut AS (
+      SELECT q.q_id, cb.j, cb.k,
+             list_aggregate(list_transform(range(1, 9),
+               i -> (qx[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (qx[CAST(cb.j*8 + i AS INT)] - cvec[CAST(i AS INT)])),
+               'sum') AS d
+      FROM q CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id, round(SUM(l.d), 6) AS adc_dist
+      FROM codes c JOIN lut l ON l.j = c.j AND l.k = c.k
+      WHERE c.vec_id <> l.q_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dist, vec_id) AS adc_rk
+      FROM adc
+    ),
+    truth AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS q_id, e.vec_id, {_SM33_PAIR_COS} AS cos9,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SM33_PAIR_COS} DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rk <= 5
+    ),
+    lv AS (SELECT unnest(ARRAY{list(_SM38_DEPTHS)}) AS depth),
+    got AS (
+      SELECT * FROM (
+        SELECT l.depth, r.q_id, r.vec_id,
+               row_number() OVER (PARTITION BY l.depth, r.q_id
+                                  ORDER BY {_SM38_RERANK_COS} DESC, r.vec_id)
+                   AS rk
+        FROM lv l
+        JOIN ranked r ON r.adc_rk <= l.depth
+        JOIN embeddings e ON e.vec_id = r.vec_id
+        JOIN embeddings q ON q.vec_id = r.q_id
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT g.depth, CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits
+      FROM got g LEFT JOIN truth t
+        ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+      GROUP BY 1
+    ),
+    ncand AS (
+      SELECT l.depth, CAST(COUNT(*) AS BIGINT) AS n_reranked
+      FROM lv l JOIN ranked r ON r.adc_rk <= l.depth GROUP BY 1
+    )
+    SELECT CAST(h.depth AS BIGINT) AS depth, c.n_reranked,
+           round(h.n_hits / 25.0, 6) AS recall_at_5
+    FROM hits h JOIN ncand c USING (depth)
+    ORDER BY depth
+    """,
+    doc="PQ-ADC rerank-depth tuning curve — the LAST knob of the "
+    "quantized-search family: recall@5 vs exact at shortlist depths "
+    f"{_SM38_DEPTHS} of sm17's ADC ranking (sm33 tunes IVF probes, "
+    "sm37 LSH tables, dd37 MinHash width; this prices the rerank I/O — "
+    "each depth step reads that many RAW vectors per query, which at "
+    "100 TB is the random-read budget a vector store bills for). ONE "
+    "ADC ranking carries the depth ranks, so the four levels are "
+    "filters joined to the code-table scan output, never four "
+    "pipelines; ground truth is the exact all-pairs top-5 for the 5 "
+    "probe queries; md5 seed codebook replays in DuckDB (sm17's "
+    "oracle verbatim) and every rerank cosine crosses the 9 dp "
+    "barrier. The curve's shape on the i.i.d. fixture (ADC order is "
+    "weakly informative when residual variance dominates) is exactly "
+    "the measurement that justifies sm17's depth-100 default.",
+    tags=("similarity", "llm", "ann", "pq", "tuning", "recall"),
+)
+def sm38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    codes = pq_best_codes(emb, n_codes=16).select("vec_id", "j", "k")
+    cb = pq_codebook(emb, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qx"),
+    )
+    qj = F.slice("qx", F.col("j") * 8 + 1, 8)
+    d = F.aggregate(
+        F.zip_with(qj, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select("q_id", "j", "k", d.alias("d"))
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "k"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    ranked = adc.withColumn("adc_rk", F.row_number().over(w_adc)).select(
+        "q_id", "vec_id", "adc_rk"
+    ).localCheckpoint(eager=False)
+    q_emb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = cosine(F.col("embedding"), F.col("q_emb"))
+    truth = (
+        emb.join(F.broadcast(q_emb), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cos9"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    lv = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _SM38_DEPTHS])).alias("depth")
+    )
+    leveled = (
+        lv.join(ranked, F.col("adc_rk") <= F.col("depth"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select("depth", "q_id", "vec_id", F.round(sim, 9).alias("cos9"))
+    )
+    got = (
+        leveled.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("depth", "q_id").orderBy(
+                    F.desc("cos9"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("depth", "q_id", "vec_id")
+    )
+    ncand = lv.join(ranked, F.col("adc_rk") <= F.col("depth")).groupBy(
+        "depth"
+    ).agg(F.count("*").cast("long").alias("n_reranked"))
+    hits = (
+        got.join(truth.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("depth")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return (
+        hits.join(ncand, "depth")
+        .select(
+            F.col("depth").cast("long").alias("depth"),
+            "n_reranked",
+            F.round(F.col("n_hits") / 25.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("depth")
+    )

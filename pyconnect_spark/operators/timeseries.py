@@ -5266,3 +5266,215 @@ def ts63(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TS64_BLOCKS = (8, 16, 32)
+
+
+def _ts64_oracle() -> str:
+    m_union = " UNION ALL ".join(f"SELECT {m} AS m" for m in _TS64_BLOCKS)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    ms AS ({m_union}),
+    blk AS (
+      SELECT idx.event_type, ms.m, (idx.i - 1) // ms.m AS b,
+             idx.day, idx.n
+      FROM idx CROSS JOIN ms
+    ),
+    bstat AS (
+      SELECT event_type, m, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n * n) AS BIGINT) AS snn
+      FROM blk GROUP BY 1, 2, 3
+    ),
+    full_blk AS (SELECT * FROM bstat WHERE cnt = m),
+    dev AS (
+      SELECT blk.event_type, blk.m, blk.b, blk.day,
+             round(blk.n - f.sn * 1.0 / f.m, 9) AS dv,
+             f.snn, f.sn
+      FROM blk JOIN full_blk f
+        ON f.event_type = blk.event_type AND f.m = blk.m AND f.b = blk.b
+    ),
+    cum AS (
+      SELECT event_type, m, b, snn, sn,
+             CAST(SUM(CAST(dv AS DECIMAL(20,9)))
+                  OVER (PARTITION BY event_type, m, b ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS z
+      FROM dev
+    ),
+    rs AS (
+      SELECT event_type, m, b,
+             round(MAX(z) - MIN(z), 9) AS r,
+             sqrt(MAX(snn) * 1.0 / m
+                  - (MAX(sn) * 1.0 / m) * (MAX(sn) * 1.0 / m)) AS s
+      FROM cum GROUP BY 1, 2, 3
+    ),
+    mrs AS (
+      SELECT event_type, m,
+             round(CAST(SUM(CAST(round(r / s, 9) AS DECIMAL(20,9)))
+                        AS DOUBLE) / COUNT(*), 9) AS mean_rs
+      FROM rs WHERE s > 0 GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type, round(ln(CAST(m AS DOUBLE)), 9) AS x,
+             round(ln(mean_rs), 9) AS y, m, mean_rs
+      FROM mrs WHERE mean_rs > 0
+    ),
+    fit AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY 1
+    ),
+    wide AS (
+      SELECT event_type,
+             {", ".join(f"MAX(CASE WHEN m = {m} THEN round(mean_rs, 6) END) AS rs{m}" for m in _TS64_BLOCKS)}
+      FROM pts GROUP BY 1
+    )
+    SELECT f.event_type,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst,
+           {", ".join(f"w.rs{m}" for m in _TS64_BLOCKS)}
+    FROM fit f JOIN wide w USING (event_type)
+    WHERE f.k >= 2
+    ORDER BY f.event_type
+    """
+
+
+@REGISTRY.register(
+    "ts64_hurst_rs",
+    oracle=_ts64_oracle(),
+    doc="Hurst exponent by rescaled-range (R/S) analysis per event type "
+    "(Hurst 1951/Mandelbrot): the daily count series splits into full "
+    f"blocks of m in {_TS64_BLOCKS} days; per block R = range of the "
+    "cumulative mean-deviation walk, S = population std; H = OLS slope "
+    "of ln(mean R/S) on ln(m). H ≈ 0.5 is memoryless, H > 0.5 "
+    "long-range dependent (bursts cluster — capacity planning must "
+    "size for runs, not i.i.d. noise; complements ts30's burstiness "
+    "and ts54's short-lag whiteness with the LONG-memory view). "
+    "Determinism: counts/raw moments exact integers; deviations and "
+    "every R/S cross the 9 dp DECIMAL barrier; the OLS is the tx51 "
+    "closed form; incomplete trailing blocks and zero-variance blocks "
+    "drop in BOTH engines. Plan: one daily exchange; the walk is a "
+    "(type, m, block)-partitioned running window over calendar-sized "
+    "frames; everything after is |types| x 3 arithmetic.",
+    tags=("timeseries", "hurst", "long-memory", "stats"),
+)
+def ts64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    ms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _TS64_BLOCKS])).alias("m")
+    )
+    blk = idx.crossJoin(F.broadcast(ms)).select(
+        "event_type",
+        "m",
+        ((F.col("i") - 1) / F.col("m")).cast("long").alias("b"),
+        "day",
+        "n",
+    )
+    bstat = blk.groupBy("event_type", "m", "b").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    full_blk = bstat.filter(F.col("cnt") == F.col("m"))
+    dev = blk.join(full_blk, ["event_type", "m", "b"]).select(
+        "event_type",
+        "m",
+        "b",
+        "day",
+        F.round(F.col("n") - F.col("sn") * 1.0 / F.col("m"), 9).alias("dv"),
+        "snn",
+        "sn",
+    )
+    wb = (
+        Window.partitionBy("event_type", "m", "b")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        "event_type",
+        "m",
+        "b",
+        "snn",
+        "sn",
+        F.sum(F.col("dv").cast("decimal(20,9)")).over(wb).cast("double").alias("z"),
+    )
+    mean = F.max("sn") * 1.0 / F.col("m")
+    rs = cum.groupBy("event_type", "m", "b").agg(
+        F.round(F.max("z") - F.min("z"), 9).alias("r"),
+        F.sqrt(F.max("snn") * 1.0 / F.col("m") - mean * mean).alias("s"),
+    )
+    mrs = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("event_type", "m")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("r") / F.col("s"), 9).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_rs")
+        )
+    )
+    pts = mrs.filter(F.col("mean_rs") > 0).select(
+        "event_type",
+        "m",
+        "mean_rs",
+        F.round(F.log(F.col("m").cast("double")), 9).alias("x"),
+        F.round(F.log("mean_rs"), 9).alias("y"),
+    )
+    fit = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("x").cast("decimal(20,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    wide = pts.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(F.col("m") == m, F.round(F.col("mean_rs"), 6))
+            ).alias(f"rs{m}")
+            for m in _TS64_BLOCKS
+        ]
+    )
+    k, sx, sy, sxx, sxy = (
+        F.col("k"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxx"),
+        F.col("sxy"),
+    )
+    return (
+        fit.filter(F.col("k") >= 2)
+        .join(wide, "event_type")
+        .select(
+            "event_type",
+            F.round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6).alias(
+                "hurst"
+            ),
+            *[F.col(f"rs{m}") for m in _TS64_BLOCKS],
+        )
+        .orderBy("event_type")
+    )

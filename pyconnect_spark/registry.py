@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~310 declared queries the whole surface re-verifies every ~6
+with ~313 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -164,6 +164,9 @@ _DECLARED_IN_ROUND = {
     # round 8, fourth wave
     "tx53_bigram_entropy_rate": 36, "ts63_page_hinkley": 36,
     "dd38_cluster_source_purity": 36,
+    # round 8, fifth wave
+    "ts64_hurst_rs": 37, "x85_abc_xyz_matrix": 37,
+    "sm38_rerank_depth_curve": 37,
 }
 
 

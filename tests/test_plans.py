@@ -1562,3 +1562,38 @@ def test_dd38_inherits_dd05_edge_shapes(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_ts64_block_windows_partition_by_type_m_block(spark):
+    # the R/S walk is a (type, m, block)-partitioned running window over
+    # the daily rollup; everything after is |types| x 3 arithmetic
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts64_hurst_rs"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_x85_two_fact_rollups_rankops_cumshare(spark):
+    # two part-grain rollups of lineitem are the only corpus-scale
+    # exchanges; the ABC cumulative share is rankops (no unpartitioned
+    # window); the matrix is a 9-row agg
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x85_abc_xyz_matrix"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_sm38_one_adc_ranking_levels_as_filters(spark):
+    # ONE ADC ranking (pinned) carries the depth ranks; the four depths
+    # are filters over it — never four PQ pipelines; rank windows
+    # partition by (depth, q_id)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm38_rerank_depth_curve"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
