@@ -5095,3 +5095,279 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+@REGISTRY.register(
+    "x86_kruskal_wallis",
+    oracle="""
+    WITH gv AS (
+      SELECT event_type, value, COUNT(*) AS cg
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    vals AS (SELECT value, SUM(cg) AS c FROM gv GROUP BY 1),
+    cum AS (
+      SELECT value, c, SUM(c) OVER (ORDER BY value) AS k FROM vals
+    ),
+    grp AS (
+      SELECT g.event_type,
+             SUM(g.cg) AS nj,
+             SUM(CAST(g.cg * (2 * (m.k - m.c) + m.c + 1)
+                      AS DECIMAL(30,0))) AS r2j
+      FROM gv g JOIN cum m USING (value)
+      GROUP BY 1
+    ),
+    fold AS (
+      SELECT COUNT(*) AS kg, SUM(nj) AS nn,
+             CAST(SUM(CAST(round(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                                 / nj, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                 AS rsq_over_n
+      FROM grp
+    ),
+    ties AS (SELECT SUM(c * c * c - c) AS tie_t FROM cum)
+    SELECT CAST(kg AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           round(3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * rsq_over_n
+                 - 3 * (nn + 1), 6) AS h_stat,
+           round((3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * rsq_over_n
+                  - 3 * (nn + 1))
+                 / (1.0 - CAST(tie_t AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)
+               AS h_tie_corrected,
+           CAST(kg - 1 AS BIGINT) AS df
+    FROM fold CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis H test of value across ALL k event types — the "
+    "k-sample generalization completing x80's two-sample rank test "
+    "(and the rank-based twin of x78's ANOVA): per-(type, value) "
+    "counts from ONE combiner agg, the distinct-value grid derived "
+    "from that same frame (one fact pass total), the pooled "
+    "cumulative count from rankops' range-partitioned cumsum, and "
+    "each group's doubled rank sum 2*Rj = sum cg*(2*k_before + c + 1) "
+    "integer-exact under any regroup (x80's mid-rank identity, summed "
+    "in DECIMAL so a 1e12-row corpus cannot overflow the fold). "
+    "H = 3/(N(N+1)) * sum (2Rj)^2/nj - 3(N+1) and the tie correction "
+    "1 - sum(c^3-c)/(N^3-N) are closed forms over those exact "
+    "scalars; the (2Rj)^2/nj terms cross the 9 dp barrier into a "
+    "DECIMAL fold (x78's sq_over_n pattern). Plan: one fact pass -> "
+    "(type, value) grain -> value-grain cumsum over rankops -> k-row "
+    "agg -> 1-row fold; at 100 TB the combiner agg is the only "
+    "corpus-scale exchange.",
+    tags=("extended", "statistics", "kruskal-wallis", "rank-test"),
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    gv = ev.groupBy("event_type", "value").agg(F.count("*").alias("cg"))
+    vals = gv.groupBy("value").agg(F.sum("cg").alias("c"))
+    cum = with_global_order(vals, [F.col("value")], cumsum={"c": "k"})
+    grp = (
+        gv.join(cum.select("value", "c", "k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").alias("nj"),
+            F.sum(
+                (
+                    F.col("cg")
+                    * (2 * (F.col("k") - F.col("c")) + F.col("c") + 1)
+                ).cast("decimal(30,0)")
+            ).alias("r2j"),
+        )
+    )
+    fold = grp.agg(
+        F.count("*").alias("kg"),
+        F.sum("nj").alias("nn"),
+        F.sum(
+            F.round(
+                F.col("r2j").cast("double") * F.col("r2j").cast("double")
+                / F.col("nj"),
+                9,
+            ).cast("decimal(30,9)")
+        )
+        .cast("double")
+        .alias("rsq_over_n"),
+    )
+    ties = cum.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_t"
+        )
+    )
+    nn = F.col("nn").cast("double")
+    h = (
+        F.lit(3.0) / (nn * (F.col("nn") + 1)) * F.col("rsq_over_n")
+        - 3 * (F.col("nn") + 1)
+    )
+    tie_corr = F.lit(1.0) - F.col("tie_t").cast("double") / (
+        nn * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    return fold.crossJoin(F.broadcast(ties)).select(
+        F.col("kg").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / tie_corr, 6).alias("h_tie_corrected"),
+        (F.col("kg") - 1).cast("long").alias("df"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 (Zelen-Severo) normal upper-tail constants:
+# Q(z) = phi(z) * (b1 t + b2 t^2 + b3 t^3 + b4 t^4 + b5 t^5), t = 1/(1+p z).
+# |error| < 7.5e-8 — the ONLY libm call is exp(), both engines feed it the
+# identical 9-dp-rounded z, and the result re-rounds at 9 dp before any
+# decision, so the BH comparisons are bit-stable across engines.
+_AS_P = "0.2316419"
+_AS_B = ("0.319381530", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+_SQRT_2PI = "2.5066282746310002"
+
+
+def _sql_norm_two_sided_p(z9: str) -> str:
+    """DuckDB expression: round(min(1, 2*Q(|z9|)), 9) via A&S 26.2.17."""
+    az = f"abs({z9})"
+    tt = f"(1.0 / (1.0 + {_AS_P} * {az}))"
+    b1, b2, b3, b4, b5 = _AS_B
+    poly = (f"({b1} * {tt} + {b2} * {tt} * {tt}"
+            f" + {b3} * {tt} * {tt} * {tt}"
+            f" + {b4} * {tt} * {tt} * {tt} * {tt}"
+            f" + {b5} * {tt} * {tt} * {tt} * {tt} * {tt})")
+    q = f"(exp(-{az} * {az} / 2) / {_SQRT_2PI} * {poly})"
+    return f"round(least(1.0, 2 * {q}), 9)"
+
+
+def _spark_norm_two_sided_p(z9):
+    """Spark expression mirroring :func:`_sql_norm_two_sided_p`."""
+    az = F.abs(z9)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(float(_AS_P)) * az)
+    poly = sum(
+        (F.lit(float(b)) * tt ** (i + 1) for i, b in enumerate(_AS_B)),
+        F.lit(0.0),
+    )
+    q = F.exp(-az * az / 2) / F.lit(float(_SQRT_2PI)) * poly
+    return F.round(F.least(F.lit(1.0), 2 * q), 9)
+
+
+@REGISTRY.register(
+    "x87_fdr_bh_screen",
+    oracle=f"""
+    WITH grp AS (
+      SELECT n.n_name,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(x) AS DOUBLE) / SUM(n_lines) AS p0 FROM grp
+    ),
+    z AS (
+      SELECT g.n_name, g.n_lines, g.x,
+             round((CAST(g.x AS DOUBLE) / g.n_lines - t.p0)
+                   / sqrt(t.p0 * (1 - t.p0) / g.n_lines), 9) AS z9
+      FROM grp g CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT n_name, n_lines, x, z9,
+             {{P_EXPR}} AS p9
+      FROM z
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p9, n_name) AS bh_rank,
+             COUNT(*) OVER () AS m
+      FROM p
+    ),
+    kstar AS (
+      SELECT MAX(CASE WHEN p9 <= CAST(bh_rank AS DOUBLE) / m * 0.10
+                      THEN bh_rank END) AS ks
+      FROM ranked
+    )
+    SELECT r.n_name,
+           CAST(r.n_lines AS BIGINT) AS n_lines,
+           CAST(r.x AS BIGINT) AS n_returned,
+           round(CAST(r.x AS DOUBLE) / r.n_lines, 6) AS return_rate,
+           round(r.z9, 6) AS z_stat,
+           round(r.p9, 6) AS p_value,
+           CAST(r.bh_rank AS BIGINT) AS bh_rank,
+           round(CAST(r.bh_rank AS DOUBLE) / r.m * 0.10, 6) AS bh_threshold,
+           r.bh_rank <= COALESCE(k.ks, 0) AS rejected
+    FROM ranked r CROSS JOIN kstar k
+    ORDER BY bh_rank
+    """.replace("{P_EXPR}", _sql_norm_two_sided_p("z9")),
+    doc="Benjamini-Hochberg FDR screen over per-nation return-rate "
+    "z-tests — the MULTIPLE-testing layer the single-test trio "
+    "(x76-x80) needs before anyone acts on 25 simultaneous p-values: "
+    "each nation's returned-line rate is tested against the pooled "
+    "rate (one-proportion z), the two-sided p comes from the "
+    "Abramowitz-Stegun 26.2.17 polynomial (|err| < 7.5e-8; the only "
+    "libm call is exp() over the identical 9-dp-rounded z in both "
+    "engines, and p re-rounds at 9 dp before any comparison), and the "
+    "BH step-up finds the largest rank i with p_(i) <= i/m * alpha "
+    "(alpha = 0.10), rejecting everything at or below it. The p-sort "
+    "rank runs through rankops (no unpartitioned window); the step-up "
+    "cutoff is a 1-row fold broadcast back. Plan: the star join "
+    "(nation/customer broadcast) into a 25-row frame is the only "
+    "corpus-scale work; everything after is constant-size.",
+    tags=("extended", "statistics", "fdr", "multiple-testing"),
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    grp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    tot = grp.agg(
+        (F.sum("x").cast("double") / F.sum("n_lines")).alias("p0")
+    )
+    z = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "z9",
+        F.round(
+            (F.col("x").cast("double") / F.col("n_lines") - F.col("p0"))
+            / F.sqrt(F.col("p0") * (1 - F.col("p0")) / F.col("n_lines")),
+            9,
+        ),
+    )
+    p = z.withColumn("p9", _spark_norm_two_sided_p(F.col("z9")))
+    ranked = with_global_order(
+        p,
+        [F.col("p9"), F.col("n_name")],
+        rank_col="bh_rank",
+        total_count_col="m",
+    )
+    thr = F.col("bh_rank").cast("double") / F.col("m") * 0.10
+    kstar = ranked.agg(
+        F.max(F.when(F.col("p9") <= thr, F.col("bh_rank"))).alias("ks")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "n_name",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("x").cast("long").alias("n_returned"),
+            F.round(
+                F.col("x").cast("double") / F.col("n_lines"), 6
+            ).alias("return_rate"),
+            F.round(F.col("z9"), 6).alias("z_stat"),
+            F.round(F.col("p9"), 6).alias("p_value"),
+            F.col("bh_rank").cast("long").alias("bh_rank"),
+            F.round(thr, 6).alias("bh_threshold"),
+            (F.col("bh_rank") <= F.coalesce(F.col("ks"), F.lit(0))).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("bh_rank")
+    )

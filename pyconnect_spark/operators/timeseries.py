@@ -5478,3 +5478,105 @@ def ts64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts65_pacf_yule_walker",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1,
+             lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    acf AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             round(corr(n, l1), 9) AS r1,
+             round(corr(n, l2), 9) AS r2,
+             round(corr(n, l3), 9) AS r3
+      FROM lagged GROUP BY 1
+    ),
+    dl2 AS (
+      SELECT *,
+             CASE WHEN 1 - r1 * r1 = 0 THEN NULL
+                  ELSE (r2 - r1 * r1) / (1 - r1 * r1) END AS phi22
+      FROM acf
+    ),
+    dl3 AS (
+      SELECT *, r1 * (1 - phi22) AS phi21 FROM dl2
+    )
+    SELECT event_type, n_days,
+           round(r1, 6) AS acf_1,
+           round(r2, 6) AS acf_2,
+           round(r3, 6) AS acf_3,
+           round(r1, 6) AS pacf_1,
+           round(phi22, 6) AS pacf_2,
+           round(CASE WHEN 1 - phi21 * r1 - phi22 * r2 = 0 THEN NULL
+                      ELSE (r3 - phi21 * r2 - phi22 * r1)
+                           / (1 - phi21 * r1 - phi22 * r2) END, 6)
+               AS pacf_3
+    FROM dl3
+    """,
+    doc="Partial autocorrelation (lags 1-3) per series via the "
+    "Durbin-Levinson closed forms — the AR-order selector ts28's raw "
+    "ACF cannot be (an AR(1) has geometric ACF at ALL lags but PACF "
+    "that cuts off after lag 1; PACF is what the Box-Jenkins 'which "
+    "p?' decision reads): phi11 = r1, phi22 = (r2 - r1^2)/(1 - r1^2), "
+    "phi21 = r1(1 - phi22), phi33 = (r3 - phi21 r2 - phi22 r1)/(1 - "
+    "phi21 r1 - phi22 r2) — the k <= 3 recursion unrolled to plain "
+    "arithmetic, so no iterative solver exists in either engine. ACF "
+    "estimates are ts28's lagged corr() pairs rounded at 9 dp (the "
+    "cross-engine barrier: everything after is exact IEEE arithmetic "
+    "on identical inputs, with zero-denominator guards in both). "
+    "Plan: one daily rollup exchange, a (type)-partitioned lag "
+    "window, a k-row moment agg — calendar-sized frames after the "
+    "first pass, same as ts28.",
+    tags=("timeseries", "pacf", "yule-walker", "stats"),
+)
+def ts65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 2).over(w).alias("l2"),
+        F.lag("n", 3).over(w).alias("l3"),
+    )
+    acf = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("n", "l1"), 9).alias("r1"),
+        F.round(F.corr("n", "l2"), 9).alias("r2"),
+        F.round(F.corr("n", "l3"), 9).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = 1 - r1 * r1
+    phi22 = F.when(den2 != 0, (r2 - r1 * r1) / den2)
+    dl = acf.withColumn("phi22", phi22).withColumn(
+        "phi21", r1 * (1 - F.col("phi22"))
+    )
+    den3 = 1 - F.col("phi21") * r1 - F.col("phi22") * r2
+    phi33 = F.when(
+        den3 != 0,
+        (r3 - F.col("phi21") * r2 - F.col("phi22") * r1) / den3,
+    )
+    return dl.select(
+        "event_type",
+        "n_days",
+        F.round(r1, 6).alias("acf_1"),
+        F.round(r2, 6).alias("acf_2"),
+        F.round(r3, 6).alias("acf_3"),
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(F.col("phi22"), 6).alias("pacf_2"),
+        F.round(phi33, 6).alias("pacf_3"),
+    )

@@ -1597,3 +1597,40 @@ def test_sm38_one_adc_ranking_levels_as_filters(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_x86_one_fact_pass_rankops_cumcount(spark):
+    # ONE fact pass to (type, value) grain; the value grid derives from
+    # it; the pooled cumulative count is rankops (no unpartitioned
+    # window); folds are k-row and 1-row
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x86_kruskal_wallis"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    # exactly one scan of the events fact
+    assert text.count("events.parquet") == 1
+
+
+def test_x87_star_broadcast_rank_via_rankops(spark):
+    # nation/customer broadcast onto the fact; the p-value sort rank is
+    # rankops over a 25-row frame; the BH cutoff is a broadcast 1-row fold
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x87_fdr_bh_screen"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_ts65_lag_window_partitioned_by_type(spark):
+    # the only window is the (event_type)-partitioned lag over the daily
+    # rollup; Durbin-Levinson is unrolled arithmetic on a k-row frame
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts65_pacf_yule_walker"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)

@@ -125,3 +125,96 @@ def test_x75_bootstrap_ci_brackets_sample_mean(spark):
     assert got["n_resamples"] == 32
     assert got["ci_lo"] < got["ci_hi"]
     assert got["ci_lo"] < mean < got["ci_hi"]
+
+
+def test_x86_matches_textbook_kruskal_wallis(spark, events):
+    vals = events["value"].to_numpy()
+    groups = events["event_type"].to_numpy()
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2  # 1-based average rank
+        i = j
+    n = len(vals)
+    h = 0.0
+    for g in np.unique(groups):
+        r = ranks[groups == g]
+        h += r.sum() ** 2 / len(r)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(sv, return_counts=True)
+    tie = 1 - (counts**3 - counts).sum() / (n**3 - n)
+    got = _row(spark, "x86_kruskal_wallis")
+    assert got["n_rows"] == n
+    assert got["n_groups"] == len(np.unique(groups))
+    assert abs(got["h_stat"] - h) < 1e-5
+    assert abs(got["h_tie_corrected"] - h / tie) < 1e-5
+
+
+def test_x87_pvalues_match_erfc_and_bh_step_up(spark):
+    import math
+
+    out = (
+        get("x87_fdr_bh_screen")
+        .builder(spark, SF)
+        .collect()
+    )
+    rows = sorted((r.asDict() for r in out), key=lambda r: r["bh_rank"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    g = j.groupby("n_name").agg(
+        n=("l_returnflag", "size"),
+        x=("l_returnflag", lambda s: (s == "R").sum()),
+    )
+    p0 = g.x.sum() / g.n.sum()
+    ref = {}
+    for name, r in g.iterrows():
+        z = (r.x / r.n - p0) / math.sqrt(p0 * (1 - p0) / r.n)
+        ref[name] = 2 * 0.5 * math.erfc(abs(z) / math.sqrt(2))
+    m = len(rows)
+    assert m == len(ref)
+    for r in rows:
+        # A&S 26.2.17 polynomial vs the exact erfc: |err| < 7.5e-8,
+        # both under the engine's 6-dp output rounding tolerance
+        assert abs(r["p_value"] - ref[r["n_name"]]) < 1e-5
+        assert abs(r["bh_threshold"] - r["bh_rank"] / m * 0.10) < 1e-9
+    # BH step-up: rejected == rank <= largest i with p_(i) <= i/m*alpha
+    flags = [r["p_value"] <= r["bh_rank"] / m * 0.10 + 1e-12 for r in rows]
+    kstar = max((r["bh_rank"] for r, f in zip(rows, flags) if f), default=0)
+    for r in rows:
+        assert r["rejected"] == (r["bh_rank"] <= kstar)
+
+
+def test_ts65_matches_pandas_durbin_levinson(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = {
+        r["event_type"]: r.asDict()
+        for r in get("ts65_pacf_yule_walker").builder(spark, SF).collect()
+    }
+    for etype, sub in ev.groupby("event_type"):
+        daily = sub.groupby("day").size().astype(float)
+        daily = daily.reindex(sorted(daily.index))  # day order; gaps stay absent
+        r = [
+            round(daily.corr(daily.shift(k)), 9) for k in (1, 2, 3)
+        ]
+        phi22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+        phi21 = r[0] * (1 - phi22)
+        phi33 = (r[2] - phi21 * r[1] - phi22 * r[0]) / (
+            1 - phi21 * r[0] - phi22 * r[1]
+        )
+        row = got[etype]
+        assert abs(row["acf_1"] - r[0]) < 1e-5
+        assert abs(row["pacf_2"] - phi22) < 1e-5
+        assert abs(row["pacf_3"] - phi33) < 1e-5
