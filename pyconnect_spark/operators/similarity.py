@@ -5171,3 +5171,145 @@ def sm38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+_SM39_BITS = (8, 4, 2)  # symmetric-range levels: L = 2^(b-1) - 1
+_SM39_L = {8: 127, 4: 7, 2: 1}
+
+
+def _sm39_sql_dq(bits: int) -> str:
+    """DuckDB: dequantized corpus element j of e.embedding at `bits`."""
+    lim = _SM39_L[bits]
+    mx = ("list_aggregate(list_transform(e.embedding, "
+          "x -> abs(CAST(x AS DOUBLE))), 'max')")
+    scale = f"(CASE WHEN {mx} > 0 THEN {mx} / {lim} ELSE 1.0 END)"
+    return (f"round(CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)"
+            f" / {scale}) * {scale}")
+
+
+def _sm39_sql_top(bits: int | None, k: int = 10) -> str:
+    """DuckDB CTE body: top-k vec_ids for query 3 at a quantization level
+    (None = exact full-precision)."""
+    if bits is None:
+        elem = "CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)"
+    else:
+        elem = _sm39_sql_dq(bits)
+    dot = (f"list_aggregate(list_transform(range(1, len(e.embedding) + 1),"
+           f" j -> {elem} * CAST(q.qv[CAST(j AS INT)] AS DOUBLE)), 'sum')")
+    nrm = (f"sqrt(list_aggregate(list_transform("
+           f"range(1, len(e.embedding) + 1), j -> {elem} * {elem}), 'sum'))")
+    nq = ("sqrt(list_aggregate(list_transform(q.qv, "
+          "x -> CAST(x AS DOUBLE) * x), 'sum'))")
+    return (f"SELECT e.vec_id, round({dot} / (CASE WHEN {nrm} > 0 THEN {nrm}"
+            f" ELSE 1.0 END * {nq}), 9) AS c9"
+            f" FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 3"
+            f" ORDER BY c9 DESC, e.vec_id LIMIT {k}")
+
+
+@REGISTRY.register(
+    "sm39_quantization_recall_curve",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 3
+    ),
+    texact AS ({_sm39_sql_top(None)}),
+    {", ".join(f"t{b} AS ({_sm39_sql_top(b)})" for b in _SM39_BITS)}
+    {"".join(
+        f'''
+    SELECT CAST({b} AS BIGINT) AS bits,
+           CAST((SELECT COUNT(*) FROM t{b} a JOIN texact x
+                 ON a.vec_id = x.vec_id) AS BIGINT) AS n_overlap,
+           round((SELECT COUNT(*) FROM t{b} a JOIN texact x
+                  ON a.vec_id = x.vec_id) / 10.0, 6) AS recall_at_10,
+           (SELECT round(CAST(SUM(CAST(round(abs(a.c9 - x.c9), 9)
+                                       AS DECIMAL(20,9))) AS DOUBLE)
+                         / COUNT(*), 6)
+            FROM t{b} a JOIN texact x ON a.vec_id = x.vec_id)
+               AS mean_abs_cos_err
+    {"UNION ALL" if b != _SM39_BITS[-1] else ""}''' for b in _SM39_BITS
+    )}
+    ORDER BY bits DESC
+    """,
+    doc="Scalar-quantization recall curve — sm32 asked the "
+    "memory-vs-recall question about WIDTH (prefix dims); this asks "
+    "it about DEPTH (bits per element), the other axis a vector store "
+    "is sized on: the probe query's asymmetric top-10 (full-precision "
+    "query against per-vector max-abs symmetric-scalar-quantized "
+    "corpus at 8/4/2 bits — sm17's ADC convention) is compared to the "
+    "exact top-10, reporting overlap, recall@10, and the mean |cosine "
+    "error| over the agreeing candidates. Quantize/dequantize is pure "
+    "IEEE arithmetic on identical doubles in both engines (round() "
+    "half-up to the integer grid — the scale division and "
+    "remultiplication are exact-input ops, no libm anywhere before "
+    "the 9 dp barrier), so the quantized CODES themselves are "
+    "bit-identical cross-engine. Plan: each level is the sm01 "
+    "broadcast-query map-only TakeOrdered pass; at 100 TB one pass "
+    "emits all levels' scores and the overlap joins are k-row.",
+    tags=("similarity", "llm", "quantization", "recall", "int8"),
+)
+def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.transform("embedding", lambda y: y.cast("double")).alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") != 3).crossJoin(F.broadcast(q))
+
+    def topk(bits: int | None) -> DataFrame:
+        ev = F.transform("embedding", lambda y: y.cast("double"))
+        if bits is not None:
+            lim = _SM39_L[bits]
+            mx = F.array_max(F.transform(ev, F.abs))
+            scale = F.when(mx > 0, mx / lim).otherwise(F.lit(1.0))
+            ev = F.transform(ev, lambda x: F.round(x / scale) * scale)
+        dot = F.aggregate(
+            F.zip_with(ev, F.col("qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ne = F.sqrt(F.aggregate(ev, F.lit(0.0), lambda acc, x: acc + x * x))
+        nq = F.sqrt(
+            F.aggregate(
+                F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        return (
+            corpus.select(
+                "vec_id",
+                F.round(
+                    dot / (F.when(ne > 0, ne).otherwise(F.lit(1.0)) * nq), 9
+                ).alias("c9"),
+            )
+            .orderBy(F.desc("c9"), "vec_id")
+            .limit(10)
+        )
+
+    exact = topk(None).localCheckpoint(eager=False)
+    outs = []
+    for b in _SM39_BITS:
+        tb = topk(b)
+        ov = tb.join(
+            exact.select(F.col("vec_id"), F.col("c9").alias("cx9")), "vec_id"
+        ).agg(
+            F.count("*").alias("n_overlap"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("c9") - F.col("cx9")), 9).cast(
+                        "decimal(20,9)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_abs_cos_err"),
+        )
+        outs.append(
+            ov.select(
+                F.lit(b).cast("long").alias("bits"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_10"),
+                "mean_abs_cos_err",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy(F.desc("bits"))

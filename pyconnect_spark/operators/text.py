@@ -4348,3 +4348,90 @@ def tx53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx54_mattr_lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT source, len(w) AS n,
+             CASE WHEN len(w) >= 20 THEN
+               round(CAST(list_aggregate(list_transform(
+                         range(1, len(w) - 20 + 2),
+                         i -> len(list_distinct(w[i:i+19]))), 'sum')
+                          AS DOUBLE)
+                     / (20 * (len(w) - 20 + 1)), 9)
+             ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 9)
+             END AS mattr9,
+             round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 9)
+                 AS ttr9
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(mattr9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_mattr,
+           round(CAST(SUM(CAST(ttr9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ttr,
+           round(CAST(SUM(CAST(ttr9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*)
+                 - CAST(SUM(CAST(mattr9 AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS length_bias
+    FROM stats GROUP BY 1 ORDER BY 1
+    """,
+    doc="MATTR (moving-average type-token ratio, window 20) per source — "
+    "the lexical-diversity score that, unlike raw TTR, does NOT "
+    "collapse with document length (Covington & McFall 2010), so "
+    "sources can be compared for template/boilerplate vocabulary "
+    "poverty on equal footing; the ttr-minus-mattr gap per source is "
+    "the measured length bias itself. Each doc reduces to two "
+    "integers (sum of per-window distinct counts, window count) via "
+    "transform over the token array — MATTR is exactly their ratio, "
+    "so the only cross-engine barrier is the 9 dp rounding of that "
+    "rational before the per-source DECIMAL fold; sub-window docs "
+    "fall back to exact TTR (CASE keeps the descending-sequence "
+    "branch unevaluated — the tx47 guard lesson). Plan: ONE map-only "
+    "pass over documents (text never shuffles; per-doc arithmetic is "
+    "O(n_tokens * 20)), then a |sources|-row agg.",
+    tags=("text", "llm", "lexical-diversity", "mattr", "quality"),
+)
+def tx54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("w"))
+    win = 20
+    win_counts = F.transform(
+        F.sequence(F.lit(1), n - win + 1),
+        lambda i: F.size(F.array_distinct(F.slice(F.col("w"), i, win))),
+    )
+    mattr_long = (
+        F.aggregate(win_counts, F.lit(0), lambda acc, x: acc + x).cast(
+            "double"
+        )
+        / (win * (n - win + 1))
+    )
+    ttr = F.size(F.array_distinct(F.col("w"))).cast("double") / n
+    stats = docs.select("source", w.alias("w")).select(
+        "source",
+        F.round(F.when(n >= win, mattr_long).otherwise(ttr), 9).alias(
+            "mattr9"
+        ),
+        F.round(ttr, 9).alias("ttr9"),
+    )
+    dmean = lambda c: (
+        F.sum(F.col(c).cast("decimal(20,9)")).cast("double") / F.count("*")
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(dmean("mattr9"), 6).alias("mean_mattr"),
+            F.round(dmean("ttr9"), 6).alias("mean_ttr"),
+            F.round(dmean("ttr9") - dmean("mattr9"), 6).alias("length_bias"),
+        )
+        .orderBy("source")
+    )

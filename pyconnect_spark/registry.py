@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~316 declared queries the whole surface re-verifies every ~6
+with ~319 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -170,6 +170,9 @@ _DECLARED_IN_ROUND = {
     # round 8, sixth wave (multiple-testing / k-sample / AR-order stats)
     "x86_kruskal_wallis": 38, "x87_fdr_bh_screen": 38,
     "ts65_pacf_yule_walker": 38,
+    # round 8, seventh wave
+    "tx54_mattr_lexical_diversity": 39, "dd39_bloom_prefilter_audit": 39,
+    "sm39_quantization_recall_curve": 39,
 }
 
 

@@ -1634,3 +1634,35 @@ def test_ts65_lag_window_partitioned_by_type(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_tx54_single_map_pass_no_text_shuffle(spark):
+    # MATTR reduces each doc map-side; only the |sources|-row agg
+    # exchanges, and the text column never appears in a shuffle
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx54_mattr_lexical_diversity"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("documents.parquet") == 1
+
+
+def test_dd39_bitset_broadcasts_onto_probe(spark):
+    # the <=1024-row bit set and the A-fingerprint set broadcast; B's
+    # probe is map-side — no corpus-vs-corpus shuffle join anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd39_bloom_prefilter_audit"](spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df)
+    assert not unpartitioned_windows(df)
+
+
+def test_sm39_levels_are_broadcast_query_takeordered(spark):
+    # every quantization level is the sm01 shape: query broadcast onto a
+    # map-only corpus scan ending in TakeOrderedAndProject
+    df = _Q["sm39_quantization_recall_curve"](spark, SF)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    assert "CartesianProduct" not in text

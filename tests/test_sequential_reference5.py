@@ -118,3 +118,68 @@ def test_tx46_matches_python_mask_plan(spark):
         for r in get("tx46_span_corruption_plan").builder(spark, SF).collect()
     }
     assert got == agg
+
+
+def test_tx54_matches_pandas_mattr(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    W = 20
+
+    def mattr(text):
+        w = re.split(r"\s+", text.strip())
+        if len(w) >= W:
+            s = sum(
+                len(set(w[i : i + W])) for i in range(len(w) - W + 1)
+            )
+            return round(s / (W * (len(w) - W + 1)), 9)
+        return round(len(set(w)) / len(w), 9)
+
+    docs["m"] = docs["text"].map(mattr)
+    ref = docs.groupby("source")["m"].mean()
+    got = {
+        r["source"]: r.asDict()
+        for r in get("tx54_mattr_lexical_diversity")
+        .builder(spark, SF)
+        .collect()
+    }
+    for src, mean_m in ref.items():
+        assert abs(got[src]["mean_mattr"] - mean_m) < 1e-5
+
+
+def test_sm39_matches_numpy_quantized_ranking(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    q = vecs[3]
+    qn = q / np.linalg.norm(q)
+
+    def top10(bits):
+        rows = []
+        for vid, v in vecs.items():
+            if vid == 3:
+                continue
+            if bits is not None:
+                lim = {8: 127, 4: 7, 2: 1}[bits]
+                mx = np.abs(v).max()
+                scale = mx / lim if mx > 0 else 1.0
+                # engine rounds HALF-UP (F.round); numpy rounds half-even
+                qv = np.floor(np.abs(v / scale) + 0.5) * np.sign(v / scale)
+                v = qv * scale
+            nv = np.linalg.norm(v)
+            c = v @ qn / (nv if nv > 0 else 1.0)
+            rows.append((round(c, 9), vid))
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        return [vid for _, vid in rows[:10]]
+
+    exact = set(top10(None))
+    got = {
+        int(r["bits"]): r.asDict()
+        for r in get("sm39_quantization_recall_curve")
+        .builder(spark, SF)
+        .collect()
+    }
+    for bits in (8, 4, 2):
+        ref_overlap = len(set(top10(bits)) & exact)
+        assert got[bits]["n_overlap"] == ref_overlap
+        assert abs(got[bits]["recall_at_10"] - ref_overlap / 10) < 1e-9
