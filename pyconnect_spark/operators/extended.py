@@ -5371,3 +5371,335 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+# Shapley coalition table for 3 channels (view=1, click=2, signup=4):
+# for channel i and coalition S not containing i, the marginal weight is
+# |S|!(k-|S|-1)!/k! — with k=3: |S|=0 -> 1/3, |S|=1 -> 1/6, |S|=2 -> 1/3.
+_X88_COALITIONS = [
+    ("view", 1, 0, 1, 3), ("view", 1, 2, 1, 6),
+    ("view", 1, 4, 1, 6), ("view", 1, 6, 1, 3),
+    ("click", 2, 0, 1, 3), ("click", 2, 1, 1, 6),
+    ("click", 2, 4, 1, 6), ("click", 2, 5, 1, 3),
+    ("signup", 4, 0, 1, 3), ("signup", 4, 1, 1, 6),
+    ("signup", 4, 2, 1, 6), ("signup", 4, 3, 1, 3),
+]
+
+
+@REGISTRY.register(
+    "x88_shapley_attribution",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                 AS m,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT m, round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 9) AS v
+      FROM u GROUP BY 1
+    ),
+    coal(channel, bit, s_mask, num, den) AS (VALUES
+      {", ".join(f"('{c}', {b}, {s}, {n}, {d})" for c, b, s, n, d in _X88_COALITIONS)}
+    ),
+    terms AS (
+      SELECT c.channel,
+             round(c.num * (COALESCE(v1.v, 0) - COALESCE(v0.v, 0))
+                   / c.den, 9) AS t9
+      FROM coal c
+      LEFT JOIN v v0 ON v0.m = c.s_mask
+      LEFT JOIN v v1 ON v1.m = c.s_mask + c.bit
+    ),
+    sh AS (
+      SELECT channel,
+             CAST(SUM(CAST(t9 AS DECIMAL(20,9))) AS DOUBLE) AS s
+      FROM terms GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(20,9))) AS DOUBLE) AS ts
+            FROM sh)
+    SELECT channel,
+           round(s, 6) AS shapley_value,
+           round(s / ts, 6) AS attribution_share
+    FROM sh CROSS JOIN tot ORDER BY channel
+    """,
+    doc="Shapley-value channel attribution — the game-theoretic third "
+    "model completing the attribution family (x47 last-touch: 100% to "
+    "one touch; x64 Markov removal effects: path-based counterfactual; "
+    "this: the UNIQUE allocation satisfying efficiency/symmetry/"
+    "dummy axioms, the one marketers call 'data-driven attribution'): "
+    "each user reduces to a touched-channel bitmask over "
+    "{{view, click, signup}} plus a converted flag, coalition value "
+    "v(S) is the measured conversion rate of users with exactly that "
+    "mask (9-dp rounded — the barrier), and each channel's Shapley "
+    "value is the weighted sum of its 4 marginal contributions "
+    "|S|!(k-|S|-1)!/k! * (v(S+i) - v(S)) over the explicit 12-row "
+    "coalition table, folded in DECIMAL so term order cannot matter. "
+    "Plan: ONE user-grain combiner agg over the fact (the only "
+    "corpus-scale exchange), an 8-row mask rollup, then constant-size "
+    "joins; at 100 TB this is exactly one exchange of (user, 4 bits). "
+    "k=3 keeps 2^k enumerable — the production guidance (and Google "
+    "Ads' own limit) is Shapley over <= ~5 channels.",
+    tags=("extended", "attribution", "shapley", "marketing"),
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    touch = lambda et: F.max(
+        F.when(F.col("event_type") == et, 1).otherwise(0)
+    )
+    u = ev.groupBy("user_id").agg(
+        (touch("view") + 2 * touch("click") + 4 * touch("signup")).alias(
+            "m"
+        ),
+        touch("purchase").alias("conv"),
+    )
+    # pin the 8-row mask rollup: v feeds v0, v1 AND the total fold — an
+    # unpinned lineage would re-scan the fact once per consumer
+    v = (
+        u.groupBy("m")
+        .agg(
+            F.round(F.sum("conv").cast("double") / F.count("*"), 9).alias(
+                "v"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    coal = spark.createDataFrame(
+        _X88_COALITIONS,
+        "channel string, bit int, s_mask int, num int, den int",
+    )
+    v0 = v.select(F.col("m").alias("m0"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("m").alias("m1"), F.col("v").alias("v1"))
+    terms = (
+        coal.join(F.broadcast(v0), F.col("s_mask") == F.col("m0"), "left")
+        .join(
+            F.broadcast(v1),
+            F.col("s_mask") + F.col("bit") == F.col("m1"),
+            "left",
+        )
+        .select(
+            "channel",
+            F.round(
+                F.col("num")
+                * (
+                    F.coalesce(F.col("v1"), F.lit(0.0))
+                    - F.coalesce(F.col("v0"), F.lit(0.0))
+                )
+                / F.col("den"),
+                9,
+            ).alias("t9"),
+        )
+    )
+    sh = terms.groupBy("channel").agg(
+        F.sum(F.col("t9").cast("decimal(20,9)")).cast("double").alias("s")
+    )
+    tot = sh.agg(
+        F.sum(F.col("s").cast("decimal(20,9)")).cast("double").alias("ts")
+    )
+    return (
+        sh.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("s"), 6).alias("shapley_value"),
+            F.round(F.col("s") / F.col("ts"), 6).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@REGISTRY.register(
+    "x89_price_index_fisher",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey AS pk, year(CAST(l_shipdate AS DATE)) AS y,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT b.y AS year_base, t.y AS year_curr,
+             CAST(b.q AS DOUBLE) AS qb, CAST(t.q AS DOUBLE) AS qt,
+             CAST(b.rev AS DOUBLE) / CAST(b.q AS DOUBLE) AS pb,
+             CAST(t.rev AS DOUBLE) / CAST(t.q AS DOUBLE) AS pt
+      FROM py b JOIN py t ON t.pk = b.pk AND t.y = b.y + 1
+      WHERE b.q > 0 AND t.q > 0
+    ),
+    agg AS (
+      SELECT year_base, year_curr,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(round(pt * qb, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS ptqb,
+             CAST(SUM(CAST(round(pb * qb, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS pbqb,
+             CAST(SUM(CAST(round(pt * qt, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS ptqt,
+             CAST(SUM(CAST(round(pb * qt, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS pbqt
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT year_base, year_curr, n_parts,
+           round(ptqb / pbqb, 6) AS laspeyres,
+           round(ptqt / pbqt, 6) AS paasche,
+           round(sqrt((ptqb / pbqb) * (ptqt / pbqt)), 6) AS fisher
+    FROM agg ORDER BY year_base
+    """,
+    doc="Year-over-year Laspeyres / Paasche / Fisher price indices over "
+    "the part basket — the bilateral index-number trio every pricing "
+    "and national-accounts system reports (Laspeyres weights by the "
+    "BASE year's basket and overstates inflation under substitution; "
+    "Paasche by the CURRENT basket and understates it; Fisher is "
+    "their geometric mean, the 'ideal' index satisfying the time-"
+    "reversal test — and the one x59's elasticity estimates should "
+    "be deflated by): part-year unit values come from one DECIMAL-"
+    "exact rollup of the fact, consecutive years join on partkey "
+    "(parts absent from either year drop out, the matched-model "
+    "convention), and the four cross-products fold at 9 dp into "
+    "DECIMAL sums before the exact ratios. Plan: one part-year "
+    "combiner agg is the corpus-scale exchange; the self-join runs "
+    "at part-year grain (|parts| x |years| rows, co-partitioned on "
+    "pk); the index table is |years|-row arithmetic.",
+    tags=("extended", "economics", "price-index", "fisher"),
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year(F.col("l_shipdate").cast("date")).alias("y"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    b = py.select(
+        F.col("pk"),
+        F.col("y").alias("year_base"),
+        F.col("q").cast("double").alias("qb"),
+        (F.col("rev").cast("double") / F.col("q").cast("double")).alias(
+            "pb"
+        ),
+    ).filter(F.col("qb") > 0)
+    tcur = py.select(
+        F.col("pk").alias("pk2"),
+        F.col("y").alias("year_curr"),
+        F.col("q").cast("double").alias("qt"),
+        (F.col("rev").cast("double") / F.col("q").cast("double")).alias(
+            "pt"
+        ),
+    ).filter(F.col("qt") > 0)
+    pairs = b.join(
+        tcur,
+        (F.col("pk") == F.col("pk2"))
+        & (F.col("year_curr") == F.col("year_base") + 1),
+    )
+    d9 = lambda e: F.sum(F.round(e, 9).cast("decimal(24,9)")).cast("double")
+    agg = pairs.groupBy("year_base", "year_curr").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        d9(F.col("pt") * F.col("qb")).alias("ptqb"),
+        d9(F.col("pb") * F.col("qb")).alias("pbqb"),
+        d9(F.col("pt") * F.col("qt")).alias("ptqt"),
+        d9(F.col("pb") * F.col("qt")).alias("pbqt"),
+    )
+    lasp = F.col("ptqb") / F.col("pbqb")
+    paas = F.col("ptqt") / F.col("pbqt")
+    return agg.select(
+        F.col("year_base").cast("long").alias("year_base"),
+        F.col("year_curr").cast("long").alias("year_curr"),
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("year_base")
+
+
+@REGISTRY.register(
+    "x90_eoq_policy",
+    oracle="""
+    WITH yrs AS (
+      SELECT CAST(COUNT(DISTINCT year(CAST(l_shipdate AS DATE)))
+                  AS BIGINT) AS ny
+      FROM lineitem
+    ),
+    dem AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    pol AS (
+      SELECT p.p_brand AS brand,
+             round(sqrt(2 * (CAST(d.qty AS DOUBLE) / y.ny) * 100
+                        / (0.2 * p.p_retailprice)), 9) AS eoq9,
+             round(sqrt((CAST(d.qty AS DOUBLE) / y.ny)
+                        * 0.2 * p.p_retailprice / 200), 9) AS ord9,
+             round(sqrt(2 * (CAST(d.qty AS DOUBLE) / y.ny) * 100
+                        * 0.2 * p.p_retailprice), 9) AS cost9
+      FROM dem d
+      JOIN part p ON p.p_partkey = d.pk
+      CROSS JOIN yrs y
+      WHERE p.p_retailprice > 0
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(eoq9 AS DECIMAL(24,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_eoq,
+           round(CAST(SUM(CAST(ord9 AS DECIMAL(24,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_orders_per_year,
+           round(CAST(SUM(CAST(cost9 AS DECIMAL(24,9))) AS DOUBLE), 6)
+               AS total_annual_cost
+    FROM pol GROUP BY 1 ORDER BY 1
+    """,
+    doc="Economic-order-quantity policy table per brand — the classical "
+    "inventory-optimization layer on top of x85's ABC-XYZ "
+    "classification (ABC-XYZ says WHICH parts to automate; EOQ says "
+    "HOW MUCH to order): annual demand D per part from one "
+    "DECIMAL-exact fact rollup divided by the observed year count, "
+    "ordering cost S = 100 and holding cost H = 20% of retail price "
+    "as declared policy constants, then the Wilson formulas EOQ = "
+    "sqrt(2DS/H), orders/year = sqrt(DH/2S), and optimal annual cost "
+    "= sqrt(2DSH) — each rounded at 9 dp (sqrt is the only libm "
+    "call) before brand-level DECIMAL folds. Plan: one part-grain "
+    "combiner agg over the fact is the corpus-scale exchange; the "
+    "part dimension joins broadcast; the policy table is "
+    "|brands|-row. At 100 TB nothing else scales.",
+    tags=("extended", "inventory", "eoq", "ops", "optimization"),
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    yrs = li.agg(
+        F.countDistinct(F.year(F.col("l_shipdate").cast("date"))).alias(
+            "ny"
+        )
+    )
+    dem = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    d = F.col("qty").cast("double") / F.col("ny")
+    h = 0.2 * F.col("p_retailprice")
+    pol = (
+        dem.join(F.broadcast(p), F.col("p_partkey") == F.col("pk"))
+        .crossJoin(F.broadcast(yrs))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.sqrt(2 * d * 100 / h), 9).alias("eoq9"),
+            F.round(F.sqrt(d * h / 200), 9).alias("ord9"),
+            F.round(F.sqrt(2 * d * 100 * h), 9).alias("cost9"),
+        )
+    )
+    dmean = lambda c: (
+        F.sum(F.col(c).cast("decimal(24,9)")).cast("double") / F.count("*")
+    )
+    return (
+        pol.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(dmean("eoq9"), 6).alias("mean_eoq"),
+            F.round(dmean("ord9"), 6).alias("mean_orders_per_year"),
+            F.round(
+                F.sum(F.col("cost9").cast("decimal(24,9)")).cast("double"),
+                6,
+            ).alias("total_annual_cost"),
+        )
+        .orderBy("brand")
+    )

@@ -1132,3 +1132,148 @@ def mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# mm13 audio framing constants: 25 ms frames / 10 ms hop (the standard
+# STFT front-end), rates chosen so both are integer sample counts.
+_MM13_RATES = (8000, 16000, 32000)  # checksum % 3 picks one
+_MM13_BATCH_FRAMES = 3000           # frames per training batch window
+
+
+@REGISTRY.register(
+    "mm13_audio_frame_plan",
+    oracle=f"""
+    WITH chk AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))),
+                        'sum') AS BIGINT) AS checksum
+      FROM documents
+    ),
+    meta AS (
+      SELECT source,
+             CASE checksum % 3 WHEN 0 THEN {_MM13_RATES[0]}
+                  WHEN 1 THEN {_MM13_RATES[1]}
+                  ELSE {_MM13_RATES[2]} END AS rate,
+             500 + checksum % 60000 AS dur_ms
+      FROM chk
+    ),
+    frames AS (
+      SELECT source, rate, dur_ms,
+             dur_ms * rate // 1000 AS n_samples,
+             rate * 25 // 1000 AS frame,
+             rate * 10 // 1000 AS hop
+      FROM meta
+    ),
+    plan AS (
+      SELECT source, dur_ms, n_samples,
+             CASE WHEN n_samples >= frame
+                  THEN (n_samples - frame) // hop + 1 ELSE 0 END AS n_frames,
+             CASE WHEN n_samples >= frame
+                  THEN n_samples - (((n_samples - frame) // hop) * hop
+                                    + frame)
+                  ELSE n_samples END AS tail_samples
+      FROM frames
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           round(CAST(SUM(dur_ms) AS DOUBLE) / COUNT(*) / 1000, 6)
+               AS mean_duration_s,
+           round(CAST(SUM(tail_samples) AS DOUBLE) / SUM(n_samples), 6)
+               AS tail_drop_share,
+           CAST((SUM(n_frames) + {_MM13_BATCH_FRAMES} - 1)
+                // {_MM13_BATCH_FRAMES} AS BIGINT) AS n_batches
+    FROM plan GROUP BY 1 ORDER BY 1
+    """,
+    doc="Audio STFT framing plan per source (25 ms window / 10 ms hop — "
+    "the universal speech front-end; mm11 is the image twin): each "
+    "payload's decode-stub checksum deterministically fakes a sample "
+    "rate (8/16/32 kHz — rates chosen so frame and hop are EXACT "
+    "integer sample counts) and duration, then the plan reports total "
+    "frames, the tail-sample share the frame grid drops (the "
+    "pad-vs-drop budget decision), and the training-batch count at "
+    f"{_MM13_BATCH_FRAMES} frames/batch. Every plan decision is "
+    "integer arithmetic (// throughout — no FP in frame counts); the "
+    "two FP shares cross the usual DECIMAL/9-dp barrier. Plan: decode "
+    "stub (mapInPandas Arrow batches, mm02's kernel — a real "
+    "deployment plugs libsndfile/ffprobe into _fake_decode and the "
+    "framing arithmetic is unchanged) -> map-only per-asset plan -> "
+    "one |sources|-row combiner agg; payload bytes never shuffle. At "
+    "100 TB the actual STFT runs as mapInPandas over the binary "
+    "column with THIS table as its shuffle-free budget.",
+    tags=("multimodal", "audio", "stft", "framing", "plan"),
+)
+def mm13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    meta = decode_media(staged).select("doc_id", "checksum")
+    src = docs.select("doc_id", "source")
+    r0, r1, r2 = _MM13_RATES
+    rate = (
+        F.when(F.col("checksum") % 3 == 0, r0)
+        .when(F.col("checksum") % 3 == 1, r1)
+        .otherwise(r2)
+    )
+    frames = (
+        meta.join(src, "doc_id")
+        .select(
+            "source",
+            rate.alias("rate"),
+            (500 + F.col("checksum") % 60000).alias("dur_ms"),
+        )
+        .select(
+            "source",
+            "dur_ms",
+            F.expr("CAST(dur_ms * rate DIV 1000 AS BIGINT)").alias(
+                "n_samples"
+            ),
+            F.expr("CAST(rate * 25 DIV 1000 AS BIGINT)").alias("frame"),
+            F.expr("CAST(rate * 10 DIV 1000 AS BIGINT)").alias("hop"),
+        )
+    )
+    nf = F.expr("CAST((n_samples - frame) DIV hop + 1 AS BIGINT)")
+    plan = frames.select(
+        "source",
+        "dur_ms",
+        "n_samples",
+        F.when(F.col("n_samples") >= F.col("frame"), nf)
+        .otherwise(F.lit(0))
+        .alias("n_frames"),
+        F.when(
+            F.col("n_samples") >= F.col("frame"),
+            F.col("n_samples")
+            - (
+                F.expr("CAST((n_samples - frame) DIV hop AS BIGINT)")
+                * F.col("hop")
+                + F.col("frame")
+            ),
+        )
+        .otherwise(F.col("n_samples"))
+        .alias("tail_samples"),
+    )
+    bf = _MM13_BATCH_FRAMES
+    return (
+        plan.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.round(
+                F.sum("dur_ms").cast("double") / F.count("*") / 1000, 6
+            ).alias("mean_duration_s"),
+            F.round(
+                F.sum("tail_samples").cast("double") / F.sum("n_samples"), 6
+            ).alias("tail_drop_share"),
+            F.expr(
+                f"CAST((sum(n_frames) + {bf} - 1) DIV {bf} AS BIGINT)"
+            ).alias("n_batches"),
+        )
+        .orderBy("source")
+    )

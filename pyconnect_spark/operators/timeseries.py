@@ -5580,3 +5580,190 @@ def ts65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("phi22"), 6).alias("pacf_2"),
         F.round(phi33, 6).alias("pacf_3"),
     )
+
+
+@REGISTRY.register(
+    "ts66_variance_ratio",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT event_type,
+             x - lag(x, 1) OVER w AS d1,
+             x - lag(x, 5) OVER w AS d5
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(d5) AS BIGINT) AS n_q,
+             round(var_samp(d1), 9) AS v1,
+             round(var_samp(d5), 9) AS v5
+      FROM diffs GROUP BY 1
+    )
+    SELECT event_type, n_q,
+           round(v5 / (5 * v1), 6) AS vr_5,
+           round((v5 / (5 * v1) - 1)
+                 / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n_q)), 6)
+               AS z_stat
+    FROM m
+    """,
+    doc="Lo-MacKinlay variance-ratio test (q=5) on daily volume per "
+    "series — the random-walk diagnostic BETWEEN ts64's Hurst "
+    "exponent (global memory) and ts28's ACF (single lags): under an "
+    "uncorrelated-increments null the variance of 5-day differences "
+    "is exactly 5x the 1-day variance, so VR(5) > 1 reads as "
+    "momentum, < 1 as mean reversion, with the homoscedastic normal "
+    "z = (VR-1)/sqrt(2(2q-1)(q-1)/(3qn)). Both difference series "
+    "come from ONE (type)-partitioned lag window over the daily "
+    "rollup; var_samp is a moment aggregate rounded at 9 dp (the "
+    "cross-engine barrier) before the exact-arithmetic ratio and z. "
+    "Plan: one daily-count exchange, one partitioned window, a k-row "
+    "agg — ts28's cost envelope exactly.",
+    tags=("timeseries", "variance-ratio", "random-walk", "stats"),
+)
+def ts66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", 5).over(w)).alias("d5"),
+    )
+    m = diffs.groupBy("event_type").agg(
+        F.count("d5").alias("n_q"),
+        F.round(F.var_samp("d1"), 9).alias("v1"),
+        F.round(F.var_samp("d5"), 9).alias("v5"),
+    )
+    vr = F.col("v5") / (5 * F.col("v1"))
+    se = F.sqrt(
+        F.lit(2.0 * (2 * 5 - 1) * (5 - 1)) / (F.lit(3.0 * 5) * F.col("n_q"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n_q").cast("long").alias("n_q"),
+        F.round(vr, 6).alias("vr_5"),
+        F.round((vr - 1) / se, 6).alias("z_stat"),
+    )
+
+
+@REGISTRY.register(
+    "ts67_acf_significance",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+             lag(n, 7) OVER w AS l7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    wide AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             round(corr(n, l1), 9) AS r1, round(corr(n, l2), 9) AS r2,
+             round(corr(n, l3), 9) AS r3, round(corr(n, l4), 9) AS r4,
+             round(corr(n, l5), 9) AS r5, round(corr(n, l6), 9) AS r6,
+             round(corr(n, l7), 9) AS r7
+      FROM lagged GROUP BY 1
+    ),
+    tall AS (
+      SELECT event_type, n_days, l.lag,
+             CASE l.lag WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+                  WHEN 4 THEN r4 WHEN 5 THEN r5 WHEN 6 THEN r6
+                  ELSE r7 END AS r9
+      FROM wide CROSS JOIN
+           (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+    ),
+    banded AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, r9,
+             round(sqrt((1 + 2 * COALESCE(SUM(r9 * r9) OVER
+                 (PARTITION BY event_type ORDER BY lag
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                 / n_days), 9) AS se9
+      FROM tall
+    )
+    SELECT event_type, lag,
+           round(r9, 6) AS acf,
+           round(se9, 6) AS bartlett_se,
+           abs(r9) > 1.96 * se9 AS significant
+    FROM banded ORDER BY event_type, lag
+    """,
+    doc="ACF significance table (lags 1-7) with Bartlett's growing "
+    "standard error — the piece ts28's raw ACF and ts54's portmanteau "
+    "Ljung-Box both omit: WHICH individual lags are significant, "
+    "under the correct null band se_k = sqrt((1 + 2*sum_{j<k} "
+    "r_j^2)/n) that widens as earlier autocorrelation accumulates "
+    "(the naive 1/sqrt(n) band over-flags once lag-1 momentum "
+    "exists). The 7 lagged copies come from ONE (type)-partitioned "
+    "window pass; corr moments round at 9 dp (the barrier) before "
+    "the unpivot, and the cumulative r^2 prefix runs over the "
+    "(type)-partitioned 5x7 frame. Plan: one daily-count exchange, "
+    "one lag window, a k-row agg, then constant-size reshaping — "
+    "ts28's exact cost envelope with the decision column added.",
+    tags=("timeseries", "acf", "bartlett", "significance", "stats"),
+)
+def ts67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    wide = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        *[
+            F.round(F.corr("n", f"l{k}"), 9).alias(f"r{k}")
+            for k in range(1, 8)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, r{k}" for k in range(1, 8))
+    tall = wide.select(
+        "event_type",
+        "n_days",
+        F.expr(f"stack(7, {stack_args}) AS (lag, r9)"),
+    ).select("event_type", "n_days", F.col("lag").cast("long").alias("lag"), "r9")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    banded = tall.select(
+        "event_type",
+        "lag",
+        "r9",
+        F.round(
+            F.sqrt(
+                (
+                    1
+                    + 2
+                    * F.coalesce(
+                        F.sum(F.col("r9") * F.col("r9")).over(wcum),
+                        F.lit(0.0),
+                    )
+                )
+                / F.col("n_days")
+            ),
+            9,
+        ).alias("se9"),
+    )
+    return banded.select(
+        "event_type",
+        "lag",
+        F.round("r9", 6).alias("acf"),
+        F.round("se9", 6).alias("bartlett_se"),
+        (F.abs(F.col("r9")) > 1.96 * F.col("se9")).alias("significant"),
+    ).orderBy("event_type", "lag")

@@ -1666,3 +1666,79 @@ def test_sm39_levels_are_broadcast_query_takeordered(spark):
     text = explain_str(df)
     assert "TakeOrderedAndProject" in text
     assert "CartesianProduct" not in text
+
+
+def test_ts66_one_partitioned_lag_window(spark):
+    # both difference series ride ONE (event_type)-partitioned window
+    # over the daily rollup; the VR/z arithmetic is a k-row agg
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts66_variance_ratio"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 1
+
+
+def test_x88_single_user_grain_exchange(spark):
+    # one user-grain combiner agg over the fact; the 8-row mask rollup
+    # is checkpoint-pinned (it feeds v0, v1 AND the total fold — an
+    # unpinned lineage re-scanned the fact once per consumer), so the
+    # fact appears at most once and every downstream join broadcasts
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x88_shapley_attribution"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") <= 1
+    assert "Scan ExistingRDD" in text  # the pinned mask rollup
+
+
+def test_x89_partyear_rollup_copartitioned_selfjoin(spark):
+    # one part-year DECIMAL rollup of the fact; the consecutive-year
+    # join runs at part-year grain; no window anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x89_price_index_fisher"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_mm13_decode_stub_then_source_agg(spark):
+    # framing plan: mapInPandas decode stub -> map-only integer plan ->
+    # one |sources|-row agg; payload bytes never shuffle
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["mm13_audio_frame_plan"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" in text
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_ts67_one_lag_window_partitioned(spark):
+    # seven lagged copies from ONE (type)-partitioned window; the
+    # cumulative Bartlett prefix also partitions by type
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts67_acf_significance"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 1
+
+
+def test_x90_partgrain_rollup_broadcast_dim(spark):
+    # one part-grain combiner agg over the fact; part dimension and the
+    # 1-row year count broadcast; no window anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x90_eoq_policy"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("lineitem.parquet") == 2  # demand rollup + year count

@@ -218,3 +218,142 @@ def test_ts65_matches_pandas_durbin_levinson(spark):
         assert abs(row["acf_1"] - r[0]) < 1e-5
         assert abs(row["pacf_2"] - phi22) < 1e-5
         assert abs(row["pacf_3"] - phi33) < 1e-5
+
+
+def test_ts66_matches_pandas_variance_ratio(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = {
+        r["event_type"]: r.asDict()
+        for r in get("ts66_variance_ratio").builder(spark, SF).collect()
+    }
+    for etype, sub in ev.groupby("event_type"):
+        x = sub.groupby("day").size().astype(float).sort_index()
+        d1 = (x - x.shift(1)).dropna()
+        d5 = (x - x.shift(5)).dropna()
+        vr = d5.var(ddof=1) / (5 * d1.var(ddof=1))
+        n = len(d5)
+        z = (vr - 1) / np.sqrt(2.0 * 9 * 4 / (15.0 * n))
+        row = got[etype]
+        assert row["n_q"] == n
+        assert abs(row["vr_5"] - vr) < 1e-5
+        assert abs(row["z_stat"] - z) < 1e-4
+
+
+def test_x88_shapley_efficiency_and_textbook_values(spark):
+    import itertools
+    import math
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    u = ev.groupby("user_id")["event_type"].agg(set)
+    conv = u.map(lambda s: "purchase" in s)
+    chans = ["view", "click", "signup"]
+    mask = u.map(
+        lambda s: sum((1 << i) for i, c in enumerate(chans) if c in s)
+    )
+    df = pd.DataFrame({"m": mask, "conv": conv})
+    v = df.groupby("m")["conv"].mean().to_dict()  # missing masks -> 0
+
+    def val(m):
+        return round(v.get(m, 0.0), 9)
+
+    k = len(chans)
+    ref = {}
+    for i, c in enumerate(chans):
+        bit = 1 << i
+        s = 0.0
+        for r in range(k):
+            for sub in itertools.combinations(
+                [b for b in range(k) if b != i], r
+            ):
+                sm = sum(1 << b for b in sub)
+                w = (
+                    math.factorial(r)
+                    * math.factorial(k - r - 1)
+                    / math.factorial(k)
+                )
+                s += w * (val(sm + bit) - val(sm))
+        ref[c] = s
+    got = {
+        r["channel"]: r.asDict()
+        for r in get("x88_shapley_attribution").builder(spark, SF).collect()
+    }
+    for c in chans:
+        assert abs(got[c]["shapley_value"] - ref[c]) < 1e-5
+    # efficiency: sum of Shapley values = v(grand) - v(empty)
+    total = sum(ref.values())
+    assert abs(total - (val(7) - val(0))) < 1e-6
+
+
+def test_x89_matches_pandas_price_indices(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["y"] = pd.to_datetime(li["l_shipdate"]).dt.year
+    py = li.groupby(["l_partkey", "y"]).agg(
+        q=("l_quantity", "sum"), rev=("l_extendedprice", "sum")
+    )
+    py = py[py.q > 0]
+    py["p"] = py.rev / py.q
+    got = {
+        int(r["year_base"]): r.asDict()
+        for r in get("x89_price_index_fisher").builder(spark, SF).collect()
+    }
+    years = sorted(py.index.get_level_values("y").unique())
+    for yb in years[:-1]:
+        b = py.xs(yb, level="y")
+        t2 = py.xs(yb + 1, level="y")
+        j = b.join(t2, lsuffix="_b", rsuffix="_t", how="inner")
+        if not len(j):
+            continue
+        lasp = (j.p_t * j.q_b).sum() / (j.p_b * j.q_b).sum()
+        paas = (j.p_t * j.q_t).sum() / (j.p_b * j.q_t).sum()
+        row = got[yb]
+        assert row["n_parts"] == len(j)
+        assert abs(row["laspeyres"] - lasp) < 1e-4
+        assert abs(row["paasche"] - paas) < 1e-4
+        assert abs(row["fisher"] - np.sqrt(lasp * paas)) < 1e-4
+
+
+def test_ts67_matches_pandas_bartlett_bands(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    got = {
+        (r["event_type"], r["lag"]): r.asDict()
+        for r in get("ts67_acf_significance").builder(spark, SF).collect()
+    }
+    for etype, sub in ev.groupby("event_type"):
+        x = sub.groupby("day").size().astype(float).sort_index()
+        n = len(x)
+        rs = [round(x.corr(x.shift(k)), 9) for k in range(1, 8)]
+        cum = 0.0
+        for k in range(1, 8):
+            se = np.sqrt((1 + 2 * cum) / n)
+            row = got[(etype, k)]
+            assert abs(row["acf"] - rs[k - 1]) < 1e-5
+            assert abs(row["bartlett_se"] - se) < 1e-5
+            assert row["significant"] == (abs(rs[k - 1]) > 1.96 * round(se, 9))
+            cum += rs[k - 1] ** 2
+
+
+def test_x90_matches_wilson_formulas(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    ny = pd.to_datetime(li["l_shipdate"]).dt.year.nunique()
+    dem = li.groupby("l_partkey")["l_quantity"].sum()
+    j = part.set_index("p_partkey").join(dem.rename("qty"), how="inner")
+    j = j[j.p_retailprice > 0]
+    d = j.qty / ny
+    h = 0.2 * j.p_retailprice
+    j["eoq"] = np.sqrt(2 * d * 100 / h)
+    j["cost"] = np.sqrt(2 * d * 100 * h)
+    ref = j.groupby("p_brand").agg(
+        n=("eoq", "size"), mean_eoq=("eoq", "mean"), tot=("cost", "sum")
+    )
+    got = {
+        r["brand"]: r.asDict()
+        for r in get("x90_eoq_policy").builder(spark, SF).collect()
+    }
+    for brand, row in ref.iterrows():
+        g = got[brand]
+        assert g["n_parts"] == row.n
+        assert abs(g["mean_eoq"] - row.mean_eoq) < 1e-4
+        assert abs(g["total_annual_cost"] - row.tot) < 1e-3

@@ -75,6 +75,14 @@ def replicate(spark) -> None:
             out = out.unionAll(p)
         out.write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet")
         print(f"replicated {tbl} x{COPIES}")
+    # small dims pass through unreplicated (FKs above keep pointing at
+    # the same 25 nations / 5 regions / suppliers — "more facts, same
+    # dimensions", which is also what a real 100 TB star looks like)
+    for tbl in ("nation", "region", "supplier"):
+        load_table(spark, SF, tbl).write.mode("overwrite").parquet(
+            f"{OUT}/{tbl}.parquet"
+        )
+        print(f"copied {tbl} (dimension, unreplicated)")
 
 
 def measure(spark, names: list[str]) -> None:
