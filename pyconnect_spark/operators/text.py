@@ -4435,3 +4435,116 @@ def tx54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx55_jsd_source_matrix",
+    oracle=r"""
+    WITH words AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM words GROUP BY source, word
+    ),
+    stot AS (SELECT source, SUM(n) AS ns FROM sw GROUP BY source),
+    p AS (
+      SELECT s.source, s.word, s.n / t.ns AS p
+      FROM sw s JOIN stot t USING (source)
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common_vocab,
+             SUM(a.p) AS pc, SUM(b.p) AS qc,
+             SUM(a.p * log2(2 * a.p / (a.p + b.p))) AS ja,
+             SUM(b.p * log2(2 * b.p / (a.p + b.p))) AS jb
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common_vocab,
+           round(0.5 * (ja + (1 - pc)) + 0.5 * (jb + (1 - qc)), 6)
+               AS jsd_bits,
+           round(0.5 * (pc + qc), 6) AS common_mass
+    FROM pairs
+    ORDER BY jsd_bits, source_a, source_b
+    """,
+    doc="Pairwise Jensen-Shannon divergence matrix between source "
+    "unigram distributions (bits) — the symmetric, bounded "
+    "source-vs-source redundancy measure completing the provenance "
+    "family (tx36: each source vs the corpus MIX; dd36: literal "
+    "near-dup copies; this: distributional closeness even when no "
+    "document is shared — the signal that two crawls covered the "
+    "same domain). The union-support sum splits exactly: words in "
+    "BOTH sources contribute p*log2(2p/(p+q)) via an equi-join on "
+    "word, and each word in only ONE source contributes 0.5*p "
+    "analytically (log2(2p/p) = 1), so the inner join plus the "
+    "closed-form (1 - common-mass) correction IS the exact JSD — no "
+    "full-outer join, no smoothing, no dense vocab cross. Double "
+    "sums round at 6 dp (tx36's convention, far above accumulation "
+    "noise). Plan: ONE token explode -> (source, word) combiner agg; "
+    "the pair join carries (source x vocab) rows keyed on word — at "
+    "100 TB that is vocab-bounded, orders below the token stream — "
+    "and the matrix is |sources|^2/2 rows.",
+    tags=("text", "llm", "jsd", "provenance", "distribution"),
+)
+def tx55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    sw = words.groupBy("source", "word").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    stot = sw.groupBy("source").agg(F.sum("n").alias("ns"))
+    # pin the (source, word, p) frame: BOTH sides of the pair join read
+    # it — unpinned lineage would re-run the token explode per side
+    p = (
+        sw.join(stot, "source")
+        .select("source", "word", (F.col("n") / F.col("ns")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    a = p.select(
+        F.col("source").alias("source_a"),
+        F.col("word"),
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        F.col("word").alias("word_b"),
+        F.col("p").alias("pb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("word") == F.col("word_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common_vocab"),
+            F.sum("pa").alias("pc"),
+            F.sum("pb").alias("qc"),
+            F.sum(
+                F.col("pa")
+                * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+            ).alias("ja"),
+            F.sum(
+                F.col("pb")
+                * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("jb"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_common_vocab",
+        F.round(
+            0.5 * (F.col("ja") + (1 - F.col("pc")))
+            + 0.5 * (F.col("jb") + (1 - F.col("qc"))),
+            6,
+        ).alias("jsd_bits"),
+        F.round(0.5 * (F.col("pc") + F.col("qc")), 6).alias("common_mass"),
+    ).orderBy("jsd_bits", "source_a", "source_b")

@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~325 declared queries the whole surface re-verifies every ~6
+with ~326 declared queries the whole surface re-verifies every ~6
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -179,6 +179,8 @@ _DECLARED_IN_ROUND = {
     # round 8, ninth wave
     "mm13_audio_frame_plan": 41, "ts67_acf_significance": 41,
     "x90_eoq_policy": 41,
+    # round 8, tenth wave
+    "tx55_jsd_source_matrix": 42,
 }
 
 

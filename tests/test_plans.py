@@ -1742,3 +1742,18 @@ def test_x90_partgrain_rollup_broadcast_dim(spark):
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
     assert text.count("lineitem.parquet") == 2  # demand rollup + year count
+
+
+def test_tx55_pair_join_on_word_not_cross(spark):
+    # ONE token explode -> (source, word) agg; the pair join keys on
+    # word (vocab-bounded), never a dense source x vocab cross
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx55_jsd_source_matrix"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    # the (source, word, p) frame is checkpoint-pinned: both pair-join
+    # sides read it, so the token explode happens exactly once
+    assert text.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in text

@@ -183,3 +183,35 @@ def test_sm39_matches_numpy_quantized_ranking(spark):
         ref_overlap = len(set(top10(bits)) & exact)
         assert got[bits]["n_overlap"] == ref_overlap
         assert abs(got[bits]["recall_at_10"] - ref_overlap / 10) < 1e-9
+
+
+def test_tx55_matches_scipy_free_jsd(spark):
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    dists = {}
+    for src, sub in docs.groupby("source"):
+        c = Counter()
+        for text in sub["text"]:
+            c.update(re.split(r"\s+", text.strip()))
+        tot = sum(c.values())
+        dists[src] = {w: n / tot for w, n in c.items()}
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in get("tx55_jsd_source_matrix").builder(spark, SF).collect()
+    }
+    srcs = sorted(dists)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            p, q = dists[sa], dists[sb]
+            jsd = 0.0
+            for w in set(p) | set(q):
+                pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+                m = (pw + qw) / 2
+                if pw > 0:
+                    jsd += 0.5 * pw * np.log2(pw / m)
+                if qw > 0:
+                    jsd += 0.5 * qw * np.log2(qw / m)
+            row = got[(sa, sb)]
+            assert abs(row["jsd_bits"] - jsd) < 1e-5
+            assert row["n_common_vocab"] == len(set(p) & set(q))
