@@ -4150,3 +4150,182 @@ def dd39(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate_theory"),
     )
+
+
+@REGISTRY.register(
+    "dd40_keep_rule_agreement",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             md5(substr(text, 1, 100)) AS grp,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 100))
+                                ORDER BY n_chars DESC, doc_id) AS rk_long,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 100))
+                                ORDER BY doc_id) AS rk_first,
+             COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 100)))
+                 AS n_dups
+      FROM documents
+    ),
+    clusters AS (
+      SELECT grp, MAX(n_dups) AS cluster_size,
+             MAX(CASE WHEN rk_long = 1 THEN doc_id END) AS id_long,
+             MAX(CASE WHEN rk_long = 1 THEN n_chars END) AS chars_long,
+             MAX(CASE WHEN rk_first = 1 THEN doc_id END) AS id_first,
+             MAX(CASE WHEN rk_first = 1 THEN n_chars END) AS chars_first
+      FROM g WHERE n_dups > 1 GROUP BY grp
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN id_long = id_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(SUM(CASE WHEN id_long = id_first THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS agree_rate,
+           round(SUM(chars_long) * 1.0 / COUNT(*), 6) AS mean_chars_longest,
+           round(SUM(chars_first) * 1.0 / COUNT(*), 6) AS mean_chars_first
+    FROM clusters
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Retention-policy A/B audit over dd06's duplicate clusters "
+    "(md5 of the first 100 chars, n_dups > 1): for every cluster, "
+    "compute the survivor under keep-LONGEST (dd06's production rule: "
+    "n_chars DESC, doc_id tiebreak) and under keep-FIRST (min doc_id, "
+    "the rule most incremental pipelines get by accident because the "
+    "earliest crawl wins), then report per-cluster-size agreement "
+    "rates and the kept-chars delta — the audit that tells a pipeline "
+    "owner whether the cheap rule silently discards longer (higher-"
+    "value) variants before they switch it. All counts/chars are "
+    "exact integers; the only doubles are final single-expression "
+    "ratios rounded at 6 dp. Plan: one shuffle keyed on the 16-byte "
+    "fingerprint (both row_numbers and the cluster pivot share the "
+    "grp partitioning — documents never re-shuffle), then a "
+    "|clusters|-row agg to the <=|sizes|-row result. At 100 TB this "
+    "is dd06's exact cost profile: the exchange carries (doc_id, "
+    "n_chars, grp), never text.",
+    tags=("dedup", "llm", "canonical", "policy"),
+)
+def dd40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.substring("text", 1, 100)).alias("grp")
+    )
+    w = Window.partitionBy("grp")
+    enriched = docs.select(
+        "doc_id",
+        "n_chars",
+        "grp",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk_long"),
+        F.row_number().over(w.orderBy(F.asc("doc_id"))).alias("rk_first"),
+        F.count("*").over(w).alias("n_dups"),
+    )
+    pick = lambda rk, col: F.max(F.when(F.col(rk) == 1, F.col(col)))
+    clusters = (
+        enriched.filter(F.col("n_dups") > 1)
+        .groupBy("grp")
+        .agg(
+            F.max("n_dups").alias("cluster_size"),
+            pick("rk_long", "doc_id").alias("id_long"),
+            pick("rk_long", "n_chars").alias("chars_long"),
+            pick("rk_first", "doc_id").alias("id_first"),
+            pick("rk_first", "n_chars").alias("chars_first"),
+        )
+    )
+    agree = F.when(F.col("id_long") == F.col("id_first"), 1).otherwise(0)
+    return (
+        clusters.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(agree).cast("long").alias("n_agree"),
+            F.round(F.sum(agree) * 1.0 / F.count("*"), 6).alias("agree_rate"),
+            F.round(F.sum("chars_long") * 1.0 / F.count("*"), 6).alias(
+                "mean_chars_longest"
+            ),
+            F.round(F.sum("chars_first") * 1.0 / F.count("*"), 6).alias(
+                "mean_chars_first"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@REGISTRY.register(
+    "dd41_dup_mass_by_source",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 100))
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 100)))
+                 AS n_dups
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_dups > 1 AND rk > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_docs,
+           CAST(SUM(CASE WHEN n_dups > 1 AND rk > 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS dup_chars,
+           round(SUM(CASE WHEN n_dups > 1 AND rk > 1 THEN n_chars
+                          ELSE 0 END) * 1.0 / SUM(n_chars), 6)
+               AS dup_char_share
+    FROM g
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Duplicate-mass attribution by source: under dd06's clusters "
+    "(md5 of the first 100 chars) and its keep-longest survivor rule, "
+    "charge every NON-survivor's characters to the source that "
+    "contributed it — the bytes-saved-by-dedup ledger a pipeline "
+    "owner reads to decide which crawl to re-negotiate (dd17 counts "
+    "docs through the funnel; this weighs them, because a source "
+    "whose dups are its LONGEST docs loses more training mass than "
+    "doc counts suggest). Clusters span sources; the survivor is "
+    "global, losers attribute to their own source. All counts/chars "
+    "exact integers; one final ratio rounded at 6 dp. Plan: one "
+    "shuffle keyed on the 16-byte fingerprint for the two windows, "
+    "then a |sources|-row agg — dd06's cost profile exactly; text "
+    "never shuffles.",
+    tags=("dedup", "llm", "provenance", "governance"),
+)
+def dd41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.substring("text", 1, 100)).alias("grp"),
+    )
+    w = Window.partitionBy("grp")
+    g = docs.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+        F.count("*").over(w).alias("n_dups"),
+    )
+    is_loser = (F.col("n_dups") > 1) & (F.col("rk") > 1)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(is_loser, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum(F.when(is_loser, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.round(
+                F.sum(F.when(is_loser, F.col("n_chars")).otherwise(0))
+                * 1.0
+                / F.sum("n_chars"),
+                6,
+            ).alias("dup_char_share"),
+        )
+        .orderBy("source")
+    )

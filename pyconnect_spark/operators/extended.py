@@ -5703,3 +5703,205 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@REGISTRY.register(
+    "x91_theil_inequality",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT n.n_name, r.x, round(r.x * ln(r.x), 9) AS xlx9
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT n_name, COUNT(*) AS ng,
+             CAST(SUM(CAST(x AS DECIMAL(20,2))) AS DOUBLE) AS xg,
+             CAST(SUM(CAST(xlx9 AS DECIMAL(30,9))) AS DOUBLE) AS sxlx
+      FROM cust GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(xg AS DECIMAL(22,2))) AS DOUBLE) AS xt,
+             SUM(ng) AS nt
+      FROM g
+    )
+    SELECT n_name, CAST(ng AS BIGINT) AS n_customers,
+           round(xg / xt, 6) AS revenue_share,
+           round(sxlx / xg - ln(xg / ng), 6) AS theil_within,
+           round((xg / xt) * (sxlx / xg - ln(xg / ng)), 6)
+               AS within_contribution,
+           round((xg / xt) * ln((xg / ng) / (xt / nt)), 6) AS between_term
+    FROM g, tot
+    ORDER BY n_name
+    """,
+    doc="Theil-T inequality decomposition of customer revenue by nation "
+    "— the additive inequality audit next to x84's Gini (Gini does not "
+    "decompose; Theil does: T = sum_g share_g*T_g + sum_g share_g*"
+    "ln(mu_g/mu) exactly, so the per-nation rows sum to the corpus "
+    "index and the between/within split attributes concentration to "
+    "geography vs within-market whales). Per-customer revenue is the "
+    "DECIMAL-exact o_totalprice rollup; the one transcendental per "
+    "customer (x*ln x) rounds at the repo's 9-dp barrier and sums as "
+    "exact DECIMAL, so both engines aggregate identical quantities in "
+    "any order; every final expression (shares, T_g = E[x ln x]/X_g - "
+    "ln mu_g, between term) is a single IEEE expression on exact "
+    "inputs. Plan: one customer-grain combiner agg over orders, "
+    "broadcast customer->nation dims, a 25-row nation rollup and a "
+    "1-row grand total crossJoined back — no window anywhere. At "
+    "100 TB the only corpus-scale exchange is the custkey rollup.",
+    tags=("extended", "finance", "inequality", "theil", "stats"),
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", "decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    cust = (
+        rev.join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            rev["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "x",
+            F.round(F.col("x") * F.log("x"), 9).alias("xlx9"),
+        )
+    )
+    # pin the 25-row nation rollup: the grand total AND the final select
+    # both read it — unpinned lineage would run the orders rollup twice
+    g = (
+        cust.groupBy("n_name")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum(dec("x", "decimal(20,2)")).cast("double").alias("xg"),
+            F.sum(dec("xlx9", "decimal(30,9)")).cast("double").alias("sxlx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(
+        F.sum(dec("xg", "decimal(22,2)")).cast("double").alias("xt"),
+        F.sum("ng").alias("nt"),
+    )
+    xg, xt, ng, nt = F.col("xg"), F.col("xt"), F.col("ng"), F.col("nt")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            ng.cast("long").alias("n_customers"),
+            F.round(xg / xt, 6).alias("revenue_share"),
+            F.round(F.col("sxlx") / xg - F.log(xg / ng), 6).alias(
+                "theil_within"
+            ),
+            F.round(
+                (xg / xt) * (F.col("sxlx") / xg - F.log(xg / ng)), 6
+            ).alias("within_contribution"),
+            F.round((xg / xt) * F.log((xg / ng) / (xt / nt)), 6).alias(
+                "between_term"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@REGISTRY.register(
+    "x92_cpk_ship_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lag) AS BIGINT) AS s,
+             CAST(SUM(lag * lag) AS BIGINT) AS sxx,
+             CAST(SUM(CASE WHEN lag > 365 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_over,
+             CAST(SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neg
+      FROM lag GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n AS n_lines,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_lag,
+           round(sqrt((sxx - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+               AS sigma_lag,
+           round((365 - CAST(s AS DOUBLE) / n)
+                 / (3 * sqrt((sxx - CAST(s AS DOUBLE) * s / n) / (n - 1))),
+                 6) AS cpu_upper,
+           round((CAST(s AS DOUBLE) / n - 0)
+                 / (3 * sqrt((sxx - CAST(s AS DOUBLE) * s / n) / (n - 1))),
+                 6) AS cpl_lower,
+           round(CAST(n_over AS DOUBLE) / n, 6) AS pct_over_usl,
+           round(CAST(n_neg AS DOUBLE) / n, 6) AS pct_below_lsl
+    FROM g
+    ORDER BY o_orderpriority
+    """,
+    doc="Process-capability audit (Cpk family) of order-to-ship lag "
+    "per order priority against a [0, 365]-day spec window: CPU = "
+    "(USL - mean)/3sigma, CPL = (mean - LSL)/3sigma, plus the "
+    "observed out-of-spec shares (lag > 365 days; lag < 0 = ship "
+    "before order, a data-integrity signal x44's audit counts "
+    "globally and this attributes to priority class). The six-sigma "
+    "complement to x83's binary SLA rate: capability indices predict "
+    "the defect rate from the distribution's shape rather than "
+    "counting breaches. Day lags are exact integers, so n / sum / "
+    "sum-of-squares agree bitwise in any order; mean, the (n-1) "
+    "sample sigma and both indices are single IEEE expressions on "
+    "those exact inputs, rounded at 6 dp. Plan: one broadcast-able "
+    "orders join (priority is order-grain), one 5-row combiner agg "
+    "over lineitem — no window, no second scan. At 100 TB the only "
+    "exchange is the map-side-combined rollup.",
+    tags=("extended", "ops", "capability", "sla", "stats"),
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    lag = li.join(
+        od.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag"
+        ),
+    )
+    g = lag.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lag").cast("long").alias("s"),
+        F.sum(F.col("lag") * F.col("lag")).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("lag") > 365, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.sum(F.when(F.col("lag") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    n, s, sxx = F.col("n"), F.col("s"), F.col("sxx")
+    mean = s.cast("double") / n
+    sigma = F.sqrt((sxx - s.cast("double") * s / n) / (n - 1))
+    return g.select(
+        "o_orderpriority",
+        n.alias("n_lines"),
+        F.round(mean, 6).alias("mean_lag"),
+        F.round(sigma, 6).alias("sigma_lag"),
+        F.round((365 - mean) / (3 * sigma), 6).alias("cpu_upper"),
+        F.round((mean - 0) / (3 * sigma), 6).alias("cpl_lower"),
+        F.round(F.col("n_over").cast("double") / n, 6).alias("pct_over_usl"),
+        F.round(F.col("n_neg").cast("double") / n, 6).alias("pct_below_lsl"),
+    ).orderBy("o_orderpriority")

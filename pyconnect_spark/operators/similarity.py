@@ -5313,3 +5313,136 @@ def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, outs).orderBy(F.desc("bits"))
+
+
+@REGISTRY.register(
+    "sm42_knn_label_agreement",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             e.vec_id AS nid, e.label AS nlabel,
+             {_ORACLE_COS} AS c
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+    ),
+    knn AS (
+      SELECT qid, qlabel, nlabel
+      FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)
+                   AS rk
+        FROM pairs
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT qid, qlabel, nlabel, COUNT(*) AS v
+      FROM knn GROUP BY 1, 2, 3
+    ),
+    winner AS (
+      SELECT qid, qlabel, nlabel AS pred,
+             row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel)
+                 AS wrk
+      FROM votes
+    ),
+    agree AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same
+      FROM knn GROUP BY 1
+    )
+    SELECT CAST(w.qlabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN w.pred = w.qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(SUM(CASE WHEN w.pred = w.qlabel THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS knn_accuracy,
+           round(SUM(a.n_same) * 1.0 / (5 * COUNT(*)), 6)
+               AS mean_neighbor_agreement
+    FROM winner w JOIN agree a USING (qid)
+    WHERE w.wrk = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Embedding-quality audit via leave-one-out 5-NN label "
+    "agreement: for every vector, take its 5 exact cosine neighbors "
+    "(self excluded), majority-vote their labels (count DESC, label "
+    "ASC tiebreak) and score per-class accuracy plus the mean share "
+    "of neighbors sharing the query's own label — the label-noise / "
+    "cluster-coherence detector run before trusting labels for "
+    "stratified sampling (dd29) or hard-negative mining (sm28): a "
+    "class with low neighbor agreement is mislabeled or entangled in "
+    "embedding space. Rank decisions order by RAW cosine with vec_id "
+    "tiebreak (sm02's convention — both engines evaluate the same "
+    "fixed-order fold), votes are exact integers. This is the exact "
+    "AUDIT grain (all-pairs, |corpus|^2 bounded like sm02); at real "
+    "corpus scale the identical vote/agreement stages run over "
+    "sm05/sm18 ANN candidate lists instead — the sm23b/sm30b "
+    "precedent. Plan: one self-join keyed nothing (broadcast right "
+    "side), (qid)-partitioned windows for rank and vote-argmax, two "
+    "|corpus|-row aggs, final |labels|-row rollup.",
+    tags=("similarity", "llm", "labels", "knn", "audit"),
+)
+def sm42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "label", "embedding",
+        vector_norm(F.col("embedding")).alias("nrm"),
+    )
+    q = normed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = normed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sim = pair_dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    pairs = q.join(F.broadcast(e), F.col("qid") != F.col("nid")).select(
+        "qid", "qlabel", "nlabel", "nid", sim.alias("c")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    knn = (
+        pairs.select(
+            "qid", "qlabel", "nlabel", F.row_number().over(wr).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        # pinned: the vote-argmax and the agreement agg both read it
+        .localCheckpoint(eager=False)
+    )
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("v")
+    )
+    ww = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nlabel"))
+    winner = votes.select(
+        "qid",
+        "qlabel",
+        F.col("nlabel").alias("pred"),
+        F.row_number().over(ww).alias("wrk"),
+    ).filter(F.col("wrk") == 1)
+    agree = knn.groupBy("qid").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same")
+    )
+    correct = F.when(F.col("pred") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        winner.join(agree, "qid")
+        .groupBy(F.col("qlabel").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(F.sum(correct) * 1.0 / F.count("*"), 6).alias(
+                "knn_accuracy"
+            ),
+            F.round(F.sum("n_same") * 1.0 / (5 * F.count("*")), 6).alias(
+                "mean_neighbor_agreement"
+            ),
+        )
+        .orderBy("label")
+    )

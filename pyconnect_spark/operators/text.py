@@ -4548,3 +4548,108 @@ def tx55(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jsd_bits"),
         F.round(0.5 * (F.col("pc") + F.col("qc")), 6).alias("common_mass"),
     ).orderBy("jsd_bits", "source_a", "source_b")
+
+
+@REGISTRY.register(
+    "tx56_charclass_entropy",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS total,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             length(text)
+               - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS ws
+      FROM documents
+    ),
+    src AS (
+      SELECT source,
+             CAST(SUM(total) AS BIGINT) AS total,
+             CAST(SUM(letters) AS BIGINT) AS letters,
+             CAST(SUM(digits) AS BIGINT) AS digits,
+             CAST(SUM(ws) AS BIGINT) AS ws,
+             CAST(SUM(total - letters - digits - ws) AS BIGINT) AS other
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, total AS n_chars_total,
+           round(CAST(letters AS DOUBLE) / total, 6) AS share_letters,
+           round(CAST(digits AS DOUBLE) / total, 6) AS share_digits,
+           round(CAST(ws AS DOUBLE) / total, 6) AS share_ws,
+           round(CAST(other AS DOUBLE) / total, 6) AS share_other,
+           round(
+             - (CASE WHEN letters > 0 THEN (CAST(letters AS DOUBLE) / total)
+                    * log2(CAST(letters AS DOUBLE) / total) ELSE 0 END)
+             - (CASE WHEN digits > 0 THEN (CAST(digits AS DOUBLE) / total)
+                    * log2(CAST(digits AS DOUBLE) / total) ELSE 0 END)
+             - (CASE WHEN ws > 0 THEN (CAST(ws AS DOUBLE) / total)
+                    * log2(CAST(ws AS DOUBLE) / total) ELSE 0 END)
+             - (CASE WHEN other > 0 THEN (CAST(other AS DOUBLE) / total)
+                    * log2(CAST(other AS DOUBLE) / total) ELSE 0 END),
+             6) AS class_entropy_bits
+    FROM src
+    ORDER BY source
+    """,
+    doc="Per-source character-class composition profile: shares of "
+    "letters / digits / whitespace / other plus the Shannon entropy "
+    "of the 4-class distribution — the cheapest corpus-mix fingerprint "
+    "(code and tables skew digit/other-heavy, prose letter-heavy; a "
+    "source whose class entropy drifts between crawls changed its "
+    "content type before any tokenizer sees it). Class counts are "
+    "regex strip-and-measure (global replace in both engines), summed "
+    "as exact integers; entropy is a FIXED-ORDER row expression over "
+    "the four class terms (no aggregation of transcendentals), each "
+    "zero-guarded identically, so both engines evaluate bitwise the "
+    "same formula. Plan: map-only scan -> |sources|-row combiner agg; "
+    "at 100 TB this is one pass over text with a 4-integer payload "
+    "per source.",
+    tags=("text", "llm", "quality", "entropy", "provenance"),
+)
+def tx56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    per_doc = docs.select(
+        "source",
+        F.length(txt).alias("total"),
+        F.length(F.regexp_replace(txt, "[^A-Za-z]", "")).alias("letters"),
+        F.length(F.regexp_replace(txt, "[^0-9]", "")).alias("digits"),
+        (
+            F.length(txt)
+            - F.length(F.regexp_replace(txt, "[ \t\n\r]", ""))
+        ).alias("ws"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.sum("total").cast("long").alias("total"),
+        F.sum("letters").cast("long").alias("letters"),
+        F.sum("digits").cast("long").alias("digits"),
+        F.sum("ws").cast("long").alias("ws"),
+        F.sum(
+            F.col("total") - F.col("letters") - F.col("digits") - F.col("ws")
+        )
+        .cast("long")
+        .alias("other"),
+    )
+    tot = F.col("total")
+
+    def ent_term(c):
+        p = F.col(c).cast("double") / tot
+        return F.when(F.col(c) > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+    return src.select(
+        "source",
+        tot.alias("n_chars_total"),
+        F.round(F.col("letters").cast("double") / tot, 6).alias(
+            "share_letters"
+        ),
+        F.round(F.col("digits").cast("double") / tot, 6).alias(
+            "share_digits"
+        ),
+        F.round(F.col("ws").cast("double") / tot, 6).alias("share_ws"),
+        F.round(F.col("other").cast("double") / tot, 6).alias("share_other"),
+        F.round(
+            -ent_term("letters")
+            - ent_term("digits")
+            - ent_term("ws")
+            - ent_term("other"),
+            6,
+        ).alias("class_entropy_bits"),
+    ).orderBy("source")

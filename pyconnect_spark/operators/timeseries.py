@@ -5767,3 +5767,202 @@ def ts67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("se9", 6).alias("bartlett_se"),
         (F.abs(F.col("r9")) > 1.96 * F.col("se9")).alias("significant"),
     ).orderBy("event_type", "lag")
+
+
+@REGISTRY.register(
+    "ts68_period_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily
+    ),
+    buckets AS (
+      SELECT p.period, daily.d % p.period AS k,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(x) AS BIGINT) AS sk
+      FROM daily, (SELECT unnest(range(2, 15)) AS period) p
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT period,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             SUM(CAST(sk AS DOUBLE) * sk / nk) AS ssb_plus
+      FROM buckets GROUP BY 1
+    )
+    SELECT period, n_buckets, n AS n_days,
+           round((ssb_plus - CAST(s AS DOUBLE) * s / n)
+                 / (sxx - CAST(s AS DOUBLE) * s / n), 6) AS r2
+    FROM per, tot
+    ORDER BY period
+    """,
+    doc="Seasonality period scan: for every candidate period p in "
+    "[2, 14], fold the daily event-count series modulo p and measure "
+    "the fraction of variance explained by the fold (R^2 = between-"
+    "bucket SS / total SS over epoch-day buckets d mod p) — the "
+    "detector that FINDS the dominant cycle, where ts62 measures "
+    "strength at one pinned period. Peak at p=7 = weekly cadence; "
+    "harmonics (p=14) score <= the fundamental. Folding by (d mod p) "
+    "partitions identical day-sets regardless of phase, so the epoch-"
+    "day index needs no min-date join. Every accumulated quantity "
+    "(day count n, event sums S, S_k, sum of squares) is an exact "
+    "integer in both engines; the only floating-point is the final "
+    "ratio of two identically-formed IEEE expressions, rounded at 6 "
+    "dp. Plan: ONE daily combiner agg over events, a 13x explode of "
+    "the ~|days|-row frame, a (period, k)-grain agg (<= 14*14 + |days| "
+    "x 13 rows), and a broadcast 1-row grand total — events are "
+    "scanned once; at 100 TB the only corpus-scale exchange is the "
+    "daily rollup.",
+    tags=("timeseries", "seasonality", "spectral", "stats"),
+)
+def ts68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("dt"))
+        .agg(F.count("*").alias("x"))
+        .select(
+            F.datediff(F.col("dt"), F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+        # pinned: the grand-total agg and the bucket agg both read it —
+        # unpinned lineage would scan events twice
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    buckets = (
+        daily.select(
+            "d",
+            "x",
+            F.explode(F.array([F.lit(i) for i in range(2, 15)])).alias(
+                "period"
+            ),
+        )
+        .groupBy("period", (F.col("d") % F.col("period")).alias("k"))
+        .agg(F.count("*").alias("nk"), F.sum("x").alias("sk"))
+    )
+    per = buckets.groupBy("period").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.col("sk").cast("double") * F.col("sk") / F.col("nk")).alias(
+            "ssb_plus"
+        ),
+    )
+    s, n, sxx = F.col("s"), F.col("n"), F.col("sxx")
+    correction = s.cast("double") * s / n
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            "n_buckets",
+            n.cast("long").alias("n_days"),
+            F.round(
+                (F.col("ssb_plus") - correction) / (sxx - correction), 6
+            ).alias("r2"),
+        )
+        .orderBy("period")
+    )
+
+
+@REGISTRY.register(
+    "ts69_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS f_naive,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS f_snaive
+      FROM daily
+    ),
+    eval AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             SUM(abs(x - f_naive)) AS ae1,
+             SUM(abs(x - f_snaive)) AS ae7,
+             SUM((x - f_naive) * (x - f_naive)) AS se1,
+             SUM((x - f_snaive) * (x - f_snaive)) AS se7
+      FROM lagged
+      WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n_eval,
+           round(CAST(ae1 AS DOUBLE) / n_eval, 6) AS mae_naive,
+           round(CAST(ae7 AS DOUBLE) / n_eval, 6) AS mae_snaive,
+           round(sqrt(CAST(se1 AS DOUBLE) / n_eval), 6) AS rmse_naive,
+           round(sqrt(CAST(se7 AS DOUBLE) / n_eval), 6) AS rmse_snaive,
+           round(CAST(ae7 AS DOUBLE) / ae1, 6) AS mase_vs_naive
+    FROM eval
+    ORDER BY event_type
+    """,
+    doc="Forecast backtest harness: per event type, score the two "
+    "zero-parameter baselines every demand-forecasting effort must "
+    "beat — naive (yesterday's count) and seasonal-naive (the count "
+    "one week ago) — over the observed-day daily series, reporting "
+    "MAE, RMSE and the MASE-style ratio mae_snaive/mae_naive (<1 "
+    "means the weekly cycle carries real signal; ts68 finds the "
+    "period, this measures its forecasting value). Both lags are "
+    "previous OBSERVED days (the daily frame's own order), evaluated "
+    "only where both forecasts exist so the two baselines share one "
+    "eval window. Counts and errors are exact integers in both "
+    "engines; the final divisions/sqrt are single IEEE expressions "
+    "rounded at 6 dp. Plan: one daily combiner agg over events, ONE "
+    "(event_type)-partitioned window producing both lags, a "
+    "|types|-row agg. At 100 TB the daily rollup is the only "
+    "corpus-scale exchange; the window runs at day grain.",
+    tags=("timeseries", "forecast", "backtest", "seasonality"),
+)
+def ts69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("dt")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("f_naive"),
+        F.lag("x", 7).over(w).alias("f_snaive"),
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull())
+    ev_ = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("x") - F.col("f_naive"))).alias("ae1"),
+        F.sum(F.abs(F.col("x") - F.col("f_snaive"))).alias("ae7"),
+        F.sum(
+            (F.col("x") - F.col("f_naive")) * (F.col("x") - F.col("f_naive"))
+        ).alias("se1"),
+        F.sum(
+            (F.col("x") - F.col("f_snaive"))
+            * (F.col("x") - F.col("f_snaive"))
+        ).alias("se7"),
+    )
+    n = F.col("n_eval")
+    return ev_.select(
+        "event_type",
+        "n_eval",
+        F.round(F.col("ae1").cast("double") / n, 6).alias("mae_naive"),
+        F.round(F.col("ae7").cast("double") / n, 6).alias("mae_snaive"),
+        F.round(F.sqrt(F.col("se1").cast("double") / n), 6).alias(
+            "rmse_naive"
+        ),
+        F.round(F.sqrt(F.col("se7").cast("double") / n), 6).alias(
+            "rmse_snaive"
+        ),
+        F.round(F.col("ae7").cast("double") / F.col("ae1"), 6).alias(
+            "mase_vs_naive"
+        ),
+    ).orderBy("event_type")

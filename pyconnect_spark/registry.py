@@ -181,6 +181,14 @@ _DECLARED_IN_ROUND = {
     "x90_eoq_policy": 41,
     # round 8, tenth wave
     "tx55_jsd_source_matrix": 42,
+    # round 8, eleventh wave
+    "x91_theil_inequality": 43, "ts68_period_scan": 43,
+    "dd40_keep_rule_agreement": 43,
+    # round 8, twelfth wave
+    "ts69_seasonal_naive_backtest": 44, "tx56_charclass_entropy": 44,
+    "dd41_dup_mass_by_source": 44,
+    # round 8, thirteenth wave
+    "x92_cpk_ship_lag": 45, "sm42_knn_label_agreement": 45,
 }
 
 

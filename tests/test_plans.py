@@ -1757,3 +1757,109 @@ def test_tx55_pair_join_on_word_not_cross(spark):
     # sides read it, so the token explode happens exactly once
     assert text.count("documents.parquet") == 0
     assert "Scan ExistingRDD" in text
+
+
+def test_x91_broadcast_dims_no_window(spark):
+    # one custkey combiner agg over orders; customer/nation dims and the
+    # 1-row grand total broadcast; no window anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x91_theil_inequality"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    # nation rollup is checkpoint-pinned; orders never re-scans for the
+    # grand total
+    assert text.count("orders.parquet") == 0
+    assert "Scan ExistingRDD" in text
+
+
+def test_ts68_one_events_scan_no_window(spark):
+    # ONE daily combiner agg over events (checkpoint-pinned: grand total
+    # and bucket agg share it); the 13x explode runs at day grain
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts68_period_scan"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in text
+
+
+def test_dd40_grp_partitioned_windows_only(spark):
+    # both row_numbers and the cluster count partition by the 16-byte
+    # fingerprint — dd06's cost profile, text never shuffles
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd40_keep_rule_agreement"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_ts69_typed_window_one_events_scan(spark):
+    # one daily combiner agg; BOTH lags from one (event_type)-partitioned
+    # window; no unpartitioned window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts69_seasonal_naive_backtest"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 1
+    # formatted explain names each node twice (tree + details): exactly
+    # one Window operator computes both lags
+    assert text.count("Window") == 2
+
+
+def test_tx56_map_only_scan_then_source_agg(spark):
+    # regex strip-and-measure is map-only; one |sources|-row combiner agg,
+    # no window, no join
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx56_charclass_entropy"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("documents.parquet") == 1
+
+
+def test_dd41_grp_partitioned_window_then_source_agg(spark):
+    # dd06's cost profile: one fingerprint-keyed window shuffle, then the
+    # |sources|-row agg; text never shuffles
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["dd41_dup_mass_by_source"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("documents.parquet") == 1
+
+
+def test_x92_broadcast_orders_no_window(spark):
+    # priority is order-grain: orders broadcasts into the lineitem scan,
+    # one 5-row combiner agg, no window
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x92_cpk_ship_lag"](spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("lineitem.parquet") == 1
+
+
+def test_sm42_qid_partitioned_windows(spark):
+    # rank and vote-argmax windows both partition by qid; the all-pairs
+    # stage broadcasts the right side (exact audit grain, sm02-bounded)
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm42_knn_label_agreement"](spark, SF)
+    text = explain_str(df)
+    assert not unpartitioned_windows(df)
