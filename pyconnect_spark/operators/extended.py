@@ -5905,3 +5905,112 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_over").cast("double") / n, 6).alias("pct_over_usl"),
         F.round(F.col("n_neg").cast("double") / n, 6).alias("pct_below_lsl"),
     ).orderBy("o_orderpriority")
+
+
+@REGISTRY.register(
+    "x93_degree_assortativity",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    directed AS (
+      SELECT pa AS u, pb AS v FROM edges
+      UNION ALL
+      SELECT pb AS u, pa AS v FROM edges
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM directed GROUP BY 1
+    ),
+    joined AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM directed e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM joined
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           m // 2 AS n_edges,
+           round(CAST(sx AS DOUBLE) / m, 6) AS mean_edge_degree,
+           round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase part graph (x70's "
+    "edge set: parts sharing an order, deduped, unweighted): Pearson "
+    "correlation of endpoint degrees over DIRECTED edge copies — "
+    "Newman's r, the one-number answer to 'do hub products co-sell "
+    "with hubs (r>0, bundle catalogs) or with niches (r<0, hub-and-"
+    "spoke)', which decides whether x70's PageRank mass concentrates "
+    "and whether LSH-style blocking on the graph will skew. "
+    "Symmetric double-counting makes the x/y marginals identical, so "
+    "r = (m*Sxy - Sx^2)/(m*Sxx - Sx^2) over exact integer sums "
+    "(degrees and their products; casts to DOUBLE only in the final "
+    "identically-written expression, avoiding BIGINT overflow the "
+    "same way in both engines). Plan: one basket dedup of lineitem, "
+    "one orderkey self-join, edge dedup, a degree agg reused for "
+    "BOTH endpoint joins (checkpoint-pinned), two broadcast-able "
+    "degree joins, a 1-row moment agg. At 100 TB the self-join is "
+    "the dominant exchange — same profile as x70, whose block cap "
+    "(x73b's precedent) applies if basket sizes skew.",
+    tags=("extended", "graph", "assortativity", "stats"),
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    directed = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    # pinned: the degree table joins onto BOTH edge endpoints and the
+    # node count reads it a third time
+    deg = (
+        directed.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    du = deg.select(F.col("node").alias("nu"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("dy"))
+    joined = directed.join(du, F.col("u") == F.col("nu")).join(
+        dv, F.col("v") == F.col("nv")
+    )
+    s = joined.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    m, sx = F.col("m"), F.col("sx")
+    md, sxd = m.cast("double"), sx.cast("double")
+    return s.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        F.expr("CAST(m DIV 2 AS BIGINT)").alias("n_edges"),
+        F.round(sxd / m, 6).alias("mean_edge_degree"),
+        F.round(
+            (md * F.col("sxy") - sxd * sx) / (md * F.col("sxx") - sxd * sx),
+            6,
+        ).alias("assortativity"),
+    )

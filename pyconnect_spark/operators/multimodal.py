@@ -1277,3 +1277,136 @@ def mm13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# mm14 token-equivalence rates: text bytes/token, image base patches +
+# extra per 4 KiB tile, audio ms/token (12.5 tok/s speech-codec rate).
+_MM14_TEXT_BPT = 4
+_MM14_IMG_BASE = 256
+_MM14_IMG_TILE = 4096
+_MM14_AUDIO_MS = 80
+_MM14_BATCH_TOKENS = 8192
+
+
+@REGISTRY.register(
+    "mm14_modality_token_budget",
+    oracle=f"""
+    WITH chk AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))),
+                        'sum') AS BIGINT) AS checksum
+      FROM documents
+    ),
+    tok AS (
+      SELECT source, checksum % 3 AS modality,
+             CASE checksum % 3
+               WHEN 0 THEN (nb + {_MM14_TEXT_BPT} - 1) // {_MM14_TEXT_BPT}
+               WHEN 1 THEN {_MM14_IMG_BASE} + nb // {_MM14_IMG_TILE}
+               ELSE (500 + checksum % 60000) // {_MM14_AUDIO_MS}
+             END AS tokens
+      FROM chk
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN modality = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_text,
+           CAST(SUM(CASE WHEN modality = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_image,
+           CAST(SUM(CASE WHEN modality = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_audio,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+           round(SUM(CASE WHEN modality = 0 THEN tokens ELSE 0 END)
+                 * 1.0 / SUM(tokens), 6) AS share_text_tokens,
+           round(SUM(CASE WHEN modality = 1 THEN tokens ELSE 0 END)
+                 * 1.0 / SUM(tokens), 6) AS share_image_tokens,
+           round(SUM(CASE WHEN modality = 2 THEN tokens ELSE 0 END)
+                 * 1.0 / SUM(tokens), 6) AS share_audio_tokens,
+           CAST((SUM(tokens) + {_MM14_BATCH_TOKENS} - 1)
+                // {_MM14_BATCH_TOKENS} AS BIGINT) AS n_batches
+    FROM tok GROUP BY 1 ORDER BY 1
+    """,
+    doc="Cross-modality token-budget accounting per source: the decode "
+    "stub's checksum deterministically fakes each payload's modality "
+    "(text/image/audio), each asset converts to training-token "
+    f"equivalents at published rates (text {_MM14_TEXT_BPT} B/token; "
+    f"image {_MM14_IMG_BASE} base patches + 1/{_MM14_IMG_TILE} B tile "
+    f"extra; audio 1 token/{_MM14_AUDIO_MS} ms — mm13's duration "
+    "fake), and the plan reports per-source modality mix IN TOKENS "
+    "plus the 8k-token batch count — the number a multimodal mixture "
+    "sampler (dd23/tx37's budget machinery) actually allocates on, "
+    "because asset counts lie when one modality's assets are 100x "
+    "another's token cost. All token arithmetic is integer (// "
+    "throughout); the three shares are single divisions rounded at 6 "
+    "dp. Plan: decode stub (mapInPandas Arrow batches, mm02's "
+    "kernel) -> map-only token plan -> one |sources|-row combiner "
+    "agg; payload bytes never shuffle. At 100 TB a real tokenizer/"
+    "patcher plugs into _fake_decode and THIS table stays the "
+    "shuffle-free budget ledger.",
+    tags=("multimodal", "llm", "budget", "tokens", "plan"),
+)
+def mm14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    meta = decode_media(staged).select("doc_id", "n_bytes", "checksum")
+    src = docs.select("doc_id", "source")
+    modality = F.col("checksum") % 3
+    tokens = (
+        F.when(
+            modality == 0,
+            F.expr(
+                f"CAST((n_bytes + {_MM14_TEXT_BPT} - 1) "
+                f"DIV {_MM14_TEXT_BPT} AS BIGINT)"
+            ),
+        )
+        .when(
+            modality == 1,
+            F.lit(_MM14_IMG_BASE)
+            + F.expr(f"CAST(n_bytes DIV {_MM14_IMG_TILE} AS BIGINT)"),
+        )
+        .otherwise(
+            F.expr(
+                f"CAST((500 + checksum % 60000) "
+                f"DIV {_MM14_AUDIO_MS} AS BIGINT)"
+            )
+        )
+    )
+    tok = meta.join(src, "doc_id").select(
+        "source", modality.alias("modality"), tokens.alias("tokens")
+    )
+    bt = _MM14_BATCH_TOKENS
+    share = lambda m: F.round(
+        F.sum(F.when(F.col("modality") == m, F.col("tokens")).otherwise(0))
+        * 1.0
+        / F.sum("tokens"),
+        6,
+    )
+    cnt = lambda m: (
+        F.sum(F.when(F.col("modality") == m, 1).otherwise(0))
+        .cast("long")
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            cnt(0).alias("n_text"),
+            cnt(1).alias("n_image"),
+            cnt(2).alias("n_audio"),
+            F.sum("tokens").cast("long").alias("tokens_total"),
+            share(0).alias("share_text_tokens"),
+            share(1).alias("share_image_tokens"),
+            share(2).alias("share_audio_tokens"),
+            F.expr(
+                f"CAST((sum(tokens) + {bt} - 1) DIV {bt} AS BIGINT)"
+            ).alias("n_batches"),
+        )
+        .orderBy("source")
+    )

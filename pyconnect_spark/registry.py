@@ -189,6 +189,8 @@ _DECLARED_IN_ROUND = {
     "dd41_dup_mass_by_source": 44,
     # round 8, thirteenth wave
     "x92_cpk_ship_lag": 45, "sm42_knn_label_agreement": 45,
+    # round 8, fourteenth wave
+    "mm14_modality_token_budget": 46, "x93_degree_assortativity": 46,
 }
 
 

@@ -1863,3 +1863,28 @@ def test_sm42_qid_partitioned_windows(spark):
     df = _Q["sm42_knn_label_agreement"](spark, SF)
     text = explain_str(df)
     assert not unpartitioned_windows(df)
+
+
+def test_mm14_decode_stub_then_source_agg(spark):
+    # mm13's framing: mapInPandas decode stub -> map-only integer token
+    # plan -> one |sources|-row agg; payload bytes never shuffle
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["mm14_modality_token_budget"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" in text
+    assert "CartesianProduct" not in text
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+
+
+def test_x93_pinned_degree_no_window(spark):
+    # degree table checkpoint-pinned (both endpoint joins + node count
+    # read it); no window; lineitem scans once into the basket dedup
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x93_degree_assortativity"](spark, SF)
+    text = explain_str(df)
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    assert "Scan ExistingRDD" in text
