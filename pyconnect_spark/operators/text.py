@@ -4653,3 +4653,97 @@ def tx56(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("class_entropy_bits"),
     ).orderBy("source")
+
+
+@REGISTRY.register(
+    "tx57_token_artifact_profile",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(list_aggregate(list_transform(w, x -> length(x)),
+                                 'sum') AS BIGINT) AS tok_chars,
+             CAST(len(list_filter(w, x -> length(x) = 1)) AS BIGINT)
+                 AS n_single,
+             CAST(CASE WHEN len(w) >= 2 THEN list_aggregate(
+                    list_transform(range(1, len(w)),
+                                   i -> CASE WHEN w[i] = w[i + 1]
+                                        THEN 1 ELSE 0 END), 'sum')
+                  ELSE 0 END AS BIGINT) AS n_stutter,
+             CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_adj
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           round(SUM(tok_chars) * 1.0 / SUM(n_tok), 6) AS mean_tok_len,
+           round(SUM(n_single) * 1.0 / SUM(n_tok), 6) AS single_char_share,
+           round(SUM(n_stutter) * 1.0 / SUM(n_adj), 6) AS stutter_rate
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Token-artifact quality profile per source: mean token length, "
+    "single-character-token share (OCR shrapnel / tokenizer-hostile "
+    "noise) and the adjacent-duplicate 'stutter' rate (w[i] = w[i+1] "
+    "— the classic extraction artifact of repeated boilerplate spans "
+    "and OCR line re-reads; tx35 profiles long-range repetition, this "
+    "catches the adjacency grain it misses). The adjacent compare "
+    "uses SLICE-AND-ZIP on the ascending side only (slice(w,1,n-1) "
+    "zip slice(w,2,n-1)) with an explicit n_tok >= 2 gate — the tx47 "
+    "ADVICE lesson: index arithmetic over sequence(1, n-1) turns "
+    "descending when n < 2 and throws under ANSI. All counts are "
+    "exact integers; the three final ratios are single divisions "
+    "rounded at 6 dp. Plan: map-only token arithmetic inside the "
+    "scan, one |sources|-row combiner agg; no explode — tokens never "
+    "become rows, so the exchange is 4 integers per source.",
+    tags=("text", "llm", "quality", "ocr", "artifact"),
+)
+def tx57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    per_doc = docs.select(
+        "source",
+        F.size(w).cast("long").alias("n_tok"),
+        F.expr(
+            "aggregate(transform(split(trim(text), '\\\\s+'), "
+            "x -> length(x)), 0L, (acc, x) -> acc + x)"
+        ).alias("tok_chars"),
+        F.expr(
+            "CAST(size(filter(split(trim(text), '\\\\s+'), "
+            "x -> length(x) = 1)) AS BIGINT)"
+        ).alias("n_single"),
+        F.expr(
+            "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
+            "aggregate(zip_with("
+            "  slice(split(trim(text), '\\\\s+'), 1, "
+            "        size(split(trim(text), '\\\\s+')) - 1), "
+            "  slice(split(trim(text), '\\\\s+'), 2, "
+            "        size(split(trim(text), '\\\\s+')) - 1), "
+            "  (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), "
+            "0L, (acc, x) -> acc + x) ELSE 0L END"
+        ).alias("n_stutter"),
+        F.greatest(F.size(w) - 1, F.lit(0)).cast("long").alias("n_adj"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.sum("tok_chars") * 1.0 / F.sum("n_tok"), 6).alias(
+                "mean_tok_len"
+            ),
+            F.round(F.sum("n_single") * 1.0 / F.sum("n_tok"), 6).alias(
+                "single_char_share"
+            ),
+            F.round(F.sum("n_stutter") * 1.0 / F.sum("n_adj"), 6).alias(
+                "stutter_rate"
+            ),
+        )
+        .orderBy("source")
+    )

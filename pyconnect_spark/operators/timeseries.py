@@ -5966,3 +5966,128 @@ def ts69(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mase_vs_naive"
         ),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts70_mix_share_drift",
+    oracle="""
+    WITH weekly0 AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                 AS wk0,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT wk0 - (SELECT MIN(wk0) FROM weekly0) AS wk, event_type, c
+      FROM weekly0
+    ),
+    wktot AS (
+      SELECT wk, CAST(SUM(c) AS BIGINT) AS tot FROM weekly GROUP BY 1
+    ),
+    grid AS (
+      SELECT w.wk, t.event_type, w.tot, COALESCE(x.c, 0) AS c
+      FROM wktot w
+      CROSS JOIN (SELECT DISTINCT event_type FROM weekly) t
+      LEFT JOIN weekly x ON x.wk = w.wk AND x.event_type = t.event_type
+    ),
+    shares AS (
+      SELECT event_type, wk,
+             round(c * 1.0 / tot, 9) AS h9
+      FROM grid
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wk) AS BIGINT) AS sw,
+             CAST(SUM(wk * wk) AS BIGINT) AS sww,
+             CAST(SUM(CAST(h9 AS DECIMAL(20,9))) AS DOUBLE) AS sh,
+             CAST(SUM(CAST(wk AS DECIMAL(10,0))
+                      * CAST(h9 AS DECIMAL(12,9))) AS DOUBLE) AS swh
+      FROM shares GROUP BY 1
+    )
+    SELECT event_type, n AS n_weeks,
+           round(sh / n, 6) AS mean_share,
+           round((n * swh - sw * sh)
+                 / (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw), 9)
+               AS share_slope_per_week
+    FROM s
+    ORDER BY event_type
+    """,
+    doc="Event-mix drift attribution: per event type, the OLS slope of "
+    "its weekly traffic SHARE against the min-centered week index over the "
+    "dense (week x type) grid (absent weeks count as share 0 — "
+    "missing-row bias would otherwise make a dying type look flat). "
+    "The mix-shift early-warning next to ts61's Mann-Kendall (which "
+    "trends VOLUME; a type can hold volume while losing share in a "
+    "growing stream) and x57's growth decomposition (monthly revenue "
+    "mix; this is the event-stream twin at week grain). Shares cross "
+    "the 9-dp DECIMAL barrier before summation; centering the week "
+    "index at the observed origin keeps indices and their squares "
+    "small exact integers (no 38-digit decimal products, no large-"
+    "term cancellation in the slope numerator), so every regression "
+    "moment is engine-exact; the slope is one IEEE expression, rounded at 9 dp "
+    "(slopes are O(1e-4)/week). Plan: one weekly combiner agg over "
+    "events, a |weeks|x|types| grid built from two tiny frames, a "
+    "|types|-row moment agg — events scan once; at 100 TB only the "
+    "weekly rollup is corpus-scale.",
+    tags=("timeseries", "drift", "mix", "regression"),
+)
+def ts70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    weekly0 = (
+        ev.groupBy(
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7 "
+                "AS BIGINT)"
+            ).alias("wk0"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+        # pinned: the min-week centering, week totals, the type list and
+        # the left join all read it
+        .localCheckpoint(eager=False)
+    )
+    wkmin = weekly0.agg(F.min("wk0").alias("wkmin"))
+    # center the week index at the observed origin: moments stay small
+    # integers (no 38-digit decimal products, no large-term cancellation
+    # in the slope numerator)
+    weekly = weekly0.crossJoin(F.broadcast(wkmin)).select(
+        (F.col("wk0") - F.col("wkmin")).alias("wk"), "event_type", "c"
+    )
+    wktot = weekly.groupBy("wk").agg(F.sum("c").cast("long").alias("tot"))
+    types = weekly.select("event_type").distinct()
+    grid = (
+        wktot.crossJoin(F.broadcast(types))
+        .join(weekly.withColumnRenamed("c", "c0"), ["wk", "event_type"], "left")
+        .select(
+            "event_type",
+            "wk",
+            F.round(
+                F.coalesce(F.col("c0"), F.lit(0)) * 1.0 / F.col("tot"), 9
+            ).alias("h9"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("wk").cast("long").alias("sw"),
+        F.sum(F.col("wk") * F.col("wk")).cast("long").alias("sww"),
+        F.sum(F.col("h9").cast("decimal(20,9)")).cast("double").alias("sh"),
+        F.sum(
+            F.col("wk").cast("decimal(10,0)")
+            * F.col("h9").cast("decimal(12,9)")
+        )
+        .cast("double")
+        .alias("swh"),
+    )
+    n, sw = F.col("n"), F.col("sw")
+    return s.select(
+        "event_type",
+        n.alias("n_weeks"),
+        F.round(F.col("sh") / n, 6).alias("mean_share"),
+        F.round(
+            (n * F.col("swh") - sw * F.col("sh"))
+            / (n.cast("double") * F.col("sww") - sw.cast("double") * sw),
+            9,
+        ).alias("share_slope_per_week"),
+    ).orderBy("event_type")

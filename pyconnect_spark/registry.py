@@ -191,6 +191,8 @@ _DECLARED_IN_ROUND = {
     "x92_cpk_ship_lag": 45, "sm42_knn_label_agreement": 45,
     # round 8, fourteenth wave
     "mm14_modality_token_budget": 46, "x93_degree_assortativity": 46,
+    # round 8, fifteenth wave
+    "tx57_token_artifact_profile": 47, "ts70_mix_share_drift": 47,
 }
 
 

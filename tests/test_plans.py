@@ -1888,3 +1888,30 @@ def test_x93_pinned_degree_no_window(spark):
     assert "Window" not in text
     assert not unpartitioned_windows(df)
     assert "Scan ExistingRDD" in text
+
+
+def test_tx57_no_explode_map_only(spark):
+    # token arithmetic stays inside the scan (no Generate/explode);
+    # one |sources|-row combiner agg
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["tx57_token_artifact_profile"](spark, SF)
+    text = explain_str(df)
+    assert "Generate" not in text
+    assert "Window" not in text
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("documents.parquet") == 1
+
+
+def test_ts70_pinned_weekly_one_events_scan(spark):
+    # the weekly rollup is checkpoint-pinned (centering, totals, type
+    # list and left join all read it); events never re-scan
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts70_mix_share_drift"](spark, SF)
+    text = explain_str(df)
+    assert "Window" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in text
