@@ -5446,3 +5446,92 @@ def sm42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@REGISTRY.register(
+    "sm43_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS nid,
+             {_ORACLE_COS} AS c
+      FROM q JOIN embeddings e
+        ON e.label = q.qlabel AND e.vec_id <> q.qid
+    )
+    SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, rank, nid,
+           round(c, 6) AS cos_sim
+    FROM (
+      SELECT qid, qlabel, nid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)
+                 AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+    doc="Metadata-filtered vector search: for a deterministic query "
+    "sample (vec_id % 50 = 0), the exact top-3 cosine neighbors "
+    "RESTRICTED to the query's own label — the filtered-ANN primitive "
+    "every production vector store ships (search within a tenant / "
+    "language / license class), which naive post-filtering of an "
+    "unfiltered top-k silently breaks when the filter is selective. "
+    "Here the filter is an equi-join predicate, so the plan is a "
+    "label-KEYED join (each query only meets its label partition — "
+    "1/|labels| of the corpus) rather than a crossJoin + discard; "
+    "ranking orders by raw cosine with vec_id tiebreak (sm01/sm02's "
+    "convention). At 100 TB: partition the corpus by the filter "
+    "column (the docs/SCALE.md layout rule), broadcast the query "
+    "sample, and the per-label IVF tier (sm05) drops in when a label "
+    "partition alone is corpus-scale. Plan: broadcast query sample -> "
+    "label-keyed join -> (qid)-partitioned rank window -> top-3.",
+    tags=("similarity", "llm", "topk", "filtered", "ann"),
+)
+def sm43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+        vector_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("n_emb"),
+        vector_norm(F.col("embedding")).alias("n_nrm"),
+    )
+    sim = pair_dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("nlabel") == F.col("qlabel"))
+            & (F.col("nid") != F.col("qid")),
+        )
+        .select("qid", "qlabel", "nid", sim.alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    return (
+        scored.select(
+            "qid",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            "nid",
+            "c",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qid",
+            "qlabel",
+            F.col("rank").cast("long").alias("rank"),
+            "nid",
+            F.round("c", 6).alias("cos_sim"),
+        )
+        .orderBy("qid", "rank")
+    )

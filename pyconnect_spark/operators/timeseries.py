@@ -6091,3 +6091,116 @@ def ts70(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("share_slope_per_week"),
     ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts71_anomaly_run_lengths",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    ),
+    flagged AS (
+      SELECT d.event_type, d.d, st.n,
+             (st.n * d.x - st.s) * (st.n * d.x - st.s)
+               > 4 * (st.n * st.sxx - st.s * st.s) AS anom
+      FROM daily d JOIN stats st USING (event_type)
+    ),
+    runs AS (
+      SELECT event_type, n,
+             d - row_number() OVER (PARTITION BY event_type ORDER BY d)
+                 AS grp
+      FROM flagged WHERE anom
+    ),
+    rl AS (
+      SELECT event_type, MAX(n) AS n_days, grp,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           MAX(n_days) AS n_days,
+           CAST(SUM(run_len) AS BIGINT) AS n_anom_days,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           round(SUM(run_len) * 1.0 / COUNT(*), 6) AS mean_run_len,
+           round(SUM(run_len) * 1.0 / MAX(n_days), 6) AS anom_day_share
+    FROM rl
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Anomaly persistence profile: per event type, flag daily-count "
+    "anomalies at the 2-sigma population gate and report the RUN-"
+    "LENGTH distribution of consecutive anomalous days (d minus "
+    "row_number grouping over the observed-day index) — ts15 flags "
+    "points, this measures whether anomalies arrive as isolated "
+    "blips (monitoring noise, alert-gate with cooldown: S34) or "
+    "multi-day regimes (real shifts, page someone). The 2-sigma "
+    "test is INTEGER-EXACT: (n*x - s)^2 > 4*(n*sxx - s^2) is the "
+    "threshold inequality cleared of division and sqrt, so both "
+    "engines compare the same integers and no FP boundary can flip "
+    "a flag; run grouping and lengths are integer window/agg "
+    "arithmetic; only the two final ratios are doubles, rounded at "
+    "6 dp. Plan: one daily combiner agg over events, a broadcast "
+    "|types|-row stats join, one (event_type)-partitioned window, "
+    "two small aggs. At 100 TB only the daily rollup is corpus-"
+    "scale.",
+    tags=("timeseries", "anomaly", "runs", "monitoring"),
+)
+def ts71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.count("*").alias("x"))
+        # pinned: the stats agg and the flag join both read it
+        .localCheckpoint(eager=False)
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n, s, sxx, x = F.col("n"), F.col("s"), F.col("sxx"), F.col("x")
+    dev = n * x - s
+    flagged = daily.join(F.broadcast(stats), "event_type").filter(
+        dev * dev > 4 * (n * sxx - s * s)
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = flagged.select(
+        "event_type",
+        "n",
+        (F.col("d") - F.row_number().over(w)).alias("grp"),
+    )
+    rl = runs.groupBy("event_type", "grp").agg(
+        F.max("n").alias("n_days"),
+        F.count("*").cast("long").alias("run_len"),
+    )
+    return (
+        rl.groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.sum("run_len").cast("long").alias("n_anom_days"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run_len"),
+            F.round(F.sum("run_len") * 1.0 / F.count("*"), 6).alias(
+                "mean_run_len"
+            ),
+            F.round(F.sum("run_len") * 1.0 / F.max("n_days"), 6).alias(
+                "anom_day_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -193,6 +193,8 @@ _DECLARED_IN_ROUND = {
     "mm14_modality_token_budget": 46, "x93_degree_assortativity": 46,
     # round 8, fifteenth wave
     "tx57_token_artifact_profile": 47, "ts70_mix_share_drift": 47,
+    # round 8, sixteenth wave
+    "sm43_filtered_topk": 48, "ts71_anomaly_run_lengths": 48,
 }
 
 

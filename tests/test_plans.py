@@ -1915,3 +1915,28 @@ def test_ts70_pinned_weekly_one_events_scan(spark):
     assert not unpartitioned_windows(df)
     assert text.count("events.parquet") == 0
     assert "Scan ExistingRDD" in text
+
+
+def test_sm43_label_keyed_join_not_cross(spark):
+    # the filter is an equi-join predicate: label-keyed join (broadcast
+    # query sample), never a CartesianProduct; rank window partitions by qid
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm43_filtered_topk"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert has_broadcast_join(df)
+
+
+def test_ts71_integer_gate_typed_window(spark):
+    # 2-sigma gate is integer-exact (no sqrt/division in the filter);
+    # run grouping window partitions by event_type; events scans once
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts71_anomaly_run_lengths"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in text
