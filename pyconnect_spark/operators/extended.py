@@ -6014,3 +6014,133 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@REGISTRY.register(
+    "x94_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(first_purchase - first_view AS BIGINT) AS delta_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    ),
+    ranked AS (
+      SELECT delta_us,
+             row_number() OVER (ORDER BY delta_us, user_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE first_view IS NOT NULL) AS n_viewers,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           round(MAX(n) * 1.0 /
+                 (SELECT COUNT(*) FROM firsts
+                  WHERE first_view IS NOT NULL), 6) AS conversion_rate,
+           CAST(MAX(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN delta_us END) // 1000000 AS BIGINT)
+               AS p50_delta_s,
+           CAST(MAX(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN delta_us END) // 1000000 AS BIGINT)
+               AS p90_delta_s,
+           round(SUM(delta_us) * 1.0 / MAX(n) / 1000000, 6)
+               AS mean_delta_s
+    FROM ranked
+    """,
+    doc="Time-to-convert funnel latency: among users whose first 'view' "
+    "precedes (or equals) their first 'purchase', the exact nearest-"
+    "rank p50/p90 and mean of the first-view -> first-purchase delay "
+    "in seconds, plus the viewer->converter rate — x67 counts funnel "
+    "stage reach, this distributes the LATENCY of conversion (the "
+    "number an activation team actually tunes; p90 >> p50 means a "
+    "long-tail cohort stalls and a nudge campaign has a target). "
+    "Epoch MICROseconds and their differences are exact integers (second-grain truncation would round the two engines apart); "
+    "percentiles are value-at-ceil(q*n) under the total order "
+    "(delta_us, user_id) computed by rankops.with_global_order — "
+    "range-partition + per-partition row_number + broadcast prefix "
+    "offsets, so the exact GLOBAL rank exists with no unpartitioned "
+    "WindowExec (the oracle's OVER () is the semantic spec, not the "
+    "plan). Plan: one user-grain combiner agg over the two-type "
+    "event slice (filter pushed to the scan), the |converters|-row "
+    "rank, a 1-row panel. At 100 TB only the user rollup is corpus-"
+    "scale.",
+    tags=("extended", "funnel", "latency", "percentile", "rankops"),
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    ev = t(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("first_view"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("first_purchase"),
+        )
+        # pinned: the viewer count and the converter slice both read it
+        .localCheckpoint(eager=False)
+    )
+    viewers = firsts.filter(F.col("first_view").isNotNull()).agg(
+        F.count("*").cast("long").alias("n_viewers")
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view"))
+        .cast("long")
+        .alias("delta_us"),
+    )
+    ranked = with_global_order(
+        conv,
+        [F.col("delta_us"), F.col("user_id")],
+        rank_col="r",
+        total_count_col="n",
+    )
+    panel = ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT) "
+            "THEN delta_us END) DIV 1000000L AS BIGINT)"
+        ).alias("p50_delta_s"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) "
+            "THEN delta_us END) DIV 1000000L AS BIGINT)"
+        ).alias("p90_delta_s"),
+        F.sum("delta_us").alias("sum_delta"),
+    )
+    return panel.crossJoin(F.broadcast(viewers)).select(
+        "n_viewers",
+        "n_converted",
+        F.round(
+            F.col("n_converted") * 1.0 / F.col("n_viewers"), 6
+        ).alias("conversion_rate"),
+        "p50_delta_s",
+        "p90_delta_s",
+        F.round(
+            F.col("sum_delta") * 1.0 / F.col("n_converted") / 1000000, 6
+        ).alias("mean_delta_s"),
+    )

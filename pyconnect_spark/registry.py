@@ -195,6 +195,8 @@ _DECLARED_IN_ROUND = {
     "tx57_token_artifact_profile": 47, "ts70_mix_share_drift": 47,
     # round 8, sixteenth wave
     "sm43_filtered_topk": 48, "ts71_anomaly_run_lengths": 48,
+    # round 8, seventeenth wave
+    "x94_time_to_convert": 49,
 }
 
 

@@ -1940,3 +1940,15 @@ def test_ts71_integer_gate_typed_window(spark):
     assert not unpartitioned_windows(df)
     assert text.count("events.parquet") == 0
     assert "Scan ExistingRDD" in text
+
+
+def test_x94_rankops_no_unpartitioned_window(spark):
+    # global percentile rank via rankops (range-partition + prefix
+    # offsets): exact GLOBAL rank, no unpartitioned WindowExec; the
+    # two-type filter pushes into the events scan
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["x94_time_to_convert"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
