@@ -5535,3 +5535,170 @@ def sm43(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+@REGISTRY.register(
+    "sm42b_knn_label_scaled",
+    oracle=f"""
+    WITH {_SEED_IVF_CTES},
+    pair AS (
+      SELECT p.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS nid, e.label AS nlabel,
+             {_IVF_PAIR_COS} AS c9
+      FROM sscored p
+      JOIN seedcells c ON c.cell = p.srk AND c.vec_id <> p.vec_id
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      WHERE p.rk <= {_SM30B_N_PROBE}
+    ),
+    knn AS (
+      SELECT qid, qlabel, nlabel
+      FROM (
+        SELECT qid, qlabel, nlabel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c9 DESC, nid) AS rk
+        FROM pair
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT qid, qlabel, nlabel, COUNT(*) AS v
+      FROM knn GROUP BY 1, 2, 3
+    ),
+    winner AS (
+      SELECT qid, qlabel, nlabel AS pred,
+             row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel)
+                 AS wrk
+      FROM votes
+    ),
+    agree AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same,
+             CAST(COUNT(*) AS BIGINT) AS n_nn
+      FROM knn GROUP BY 1
+    )
+    SELECT CAST(w.qlabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN w.pred = w.qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(SUM(CASE WHEN w.pred = w.qlabel THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS knn_accuracy,
+           round(SUM(a.n_same) * 1.0 / SUM(a.n_nn), 6)
+               AS mean_neighbor_agreement
+    FROM winner w JOIN agree a USING (qid)
+    WHERE w.wrk = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="5-NN label agreement, SCALE tier — sm42's audit over IVF "
+    "CANDIDATES instead of all pairs (the sm23b/sm30b precedent, "
+    "sharing seed_ivf_cells / _SEED_IVF_CTES): each query votes among "
+    "its top-5 candidates from its n_probe=4 nearest cells of the "
+    "auto-sized ceil(sqrt(N)) seed quantizer, so pair evaluations are "
+    "O(N^1.5) not N^2 (sm42's measured 22.3x at 10x is the quadratic "
+    "audit cost this tier replaces) and no corpus matrix or all-pairs "
+    "join exists. Candidate lists can be shorter than 5 near empty "
+    "cells, so agreement normalizes by ACTUAL neighbor count (sum "
+    "n_nn, not 5*n). Fully oracle-checked because the IVF assignment "
+    "is the md5-seeded JVM fold DuckDB replays bit-for-bit; "
+    "tests/test_llm_ops.py pins per-label accuracy agreement with "
+    "exact sm42 on the fixture. 9-dp rounding barrier before every "
+    "rank decision. Plan: broadcast seed quantizer -> cell-keyed "
+    "candidate join -> (qid)-partitioned rank/vote windows -> "
+    "|labels|-row rollup; at 100 TB the corpus is written partitioned "
+    "by cell and the candidate join is shuffle-free.",
+    tags=("similarity", "llm", "labels", "knn", "ann", "scale-tier"),
+)
+def sm42b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    ranked = seed_ivf_cells(spark, sf_dir)
+    corpus = ranked.filter(F.col("rk") == 1).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        vector_norm(F.col("embedding")).alias("nrm"),
+    )
+    probes = ranked.filter(F.col("rk") <= _SM30B_N_PROBE).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        vector_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    cos = pair_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.col("nrm") * F.col("q_nrm")
+    )
+    pair = (
+        corpus.join(
+            probes,
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("qv"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            F.col("qid") == F.col("qv"),
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("nv"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            F.col("vec_id") == F.col("nv"),
+        )
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            "nlabel",
+            F.round(cos, 9).alias("c9"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("c9"), F.asc("nid"))
+    knn = (
+        pair.select(
+            "qid", "qlabel", "nlabel", F.row_number().over(wr).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        # pinned: the vote-argmax and the agreement agg both read it
+        .localCheckpoint(eager=False)
+    )
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("v")
+    )
+    ww = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nlabel"))
+    winner = votes.select(
+        "qid",
+        "qlabel",
+        F.col("nlabel").alias("pred"),
+        F.row_number().over(ww).alias("wrk"),
+    ).filter(F.col("wrk") == 1)
+    agree = knn.groupBy("qid").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same"),
+        F.count("*").cast("long").alias("n_nn"),
+    )
+    correct = F.when(F.col("pred") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        winner.join(agree, "qid")
+        .groupBy(F.col("qlabel").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(F.sum(correct) * 1.0 / F.count("*"), 6).alias(
+                "knn_accuracy"
+            ),
+            F.round(F.sum("n_same") * 1.0 / F.sum("n_nn"), 6).alias(
+                "mean_neighbor_agreement"
+            ),
+        )
+        .orderBy("label")
+    )

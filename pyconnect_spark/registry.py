@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~326 declared queries the whole surface re-verifies every ~6
+with ~341 declared queries the whole surface re-verifies every ~7
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -197,6 +197,8 @@ _DECLARED_IN_ROUND = {
     "sm43_filtered_topk": 48, "ts71_anomaly_run_lengths": 48,
     # round 8, seventeenth wave
     "x94_time_to_convert": 49,
+    # round 8, eighteenth wave (sm42's ANN-candidate scale tier)
+    "sm42b_knn_label_scaled": 50,
 }
 
 

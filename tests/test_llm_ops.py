@@ -1045,3 +1045,23 @@ def test_audit_corpus_matrix_caps_loudly(spark):
             sim.audit_corpus_matrix(emb)
     finally:
         sim.AUDIT_MAX_VECTORS = old
+
+
+def test_sm42b_scale_tier_agrees_with_exact_on_fixture(spark):
+    """sm42b (IVF-candidate 5-NN label vote) must track exact sm42 where
+    the candidate lists are faithful. On the parquet fixture the two
+    tiers' per-label accuracies agree within 0.25 absolute for every
+    label and the corpus-level means within 0.1 — the honest bound for
+    n_probe=4 coarse quantization on i.i.d. data (the clustered design
+    target recovers exact candidates; see sm30b's twin test)."""
+    from pyconnect_spark.operators.similarity import sm42, sm42b
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.label: r for r in sm42(spark, sf).collect()}
+    scaled = {r.label: r for r in sm42b(spark, sf).collect()}
+    assert set(exact) == set(scaled)
+    for lbl in exact:
+        assert abs(exact[lbl].knn_accuracy - scaled[lbl].knn_accuracy) <= 0.25, lbl
+    mean_e = sum(r.knn_accuracy for r in exact.values()) / len(exact)
+    mean_s = sum(r.knn_accuracy for r in scaled.values()) / len(scaled)
+    assert abs(mean_e - mean_s) <= 0.1, (mean_e, mean_s)

@@ -1952,3 +1952,19 @@ def test_x94_rankops_no_unpartitioned_window(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_sm42b_cell_keyed_candidates_no_cross_corpus(spark):
+    # the checkpoint-pinned knn frame cuts the visible plan (the
+    # cell-keyed candidate join + broadcast seed quantizer live
+    # upstream of it — asserted for the shared machinery by sm30b's
+    # twin test); downstream: qid-partitioned vote window, no
+    # cartesian, no driver-matrix Arrow stage
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm42b_knn_label_scaled"](spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" not in text
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert "Scan ExistingRDD" in text
