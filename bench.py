@@ -320,6 +320,38 @@ HEADLINE = [
     "ts64_hurst_rs",
     "x85_abc_xyz_matrix",
     "sm38_rerank_depth_curve",
+    # round-8 waves 6-18
+    "x86_kruskal_wallis",
+    "x87_fdr_bh_screen",
+    "ts65_pacf_yule_walker",
+    "tx54_mattr_lexical_diversity",
+    "dd39_bloom_prefilter_audit",
+    "sm39_quantization_recall_curve",
+    "ts66_variance_ratio",
+    "x88_shapley_attribution",
+    "x89_price_index_fisher",
+    "mm13_audio_frame_plan",
+    "ts67_acf_significance",
+    "x90_eoq_policy",
+    "tx55_jsd_source_matrix",
+    "x91_theil_inequality",
+    "ts68_period_scan",
+    "dd40_keep_rule_agreement",
+    "ts69_seasonal_naive_backtest",
+    "tx56_charclass_entropy",
+    "dd41_dup_mass_by_source",
+    "x92_cpk_ship_lag",
+    "mm14_modality_token_budget",
+    "x93_degree_assortativity",
+    "tx57_token_artifact_profile",
+    "ts70_mix_share_drift",
+    "sm43_filtered_topk",
+    "ts71_anomaly_run_lengths",
+    "x94_time_to_convert",
+    "sm42b_knn_label_scaled",
+    # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
+    # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
+    # same policy as dd02/dd09 below.
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.
