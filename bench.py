@@ -349,6 +349,7 @@ HEADLINE = [
     "ts71_anomaly_run_lengths",
     "x94_time_to_convert",
     "sm42b_knn_label_scaled",
+    "ts72_hourly_profile_stability",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below.

@@ -6204,3 +6204,171 @@ def ts71(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts72_hourly_profile_stability",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                 AS wk,
+             extract(hour FROM ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    norms AS (
+      SELECT event_type, wk, CAST(SUM(c * c) AS BIGINT) AS nrm2
+      FROM hourly GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT a.event_type, a.wk,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM hourly a
+      JOIN hourly b ON b.event_type = a.event_type
+                   AND b.wk = a.wk + 1 AND b.hr = a.hr
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d.event_type, d.wk,
+             round(CAST(d.dot AS DOUBLE)
+                   / sqrt(CAST(n1.nrm2 AS DOUBLE) * n2.nrm2), 9) AS cos9
+      FROM dots d
+      JOIN norms n1 ON n1.event_type = d.event_type AND n1.wk = d.wk
+      JOIN norms n2 ON n2.event_type = d.event_type AND n2.wk = d.wk + 1
+    ),
+    worst AS (
+      SELECT event_type, wk AS worst_week_start, cos9,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cos9, wk) AS rn
+      FROM pairs
+    )
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_week_pairs,
+           round(CAST(SUM(CAST(p.cos9 AS DECIMAL(12,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos,
+           round(MIN(p.cos9), 6) AS min_cos,
+           MAX(w.worst_week_start) AS worst_week_start
+    FROM pairs p
+    JOIN worst w ON w.event_type = p.event_type AND w.rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Week-over-week hourly-profile stability: per event type, the "
+    "cosine similarity between consecutive weeks' 24-hour count "
+    "vectors — mean (how templated the weekly rhythm is), minimum, "
+    "and WHICH week broke it (the schedule-shift / instrumentation-"
+    "change detector; ts58 shows the average hourly profile, this "
+    "catches the week it changed). Dot products and squared norms "
+    "are exact BIGINT sums of integer counts joined on (type, week, "
+    "hour); each cosine is ONE IEEE expression on those exact "
+    "integers crossing the 9-dp barrier, means cross the DECIMAL "
+    "fold, and the argmin week comes from a (type)-partitioned rank "
+    "over the week-pair frame (cos9, wk total order). Plan: one "
+    "hourly combiner agg over events (the only corpus-scale "
+    "exchange), self-join at (type, week, hour) grain — calendar-"
+    "sized, 24 rows per pair — then |types|-row output.",
+    tags=("timeseries", "drift", "profile", "stability"),
+)
+def ts72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7 "
+                "AS BIGINT)"
+            ).alias("wk"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+        # pinned: norms and both dot-join sides read it
+        .localCheckpoint(eager=False)
+    )
+    norms = hourly.groupBy("event_type", "wk").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nrm2")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("et"),
+        F.col("wk").alias("awk"),
+        F.col("hr").alias("ahr"),
+        F.col("c").alias("ac"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("wk").alias("bwk"),
+        F.col("hr").alias("bhr"),
+        F.col("c").alias("bc"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("et2") == F.col("et"))
+            & (F.col("bwk") == F.col("awk") + 1)
+            & (F.col("bhr") == F.col("ahr")),
+        )
+        .groupBy(F.col("et").alias("event_type"), F.col("awk").alias("wk"))
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("long").alias("dot"))
+    )
+    n1 = norms.select(
+        F.col("event_type").alias("e1"),
+        F.col("wk").alias("w1"),
+        F.col("nrm2").alias("nrm2a"),
+    )
+    n2 = norms.select(
+        F.col("event_type").alias("e2"),
+        F.col("wk").alias("w2"),
+        F.col("nrm2").alias("nrm2b"),
+    )
+    pairs = (
+        dots.join(
+            n1, (F.col("e1") == F.col("event_type")) & (F.col("w1") == F.col("wk"))
+        )
+        .join(
+            n2,
+            (F.col("e2") == F.col("event_type"))
+            & (F.col("w2") == F.col("wk") + 1),
+        )
+        .select(
+            "event_type",
+            "wk",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nrm2a").cast("double") * F.col("nrm2b")
+                ),
+                9,
+            ).alias("cos9"),
+        )
+        # pinned: the mean agg and the argmin rank both read it
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("event_type").orderBy("cos9", "wk")
+    worst = (
+        pairs.select(
+            "event_type",
+            F.col("wk").alias("worst_week_start"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "worst_week_start")
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_week_pairs"),
+        F.round(
+            F.sum(F.col("cos9").cast("decimal(12,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos"),
+        F.round(F.min("cos9"), 6).alias("min_cos"),
+    )
+    return (
+        agg.join(worst, "event_type")
+        .select(
+            "event_type",
+            "n_week_pairs",
+            "mean_cos",
+            "min_cos",
+            "worst_week_start",
+        )
+        .orderBy("event_type")
+    )

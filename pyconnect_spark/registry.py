@@ -199,6 +199,8 @@ _DECLARED_IN_ROUND = {
     "x94_time_to_convert": 49,
     # round 8, eighteenth wave (sm42's ANN-candidate scale tier)
     "sm42b_knn_label_scaled": 50,
+    # round 8, nineteenth wave
+    "ts72_hourly_profile_stability": 51,
 }
 
 

@@ -1968,3 +1968,16 @@ def test_sm42b_cell_keyed_candidates_no_cross_corpus(spark):
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
     assert "Scan ExistingRDD" in text
+
+
+def test_ts72_one_hourly_rollup_typed_windows(spark):
+    # hourly rollup checkpoint-pinned (norms + both dot-join sides);
+    # argmin rank partitions by event_type; events never re-scan
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["ts72_hourly_profile_stability"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
+    assert text.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in text

@@ -202,3 +202,28 @@ def test_sm42_matches_numpy_knn_vote(spark):
         assert r["n_vecs"] == len(correct[lbl])
         assert r["n_correct"] == sum(correct[lbl]), lbl
         assert abs(r["mean_neighbor_agreement"] - sum(agree_n[lbl]) / (5 * len(agree_n[lbl]))) < 2e-6
+
+
+def test_ts72_matches_numpy_profile_cosines(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    wk = ((ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days // 7)
+    hr = ev["ts"].dt.hour
+    counts = ev.groupby(["event_type", wk.rename("wk"), hr.rename("hr")]).size()
+    got = {r["event_type"]: r for r in get("ts72_hourly_profile_stability").builder(spark, SF).collect()}
+    for et in counts.index.get_level_values(0).unique():
+        g = counts[et].unstack(fill_value=0)
+        weeks = sorted(g.index)
+        cos = []
+        for w1, w2 in zip(weeks, weeks[1:]):
+            # consecutive calendar weeks only (the engine joins wk+1)
+            if w2 != w1 + 1:
+                continue
+            a, b = g.loc[w1].to_numpy(float), g.loc[w2].to_numpy(float)
+            cos.append(
+                (w1, round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 9))
+            )
+        r = got[et]
+        assert r["n_week_pairs"] == len(cos)
+        assert abs(r["mean_cos"] - np.mean([c for _, c in cos])) < 2e-6
+        assert abs(r["min_cos"] - min(c for _, c in cos)) < 2e-6
+        assert r["worst_week_start"] == min(cos, key=lambda t: (t[1], t[0]))[0]
