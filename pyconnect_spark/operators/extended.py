@@ -5960,9 +5960,11 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(degrees and their products; casts to DOUBLE only in the final "
     "identically-written expression, avoiding BIGINT overflow the "
     "same way in both engines). Plan: one basket dedup of lineitem, "
-    "one orderkey self-join, edge dedup, a degree agg reused for "
-    "BOTH endpoint joins (checkpoint-pinned), two broadcast-able "
-    "degree joins, a 1-row moment agg. At 100 TB the self-join is "
+    "one orderkey self-join, edge dedup (checkpoint-pinned so the "
+    "self-join materializes exactly once across the union and the "
+    "endpoint joins), a degree agg reused for BOTH endpoint joins "
+    "(also pinned), two broadcast-able degree joins, a 1-row moment "
+    "agg. At 100 TB the self-join is "
     "the dominant exchange — same profile as x70, whose block cap "
     "(x73b's precedent) applies if basket sizes skew.",
     tags=("extended", "graph", "assortativity", "stats"),
@@ -5976,10 +5978,14 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = basket.select(
         F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
     )
+    # pinned: the directed union reads it twice and the endpoint joins
+    # read the union again — unpinned lineage would re-run the basket
+    # self-join (the dominant exchange at 100 TB) up to ~4x
     edges = (
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
         .select("pa", "pb")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     directed = edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
@@ -6143,4 +6149,365 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("sum_delta") * 1.0 / F.col("n_converted") / 1000000, 6
         ).alias("mean_delta_s"),
+    )
+
+
+@REGISTRY.register(
+    "x95_spearman_dependence",
+    oracle="""
+    WITH xc AS (
+      SELECT l_returnflag AS flag, l_discount AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xr AS (
+      SELECT flag, v,
+             2 * (SUM(c) OVER (PARTITION BY flag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+             + c + 1 AS r2
+      FROM xc
+    ),
+    yc AS (
+      SELECT l_returnflag AS flag, l_quantity AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    yr AS (
+      SELECT flag, v,
+             2 * (SUM(c) OVER (PARTITION BY flag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+             + c + 1 AS r2
+      FROM yc
+    ),
+    j AS (
+      SELECT l.l_returnflag AS flag,
+             CAST(x.r2 AS DECIMAL(19,0)) AS rx,
+             CAST(y.r2 AS DECIMAL(19,0)) AS ry
+      FROM lineitem l
+      JOIN xr x ON x.flag = l.l_returnflag AND x.v = l.l_discount
+      JOIN yr y ON y.flag = l.l_returnflag AND y.v = l.l_quantity
+    ),
+    m AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS DOUBLE) AS sx,
+             CAST(SUM(ry) AS DOUBLE) AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+      FROM j GROUP BY 1
+    )
+    SELECT flag AS l_returnflag, n AS n_rows,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS spearman_rho
+    FROM m ORDER BY 1
+    """,
+    doc="Spearman rank correlation between discount and quantity per "
+    "return flag — the monotone-dependence audit (does discounting "
+    "move volume?) that Pearson-on-raw-values gets wrong under "
+    "nonlinearity and that tx50 applies to VOCAB rank drift; this is "
+    "the numeric-column member of the family. Tie-aware average "
+    "ranks are kept EXACT by storing 2*avg_rank = 2*cnt_lt + cnt_eq "
+    "+ 1 (an integer for any tie pattern), built per DISTINCT value "
+    "from grouped counts — so the rank 'sort' runs at the "
+    "|distinct-values| grain (tens of rows per flag), never a "
+    "corpus-scale sort, and both rank maps broadcast back onto the "
+    "fact scan. Rank products accumulate as DECIMAL(38,0) (exact to "
+    "1e38 — BIGINT moments would overflow past ~1e6 rows per group), "
+    "cast to DOUBLE only in the final identically-written Pearson "
+    "expression, rounded 6 dp. Plan: two tiny grouped-count aggs + "
+    "flag-partitioned prefix windows on ~dozens of rows, two "
+    "BROADCAST joins onto one lineitem scan, one |flags|-row moment "
+    "agg — at 100 TB the only corpus-scale exchange is the initial "
+    "combiner agg pair.",
+    tags=("extended", "stats", "spearman", "correlation"),
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+
+    def rank_map(col: str) -> DataFrame:
+        cnt = li.groupBy(
+            F.col("l_returnflag").alias("flag"), F.col(col).alias("v")
+        ).agg(F.count("*").cast("long").alias("c"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cnt.select(
+            "flag",
+            "v",
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias(
+                "r2"
+            ),
+        )
+
+    xr = rank_map("l_discount").select(
+        "flag", F.col("v").alias("xv"), F.col("r2").alias("rx")
+    )
+    yr = rank_map("l_quantity").select(
+        "flag", F.col("v").alias("yv"), F.col("r2").alias("ry")
+    )
+    j = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_discount").alias("xv"),
+            F.col("l_quantity").alias("yv"),
+        )
+        .join(F.broadcast(xr), ["flag", "xv"])
+        .join(F.broadcast(yr), ["flag", "yv"])
+        .select(
+            "flag",
+            F.col("rx").cast("decimal(19,0)").alias("rx"),
+            F.col("ry").cast("decimal(19,0)").alias("ry"),
+        )
+    )
+    m = j.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        F.col("flag").alias("l_returnflag"),
+        n.alias("n_rows"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+@REGISTRY.register(
+    "x96_pareto_skyline",
+    oracle="""
+    WITH pp AS (
+      SELECT p_retailprice AS price, CAST(MAX(p_size) AS BIGINT) AS size
+      FROM part GROUP BY 1
+    ),
+    pref AS (
+      SELECT price, size,
+             MAX(size) OVER (ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM pp
+    ),
+    fr AS (
+      SELECT price, size FROM pref WHERE pm IS NULL OR size > pm
+    )
+    SELECT f.price AS p_retailprice, f.size AS p_size,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p.p_partkey) AS BIGINT) AS exemplar_partkey
+    FROM fr f
+    JOIN part p ON p.p_retailprice = f.price AND p.p_size = f.size
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="Pareto skyline of the part catalog — cheapest-price / "
+    "largest-size frontier (the classic SKYLINE operator: a part is "
+    "dominated iff another is no-worse on both axes and strictly "
+    "better on one). The sort-scan formulation: collapse to the "
+    "distinct-price grain (max size per price), then a point is on "
+    "the frontier iff its size strictly exceeds the running max over "
+    "all STRICTLY cheaper prices (NULL-prefix = cheapest price is "
+    "always in) — same-price ties collapse into the grain agg and "
+    "equal-size-cheaper-price dominance falls out of the strict "
+    "compare. The exclusive prefix max runs DISTRIBUTED via "
+    "rankops.with_global_order(cummax_excl=...): range-partition by "
+    "price, per-slice strict-prefix window + lower-slice max offsets "
+    "— no unpartitioned WindowExec, no single-task sort; the oracle "
+    "spells the same semantics as one window. Plan: one |part|-scale "
+    "combiner agg to the price grain, the distributed prefix-max on "
+    "that grain, one broadcast-able join back to part for exemplars. "
+    "At 100 TB the price-grain frame is |distinct prices| << |part| "
+    "and every frontier decision is a pure function of the total "
+    "order, so the plan survives any partition count unchanged.",
+    tags=("extended", "skyline", "pareto", "frontier"),
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.operators.rankops import with_global_order
+
+    part = t(spark, sf_dir, "part")
+    pp = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("long").alias("size")
+    )
+    pref = with_global_order(
+        pp, [F.col("price")], cummax_excl={"size": "pm"}
+    )
+    fr = pref.filter(
+        F.col("pm").isNull() | (F.col("size") > F.col("pm"))
+    ).select("price", "size")
+    return (
+        part.join(
+            F.broadcast(fr),
+            (F.col("p_retailprice") == F.col("price"))
+            & (F.col("p_size").cast("long") == F.col("size")),
+        )
+        .groupBy(
+            F.col("price").alias("p_retailprice"),
+            F.col("size").alias("p_size"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("exemplar_partkey"),
+        )
+        .orderBy("p_retailprice")
+    )
+
+
+@REGISTRY.register(
+    "x97_interpurchase_cadence",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             CAST(o.o_orderdate AS DATE) AS dt, o.o_orderkey AS ok
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    gaps AS (
+      SELECT seg, ck,
+             date_diff('day',
+                       lag(dt) OVER (PARTITION BY ck ORDER BY dt, ok),
+                       dt) AS g
+      FROM o
+    ),
+    cust AS (
+      SELECT seg,
+             CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+             CAST(COUNT(DISTINCT CASE WHEN g IS NOT NULL THEN ck END)
+                  AS BIGINT) AS n_repeat
+      FROM gaps GROUP BY 1
+    ),
+    gd AS (
+      SELECT seg, CAST(g AS BIGINT) AS g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT seg, g, c,
+             SUM(c) OVER (PARTITION BY seg ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             SUM(c) OVER (PARTITION BY seg) AS n,
+             SUM(g * c) OVER (PARTITION BY seg) AS sg
+      FROM gd
+    ),
+    pct AS (
+      SELECT seg,
+             CAST(MAX(n) AS BIGINT) AS n_gaps,
+             CAST(MAX(sg) AS BIGINT) AS sum_gap,
+             CAST(MIN(CASE WHEN cc >= ceil(0.5 * n) THEN g END)
+                  AS BIGINT) AS p50_gap_days,
+             CAST(MIN(CASE WHEN cc >= ceil(0.9 * n) THEN g END)
+                  AS BIGINT) AS p90_gap_days
+      FROM cum GROUP BY 1
+    )
+    SELECT c.seg AS c_mktsegment, c.n_customers,
+           c.n_repeat AS n_repeat_customers,
+           round(CAST(c.n_repeat AS DOUBLE) / c.n_customers, 6)
+               AS repeat_share,
+           round(CAST(p.sum_gap AS DOUBLE) / p.n_gaps, 6)
+               AS mean_gap_days,
+           p.p50_gap_days, p.p90_gap_days
+    FROM cust c JOIN pct p ON p.seg = c.seg
+    ORDER BY 1
+    """,
+    doc="Inter-purchase cadence per market segment: gaps in days "
+    "between a customer's consecutive orders, rolled up to repeat-"
+    "buyer share, mean gap, and exact p50/p90 gap — the replenishment"
+    "-cycle readout that sizes x90's EOQ review period and x53's RFM "
+    "recency cutoffs with measured cadence instead of folklore. "
+    "Percentiles are computed at the (segment, gap-days) DISTINCT "
+    "grain: integer day gaps collapse to a few-thousand-row frame, "
+    "cumulative counts pick the value at rank ceil(q*n) — so no "
+    "corpus-scale sort and no hot segment partition even though "
+    "segments are few; the only row-grain window is the per-customer "
+    "lag, partitioned by custkey (millions of small partitions — the "
+    "healthy direction). All counts/sums are exact integers; the "
+    "three shares are identically-written IEEE divisions rounded 6 "
+    "dp. Plan: one orders-customer join (broadcast dim at fixture "
+    "scale, shuffle-on-custkey at 100 TB where customer is fat), one "
+    "custkey-partitioned lag, one combiner agg to the day-gap grain, "
+    "segment-partitioned prefix windows on the tiny grain frame.",
+    tags=("extended", "cadence", "percentile", "retention"),
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("dt"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("ck").orderBy("dt", "ok")
+    gaps = o.select(
+        "seg",
+        "ck",
+        F.datediff(F.col("dt"), F.lag("dt").over(w)).alias("g"),
+    )
+    cust_agg = gaps.groupBy("seg").agg(
+        F.countDistinct("ck").cast("long").alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("g").isNotNull(), F.col("ck"))
+        )
+        .cast("long")
+        .alias("n_repeat"),
+    )
+    gd = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("seg", F.col("g").cast("long").alias("g"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("seg")
+    cum = gd.select(
+        "seg",
+        "g",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum(F.col("g") * F.col("c")).over(wt).alias("sg"),
+    )
+    pct = cum.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.max("sg").cast("long").alias("sum_gap"),
+        F.min(
+            F.when(F.col("cc") >= F.ceil(0.5 * F.col("n")), F.col("g"))
+        )
+        .cast("long")
+        .alias("p50_gap_days"),
+        F.min(
+            F.when(F.col("cc") >= F.ceil(0.9 * F.col("n")), F.col("g"))
+        )
+        .cast("long")
+        .alias("p90_gap_days"),
+    )
+    return (
+        cust_agg.join(pct, "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_customers",
+            F.col("n_repeat").alias("n_repeat_customers"),
+            F.round(
+                F.col("n_repeat").cast("double") / F.col("n_customers"), 6
+            ).alias("repeat_share"),
+            F.round(
+                F.col("sum_gap").cast("double") / F.col("n_gaps"), 6
+            ).alias("mean_gap_days"),
+            "p50_gap_days",
+            "p90_gap_days",
+        )
+        .orderBy("c_mktsegment")
     )

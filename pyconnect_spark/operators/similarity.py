@@ -5321,7 +5321,7 @@ def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (
       SELECT q.vec_id AS qid, q.label AS qlabel,
              e.vec_id AS nid, e.label AS nlabel,
-             {_ORACLE_COS} AS c
+             {_IVF_PAIR_COS} AS c
       FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
     ),
     knn AS (
@@ -5369,9 +5369,12 @@ def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster-coherence detector run before trusting labels for "
     "stratified sampling (dd29) or hard-negative mining (sm28): a "
     "class with low neighbor agreement is mislabeled or entangled in "
-    "embedding space. Rank decisions order by RAW cosine with vec_id "
-    "tiebreak (sm02's convention — both engines evaluate the same "
-    "fixed-order fold), votes are exact integers. This is the exact "
+    "embedding space. Rank decisions order by the 9-dp-rounded "
+    "left-to-right cosine fold with vec_id tiebreak (the sm42b/sm30b "
+    "barrier: both engines evaluate the same fixed-order fold, and "
+    "the F.round/_IVF_PAIR_COS barrier keeps a 1-ulp builtin "
+    "divergence from flipping top-5 membership), votes are exact "
+    "integers. This is the exact "
     "AUDIT grain (all-pairs, |corpus|^2 bounded like sm02); at real "
     "corpus scale the identical vote/agreement stages run over "
     "sm05/sm18 ANN candidate lists instead — the sm23b/sm30b "
@@ -5404,7 +5407,7 @@ def sm42(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_nrm") * F.col("n_nrm")
     )
     pairs = q.join(F.broadcast(e), F.col("qid") != F.col("nid")).select(
-        "qid", "qlabel", "nlabel", "nid", sim.alias("c")
+        "qid", "qlabel", "nlabel", "nid", F.round(sim, 9).alias("c")
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
     knn = (
@@ -5457,7 +5460,7 @@ def sm42(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.qid, q.qlabel, e.vec_id AS nid,
-             {_ORACLE_COS} AS c
+             {_IVF_PAIR_COS} AS c
       FROM q JOIN embeddings e
         ON e.label = q.qlabel AND e.vec_id <> q.qid
     )
@@ -5480,8 +5483,9 @@ def sm42(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Here the filter is an equi-join predicate, so the plan is a "
     "label-KEYED join (each query only meets its label partition — "
     "1/|labels| of the corpus) rather than a crossJoin + discard; "
-    "ranking orders by raw cosine with vec_id tiebreak (sm01/sm02's "
-    "convention). At 100 TB: partition the corpus by the filter "
+    "ranking orders by the 9-dp-rounded left-to-right cosine fold "
+    "with vec_id tiebreak (the sm42b barrier, so a 1-ulp builtin "
+    "divergence cannot flip top-3 membership near a tie). At 100 TB: partition the corpus by the filter "
     "column (the docs/SCALE.md layout rule), broadcast the query "
     "sample, and the per-label IVF tier (sm05) drops in when a label "
     "partition alone is corpus-scale. Plan: broadcast query sample -> "
@@ -5514,7 +5518,7 @@ def sm43(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nlabel") == F.col("qlabel"))
             & (F.col("nid") != F.col("qid")),
         )
-        .select("qid", "qlabel", "nid", sim.alias("c"))
+        .select("qid", "qlabel", "nid", F.round(sim, 9).alias("c"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
     return (
@@ -5701,4 +5705,358 @@ def sm42b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("label")
+    )
+
+
+# sm44: MMR constants — λ trades relevance against diversity; k picks from
+# an 8-candidate exact pool so the unrolled plan stays 3 tiny joins.
+_SM44_LAMBDA = 0.7
+_SM44_POOL = 8
+
+
+def _sm44_oracle_sql() -> str:
+    """DuckDB replay of the unrolled 3-step MMR loop over the top-8 exact
+    cosine pool. Every cosine (query-candidate AND candidate-candidate)
+    is the 9-dp-rounded left-to-right fold (_IVF_PAIR_COS) and every MMR
+    score re-rounds at 9 dp before ranking, so rank decisions are ulp-safe
+    in both engines."""
+    lam = _SM44_LAMBDA
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid, {_IVF_PAIR_COS} AS c9
+      FROM qs q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    pool AS (
+      SELECT qid, nid, c9 FROM (
+        SELECT qid, nid, c9,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c9 DESC, nid) AS rk
+        FROM scored
+      ) WHERE rk <= {_SM44_POOL}
+    ),
+    cc AS (
+      SELECT p.qid, p.nid AS nid_a, r.nid AS nid_b, {_IVF_PAIR_COS} AS d9
+      FROM pool p
+      JOIN pool r ON r.qid = p.qid AND r.nid <> p.nid
+      JOIN embeddings e ON e.vec_id = p.nid
+      JOIN embeddings q ON q.vec_id = r.nid
+    ),
+    s1 AS (
+      SELECT qid, nid, round(CAST({lam} AS DOUBLE) * c9, 9) AS score
+      FROM (
+        SELECT qid, nid, c9,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c9 DESC, nid) AS rk
+        FROM pool
+      ) WHERE rk = 1
+    ),
+    i2 AS (
+      SELECT p.qid, p.nid,
+             round(CAST({lam} AS DOUBLE) * p.c9
+                   - CAST({1 - lam} AS DOUBLE) * cc.d9, 9) AS score
+      FROM pool p
+      JOIN s1 ON s1.qid = p.qid AND p.nid <> s1.nid
+      JOIN cc ON cc.qid = p.qid AND cc.nid_a = p.nid AND cc.nid_b = s1.nid
+    ),
+    s2 AS (
+      SELECT qid, nid, score FROM (
+        SELECT qid, nid, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid) AS rk
+        FROM i2
+      ) WHERE rk = 1
+    ),
+    i3 AS (
+      SELECT p.qid, p.nid,
+             round(CAST({lam} AS DOUBLE) * p.c9
+                   - CAST({1 - lam} AS DOUBLE)
+                     * greatest(c1.d9, c2.d9), 9) AS score
+      FROM pool p
+      JOIN s1 ON s1.qid = p.qid AND p.nid <> s1.nid
+      JOIN s2 ON s2.qid = p.qid AND p.nid <> s2.nid
+      JOIN cc c1 ON c1.qid = p.qid AND c1.nid_a = p.nid
+                AND c1.nid_b = s1.nid
+      JOIN cc c2 ON c2.qid = p.qid AND c2.nid_a = p.nid
+                AND c2.nid_b = s2.nid
+    ),
+    s3 AS (
+      SELECT qid, nid, score FROM (
+        SELECT qid, nid, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid) AS rk
+        FROM i3
+      ) WHERE rk = 1
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           round(score, 6) AS mmr_score
+    FROM (
+      SELECT qid, 1 AS rank, nid, score FROM s1
+      UNION ALL SELECT qid, 2, nid, score FROM s2
+      UNION ALL SELECT qid, 3, nid, score FROM s3
+    ) ORDER BY qid, rank
+    """
+
+
+@REGISTRY.register(
+    "sm44_mmr_diversified_topk",
+    oracle=_sm44_oracle_sql(),
+    doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) "
+    "diversified top-3: for each query in the deterministic vec_id % "
+    "50 sample, greedily pick argmax of lambda*sim(q,c) - (1-lambda)*"
+    "max_cos(c, already-picked) from the exact top-8 cosine pool — "
+    "the de-dup-at-retrieval-time operator every RAG stack and "
+    "hard-negative miner needs when the plain top-k returns five "
+    "copies of the same paragraph (exactly what a corpus with dd03-"
+    "scale duplication does). The greedy loop is UNROLLED into 3 "
+    "deterministic DataFrame stages (k is a constant, so the plan is "
+    "static — no driver iteration): pool -> pick-1 -> rescore-vs-s1 "
+    "-> pick-2 -> rescore-vs-max(s1,s2) -> pick-3. Every cosine is "
+    "the 9-dp-rounded fixed-order fold and every MMR score re-rounds "
+    "at 9 dp before its rank window (the sm42b ulp barrier); ranks "
+    "tiebreak on nid. Plan: one broadcast-query corpus scan for the "
+    "pool (TakeOrdered-per-query shape, |corpus| never self-joins), "
+    "candidate-candidate cosines on the 8-row-per-query pool frame "
+    "(pinned via localCheckpoint — three iterations reuse it), then "
+    "three |queries|-grain joins. At 100 TB the pool stage swaps to "
+    "sm05/sm18 ANN candidates (the sm23b precedent) and the MMR "
+    "stages are unchanged — they never touch the corpus.",
+    tags=("similarity", "llm", "mmr", "diversity", "topk"),
+)
+def sm44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lam = F.lit(_SM44_LAMBDA).cast("double")
+    one_lam = F.lit(1 - _SM44_LAMBDA).cast("double")
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = normed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sim = pair_dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("c9"), F.asc("nid"))
+    pool = (
+        F.broadcast(q)
+        .join(e, F.col("nid") != F.col("qid"))
+        .select(
+            "qid", "nid", F.round(sim, 9).alias("c9"), "n_emb", "n_nrm"
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _SM44_POOL)
+        .drop("rk")
+        # pinned: three MMR iterations + the pairwise-cosine frame all
+        # read the pool — unpinned lineage would re-run the corpus scan
+        .localCheckpoint(eager=False)
+    )
+    pa = pool.select("qid", F.col("nid").alias("nid_a"),
+                     F.col("n_emb").alias("a_emb"),
+                     F.col("n_nrm").alias("a_nrm"))
+    pb = pool.select(F.col("qid").alias("qid_b"),
+                     F.col("nid").alias("nid_b"),
+                     F.col("n_emb").alias("b_emb"),
+                     F.col("n_nrm").alias("b_nrm"))
+    dsim = pair_dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    cc = (
+        pa.join(
+            pb,
+            (F.col("qid") == F.col("qid_b"))
+            & (F.col("nid_a") != F.col("nid_b")),
+        )
+        .select("qid", "nid_a", "nid_b", F.round(dsim, 9).alias("d9"))
+        .localCheckpoint(eager=False)
+    )
+    slim = pool.select("qid", "nid", "c9")
+    s1 = (
+        slim.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("qid", "nid", F.round(lam * F.col("c9"), 9).alias("score"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+
+    def pick(pool_i: DataFrame) -> DataFrame:
+        return (
+            pool_i.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select("qid", "nid", "score")
+        )
+
+    s1a = s1.select("qid", F.col("nid").alias("s1_nid"))
+    i2 = (
+        slim.join(s1a, "qid")
+        .filter(F.col("nid") != F.col("s1_nid"))
+        .join(
+            cc.select("qid", F.col("nid_a").alias("nid"),
+                      F.col("nid_b").alias("s1_nid"), "d9"),
+            ["qid", "nid", "s1_nid"],
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(lam * F.col("c9") - one_lam * F.col("d9"), 9).alias(
+                "score"
+            ),
+        )
+    )
+    s2 = pick(i2)
+    s2a = s2.select("qid", F.col("nid").alias("s2_nid"))
+    i3 = (
+        slim.join(s1a, "qid")
+        .join(s2a, "qid")
+        .filter(
+            (F.col("nid") != F.col("s1_nid"))
+            & (F.col("nid") != F.col("s2_nid"))
+        )
+        .join(
+            cc.select("qid", F.col("nid_a").alias("nid"),
+                      F.col("nid_b").alias("s1_nid"),
+                      F.col("d9").alias("d1")),
+            ["qid", "nid", "s1_nid"],
+        )
+        .join(
+            cc.select("qid", F.col("nid_a").alias("nid"),
+                      F.col("nid_b").alias("s2_nid"),
+                      F.col("d9").alias("d2")),
+            ["qid", "nid", "s2_nid"],
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                lam * F.col("c9")
+                - one_lam * F.greatest(F.col("d1"), F.col("d2")),
+                9,
+            ).alias("score"),
+        )
+    )
+    s3 = pick(i3)
+    out = (
+        s1.select("qid", F.lit(1).alias("rank"), "nid", "score")
+        .unionByName(s2.select("qid", F.lit(2).alias("rank"), "nid", "score"))
+        .unionByName(s3.select("qid", F.lit(3).alias("rank"), "nid", "score"))
+    )
+    return out.select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        "nid",
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("qid", "rank")
+
+
+@REGISTRY.register(
+    "sm45_dot_cosine_rank_overlap",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {_IVF_PAIR_COS} AS c9,
+             round(list_aggregate(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)),
+                       'sum'), 9) AS d9
+      FROM qs q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY c9 DESC, nid) AS rc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY d9 DESC, nid) AS rd
+      FROM scored
+    )
+    SELECT qid,
+           CAST(SUM(CASE WHEN rc <= 5 AND rd <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top5_overlap,
+           CAST(MAX(CASE WHEN rc = 1 AND rd = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_agree
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Dot-product vs cosine ranking agreement per query (vec_id % 50 "
+    "sample): top-5 overlap size and whether the two metrics crown "
+    "the same top-1 — the norm-signal audit run before choosing the "
+    "MIPS tier (sm27) over the cosine tier (sm01): if overlap is "
+    "5/5 everywhere the corpus norms carry no ranking signal and the "
+    "cheaper normalized index serves both query types; low overlap "
+    "means norm information is real and dot-product queries need "
+    "their own index. Both scores are 9-dp-rounded fixed-order folds "
+    "(cosine divides by precomputed row norms — bit-identical to the "
+    "fused expression per vector_norm's contract), both rank windows "
+    "tiebreak on nid, and the per-query readout is exact integers. "
+    "Plan: broadcast query sample -> one corpus scan scoring both "
+    "metrics in the SAME projection -> two (qid)-partitioned rank "
+    "windows in one exchange -> |queries|-row agg. At 100 TB: same "
+    "broadcast-scan shape as sm01; the corpus never self-joins.",
+    tags=("similarity", "llm", "mips", "cosine", "audit"),
+)
+def sm45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = normed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    dot = pair_dot(F.col("q_emb"), F.col("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(dot / (F.col("q_nrm") * F.col("n_nrm")), 9).alias("c9"),
+            F.round(dot, 9).alias("d9"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("c9"), F.asc("nid"))
+    wd = Window.partitionBy("qid").orderBy(F.desc("d9"), F.asc("nid"))
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.sum(
+                F.when((F.col("rc") <= 5) & (F.col("rd") <= 5), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("top5_overlap"),
+            F.max(
+                F.when((F.col("rc") == 1) & (F.col("rd") == 1), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("top1_agree"),
+        )
+        .orderBy("qid")
     )

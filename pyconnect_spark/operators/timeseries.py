@@ -5793,7 +5793,8 @@ def ts67(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
       SELECT period,
              CAST(COUNT(*) AS BIGINT) AS n_buckets,
-             SUM(CAST(sk AS DOUBLE) * sk / nk) AS ssb_plus
+             CAST(SUM(CAST(round(CAST(sk AS DOUBLE) * sk / nk, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS ssb_plus
       FROM buckets GROUP BY 1
     )
     SELECT period, n_buckets, n AS n_days,
@@ -5810,11 +5811,14 @@ def ts67(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strength at one pinned period. Peak at p=7 = weekly cadence; "
     "harmonics (p=14) score <= the fundamental. Folding by (d mod p) "
     "partitions identical day-sets regardless of phase, so the epoch-"
-    "day index needs no min-date join. Every accumulated quantity "
-    "(day count n, event sums S, S_k, sum of squares) is an exact "
-    "integer in both engines; the only floating-point is the final "
-    "ratio of two identically-formed IEEE expressions, rounded at 6 "
-    "dp. Plan: ONE daily combiner agg over events, a 13x explode of "
+    "day index needs no min-date join. Day count n, event sums S, "
+    "S_k and the sum of squares are exact integers in both engines; "
+    "the between-bucket term sk^2/nk is a single IEEE expression of "
+    "those integers per bucket, rounded at the repo's 9-dp barrier "
+    "and summed as DECIMAL(38,9) (the ts70/ts72 idiom) so the "
+    "accumulation is order-independent across engines and "
+    "partitionings; the final R^2 ratio rounds at 6 dp. Plan: ONE "
+    "daily combiner agg over events, a 13x explode of "
     "the ~|days|-row frame, a (period, k)-grain agg (<= 14*14 + |days| "
     "x 13 rows), and a broadcast 1-row grand total — events are "
     "scanned once; at 100 TB the only corpus-scale exchange is the "
@@ -5854,9 +5858,13 @@ def ts68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = buckets.groupBy("period").agg(
         F.count("*").cast("long").alias("n_buckets"),
-        F.sum(F.col("sk").cast("double") * F.col("sk") / F.col("nk")).alias(
-            "ssb_plus"
-        ),
+        F.sum(
+            F.round(
+                F.col("sk").cast("double") * F.col("sk") / F.col("nk"), 9
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("ssb_plus"),
     )
     s, n, sxx = F.col("s"), F.col("n"), F.col("sxx")
     correction = s.cast("double") * s / n
@@ -6371,4 +6379,371 @@ def ts72(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_week_start",
         )
         .orderBy("event_type")
+    )
+
+
+@REGISTRY.register(
+    "ts73_record_breaking_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, x,
+             MAX(x) OVER (PARTITION BY event_type ORDER BY dt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+             row_number() OVER (PARTITION BY event_type ORDER BY dt) AS rn
+      FROM daily
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN pm IS NULL OR x > pm THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_records,
+             CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / rn, 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS hn,
+             CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / (rn * rn), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS hn2
+      FROM seq GROUP BY 1
+    )
+    SELECT event_type, n_days, n_records,
+           round(hn, 6) AS expected_records,
+           round((n_records - hn) / sqrt(hn - hn2), 6) AS z_score
+    FROM agg ORDER BY 1
+    """,
+    doc="Record-breaking-days trend test per event type: count the days "
+    "whose daily event count strictly exceeds every earlier day (upper "
+    "records; day 1 always counts) and compare against the i.i.d. "
+    "null, where the expected record count is the harmonic number H_n "
+    "and Var = H_n - H_n^(2) (records theory, Renyi 1962) — a "
+    "distribution-free growth detector that complements ts61's "
+    "Mann-Kendall (which scores ALL pairs) by reacting only to new "
+    "peaks, i.e. exactly what capacity planning cares about. Record "
+    "flags are exact integer compares against a strict-prefix max; "
+    "the harmonic sums accumulate per-day 1/rn terms through the "
+    "9-dp-round + DECIMAL barrier (order-independent in both "
+    "engines); the z-score is one identically-written IEEE expression "
+    "rounded 6 dp. Plan: one daily combiner agg over events, one "
+    "(event_type)-partitioned window pass producing prefix max + row "
+    "number, a |types|-row agg. At 100 TB the daily rollup is the "
+    "only corpus-scale exchange; windows run at day grain.",
+    tags=("timeseries", "records", "trend", "stats"),
+)
+def ts73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("dt")
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = daily.select(
+        "event_type",
+        "x",
+        F.max("x").over(wx).alias("pm"),
+        F.row_number().over(w).alias("rn"),
+    )
+    one = F.lit(1).cast("double")
+    agg = seq.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("pm").isNull() | (F.col("x") > F.col("pm")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_records"),
+        F.sum(
+            F.round(one / F.col("rn"), 9).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("hn"),
+        F.sum(
+            F.round(one / (F.col("rn") * F.col("rn")), 9).cast(
+                "decimal(20,9)"
+            )
+        )
+        .cast("double")
+        .alias("hn2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_records",
+        F.round(F.col("hn"), 6).alias("expected_records"),
+        F.round(
+            (F.col("n_records") - F.col("hn"))
+            / F.sqrt(F.col("hn") - F.col("hn2")),
+            6,
+        ).alias("z_score"),
+    ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts74_turning_points_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY dt) AS xp,
+             lead(x) OVER (PARTITION BY event_type ORDER BY dt) AS xn
+      FROM daily
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                            AND ((x > xp AND x > xn)
+                                 OR (x < xp AND x < xn))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+      FROM tri GROUP BY 1
+    )
+    SELECT event_type, n_days, n_turning,
+           round(2.0 * (n_days - 2) / 3, 6) AS expected_turning,
+           round((n_turning - 2.0 * (n_days - 2) / 3)
+                 / sqrt((16.0 * n_days - 29) / 90), 6) AS z_score
+    FROM agg ORDER BY 1
+    """,
+    doc="Turning-points randomness test per event type: count interior "
+    "days that are a STRICT local max or min of the daily count "
+    "series; under i.i.d. exchangeability E[T] = 2(n-2)/3 and "
+    "Var(T) = (16n-29)/90 (Kendall's classical test), so a z far "
+    "below 0 means the series is smoother than random (trend/"
+    "seasonality — cross-read with ts68's period scan) and far above "
+    "0 means it alternates faster than random (negative "
+    "autocorrelation, e.g. batch-then-starve ingestion). Ties "
+    "produce no turning point by the strict compares — identical "
+    "arithmetic in both engines (a deflation the doc of record "
+    "acknowledges rather than hides); expectation/variance/z are "
+    "single identically-written IEEE expressions rounded 6 dp. Plan: "
+    "one daily combiner agg, ONE (event_type)-partitioned window "
+    "pass for lag+lead, a |types|-row agg — at 100 TB only the "
+    "daily rollup touches corpus-scale data.",
+    tags=("timeseries", "randomness", "turning-points", "stats"),
+)
+def ts74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("dt")
+    tri = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    is_tp = (
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (
+            ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+            | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn")))
+        )
+    )
+    agg = tri.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("n_turning"),
+    )
+    n, tp = F.col("n_days"), F.col("n_turning")
+    exp = 2.0 * (n - 2) / 3
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_turning",
+        F.round(exp, 6).alias("expected_turning"),
+        F.round((tp - exp) / F.sqrt((16.0 * n - 29) / 90), 6).alias(
+            "z_score"
+        ),
+    ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts75_traffic_concentration",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, dt) AS i,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x DESC, dt DESC) AS rd
+      FROM daily
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(i * x) AS BIGINT) AS six,
+             CAST(MAX(x) AS BIGINT) AS mx,
+             CAST(SUM(CASE WHEN rd <= 7 THEN x ELSE 0 END)
+                  AS BIGINT) AS top7
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_days, s AS total_events,
+           round((2.0 * six - (n_days + 1.0) * s)
+                 / (CAST(n_days AS DOUBLE) * s), 6) AS gini,
+           round(CAST(mx AS DOUBLE) / s, 6) AS peak_day_share,
+           round(CAST(top7 AS DOUBLE) / s, 6) AS top7_share
+    FROM agg ORDER BY 1
+    """,
+    doc="Temporal traffic concentration per event type: Gini "
+    "coefficient over the daily-count distribution (0 = perfectly "
+    "even load, 1 = all traffic on one day) plus peak-day share and "
+    "busiest-7-days share — the capacity-planning readout that says "
+    "whether provisioned-for-peak wastes 10x or 1.1x of steady-state "
+    "(x84 is the REVENUE Gini across customers; this is the same "
+    "estimator pointed at the time axis). Gini via the rank formula "
+    "(2*SUM(i*x_i) - (n+1)*S) / (n*S) over ascending-sorted daily "
+    "counts with (x, dt) total order — SUM(i*x) is invariant to "
+    "permutations within tied x, so ties cannot flake it; every "
+    "accumulated quantity is an exact BIGINT and the three final "
+    "shares are identically-written IEEE divisions rounded 6 dp. "
+    "Plan: one daily combiner agg over events, one (event_type)-"
+    "partitioned window pass (both rank directions in the same "
+    "exchange), a |types|-row agg — day-grain windows, corpus "
+    "touched once.",
+    tags=("timeseries", "gini", "concentration", "capacity"),
+)
+def ts75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count("*").cast("long").alias("x"))
+    wa = Window.partitionBy("event_type").orderBy(F.asc("x"), F.asc("dt"))
+    wd = Window.partitionBy("event_type").orderBy(F.desc("x"), F.desc("dt"))
+    ranked = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(wa).alias("i"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.max("x").cast("long").alias("mx"),
+        F.sum(F.when(F.col("rd") <= 7, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("top7"),
+    )
+    n, s = F.col("n_days"), F.col("s")
+    return agg.select(
+        "event_type",
+        "n_days",
+        s.alias("total_events"),
+        F.round(
+            (2.0 * F.col("six") - (n + 1.0) * s) / (n.cast("double") * s), 6
+        ).alias("gini"),
+        F.round(F.col("mx").cast("double") / s, 6).alias("peak_day_share"),
+        F.round(F.col("top7").cast("double") / s, 6).alias("top7_share"),
+    ).orderBy("event_type")
+
+
+@REGISTRY.register(
+    "ts76_stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (
+      SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud
+    ),
+    cover AS (
+      SELECT u, d + CAST(i.i AS INT) AS t, i.i AS i
+      FROM ud, (SELECT unnest(range(0, 28)) AS i) i
+    ),
+    daily AS (
+      SELECT t,
+             CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN u END)
+                  AS BIGINT) AS dau,
+             CAST(COUNT(DISTINCT CASE WHEN i <= 6 THEN u END)
+                  AS BIGINT) AS wau,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+      FROM cover GROUP BY 1
+    ),
+    full_days AS (
+      SELECT d.* FROM daily d, bounds b
+      WHERE d.t >= b.mn + 27 AND d.t <= b.mx
+    )
+    SELECT CAST(date_trunc('month', t) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(dau) AS DOUBLE) / COUNT(*), 6) AS avg_dau,
+           round(CAST(SUM(wau) AS DOUBLE) / COUNT(*), 6) AS avg_wau,
+           round(CAST(SUM(mau) AS DOUBLE) / COUNT(*), 6) AS avg_mau,
+           round(CAST(SUM(dau) AS DOUBLE) / SUM(mau), 6) AS stickiness
+    FROM full_days GROUP BY 1 ORDER BY 1
+    """,
+    doc="DAU/WAU/MAU active-user rollup with the DAU/MAU stickiness "
+    "ratio, monthly: the product-analytics staple (every growth "
+    "dashboard's first page) computed EXACTLY — each (user, day) "
+    "activity row covers the 28 trailing-window target days it can "
+    "appear in (explode x28 at the user-day grain, NOT the event "
+    "grain), so one distinct-count agg yields DAU (offset 0), WAU "
+    "(offsets 0-6) and MAU (all 28) per day in a single exchange; "
+    "days without a full 28-day lookback are excluded so edge "
+    "windows never understate MAU. All counts are exact integers "
+    "(no HLL — this is the calibration target x49's sketch rollup "
+    "is judged against); the averages and ratio-of-sums stickiness "
+    "are identically-written IEEE divisions rounded 6 dp. Plan: "
+    "events collapse to the user-day grain FIRST (the corpus-scale "
+    "combiner agg), the x28 explode multiplies only user-days, and "
+    "the per-day distinct agg shuffles (day, user) keys. At 100 TB "
+    "user-days are ~1e4x smaller than events, so the explode is "
+    "bounded; swap the exact distinct for x49's HLL partials when "
+    "even that exchange hurts.",
+    tags=("timeseries", "dau", "mau", "stickiness", "growth"),
+)
+def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    bounds = ud.agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    cover = ud.select(
+        "u",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+    ).select("u", "i", F.expr("date_add(d, i)").alias("t"))
+    daily = cover.groupBy("t").agg(
+        F.countDistinct(F.when(F.col("i") == 0, F.col("u")))
+        .cast("long")
+        .alias("dau"),
+        F.countDistinct(F.when(F.col("i") <= 6, F.col("u")))
+        .cast("long")
+        .alias("wau"),
+        F.countDistinct("u").cast("long").alias("mau"),
+    )
+    full_days = daily.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("t") >= F.date_add(F.col("mn"), 27))
+        & (F.col("t") <= F.col("mx"))
+    )
+    return (
+        full_days.groupBy(F.trunc("t", "month").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.sum("dau").cast("double") / F.count("*"), 6).alias(
+                "avg_dau"
+            ),
+            F.round(F.sum("wau").cast("double") / F.count("*"), 6).alias(
+                "avg_wau"
+            ),
+            F.round(F.sum("mau").cast("double") / F.count("*"), 6).alias(
+                "avg_mau"
+            ),
+            F.round(
+                F.sum("dau").cast("double") / F.sum("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
     )
