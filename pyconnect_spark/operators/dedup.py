@@ -160,7 +160,9 @@ def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = _N_HASHES, param_offset: int = 0
+) -> DataFrame:
     """doc_id → array<long> minhash signature — shuffle-free.
 
     Word-3-gram shingles stay an *array* per document; each of the k
@@ -213,7 +215,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for (a, b) in (_hash_params(i) for i in range(n_hashes))
+            for (a, b) in (
+                _hash_params(i + param_offset) for i in range(n_hashes)
+            )
         ]
     )
     signature = F.aggregate(
@@ -226,14 +230,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     return hashed.select("doc_id", signature.alias("signature"))
 
 
-def band_keys(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+def band_keys(
+    sig: DataFrame, n_bands: int = _N_BANDS, salt: str = ""
+) -> DataFrame:
     """(doc_id, band, bhash) band-bucket keys from minhash signatures.
 
     Band key: md5 of "band:v0:...:v7" (same public-hash rationale as the
     shingle hash — DuckDB replays the identical band buckets). Shared by
     the batch candidate join (lsh_candidate_pairs) and the streaming
     near-dup filter (streaming/neardup.py), so both tiers bucket
-    identically."""
+    identically. ``salt`` prefixes the band label (dd42 draws an
+    independent bucket family with it; '' = the canonical dd03 keys)."""
     rows = _N_HASHES // n_bands
     return sig.select(
         "doc_id",
@@ -245,7 +252,7 @@ def band_keys(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
                             F.md5(
                                 F.concat_ws(
                                     ":",
-                                    F.lit(i),
+                                    F.lit(f"{salt}{i}"),
                                     *[F.col("signature")[i * rows + j] for j in range(rows)],
                                 )
                             ),
@@ -262,10 +269,12 @@ def band_keys(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, n_bands: int = _N_BANDS, salt: str = ""
+) -> DataFrame:
     """Banded LSH: hash each band of the signature, bucket-join within
     (band, band_hash). Only co-bucketed docs ever meet — no full cross join."""
-    bands = band_keys(sig, n_bands)
+    bands = band_keys(sig, n_bands, salt=salt)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -4329,3 +4338,214 @@ def dd41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _dd42_oracle_sql() -> str:
+    """DuckDB replay of TWO independent MinHash+LSH runs: family A is the
+    canonical dd03 pipeline (shared CTEs, so the baseline can never drift
+    from dd03), family B draws its 64 affine permutations at offset 64
+    and salts its band keys with 'sB:'. Both families read the SAME
+    shingle-hash CTE ``hs``."""
+    p = _MERSENNE
+    rows = _N_HASHES // _N_BANDS
+    mins_b = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS s{i}"
+        for i, (a, b) in (
+            (i, _hash_params(i + _N_HASHES)) for i in range(_N_HASHES)
+        )
+    )
+    band_selects_b = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, CAST(('0x' || substr(md5('sB:{b}:' || {cat}), 1, 15)) AS BIGINT) AS bhash FROM sig_b".format(
+            b=b,
+            cat=" || ':' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH {_minhash_pipeline_ctes()},
+    sig_b AS (
+      SELECT doc_id,
+             {mins_b}
+      FROM hs GROUP BY doc_id
+    ),
+    bands_b AS (
+      {band_selects_b}
+    ),
+    pairs_b AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_b a JOIN bands_b b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs_b),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p JOIN pairs_b q
+        ON q.doc_a = p.doc_a AND q.doc_b = p.doc_b
+    )
+    SELECT na.n AS n_pairs_seed_a, nb.n AS n_pairs_seed_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (na.n + nb.n - c.n_common), 6) AS pair_jaccard
+    FROM na, nb, c
+    """
+
+
+@REGISTRY.register(
+    "dd42_seed_stability_audit",
+    oracle=_dd42_oracle_sql(),
+    doc="MinHash seed-stability audit: run the dd03 candidate pipeline "
+    "twice with INDEPENDENT hash draws — family A is dd03's exact "
+    "permutations and band keys (shared oracle CTEs, so the baseline "
+    "cannot drift), family B takes the affine permutations at offset "
+    "64 and 'sB:'-salted band buckets — and report the Jaccard "
+    "agreement of the two candidate-pair sets. This is the "
+    "reproducibility number a dedup pipeline must publish before "
+    "anyone trusts per-seed candidate lists: banded LSH at the "
+    "(0.46-ish) threshold is a coin-flip per borderline pair, and a "
+    "LOW pair-Jaccard here says the corpus mass sits near the "
+    "threshold (rerun with more bands or verify candidates exactly "
+    "via dd14), while a high value certifies the candidate set is a "
+    "property of the DATA, not the seed. Both runs share one "
+    "shingle-hash pass conceptually (the oracle literally shares CTE "
+    "hs; at 100 TB materialize the hashed-shingle frame once — "
+    "dd03's cache note — and fold both permutation families over it "
+    "in one pass), and each run shuffles only (band, hash) bucket "
+    "keys. Agreement counting joins two pair tables on the pair key "
+    "— candidate-scale, never corpus-scale.",
+    tags=("dedup", "llm", "minhash", "lsh", "reproducibility"),
+)
+def dd42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs_a = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs_b = lsh_candidate_pairs(
+        minhash_signatures(docs, param_offset=_N_HASHES), salt="sB:"
+    )
+    na = pairs_a.agg(F.count("*").cast("long").alias("n_pairs_seed_a"))
+    nb = pairs_b.agg(F.count("*").cast("long").alias("n_pairs_seed_b"))
+    common = pairs_a.join(pairs_b, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_pairs_seed_a",
+            "n_pairs_seed_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_pairs_seed_a")
+                    + F.col("n_pairs_seed_b")
+                    - F.col("n_common")
+                ),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+def _dd43_oracle_sql() -> str:
+    """Three shingle widths (k = 2/3/5), each replaying the exact
+    _word_shingles construction (distinct word k-grams per doc) and
+    folding to type/singleton/collision-mass stats."""
+    blocks = []
+    for k in (2, 3, 5):
+        blocks.append(f"""
+    SELECT {k} AS k, n_docs, n_types, singleton_share,
+           mean_shingles_per_doc, collision_mass
+    FROM (
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - {k - 1}, 1) + 1),
+                 i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                                 CAST(i AS INT), CAST(i + {k - 1} AS INT)), ' ')))) AS s
+        FROM documents
+      ),
+      df AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sh GROUP BY 1
+      ),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT nd.n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             round(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS singleton_share,
+             round(CAST(SUM(d) AS DOUBLE) / nd.n_docs, 6)
+                 AS mean_shingles_per_doc,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS collision_mass
+      FROM df, nd GROUP BY nd.n_docs
+    )""")
+    return (
+        "SELECT CAST(k AS BIGINT) AS k, n_docs, n_types, singleton_share, "
+        "mean_shingles_per_doc, collision_mass FROM ("
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY k"
+    )
+
+
+@REGISTRY.register(
+    "dd43_shingle_width_curve",
+    oracle=_dd43_oracle_sql(),
+    doc="Shingle-width sensitivity curve for the MinHash family: for "
+    "word k-grams at k = 2/3/5, the distinct-type count, the share "
+    "of types unique to one document (the discriminative mass — "
+    "what makes Jaccard sharp), the mean distinct shingles per doc, "
+    "and the COLLISION MASS sum(df*(df-1)/2) — exactly the candidate-"
+    "pair volume a naive bucket-join on raw shingles would emit, "
+    "computed from the posting-list histogram WITHOUT materializing "
+    "a single pair. This is the measured justification for dd03/"
+    "dd05's k=3 default (dd37 tunes the SIGNATURE size at fixed k; "
+    "this tunes k itself): k=2 shows low singleton share and "
+    "quadratic collision mass (stopword bigrams bucket everything "
+    "together), k=5 pushes singleton share toward 1 and starves "
+    "Jaccard of shared evidence. All stats are exact integers or "
+    "6-dp-rounded single divisions. Plan: per k, one map-side "
+    "distinct-shingle explode riding the document scan, one "
+    "(shingle)-keyed combiner agg to the type histogram, one 1-row "
+    "fold — three scans today, one multi-k explode if the scan ever "
+    "dominates; no pair is ever shuffled.",
+    tags=("dedup", "llm", "minhash", "shingle", "tuning"),
+)
+def dd43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    outs = []
+    for k in (2, 3, 5):
+        df_ = (
+            _word_shingles(docs, k)
+            .groupBy("sh")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        stats = df_.agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("singleton_share"),
+            F.sum("d").cast("long").alias("sum_d"),
+            F.sum(
+                F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("collision_mass"),
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(n_docs)).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_docs",
+                "n_types",
+                "singleton_share",
+                F.round(
+                    F.col("sum_d").cast("double") / F.col("n_docs"), 6
+                ).alias("mean_shingles_per_doc"),
+                "collision_mass",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("k")

@@ -1410,3 +1410,153 @@ def mm14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# mm15 video sampling constants: container fps families, 2 fps target
+# sample rate, a 32-frame-per-clip budget cap, and two fake decode
+# resolutions — all arithmetic stays in exact integers.
+_MM15_FPS = (24, 25, 30)      # checksum % 3 picks one
+_MM15_TARGET_FPS = 2
+_MM15_FRAME_CAP = 32
+_MM15_DIMS = ((640, 360), (1280, 720))  # checksum % 2 picks one
+
+
+@REGISTRY.register(
+    "mm15_video_frame_plan",
+    oracle=f"""
+    WITH chk AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode(text))
+                  + list_aggregate(list_transform(
+                        range(1, least(length(text), 64) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1))),
+                        'sum') AS BIGINT) AS checksum
+      FROM documents
+    ),
+    meta AS (
+      SELECT source,
+             CASE checksum % 3 WHEN 0 THEN {_MM15_FPS[0]}
+                  WHEN 1 THEN {_MM15_FPS[1]}
+                  ELSE {_MM15_FPS[2]} END AS fps,
+             1000 + checksum % 120000 AS dur_ms,
+             CASE checksum % 2
+                  WHEN 0 THEN {_MM15_DIMS[0][0] * _MM15_DIMS[0][1]}
+                  ELSE {_MM15_DIMS[1][0] * _MM15_DIMS[1][1]} END AS px
+      FROM chk
+    ),
+    plan AS (
+      SELECT source, dur_ms, px,
+             dur_ms * fps // 1000 AS n_total,
+             greatest(fps // {_MM15_TARGET_FPS}, 1) AS stride
+      FROM meta
+    ),
+    sampled AS (
+      SELECT source, dur_ms, px, n_total,
+             (n_total + stride - 1) // stride AS n_raw
+      FROM plan
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(least(n_raw, {_MM15_FRAME_CAP})) AS BIGINT)
+               AS total_sampled_frames,
+           round(SUM(CASE WHEN n_raw > {_MM15_FRAME_CAP} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS cap_hit_share,
+           round(CAST(SUM(dur_ms) AS DOUBLE) / COUNT(*) / 1000, 6)
+               AS mean_duration_s,
+           round(CAST(SUM(least(n_raw, {_MM15_FRAME_CAP}) * px * 3)
+                      AS DOUBLE) / 1073741824, 6) AS decode_gib
+    FROM sampled GROUP BY 1 ORDER BY 1
+    """,
+    doc="Video frame-sampling plan per source (mm13 is the audio twin): "
+    "each payload's decode-stub checksum deterministically fakes a "
+    "container fps (24/25/30), duration and resolution; the plan "
+    "uniform-samples at "
+    f"{_MM15_TARGET_FPS} fps via integer stride fps//target, ceil-"
+    "counts sampled frames per clip, applies the "
+    f"{_MM15_FRAME_CAP}-frame training cap, and budgets decoded RGB "
+    "bytes — the numbers that decide shard sizes and decode-worker "
+    "count BEFORE anyone touches a GPU, plus the cap-hit share that "
+    "says whether long clips are being truncated into bias. Every "
+    "sampling decision is integer arithmetic (// and least "
+    "throughout); the two FP shares are identically-written IEEE "
+    "divisions rounded 6 dp. Plan: decode stub (mapInPandas Arrow "
+    "batches, mm02's kernel — a real deployment plugs ffprobe into "
+    "_fake_decode and the stride arithmetic is unchanged) -> "
+    "map-only per-clip plan -> one |sources|-row combiner agg; "
+    "payload bytes never shuffle, and at 100 TB the real frame "
+    "extraction runs as mapInPandas over the binary column with THIS "
+    "table as its shuffle-free budget.",
+    tags=("multimodal", "video", "sampling", "plan"),
+)
+def mm15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("lang").alias("media_lang"),
+        F.col("n_chars").cast("long").alias("meta_chars"),
+    )
+    meta = decode_media(staged).select("doc_id", "checksum")
+    src = docs.select("doc_id", "source")
+    f0, f1, f2 = _MM15_FPS
+    fps = (
+        F.when(F.col("checksum") % 3 == 0, f0)
+        .when(F.col("checksum") % 3 == 1, f1)
+        .otherwise(f2)
+    )
+    px = F.when(
+        F.col("checksum") % 2 == 0, _MM15_DIMS[0][0] * _MM15_DIMS[0][1]
+    ).otherwise(_MM15_DIMS[1][0] * _MM15_DIMS[1][1])
+    plan = (
+        meta.join(src, "doc_id")
+        .select(
+            "source",
+            fps.alias("fps"),
+            (1000 + F.col("checksum") % 120000).alias("dur_ms"),
+            px.alias("px"),
+        )
+        .select(
+            "source",
+            "dur_ms",
+            "px",
+            F.expr("CAST(dur_ms * fps DIV 1000 AS BIGINT)").alias("n_total"),
+            F.greatest(
+                F.expr(f"CAST(fps DIV {_MM15_TARGET_FPS} AS BIGINT)"),
+                F.lit(1).cast("long"),
+            ).alias("stride"),
+        )
+        .select(
+            "source",
+            "dur_ms",
+            "px",
+            "n_total",
+            F.expr(
+                "CAST((n_total + stride - 1) DIV stride AS BIGINT)"
+            ).alias("n_raw"),
+        )
+    )
+    cap = _MM15_FRAME_CAP
+    kept = F.least(F.col("n_raw"), F.lit(cap).cast("long"))
+    return (
+        plan.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum(kept).cast("long").alias("total_sampled_frames"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_raw") > cap, 1).otherwise(0)
+                )
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("cap_hit_share"),
+            F.round(
+                F.sum("dur_ms").cast("double") / F.count("*") / 1000, 6
+            ).alias("mean_duration_s"),
+            F.round(
+                F.sum(kept * F.col("px") * 3).cast("double") / 1073741824,
+                6,
+            ).alias("decode_gib"),
+        )
+        .orderBy("source")
+    )

@@ -51,6 +51,7 @@ def with_global_order(
     *,
     rank_col: str | None = None,
     cumsum: dict[str, str] | None = None,
+    cummax_excl: dict[str, str] | None = None,
     totals: dict[str, str] | None = None,
     total_count_col: str | None = None,
     npartitions: int | None = None,
@@ -67,12 +68,20 @@ def with_global_order(
                       a running DOUBLE sum is association-dependent and the
                       distributed regrouping could differ from a sequential
                       engine in the last ulp.
+    cummax_excl:      {src_col: out_col} running-max columns EXCLUSIVE of
+                      the current row (``MAX(s) OVER (... ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING)``) — NULL on the
+                      first row of the total order. Max is association-free
+                      for any orderable type, so no exactness caveat. The
+                      strict-prefix shape is what dominance scans (skyline /
+                      frontier) need.
     totals:           {src_col: out_col} frame-wide totals of the same
                       sources, broadcast onto every row.
     total_count_col:  if set, attach the frame-wide row count (long) —
                       what ``ntile_from_rank`` needs.
     """
     cumsum = cumsum or {}
+    cummax_excl = cummax_excl or {}
     totals = totals or {}
     spark = df.sparkSession
     np_ = int(npartitions or spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -82,9 +91,11 @@ def with_global_order(
     dtypes = dict(part.dtypes)
 
     srcs = sorted(set(cumsum) | set(totals))
+    msrcs = sorted(cummax_excl)
     stats = part.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("_rng_cnt"),
         *[F.sum(s).alias(f"_rng_s_{i}") for i, s in enumerate(srcs)],
+        *[F.max(s).alias(f"_rng_m_{i}") for i, s in enumerate(msrcs)],
     )
 
     # prefix offsets: for each partition, totals over strictly-lower pids.
@@ -100,6 +111,11 @@ def with_global_order(
                     F.sum(f"b._rng_s_{i}"), F.lit(0).cast(dtypes[s])
                 ).alias(f"_rng_off_{i}")
                 for i, s in enumerate(srcs)
+            ],
+            # max over strictly-lower pids; NULL (identity) when pid 0
+            *[
+                F.max(f"b._rng_m_{i}").alias(f"_rng_offm_{i}")
+                for i, s in enumerate(msrcs)
             ],
         )
     )
@@ -128,9 +144,21 @@ def with_global_order(
     for i, s in enumerate(srcs):
         if s in cumsum:
             out = out.withColumn(cumsum[s], F.col(f"_rng_off_{i}") + F.sum(s).over(wc))
+    # exclusive prefix max: within-slice strict-prefix window max combined
+    # with the lower-slice max (greatest skips NULLs, so the first row of
+    # each slice falls back to the offset and pid 0's first row stays NULL)
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    for i, s in enumerate(msrcs):
+        out = out.withColumn(
+            cummax_excl[s],
+            F.greatest(F.col(f"_rng_offm_{i}"), F.max(s).over(wx)),
+        )
 
     return out.drop(
-        _PID, "_rng_off_cnt", *[f"_rng_off_{i}" for i in range(len(srcs))]
+        _PID,
+        "_rng_off_cnt",
+        *[f"_rng_off_{i}" for i in range(len(srcs))],
+        *[f"_rng_offm_{i}" for i in range(len(msrcs))],
     )
 
 

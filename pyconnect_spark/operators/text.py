@@ -4747,3 +4747,170 @@ def tx57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx58_char_coverage_curve",
+    oracle="""
+    WITH chars AS (
+      SELECT lang, unnest(string_split(text, '')) AS c
+      FROM documents WHERE length(text) >= 1
+    ),
+    cnt AS (
+      SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM chars GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, c) AS rk,
+             SUM(n) OVER (PARTITION BY lang) AS tot,
+             COUNT(*) OVER (PARTITION BY lang) AS nd
+      FROM cnt
+    ),
+    ks AS (SELECT unnest([4, 8, 16]) AS k)
+    SELECT r.lang, CAST(k.k AS BIGINT) AS k,
+           CAST(MAX(nd) AS BIGINT) AS n_distinct_chars,
+           round(SUM(CASE WHEN rk <= k.k THEN n ELSE 0 END)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS coverage
+    FROM ranked r CROSS JOIN ks k
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Character-coverage curve per language: the share of all "
+    "character occurrences covered by the top-k most frequent "
+    "characters (k = 4/8/16) plus the distinct-alphabet size — "
+    "SentencePiece's character_coverage knob made measurable (the "
+    "value that decides how many code points the tokenizer keeps "
+    "before falling back to bytes; tx23 is the WORD-level twin). The "
+    "explode runs at character grain but immediately collapses "
+    "through a map-side combiner into a (lang, char) frame bounded "
+    "by |langs| x |alphabet| — at 100 TB the exchange carries "
+    "alphabet-sized partials, never corpus text, and the rank/"
+    "coverage windows run on that tiny frame. Counts are exact "
+    "integers, rank ties break on the character itself, and the "
+    "coverage share is one identically-written IEEE division rounded "
+    "6 dp. Spark side filters the empty-string token Java's "
+    "empty-pattern split can emit so both engines count the same "
+    "character multiset.",
+    tags=("text", "llm", "tokenizer", "coverage", "alphabet"),
+)
+def tx58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    chars = (
+        docs.filter(F.length("text") >= 1)
+        .select("lang", F.explode(F.split("text", "")).alias("c"))
+        # Java Pattern.split('', -1) can emit a trailing '' token that
+        # DuckDB's string_split never produces — drop it so the two
+        # engines count the same multiset
+        .filter(F.col("c") != "")
+    )
+    cnt = chars.groupBy("lang", "c").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("c"))
+    wt = Window.partitionBy("lang")
+    ranked = cnt.select(
+        "lang",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wt).alias("tot"),
+        F.count("*").over(wt).alias("nd"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("lang", F.col("k").cast("long").alias("k"))
+        .agg(
+            F.max("nd").cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(
+                        0
+                    )
+                )
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("lang", "k")
+    )
+
+
+@REGISTRY.register(
+    "tx59_template_prefix_profile",
+    oracle=r"""
+    WITH pfx AS (
+      SELECT source,
+             md5(array_to_string(list_slice(
+                 string_split_regex(trim(text), '\s+'), 1, 8), ' '))
+                 AS p
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, p, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pfx GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_prefixes,
+           round(SUM(CASE WHEN c >= 5 THEN c ELSE 0 END)
+                 * 1.0 / SUM(c), 6) AS templated_share,
+           CAST(MAX(c) AS BIGINT) AS top_template_docs,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_template_share
+    FROM grp GROUP BY 1 ORDER BY 1
+    """,
+    doc="Templated-document profile per source: bucket every document "
+    "by the md5 of its first 8 whitespace tokens and report the "
+    "share of docs whose opening is shared by >= 5 documents, plus "
+    "the largest template cluster — the scraped-boilerplate detector "
+    "that catches what LINE-frequency boilerplate removal (tx22) and "
+    "full-document dedup (dd01) both miss: mail-merge/generator "
+    "output whose bodies differ but whose openings are identical "
+    "('Dear customer, your order...'), the stuff that teaches a "
+    "model to parrot one template. Prefix hashing is md5 over an "
+    "identically-constructed token join in both engines, so the "
+    "bucket assignment replays bit-for-bit; all counts are exact "
+    "integers and the two shares are identically-written IEEE "
+    "divisions rounded 6 dp. Plan: map-only prefix hash riding the "
+    "document scan, one (source, prefix) combiner agg (16-byte keys, "
+    "never text), one |sources|-row rollup. At 100 TB this is dd01's "
+    "exchange shape with an 8-token key — the cheapest query in the "
+    "template-governance family; escalate matches to dd25's "
+    "substring spans for span-level evidence.",
+    tags=("text", "llm", "template", "boilerplate", "quality"),
+)
+def tx59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pfx = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+            )
+        ).alias("p"),
+    )
+    grp = pfx.groupBy("source", "p").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct_prefixes"),
+            F.round(
+                F.sum(F.when(F.col("c") >= 5, F.col("c")).otherwise(0))
+                * 1.0
+                / F.sum("c"),
+                6,
+            ).alias("templated_share"),
+            F.max("c").cast("long").alias("top_template_docs"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_template_share"
+            ),
+        )
+        .orderBy("source")
+    )

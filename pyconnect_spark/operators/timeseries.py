@@ -6675,7 +6675,7 @@ def ts75(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.* FROM daily d, bounds b
       WHERE d.t >= b.mn + 27 AND d.t <= b.mx
     )
-    SELECT CAST(date_trunc('month', t) AS DATE) AS month,
+    SELECT strftime(t, '%Y-%m') AS month,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            round(CAST(SUM(dau) AS DOUBLE) / COUNT(*), 6) AS avg_dau,
            round(CAST(SUM(wau) AS DOUBLE) / COUNT(*), 6) AS avg_wau,
@@ -6713,6 +6713,7 @@ def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cover = ud.select(
         "u",
+        "d",
         F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
     ).select("u", "i", F.expr("date_add(d, i)").alias("t"))
     daily = cover.groupBy("t").agg(
@@ -6729,7 +6730,7 @@ def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t") <= F.col("mx"))
     )
     return (
-        full_days.groupBy(F.trunc("t", "month").alias("month"))
+        full_days.groupBy(F.date_format("t", "yyyy-MM").alias("month"))
         .agg(
             F.count("*").cast("long").alias("n_days"),
             F.round(F.sum("dau").cast("double") / F.count("*"), 6).alias(

@@ -201,6 +201,24 @@ _DECLARED_IN_ROUND = {
     "sm42b_knn_label_scaled": 50,
     # round 8, nineteenth wave
     "ts72_hourly_profile_stability": 51,
+    # round 9, first wave (rank-stats + skyline on the new
+    # rankops.cummax_excl distributed prefix-max primitive)
+    "x95_spearman_dependence": 52, "x96_pareto_skyline": 52,
+    # round 9, second wave (classical randomness/concentration tests
+    # over the daily series)
+    "ts73_record_breaking_days": 53, "ts74_turning_points_test": 53,
+    "ts75_traffic_concentration": 53,
+    # round 9, third wave
+    "x97_interpurchase_cadence": 54, "tx58_char_coverage_curve": 54,
+    # round 9, fourth wave
+    "dd42_seed_stability_audit": 55,
+    # round 9, fifth wave (retrieval-quality pair)
+    "sm44_mmr_diversified_topk": 56, "sm45_dot_cosine_rank_overlap": 56,
+    # round 9, sixth wave
+    "mm15_video_frame_plan": 57,
+    # round 9, seventh wave
+    "ts76_stickiness_dau_mau": 58, "tx59_template_prefix_profile": 58,
+    "dd43_shingle_width_curve": 58,
 }
 
 

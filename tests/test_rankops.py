@@ -116,3 +116,26 @@ def test_rank_small_frame_matches_window(spark, frame):
     assert len(rows) == 23
     for r in rows:
         assert r["rk"] == exp[r["id"]]
+
+
+@pytest.mark.parametrize("nparts", [1, 5, 32])
+def test_cummax_excl_matches_window(spark, frame, nparts):
+    """Exclusive prefix max must equal MAX OVER (... 1 PRECEDING) under
+    the unpartitioned window, NULL on the global first row, across
+    partition counts (the skyline/frontier primitive)."""
+    wx = Window.orderBy(*_order()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exp = {
+        r["id"]: r["pm"]
+        for r in frame.select("id", F.max("n").over(wx).alias("pm")).collect()
+    }
+    got = with_global_order(
+        frame, _order(), cummax_excl={"n": "pm"}, npartitions=nparts
+    )
+    assert unpartitioned_windows(got) == []
+    rows = got.collect()
+    assert len(rows) == len(exp)
+    assert sum(1 for r in rows if r["pm"] is None) == 1
+    for r in rows:
+        assert r["pm"] == exp[r["id"]], f"id={r['id']} at nparts={nparts}"
