@@ -4549,3 +4549,132 @@ def dd43(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("k")
+
+
+@REGISTRY.register(
+    "dd44_chain_merge_audit",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node),
+    cs AS (
+      SELECT root, CAST(COUNT(*) AS BIGINT) AS size
+      FROM comp GROUP BY 1 HAVING COUNT(*) > 1
+    ),
+    pairs AS (
+      SELECT a.root, a.node AS pa, b.node AS pb
+      FROM comp a JOIN comp b ON b.root = a.root AND a.node < b.node
+    ),
+    pj AS (
+      SELECT p.root,
+             CAST(COALESCE(c.nc, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(c.nc, 0)) AS j
+      FROM pairs p
+      LEFT JOIN common c ON c.a = p.pa AND c.b = p.pb
+      JOIN sz za ON za.doc_id = p.pa
+      JOIN sz zb ON zb.doc_id = p.pb
+    )
+    SELECT cs.root AS cluster_root, cs.size,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MIN(CASE WHEN j >= 0.8 THEN j END), 6)
+               AS min_edge_jaccard,
+           round(MIN(j), 6) AS min_pair_jaccard,
+           CAST(CASE WHEN MIN(j) < 0.8 THEN 1 ELSE 0 END AS BIGINT)
+               AS chained
+    FROM pj JOIN cs ON cs.root = pj.root
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="Transitive-merge (chaining) audit of dd05's near-dup clusters: "
+    "per multi-document cluster, the weakest EDGE that glued it "
+    "(min exact Jaccard among >= 0.8 pairs) and the weakest PAIR "
+    "overall — connected components merge a~b~c even when J(a,c) < "
+    "threshold, and a cluster flagged `chained` holds members less "
+    "similar than the dedup contract promises, i.e. docs a keep-one "
+    "policy would WRONGLY delete. This is the published failure mode "
+    "of CC-based dedup (chain collapse) made measurable per cluster, "
+    "the evidence behind dd40's keep-rule choice and dd35's "
+    "threshold curve. Intra-cluster exact Jaccards ride the shingle "
+    "posting join RESTRICTED to intra-cluster pairs (clusters are "
+    "tiny — the all-pairs grain here is |cluster|^2, never "
+    "|corpus|^2); pairs sharing no shingle coalesce to J=0. Every "
+    "Jaccard is one exact-integer IEEE ratio, identical in both "
+    "engines; the oracle replays dd05's recursive-CTE components so "
+    "cluster membership can never drift from the declared dedup "
+    "decision. Plan: dd05's LSH-verified edges + min-label CC, one "
+    "root-keyed self-join of the (node, root) frame, one posting "
+    "join at cluster-pair grain, a |clusters|-row agg.",
+    tags=("dedup", "llm", "components", "chaining", "audit"),
+)
+def dd44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = lsh_verified_edges(docs, 0.8)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    # pinned: the size agg and the pair self-join both read the labels
+    comp = connected_components(nodes, edges).localCheckpoint(eager=False)
+    cs = (
+        comp.groupBy("root")
+        .agg(F.count("*").cast("long").alias("size"))
+        .filter(F.col("size") > 1)
+    )
+    a = comp.select(F.col("root").alias("r"), F.col("node").alias("pa"))
+    b = comp.select(F.col("root").alias("r2"), F.col("node").alias("pb"))
+    pairs = a.join(
+        b, (F.col("r") == F.col("r2")) & (F.col("pa") < F.col("pb"))
+    ).select("r", "pa", "pb")
+    base = _word_shingles(docs).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    sz = base.groupBy("doc_id").agg(F.count("*").alias("n"))
+    nc = (
+        pairs.join(
+            base.select(F.col("doc_id").alias("pa"), "h"), "pa"
+        )
+        .join(base.select(F.col("doc_id").alias("pb"), "h"), ["pb", "h"])
+        .groupBy("r", "pa", "pb")
+        .agg(F.count("*").alias("nc"))
+    )
+    pj = (
+        pairs.join(nc, ["r", "pa", "pb"], "left")
+        .join(sz.select(F.col("doc_id").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(sz.select(F.col("doc_id").alias("pb"), F.col("n").alias("nb")), "pb")
+        .select(
+            "r",
+            (
+                F.coalesce(F.col("nc"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("nc"), F.lit(0)))
+            ).alias("j"),
+        )
+    )
+    return (
+        pj.join(cs, pj["r"] == cs["root"])
+        .groupBy(F.col("root").alias("cluster_root"), "size")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.min(F.when(F.col("j") >= 0.8, F.col("j"))), 6
+            ).alias("min_edge_jaccard"),
+            F.round(F.min("j"), 6).alias("min_pair_jaccard"),
+            F.when(F.min("j") < 0.8, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("chained"),
+        )
+        .orderBy("cluster_root")
+    )

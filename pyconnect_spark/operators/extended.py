@@ -6511,3 +6511,79 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@REGISTRY.register(
+    "x98_sku_repurchase",
+    oracle="""
+    WITH cp AS (
+      SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+             CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_cust_part_pairs,
+           CAST(SUM(CASE WHEN cp.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat_pairs,
+           round(SUM(CASE WHEN cp.n_orders >= 2 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS repeat_share,
+           round(CAST(SUM(cp.n_orders) AS DOUBLE) / COUNT(*), 6)
+               AS mean_orders_per_pair,
+           CAST(MAX(cp.n_orders) AS BIGINT) AS max_orders_one_pair
+    FROM cp JOIN part p ON p.p_partkey = cp.pk
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="SKU-grain repurchase profile per brand: for every (customer, "
+    "part) pair, the number of DISTINCT orders containing it, rolled "
+    "up to the brand's repeat-buy share, mean orders per pair, and "
+    "the heaviest single pair — the replenishment-vs-one-off "
+    "classifier that picks which brands x90's EOQ policy applies to "
+    "at all (EOQ assumes recurring demand; x97 measures cadence at "
+    "the CUSTOMER grain, this finds it at the SKU grain). All counts "
+    "are exact integers (distinct orders, not line items, so "
+    "multi-line orders never inflate repurchase); the two rates are "
+    "identically-written IEEE divisions rounded 6 dp. Plan: one "
+    "lineitem-orders shuffle join on orderkey (the standard fact "
+    "exchange), one (custkey, partkey) combiner agg with a distinct "
+    "inside (Spark plans it as two-phase partial distinct), one "
+    "BROADCAST part-dim join for brand, a |brands|-row rollup. At "
+    "100 TB the (cust, part) grain is the largest intermediate and "
+    "shrinks ~10x from lineitem; no skew hazard because the agg key "
+    "is the pair, not the hot part alone.",
+    tags=("extended", "repurchase", "retail", "sku"),
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cp = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        cp.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("pk"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_cust_part_pairs"),
+            F.sum(rep).cast("long").alias("n_repeat_pairs"),
+            F.round(F.sum(rep) * 1.0 / F.count("*"), 6).alias(
+                "repeat_share"
+            ),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count("*"), 6
+            ).alias("mean_orders_per_pair"),
+            F.max("n_orders").cast("long").alias("max_orders_one_pair"),
+        )
+        .orderBy("p_brand")
+    )

@@ -6060,3 +6060,117 @@ def sm45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@REGISTRY.register(
+    "sm46_class_margin_matrix",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT least(q.label, e.label) AS la,
+             greatest(q.label, e.label) AS lb,
+             {_IVF_PAIR_COS} AS c9
+      FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+    ),
+    cells AS (
+      SELECT la, lb,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c9 AS DECIMAL(20,9))) AS DOUBLE) AS s
+      FROM pairs GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT la AS label, (la = lb) AS intra, n, s FROM cells
+      UNION ALL
+      SELECT lb AS label, FALSE AS intra, n, s FROM cells WHERE la <> lb
+    ),
+    fold AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN intra THEN n END) AS BIGINT) AS n_intra,
+             SUM(CASE WHEN intra THEN s END) AS s_intra,
+             CAST(SUM(CASE WHEN NOT intra THEN n END) AS BIGINT)
+                 AS n_inter,
+             SUM(CASE WHEN NOT intra THEN s END) AS s_inter
+      FROM per GROUP BY 1
+    )
+    SELECT CAST(label AS BIGINT) AS label, n_intra, n_inter,
+           round(s_intra / n_intra, 6) AS mean_intra_cos,
+           round(s_inter / n_inter, 6) AS mean_inter_cos,
+           round(s_intra / n_intra - s_inter / n_inter, 6) AS margin
+    FROM fold ORDER BY 1
+    """,
+    doc="Class-separation margin per label: mean within-label cosine vs "
+    "mean cosine to every other label, and their difference — the "
+    "metric-learning sanity number (a label with margin near 0 is "
+    "not a cluster in this embedding space, so sm28's hard-negative "
+    "mining and sm42's kNN-label vote will both thrash on it). "
+    "Complements sm36 (silhouette at the IVF-CELL grain — geometry "
+    "of the index) and sm29 (can a linear probe separate labels) by "
+    "scoring the LABELS' own cohesion at pair grain. Pair cosines "
+    "are 9-dp-rounded fixed-order folds summed as DECIMAL(20,9) "
+    "(order-independent across engines and partitionings); the "
+    "unordered-pair grid aggregates once and each off-diagonal cell "
+    "attributes to both its labels. This is the exact AUDIT grain "
+    "(|corpus|^2 bounded like sm02/sm42); at real corpus scale the "
+    "same fold runs over sm04's label centroids or sm23b-style ANN "
+    "candidates. Plan: one broadcast self-join -> |labels|^2-cell "
+    "combiner agg -> |labels|-row fold.",
+    tags=("similarity", "llm", "labels", "margin", "audit"),
+)
+def sm46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "label", "embedding",
+        vector_norm(F.col("embedding")).alias("nrm"),
+    )
+    q = normed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = normed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sim = pair_dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    pairs = q.join(F.broadcast(e), F.col("qid") < F.col("nid")).select(
+        F.least("qlabel", "nlabel").alias("la"),
+        F.greatest("qlabel", "nlabel").alias("lb"),
+        F.round(sim, 9).alias("c9"),
+    )
+    cells = pairs.groupBy("la", "lb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c9").cast("decimal(20,9)")).cast("double").alias("s"),
+    )
+    per = cells.select(
+        F.col("la").alias("label"),
+        (F.col("la") == F.col("lb")).alias("intra"),
+        "n",
+        "s",
+    ).unionByName(
+        cells.filter(F.col("la") != F.col("lb")).select(
+            F.col("lb").alias("label"),
+            F.lit(False).alias("intra"),
+            "n",
+            "s",
+        )
+    )
+    fold = per.groupBy("label").agg(
+        F.sum(F.when(F.col("intra"), F.col("n"))).cast("long").alias("n_intra"),
+        F.sum(F.when(F.col("intra"), F.col("s"))).alias("s_intra"),
+        F.sum(F.when(~F.col("intra"), F.col("n"))).cast("long").alias("n_inter"),
+        F.sum(F.when(~F.col("intra"), F.col("s"))).alias("s_inter"),
+    )
+    intra = F.col("s_intra") / F.col("n_intra")
+    inter = F.col("s_inter") / F.col("n_inter")
+    return fold.select(
+        F.col("label").cast("long").alias("label"),
+        "n_intra",
+        "n_inter",
+        F.round(intra, 6).alias("mean_intra_cos"),
+        F.round(inter, 6).alias("mean_inter_cos"),
+        F.round(intra - inter, 6).alias("margin"),
+    ).orderBy("label")

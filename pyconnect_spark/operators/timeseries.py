@@ -6748,3 +6748,99 @@ def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@REGISTRY.register(
+    "ts77_weekly_retention_curve",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk
+      FROM events
+    ),
+    firsts AS (SELECT u, MIN(wk) AS fw FROM uw GROUP BY 1),
+    mx AS (SELECT MAX(wk) AS mw FROM uw),
+    ks AS (SELECT unnest(range(0, 9)) AS k),
+    eligible AS (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_eligible
+      FROM firsts f CROSS JOIN ks k, mx
+      WHERE f.fw <= mx.mw - k.k
+      GROUP BY 1
+    ),
+    active AS (
+      SELECT uw.wk - f.fw AS k, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM uw JOIN firsts f ON f.u = uw.u
+      WHERE uw.wk - f.fw <= 8
+      GROUP BY 1
+    )
+    SELECT CAST(e.k AS BIGINT) AS week_offset, e.n_eligible,
+           COALESCE(a.n_active, 0) AS n_active,
+           round(COALESCE(a.n_active, 0) * 1.0 / e.n_eligible, 6)
+               AS retention
+    FROM eligible e LEFT JOIN active a ON a.k = e.k
+    ORDER BY 1
+    """,
+    doc="Weekly cohort-retention curve: share of users active k weeks "
+    "after their FIRST active week (k = 0..8), denominated on the "
+    "OBSERVABLE cohort — only users whose first week is at least k "
+    "weeks before the data edge count as eligible at offset k, the "
+    "right-censoring correction without which late cohorts silently "
+    "drag the tail down (the classic retention-dashboard bug). "
+    "Week index is Monday-aligned integer day arithmetic ((date - "
+    "1970-01-05) // 7 — no timezone-dependent truncation), activity "
+    "collapses to the user-week grain first, and every count is an "
+    "exact integer; retention is one identically-written IEEE "
+    "division rounded 6 dp. ts29's survival curve answers 'how long "
+    "until churn' at event grain; this is the cohort-folded weekly "
+    "product view. Plan: one corpus-scale combiner agg to user-weeks, "
+    "a |users|-row min-agg for first weeks, one broadcast 9-row "
+    "offset frame against the firsts table, one user-week join for "
+    "activity offsets — at 100 TB the user-week grain bounds "
+    "everything after the first agg.",
+    tags=("timeseries", "retention", "cohort", "growth"),
+)
+def ts77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        F.col("user_id").alias("u"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date"))
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+    ).distinct()
+    firsts = uw.groupBy("u").agg(F.min("wk").alias("fw"))
+    mx = uw.agg(F.max("wk").alias("mw"))
+    ks = spark.range(0, 9).select(F.col("id").alias("k"))
+    eligible = (
+        firsts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("fw") <= F.col("mw") - F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_eligible"))
+    )
+    active = (
+        uw.join(firsts, "u")
+        .select((F.col("wk") - F.col("fw")).alias("k"))
+        .filter(F.col("k") <= 8)
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        eligible.join(active, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("week_offset"),
+            "n_eligible",
+            F.coalesce(F.col("n_active"), F.lit(0))
+            .cast("long")
+            .alias("n_active"),
+            F.round(
+                F.coalesce(F.col("n_active"), F.lit(0))
+                * 1.0
+                / F.col("n_eligible"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("week_offset")
+    )

@@ -219,6 +219,9 @@ _DECLARED_IN_ROUND = {
     # round 9, seventh wave
     "ts76_stickiness_dau_mau": 58, "tx59_template_prefix_profile": 58,
     "dd43_shingle_width_curve": 58,
+    # round 9, eighth wave
+    "dd44_chain_merge_audit": 59, "ts77_weekly_retention_curve": 59,
+    "sm46_class_margin_matrix": 59, "x98_sku_repurchase": 59,
 }
 
 
