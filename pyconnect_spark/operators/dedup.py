@@ -4678,3 +4678,93 @@ def dd44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_root")
     )
+
+
+@REGISTRY.register(
+    "dd45_neardup_token_accounting",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node),
+    tk AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tok
+      FROM documents
+    )
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk.n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN comp.node = comp.root
+                         THEN tk.n_tok ELSE 0 END) AS BIGINT)
+               AS neardup_effective_tokens,
+           round(1 - SUM(CASE WHEN comp.node = comp.root
+                              THEN tk.n_tok ELSE 0 END)
+                     * 1.0 / SUM(tk.n_tok), 6) AS removed_token_share
+    FROM tk JOIN comp ON comp.node = tk.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="NEAR-dup effective-token accounting per source: raw token "
+    "volume vs the volume surviving dd05's keep-first-per-cluster "
+    "decision — the near-dup completion of tx25 (which prices only "
+    "EXACT dups): mixture weights and epoch counts sized on tx25's "
+    "number still overcount when template families survive exact "
+    "hashing, and the gap between the two columns is precisely the "
+    "token mass MinHash buys back. Keep flags come from dd05's "
+    "LSH-verified edges + min-label components (oracle replays the "
+    "same recursive CC, so accounting can never drift from the "
+    "declared dedup decision); token counts ride the same document "
+    "scan as the shingles. A removed doc bills to ITS OWN source "
+    "even when the kept twin lives elsewhere — the per-source number "
+    "is 'what this source loses', matching dd36's copy-matrix "
+    "orientation. All sums are exact integers; the share is one "
+    "IEEE division rounded 6 dp. Plan: dd05's pipeline + one "
+    "|docs|-row join + a |sources|-row agg — the CC label frame is "
+    "the only addition to dd05's exchanges.",
+    tags=("dedup", "llm", "tokens", "accounting", "components"),
+)
+def dd45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = lsh_verified_edges(docs, 0.8)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    kept_tok = F.when(
+        F.col("node") == F.col("root"), F.col("n_tok")
+    ).otherwise(0)
+    return (
+        tk.join(comp, F.col("node") == F.col("doc_id"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            F.sum(kept_tok).cast("long").alias("neardup_effective_tokens"),
+            F.round(
+                1 - F.sum(kept_tok) * 1.0 / F.sum("n_tok"), 6
+            ).alias("removed_token_share"),
+        )
+        .orderBy("source")
+    )

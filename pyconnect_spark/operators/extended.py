@@ -6587,3 +6587,102 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@REGISTRY.register(
+    "x99_backlog_aging",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders
+    ),
+    open_o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(mx.asof - CAST(o_orderdate AS DATE) AS BIGINT) AS age,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders, mx WHERE o_orderstatus <> 'F'
+    ),
+    bucketed AS (
+      SELECT prio,
+             CASE WHEN age <= 30 THEN '00-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             age, v
+      FROM open_o
+    ),
+    tot AS (SELECT prio, CAST(SUM(v) AS DOUBLE) AS tv
+            FROM bucketed GROUP BY 1)
+    SELECT b.prio AS o_orderpriority, b.age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(b.v) AS DOUBLE) AS open_value,
+           round(CAST(SUM(b.v) AS DOUBLE) / MAX(t.tv), 6)
+               AS value_share_of_priority,
+           CAST(MAX(b.age) AS BIGINT) AS oldest_days
+    FROM bucketed b JOIN tot t ON t.prio = b.prio
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Open-order backlog aging: non-filled orders (status <> 'F') "
+    "bucketed by age in days at the data's as-of date (its max order "
+    "date — a deterministic snapshot, no wall clock), crossed with "
+    "order priority and weighted by exact-decimal order value — the "
+    "accounts-receivable-style aging report every fulfillment org "
+    "reads daily, and the table x21's late-supplier drilldown "
+    "aggregates FROM: a 90+ bucket carrying real value share under "
+    "an URGENT priority is the operational alarm. Ages are exact "
+    "integer day differences against a broadcast 1-row as-of date; "
+    "value sums are exact DECIMAL(12,2) surfaced as DOUBLE (the "
+    "repo-wide money convention); the within-priority share is one "
+    "identically-written IEEE division rounded 6 dp. Plan: one "
+    "broadcast max-date agg, a map-only bucket classify riding the "
+    "orders scan, one (priority, bucket) combiner agg (20 cells). "
+    "At 100 TB this is a single pass over orders — the filter and "
+    "both projected columns push into the parquet scan.",
+    tags=("extended", "aging", "backlog", "operations"),
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    open_o = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(F.col("asof"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("age"),
+            dec("o_totalprice").alias("v"),
+        )
+    )
+    bucketed = open_o.select(
+        "prio",
+        F.when(F.col("age") <= 30, "00-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        "age",
+        "v",
+    )
+    tot = bucketed.groupBy("prio").agg(
+        F.sum("v").cast("double").alias("tv")
+    )
+    return (
+        bucketed.groupBy("prio", "age_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("v").cast("double").alias("open_value"),
+            F.max("age").cast("long").alias("oldest_days"),
+        )
+        .join(F.broadcast(tot), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "age_bucket",
+            "n_orders",
+            "open_value",
+            F.round(F.col("open_value") / F.col("tv"), 6).alias(
+                "value_share_of_priority"
+            ),
+            "oldest_days",
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )

@@ -4914,3 +4914,128 @@ def tx59(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx60_length_lognormal_fit",
+    oracle=r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+      FROM documents
+    ),
+    lt AS (
+      SELECT source, n_tok,
+             CAST(round(ln(n_tok), 9) AS DECIMAL(20,9)) AS l1,
+             CAST(round(round(ln(n_tok), 9) * round(ln(n_tok), 9), 9)
+                  AS DECIMAL(20,9)) AS l2
+      FROM tk
+    ),
+    mom AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(l1) AS DOUBLE) AS s1,
+             CAST(SUM(l2) AS DOUBLE) AS s2
+      FROM lt GROUP BY 1
+    ),
+    med AS (
+      SELECT source, n_tok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM (SELECT source, n_tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2)
+    ),
+    p50 AS (
+      SELECT source,
+             CAST(MIN(CASE WHEN cc >= ceil(0.5 * n) THEN n_tok END)
+                  AS BIGINT) AS median_tokens
+      FROM med GROUP BY 1
+    )
+    SELECT m.source, m.n_docs,
+           round(m.s1 / m.n_docs, 6) AS mu_log,
+           round(sqrt((m.s2 - m.s1 * m.s1 / m.n_docs)
+                      / (m.n_docs - 1)), 6) AS sigma_log,
+           p.median_tokens,
+           round(exp(m.s1 / m.n_docs), 6) AS lognormal_median
+    FROM mom m JOIN p50 p ON p.source = m.source
+    ORDER BY 1
+    """,
+    doc="Document-length lognormal fit per source: mu/sigma of "
+    "ln(token count), the EXACT median token count, and the "
+    "lognormal-implied median exp(mu) — web-scale doc lengths are "
+    "canonically lognormal (the packing literature's working "
+    "assumption behind tx12/tx34's bin planning), and the gap "
+    "between the two medians is the one-glance test of whether that "
+    "assumption holds per source before trusting fitted tail "
+    "quantiles for max_seq_len and truncation budgets. Log moments "
+    "cross the repo's libm barrier (each ln rounds at 9 dp, squares "
+    "of the ROUNDED value re-round, DECIMAL sums — tx53's idiom), "
+    "so accumulation order cannot flake; the exact median comes from "
+    "cumulative counts at the (source, length) distinct grain — no "
+    "corpus-scale sort (x97's percentile pattern). Plan: map-only "
+    "token count + log terms on one scan, one |sources|-row moment "
+    "agg, one tiny distinct-length frame with partitioned prefix "
+    "windows. At 100 TB: one pass, alphabet-sized exchanges.",
+    tags=("text", "llm", "lengths", "lognormal", "packing"),
+)
+def tx60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    l1 = F.round(F.log(F.col("n_tok")), 9)
+    lt = tk.select(
+        "source",
+        "n_tok",
+        l1.cast("decimal(20,9)").alias("l1"),
+        F.round(l1 * l1, 9).cast("decimal(20,9)").alias("l2"),
+    )
+    mom = lt.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("l1").cast("double").alias("s1"),
+        F.sum("l2").cast("double").alias("s2"),
+    )
+    hist = tk.groupBy("source", "n_tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    med = hist.select(
+        "source",
+        "n_tok",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    p50 = med.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cc") >= F.ceil(0.5 * F.col("n")), F.col("n_tok"))
+        )
+        .cast("long")
+        .alias("median_tokens")
+    )
+    n, s1, s2 = F.col("n_docs"), F.col("s1"), F.col("s2")
+    return (
+        mom.join(p50, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(s1 / n, 6).alias("mu_log"),
+            F.round(
+                F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6
+            ).alias("sigma_log"),
+            "median_tokens",
+            F.round(F.exp(s1 / n), 6).alias("lognormal_median"),
+        )
+        .orderBy("source")
+    )

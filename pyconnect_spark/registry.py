@@ -222,6 +222,9 @@ _DECLARED_IN_ROUND = {
     # round 9, eighth wave
     "dd44_chain_merge_audit": 59, "ts77_weekly_retention_curve": 59,
     "sm46_class_margin_matrix": 59, "x98_sku_repurchase": 59,
+    # round 9, ninth wave
+    "x99_backlog_aging": 60, "dd45_neardup_token_accounting": 60,
+    "tx60_length_lognormal_fit": 60,
 }
 
 
