@@ -6844,3 +6844,166 @@ def ts77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_offset")
     )
+
+
+@REGISTRY.register(
+    "ts78_user_concentration",
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM uc GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(k) AS BIGINT) AS nu,
+             CAST(SUM(c * k) AS BIGINT) AS s
+      FROM hist GROUP BY 1
+    ),
+    runs AS (
+      SELECT h.event_type, h.c, h.k, t.nu, t.s,
+             COALESCE(SUM(h.k) OVER (PARTITION BY h.event_type
+                 ORDER BY h.c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS kprev,
+             COALESCE(SUM(h.k) OVER (PARTITION BY h.event_type
+                 ORDER BY h.c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS kdprev,
+             COALESCE(SUM(h.c * h.k) OVER (PARTITION BY h.event_type
+                 ORDER BY h.c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS edprev
+      FROM hist h JOIN tot t ON t.event_type = h.event_type
+    ),
+    gin AS (
+      SELECT event_type, nu, s,
+             CAST(SUM(CAST(c AS DECIMAL(19,0))
+                      * (CAST(k AS DECIMAL(19,0)) * kprev
+                         + CAST(k * (k + 1) // 2 AS DECIMAL(38,0))))
+                  AS DOUBLE) AS six
+      FROM runs GROUP BY 1, 2, 3
+    ),
+    tops AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN kdprev < ceil(0.01 * nu)
+                            AND kdprev + k >= ceil(0.01 * nu)
+                           THEN edprev
+                                + (CAST(ceil(0.01 * nu) AS BIGINT)
+                                   - kdprev) * c END) AS BIGINT) AS top1,
+             CAST(MIN(CASE WHEN kdprev < ceil(0.1 * nu)
+                            AND kdprev + k >= ceil(0.1 * nu)
+                           THEN edprev
+                                + (CAST(ceil(0.1 * nu) AS BIGINT)
+                                   - kdprev) * c END) AS BIGINT) AS top10
+      FROM runs GROUP BY 1
+    )
+    SELECT g.event_type, g.nu AS n_users, g.s AS n_events,
+           round((2.0 * g.six - (g.nu + 1.0) * g.s)
+                 / (CAST(g.nu AS DOUBLE) * g.s), 6) AS gini,
+           round(CAST(t.top1 AS DOUBLE) / g.s, 6) AS top1pct_share,
+           round(CAST(t.top10 AS DOUBLE) / g.s, 6) AS top10pct_share
+    FROM gin g JOIN tops t ON t.event_type = g.event_type
+    ORDER BY 1
+    """,
+    doc="User-activity concentration per event type: Gini over per-user "
+    "event counts plus the exact share of events generated by the "
+    "top 1% / top 10% most active users — the bot/power-user "
+    "detector (a purchase stream whose top 1% carries half the "
+    "volume is scraped or gamed) and the skew forecast for any "
+    "user-keyed shuffle (ts75 points the same estimator at the TIME "
+    "axis). Everything runs at the (type, count)-HISTOGRAM grain: "
+    "a tied run of k users with count c contributes c*(k*K_prev + "
+    "k(k+1)/2) to the rank sum in closed form, and the top-m cut "
+    "interpolates inside the straddling run — so there is NO "
+    "user-grain sort or window anywhere; the only corpus-scale "
+    "exchange is the (type, user) combiner agg. Rank-sum terms "
+    "accumulate as DECIMAL (BIGINT would overflow past ~1e9 users); "
+    "every other quantity is an exact integer and the three shares "
+    "are identically-written IEEE divisions rounded 6 dp.",
+    tags=("timeseries", "gini", "concentration", "skew", "users"),
+)
+def ts78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hist = uc.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("nu"),
+        F.sum(F.col("c") * F.col("k")).cast("long").alias("s"),
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = hist.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "c",
+        "k",
+        "nu",
+        "s",
+        F.coalesce(F.sum("k").over(wa), F.lit(0)).alias("kprev"),
+        F.coalesce(F.sum("k").over(wd), F.lit(0)).alias("kdprev"),
+        F.coalesce(F.sum(F.col("c") * F.col("k")).over(wd), F.lit(0)).alias(
+            "edprev"
+        ),
+    )
+    run_rank_sum = F.col("k").cast("decimal(19,0)") * F.col("kprev") + F.expr(
+        "CAST(k * (k + 1) DIV 2 AS DECIMAL(38,0))"
+    )
+    gin = runs.groupBy("event_type", "nu", "s").agg(
+        F.sum(F.col("c").cast("decimal(19,0)") * run_rank_sum)
+        .cast("double")
+        .alias("six")
+    )
+
+    def top_cut(q: float, name: str):
+        m = F.ceil(F.lit(q) * F.col("nu"))
+        return (
+            F.min(
+                F.when(
+                    (F.col("kdprev") < m)
+                    & (F.col("kdprev") + F.col("k") >= m),
+                    F.col("edprev")
+                    + (m.cast("long") - F.col("kdprev")) * F.col("c"),
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    tops = runs.groupBy("event_type").agg(
+        top_cut(0.01, "top1"), top_cut(0.1, "top10")
+    )
+    nu, s = F.col("nu"), F.col("s")
+    return (
+        gin.join(tops, "event_type")
+        .select(
+            "event_type",
+            nu.alias("n_users"),
+            s.alias("n_events"),
+            F.round(
+                (2.0 * F.col("six") - (nu + 1.0) * s)
+                / (nu.cast("double") * s),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top1").cast("double") / s, 6).alias(
+                "top1pct_share"
+            ),
+            F.round(F.col("top10").cast("double") / s, 6).alias(
+                "top10pct_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -225,6 +225,8 @@ _DECLARED_IN_ROUND = {
     # round 9, ninth wave
     "x99_backlog_aging": 60, "dd45_neardup_token_accounting": 60,
     "tx60_length_lognormal_fit": 60,
+    # round 9, tenth wave
+    "ts78_user_concentration": 61,
 }
 
 
