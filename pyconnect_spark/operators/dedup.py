@@ -4768,3 +4768,190 @@ def dd45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _dd46_oracle_sql() -> str:
+    """DuckDB replay of BOTH candidate generators: dd03's MinHash-LSH
+    pipeline (shared CTEs) and dd04's SimHash (shared oracle) with the
+    4x15-bit pigeonhole block join at Hamming <= 8."""
+    block_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, "
+        f"(simhash >> {i * 15}) & 32767 AS bval FROM sims"
+        for i in range(4)
+    )
+    return f"""
+    WITH {_minhash_pipeline_ctes()},
+    sims AS ({_DD04_ORACLE}),
+    blocks AS (
+      {block_selects}
+    ),
+    spairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spairs),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p JOIN spairs s
+        ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    )
+    SELECT nm.n AS n_pairs_minhash, ns.n AS n_pairs_simhash, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (nm.n + ns.n - c.n_common), 6) AS pair_jaccard
+    FROM nm, ns, c
+    """
+
+
+@REGISTRY.register(
+    "dd46_minhash_vs_simhash",
+    oracle=_dd46_oracle_sql(),
+    doc="Algorithm-choice audit for near-dup candidate generation: the "
+    "candidate-pair sets of the two sketch families the repo ships — "
+    "dd03's MinHash(64)+8-band LSH (Jaccard-tuned) and dd04's 60-bit "
+    "SimHash with the 4x15-bit pigeonhole block join at Hamming <= 8 "
+    "(cosine-of-frequency-tuned) — and their overlap. The two "
+    "families have DIFFERENT similarity semantics (set resemblance "
+    "vs weighted-vote angle), so a low pair-Jaccard here is not a "
+    "bug but a measured statement of how much the method choice "
+    "itself decides which pairs a pipeline ever verifies (dd42 is "
+    "the seed axis; this is the algorithm axis — together they "
+    "bound the candidate set's sensitivity to everything upstream "
+    "of the exact verifier). Both pipelines are md5-derived and "
+    "replay bit-for-bit in the oracle, including the pigeonhole "
+    "buckets. Plan: both sketch pipelines are map-only signature "
+    "passes; each candidate join shuffles (band/block, hash) keys; "
+    "agreement counting joins two candidate-scale pair tables — "
+    "nothing corpus-quadratic anywhere.",
+    tags=("dedup", "llm", "minhash", "simhash", "audit"),
+)
+def dd46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    mpairs = lsh_candidate_pairs(minhash_signatures(docs))
+    spairs = simhash_hamming_pairs(dd04(spark, sf_dir), max_dist=8).select(
+        "doc_a", "doc_b"
+    )
+    nm = mpairs.agg(F.count("*").cast("long").alias("n_pairs_minhash"))
+    ns = spairs.agg(F.count("*").cast("long").alias("n_pairs_simhash"))
+    common = mpairs.join(spairs, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    return (
+        nm.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_pairs_minhash",
+            "n_pairs_simhash",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_pairs_minhash")
+                    + F.col("n_pairs_simhash")
+                    - F.col("n_common")
+                ),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "dd47_sampled_dedup_bias",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD05_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sz za ON za.doc_id = common.a
+      JOIN sz zb ON zb.doc_id = common.b
+      WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.8
+    ),
+    samp AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substr(md5('s47:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sample,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges_full,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+              JOIN samp sa ON sa.doc_id = e.a
+              JOIN samp sb ON sb.doc_id = e.b) AS n_edges_sample
+    )
+    SELECT n_docs, n_sample, n_edges_full, n_edges_sample,
+           round(CAST(n_edges_sample AS DOUBLE) / n_edges_full, 6)
+               AS observed_edge_share,
+           round((CAST(n_sample AS DOUBLE) / n_docs)
+                 * (CAST(n_sample AS DOUBLE) / n_docs), 6)
+               AS expected_edge_share
+    FROM counts
+    """,
+    doc="Sampled-dedup bias audit: the share of dd05's true near-dup "
+    "edges still visible inside a deterministic 50% document sample "
+    "(md5 coin, dd15's idiom) against the p^2 a pair statistic "
+    "expects — the measured form of the published pitfall that a "
+    "duplication rate estimated on a document sample understates "
+    "QUADRATICALLY, not linearly (both endpoints must survive the "
+    "coin), so 'we sampled 10% and found little duplication' is off "
+    "by ~100x, not 10x. Observed vs expected agreeing also certifies "
+    "the sampling coin is independent of duplicate structure (a "
+    "divergence would mean dup clusters correlate with the hash — "
+    "the failure dd15 guards against). Exact integer edge counts on "
+    "the dd05 edge set (oracle replays the same pipeline); the two "
+    "shares are identically-written IEEE expressions rounded 6 dp. "
+    "Plan: dd05's edge pipeline + one broadcast-able sample "
+    "semi-join pair; at 100 TB nothing beyond dd05's exchanges is "
+    "added.",
+    tags=("dedup", "llm", "sampling", "bias", "audit"),
+)
+def dd47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = lsh_verified_edges(docs, 0.8).localCheckpoint(eager=False)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s47:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    samp = docs.select("doc_id").filter(coin < 0.5)
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_sample = samp.agg(F.count("*").cast("long").alias("n_sample"))
+    n_full = edges.agg(F.count("*").cast("long").alias("n_edges_full"))
+    n_in = (
+        edges.join(samp.select(F.col("doc_id").alias("a")), "a")
+        .join(samp.select(F.col("doc_id").alias("b")), "b")
+        .agg(F.count("*").cast("long").alias("n_edges_sample"))
+    )
+    share = F.col("n_sample").cast("double") / F.col("n_docs")
+    return (
+        n_docs.crossJoin(F.broadcast(n_sample))
+        .crossJoin(F.broadcast(n_full))
+        .crossJoin(F.broadcast(n_in))
+        .select(
+            "n_docs",
+            "n_sample",
+            "n_edges_full",
+            "n_edges_sample",
+            F.round(
+                F.col("n_edges_sample").cast("double")
+                / F.col("n_edges_full"),
+                6,
+            ).alias("observed_edge_share"),
+            F.round(share * share, 6).alias("expected_edge_share"),
+        )
+    )

@@ -227,6 +227,8 @@ _DECLARED_IN_ROUND = {
     "tx60_length_lognormal_fit": 60,
     # round 9, tenth wave
     "ts78_user_concentration": 61,
+    # round 9, eleventh wave (candidate-generation sensitivity pair)
+    "dd46_minhash_vs_simhash": 62, "dd47_sampled_dedup_bias": 62,
 }
 
 
