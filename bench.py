@@ -350,9 +350,34 @@ HEADLINE = [
     "x94_time_to_convert",
     "sm42b_knn_label_scaled",
     "ts72_hourly_profile_stability",
+    # round-9 additions
+    "x95_spearman_dependence",
+    "x96_pareto_skyline",
+    "x97_interpurchase_cadence",
+    "x98_sku_repurchase",
+    "x99_backlog_aging",
+    "ts73_record_breaking_days",
+    "ts74_turning_points_test",
+    "ts75_traffic_concentration",
+    "ts76_stickiness_dau_mau",
+    "ts77_weekly_retention_curve",
+    "ts78_user_concentration",
+    "tx58_char_coverage_curve",
+    "tx59_template_prefix_profile",
+    "tx60_length_lognormal_fit",
+    "dd42_seed_stability_audit",
+    "dd43_shingle_width_curve",
+    "dd44_chain_merge_audit",
+    "dd45_neardup_token_accounting",
+    "dd46_minhash_vs_simhash",
+    "dd47_sampled_dedup_bias",
+    "sm44_mmr_diversified_topk",
+    "sm45_dot_cosine_rank_overlap",
+    "mm15_video_frame_plan",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
-    # same policy as dd02/dd09 below.
+    # same policy as dd02/dd09 below; sm46 (all-pairs label margins)
+    # joins that class.
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

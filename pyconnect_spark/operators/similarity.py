@@ -6174,3 +6174,134 @@ def sm46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter, 6).alias("mean_inter_cos"),
         F.round(intra - inter, 6).alias("margin"),
     ).orderBy("label")
+
+
+@REGISTRY.register(
+    "sm47_centroid_distance_anova",
+    oracle=f"""
+    WITH {_SM35_CENT_CTES},
+    nr AS (
+      SELECT e.label,
+             round(sqrt(list_aggregate(list_transform(cv.x,
+                       y -> y * y), 'sum')), 9) AS nrm
+      FROM cv JOIN embeddings e ON e.vec_id = cv.vec_id
+    ),
+    st AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(nrm AS DECIMAL(20,9))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(round(nrm * nrm, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS ss
+      FROM nr GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st_, SUM(ss) AS sst,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM st
+    ),
+    sg AS (
+      SELECT CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS sgm
+      FROM st
+    ),
+    f AS (
+      SELECT sg.sgm - st_ * st_ / nt AS ssb,
+             sst - sg.sgm AS ssw,
+             k, nt
+      FROM tot, sg
+    )
+    SELECT k AS n_labels, nt AS n_vecs,
+           round(ssb / (k - 1) / (ssw / (nt - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM f
+    """,
+    doc="Class-conditional anisotropy ANOVA: does a vector's distance "
+    "from the corpus centroid depend on its label? One-way ANOVA "
+    "(F and eta^2) of centered-vector norm ~ label, using sm35's "
+    "deterministic centroid (per-dim 9-dp DECIMAL means, broadcast "
+    "array). This is the fairness leg of the anisotropy suite: sm34 "
+    "measures the mean offset globally, sm35 shows what centering "
+    "does to rankings, and THIS says whether the offset is shared or "
+    "class-specific — a high eta^2 means mean-removal moves classes "
+    "unequally, so any centering/whitening step changes class "
+    "geometry and must be validated against sm42/sm46 before "
+    "shipping. The RAW-norm version of this test is degenerate by "
+    "construction on a unit-normalized corpus (the fixture: every "
+    "raw norm is 1.0 to 9 dp, measured), which is exactly why the "
+    "audit runs on centered norms. Centered norms round at 9 dp, "
+    "their squares re-round, all moments accumulate as DECIMAL, and "
+    "the between-group sum crosses the same round9+DECIMAL barrier "
+    "(the ts68 fix precedent) before one identically-written final F "
+    "expression rounded 6 dp. Plan: one posexplode combiner agg for "
+    "the d-row centroid, a KB broadcast, one map-only centered-norm "
+    "pass, a |labels|-row agg, a 1-row fold.",
+    tags=("similarity", "llm", "anisotropy", "anova", "audit"),
+)
+def sm47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    dims = v.select("vec_id", F.posexplode("x").alias("i0", "val")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), "val"
+    )
+    cent = dims.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("val"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    carr = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("c")
+    )
+    cnorm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        ),
+        9,
+    )
+    nr = v.crossJoin(F.broadcast(carr)).select(
+        "label", cnorm.alias("nrm")
+    )
+    st = nr.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("nrm").cast("decimal(20,9)")).cast("double").alias("s"),
+        F.sum(
+            F.round(F.col("nrm") * F.col("nrm"), 9).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    tot = st.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").alias("st_"),
+        F.sum("ss").alias("sst"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.round(F.col("s") * F.col("s") / F.col("n"), 9).cast(
+                "decimal(38,9)"
+            )
+        )
+        .cast("double")
+        .alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("st_") * F.col("st_") / F.col("nt")
+    ssw = F.col("sst") - F.col("sgm")
+    return tot.select(
+        F.col("k").alias("n_labels"),
+        F.col("nt").alias("n_vecs"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("nt") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )

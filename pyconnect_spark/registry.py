@@ -229,6 +229,8 @@ _DECLARED_IN_ROUND = {
     "ts78_user_concentration": 61,
     # round 9, eleventh wave (candidate-generation sensitivity pair)
     "dd46_minhash_vs_simhash": 62, "dd47_sampled_dedup_bias": 62,
+    # round 9, twelfth wave
+    "sm47_centroid_distance_anova": 63,
 }
 
 
