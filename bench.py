@@ -374,6 +374,7 @@ HEADLINE = [
     "sm44_mmr_diversified_topk",
     "sm45_dot_cosine_rank_overlap",
     "mm15_video_frame_plan",
+    "ts79_asof_nearest",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins)

@@ -7007,3 +7007,131 @@ def ts78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REGISTRY.register(
+    "ts79_asof_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id AS k, epoch_us(ts) AS tus, event_id,
+             CAST(NULL AS BIGINT) AS o_orderkey, 0 AS tag
+      FROM events
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate), CAST(NULL AS BIGINT),
+             o_orderkey, 1
+      FROM orders
+    ),
+    c AS (
+      SELECT k, tus, o_orderkey, tag,
+             last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY tus, tag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS back_ts,
+             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY tus, tag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS back_id,
+             last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS fwd_ts,
+             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS fwd_id
+      FROM u
+    )
+    SELECT o_orderkey,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN back_id
+                WHEN back_ts IS NULL THEN fwd_id
+                WHEN tus - back_ts <= fwd_ts - tus THEN back_id
+                ELSE fwd_id END AS nearest_event_id,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL
+                     OR (back_ts IS NOT NULL
+                         AND tus - back_ts <= fwd_ts - tus)
+                     THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN tus - back_ts
+                WHEN back_ts IS NULL THEN fwd_ts - tus
+                ELSE least(tus - back_ts, fwd_ts - tus) END AS delta_us
+    FROM c WHERE tag = 1
+    ORDER BY o_orderkey
+    """,
+    doc="NEAREST as-of join — the missing member of the as-of family "
+    "(ts03 backward, ts45 forward+tolerance): for every order, the "
+    "same-user event with the smallest |event_ts - order_ts|, like "
+    "pandas merge_asof(direction='nearest'). Tie semantics are "
+    "pinned: an exact-timestamp event matches BACKWARD (delta 0), "
+    "and an equidistant pair resolves to the earlier event. Built as "
+    "ts03's pure-JVM union + carry window run in BOTH directions "
+    "over ONE union frame — the ascending carry yields the "
+    "latest-at-or-before candidate, the descending carry the "
+    "earliest-after, and a final row-local compare picks the winner; "
+    "still exactly ONE shuffle on the key and both window passes "
+    "share its partitioning. Timestamps compare as exact integer "
+    "epoch-microseconds (no float time arithmetic anywhere). At 100 "
+    "TB this inherits ts03's profile: one user-keyed exchange, "
+    "windows stream per user partition, no Python workers.",
+    tags=("timeseries", "asof-join", "nearest"),
+)
+def ts79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("tag"),
+    )
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tus"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.lit(1).alias("tag"),
+    )
+    u = ev.unionByName(od)
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("tus", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.desc("tus"), F.desc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_ts = F.when(F.col("tag") == 0, F.col("tus"))
+    ev_id = F.when(F.col("tag") == 0, F.col("event_id"))
+    c = u.select(
+        "o_orderkey",
+        "tus",
+        "tag",
+        F.last(ev_ts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.last(ev_id, ignorenulls=True).over(wb).alias("back_id"),
+        F.last(ev_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+        F.last(ev_id, ignorenulls=True).over(wf).alias("fwd_id"),
+    ).filter(F.col("tag") == 1)
+    back_n = F.col("back_ts").isNull()
+    fwd_n = F.col("fwd_ts").isNull()
+    db = F.col("tus") - F.col("back_ts")
+    df_ = F.col("fwd_ts") - F.col("tus")
+    backward_wins = fwd_n | (~back_n & (db <= df_))
+    return c.select(
+        "o_orderkey",
+        F.when(back_n & fwd_n, F.lit(None).cast("long"))
+        .when(backward_wins, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+        .alias("nearest_event_id"),
+        F.when(back_n & fwd_n, F.lit(None).cast("string"))
+        .when(backward_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(back_n & fwd_n, F.lit(None).cast("long"))
+        .when(fwd_n, db)
+        .when(back_n, df_)
+        .otherwise(F.least(db, df_))
+        .cast("long")
+        .alias("delta_us"),
+    ).orderBy("o_orderkey")

@@ -231,6 +231,8 @@ _DECLARED_IN_ROUND = {
     "dd46_minhash_vs_simhash": 62, "dd47_sampled_dedup_bias": 62,
     # round 9, twelfth wave
     "sm47_centroid_distance_anova": 63,
+    # round 9, thirteenth wave
+    "ts79_asof_nearest": 64,
 }
 
 
