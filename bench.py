@@ -353,13 +353,10 @@ HEADLINE = [
     # round-9 additions
     "x95_spearman_dependence",
     "x96_pareto_skyline",
-    "x97_interpurchase_cadence",
     "x98_sku_repurchase",
-    "x99_backlog_aging",
     "ts73_record_breaking_days",
     "ts74_turning_points_test",
     "ts75_traffic_concentration",
-    "ts76_stickiness_dau_mau",
     "ts77_weekly_retention_curve",
     "ts78_user_concentration",
     "tx58_char_coverage_curve",
@@ -371,7 +368,6 @@ HEADLINE = [
     "dd45_neardup_token_accounting",
     "dd46_minhash_vs_simhash",
     "dd47_sampled_dedup_bias",
-    "sm44_mmr_diversified_topk",
     "sm45_dot_cosine_rank_overlap",
     "mm15_video_frame_plan",
     "ts79_asof_nearest",

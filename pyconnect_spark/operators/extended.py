@@ -6362,158 +6362,6 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
-    "x97_interpurchase_cadence",
-    oracle="""
-    WITH o AS (
-      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
-             CAST(o.o_orderdate AS DATE) AS dt, o.o_orderkey AS ok
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    ),
-    gaps AS (
-      SELECT seg, ck,
-             date_diff('day',
-                       lag(dt) OVER (PARTITION BY ck ORDER BY dt, ok),
-                       dt) AS g
-      FROM o
-    ),
-    cust AS (
-      SELECT seg,
-             CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
-             CAST(COUNT(DISTINCT CASE WHEN g IS NOT NULL THEN ck END)
-                  AS BIGINT) AS n_repeat
-      FROM gaps GROUP BY 1
-    ),
-    gd AS (
-      SELECT seg, CAST(g AS BIGINT) AS g, CAST(COUNT(*) AS BIGINT) AS c
-      FROM gaps WHERE g IS NOT NULL GROUP BY 1, 2
-    ),
-    cum AS (
-      SELECT seg, g, c,
-             SUM(c) OVER (PARTITION BY seg ORDER BY g
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
-             SUM(c) OVER (PARTITION BY seg) AS n,
-             SUM(g * c) OVER (PARTITION BY seg) AS sg
-      FROM gd
-    ),
-    pct AS (
-      SELECT seg,
-             CAST(MAX(n) AS BIGINT) AS n_gaps,
-             CAST(MAX(sg) AS BIGINT) AS sum_gap,
-             CAST(MIN(CASE WHEN cc >= ceil(0.5 * n) THEN g END)
-                  AS BIGINT) AS p50_gap_days,
-             CAST(MIN(CASE WHEN cc >= ceil(0.9 * n) THEN g END)
-                  AS BIGINT) AS p90_gap_days
-      FROM cum GROUP BY 1
-    )
-    SELECT c.seg AS c_mktsegment, c.n_customers,
-           c.n_repeat AS n_repeat_customers,
-           round(CAST(c.n_repeat AS DOUBLE) / c.n_customers, 6)
-               AS repeat_share,
-           round(CAST(p.sum_gap AS DOUBLE) / p.n_gaps, 6)
-               AS mean_gap_days,
-           p.p50_gap_days, p.p90_gap_days
-    FROM cust c JOIN pct p ON p.seg = c.seg
-    ORDER BY 1
-    """,
-    doc="Inter-purchase cadence per market segment: gaps in days "
-    "between a customer's consecutive orders, rolled up to repeat-"
-    "buyer share, mean gap, and exact p50/p90 gap — the replenishment"
-    "-cycle readout that sizes x90's EOQ review period and x53's RFM "
-    "recency cutoffs with measured cadence instead of folklore. "
-    "Percentiles are computed at the (segment, gap-days) DISTINCT "
-    "grain: integer day gaps collapse to a few-thousand-row frame, "
-    "cumulative counts pick the value at rank ceil(q*n) — so no "
-    "corpus-scale sort and no hot segment partition even though "
-    "segments are few; the only row-grain window is the per-customer "
-    "lag, partitioned by custkey (millions of small partitions — the "
-    "healthy direction). All counts/sums are exact integers; the "
-    "three shares are identically-written IEEE divisions rounded 6 "
-    "dp. Plan: one orders-customer join (broadcast dim at fixture "
-    "scale, shuffle-on-custkey at 100 TB where customer is fat), one "
-    "custkey-partitioned lag, one combiner agg to the day-gap grain, "
-    "segment-partitioned prefix windows on the tiny grain frame.",
-    tags=("extended", "cadence", "percentile", "retention"),
-)
-def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    o = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
-        F.col("c_custkey") == F.col("o_custkey"),
-    ).select(
-        F.col("c_mktsegment").alias("seg"),
-        F.col("o_custkey").alias("ck"),
-        F.to_date("o_orderdate").alias("dt"),
-        F.col("o_orderkey").alias("ok"),
-    )
-    w = Window.partitionBy("ck").orderBy("dt", "ok")
-    gaps = o.select(
-        "seg",
-        "ck",
-        F.datediff(F.col("dt"), F.lag("dt").over(w)).alias("g"),
-    )
-    cust_agg = gaps.groupBy("seg").agg(
-        F.countDistinct("ck").cast("long").alias("n_customers"),
-        F.countDistinct(
-            F.when(F.col("g").isNotNull(), F.col("ck"))
-        )
-        .cast("long")
-        .alias("n_repeat"),
-    )
-    gd = (
-        gaps.filter(F.col("g").isNotNull())
-        .groupBy("seg", F.col("g").cast("long").alias("g"))
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    wc = (
-        Window.partitionBy("seg")
-        .orderBy("g")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("seg")
-    cum = gd.select(
-        "seg",
-        "g",
-        F.sum("c").over(wc).alias("cc"),
-        F.sum("c").over(wt).alias("n"),
-        F.sum(F.col("g") * F.col("c")).over(wt).alias("sg"),
-    )
-    pct = cum.groupBy("seg").agg(
-        F.max("n").cast("long").alias("n_gaps"),
-        F.max("sg").cast("long").alias("sum_gap"),
-        F.min(
-            F.when(F.col("cc") >= F.ceil(0.5 * F.col("n")), F.col("g"))
-        )
-        .cast("long")
-        .alias("p50_gap_days"),
-        F.min(
-            F.when(F.col("cc") >= F.ceil(0.9 * F.col("n")), F.col("g"))
-        )
-        .cast("long")
-        .alias("p90_gap_days"),
-    )
-    return (
-        cust_agg.join(pct, "seg")
-        .select(
-            F.col("seg").alias("c_mktsegment"),
-            "n_customers",
-            F.col("n_repeat").alias("n_repeat_customers"),
-            F.round(
-                F.col("n_repeat").cast("double") / F.col("n_customers"), 6
-            ).alias("repeat_share"),
-            F.round(
-                F.col("sum_gap").cast("double") / F.col("n_gaps"), 6
-            ).alias("mean_gap_days"),
-            "p50_gap_days",
-            "p90_gap_days",
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@REGISTRY.register(
     "x98_sku_repurchase",
     oracle="""
     WITH cp AS (
@@ -6539,7 +6387,7 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     "up to the brand's repeat-buy share, mean orders per pair, and "
     "the heaviest single pair — the replenishment-vs-one-off "
     "classifier that picks which brands x90's EOQ policy applies to "
-    "at all (EOQ assumes recurring demand; x97 measures cadence at "
+    "at all (EOQ assumes recurring demand; x60 measures the cycle at "
     "the CUSTOMER grain, this finds it at the SKU grain). All counts "
     "are exact integers (distinct orders, not line items, so "
     "multi-line orders never inflate repurchase); the two rates are "
@@ -6589,100 +6437,3 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "x99_backlog_aging",
-    oracle="""
-    WITH mx AS (
-      SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders
-    ),
-    open_o AS (
-      SELECT o_orderpriority AS prio,
-             CAST(mx.asof - CAST(o_orderdate AS DATE) AS BIGINT) AS age,
-             CAST(o_totalprice AS DECIMAL(12,2)) AS v
-      FROM orders, mx WHERE o_orderstatus <> 'F'
-    ),
-    bucketed AS (
-      SELECT prio,
-             CASE WHEN age <= 30 THEN '00-30'
-                  WHEN age <= 60 THEN '31-60'
-                  WHEN age <= 90 THEN '61-90'
-                  ELSE '90+' END AS age_bucket,
-             age, v
-      FROM open_o
-    ),
-    tot AS (SELECT prio, CAST(SUM(v) AS DOUBLE) AS tv
-            FROM bucketed GROUP BY 1)
-    SELECT b.prio AS o_orderpriority, b.age_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(b.v) AS DOUBLE) AS open_value,
-           round(CAST(SUM(b.v) AS DOUBLE) / MAX(t.tv), 6)
-               AS value_share_of_priority,
-           CAST(MAX(b.age) AS BIGINT) AS oldest_days
-    FROM bucketed b JOIN tot t ON t.prio = b.prio
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    doc="Open-order backlog aging: non-filled orders (status <> 'F') "
-    "bucketed by age in days at the data's as-of date (its max order "
-    "date — a deterministic snapshot, no wall clock), crossed with "
-    "order priority and weighted by exact-decimal order value — the "
-    "accounts-receivable-style aging report every fulfillment org "
-    "reads daily, and the table x21's late-supplier drilldown "
-    "aggregates FROM: a 90+ bucket carrying real value share under "
-    "an URGENT priority is the operational alarm. Ages are exact "
-    "integer day differences against a broadcast 1-row as-of date; "
-    "value sums are exact DECIMAL(12,2) surfaced as DOUBLE (the "
-    "repo-wide money convention); the within-priority share is one "
-    "identically-written IEEE division rounded 6 dp. Plan: one "
-    "broadcast max-date agg, a map-only bucket classify riding the "
-    "orders scan, one (priority, bucket) combiner agg (20 cells). "
-    "At 100 TB this is a single pass over orders — the filter and "
-    "both projected columns push into the parquet scan.",
-    tags=("extended", "aging", "backlog", "operations"),
-)
-def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
-    open_o = (
-        orders.filter(F.col("o_orderstatus") != "F")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.col("o_orderpriority").alias("prio"),
-            F.datediff(F.col("asof"), F.to_date("o_orderdate"))
-            .cast("long")
-            .alias("age"),
-            dec("o_totalprice").alias("v"),
-        )
-    )
-    bucketed = open_o.select(
-        "prio",
-        F.when(F.col("age") <= 30, "00-30")
-        .when(F.col("age") <= 60, "31-60")
-        .when(F.col("age") <= 90, "61-90")
-        .otherwise("90+")
-        .alias("age_bucket"),
-        "age",
-        "v",
-    )
-    tot = bucketed.groupBy("prio").agg(
-        F.sum("v").cast("double").alias("tv")
-    )
-    return (
-        bucketed.groupBy("prio", "age_bucket")
-        .agg(
-            F.count("*").cast("long").alias("n_orders"),
-            F.sum("v").cast("double").alias("open_value"),
-            F.max("age").cast("long").alias("oldest_days"),
-        )
-        .join(F.broadcast(tot), "prio")
-        .select(
-            F.col("prio").alias("o_orderpriority"),
-            "age_bucket",
-            "n_orders",
-            "open_value",
-            F.round(F.col("open_value") / F.col("tv"), 6).alias(
-                "value_share_of_priority"
-            ),
-            "oldest_days",
-        )
-        .orderBy("o_orderpriority", "age_bucket")
-    )

@@ -5708,255 +5708,6 @@ def sm42b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sm44: MMR constants — λ trades relevance against diversity; k picks from
-# an 8-candidate exact pool so the unrolled plan stays 3 tiny joins.
-_SM44_LAMBDA = 0.7
-_SM44_POOL = 8
-
-
-def _sm44_oracle_sql() -> str:
-    """DuckDB replay of the unrolled 3-step MMR loop over the top-8 exact
-    cosine pool. Every cosine (query-candidate AND candidate-candidate)
-    is the 9-dp-rounded left-to-right fold (_IVF_PAIR_COS) and every MMR
-    score re-rounds at 9 dp before ranking, so rank decisions are ulp-safe
-    in both engines."""
-    lam = _SM44_LAMBDA
-    return f"""
-    WITH qs AS (
-      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0
-    ),
-    scored AS (
-      SELECT q.qid, e.vec_id AS nid, {_IVF_PAIR_COS} AS c9
-      FROM qs q JOIN embeddings e ON e.vec_id <> q.qid
-    ),
-    pool AS (
-      SELECT qid, nid, c9 FROM (
-        SELECT qid, nid, c9,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY c9 DESC, nid) AS rk
-        FROM scored
-      ) WHERE rk <= {_SM44_POOL}
-    ),
-    cc AS (
-      SELECT p.qid, p.nid AS nid_a, r.nid AS nid_b, {_IVF_PAIR_COS} AS d9
-      FROM pool p
-      JOIN pool r ON r.qid = p.qid AND r.nid <> p.nid
-      JOIN embeddings e ON e.vec_id = p.nid
-      JOIN embeddings q ON q.vec_id = r.nid
-    ),
-    s1 AS (
-      SELECT qid, nid, round(CAST({lam} AS DOUBLE) * c9, 9) AS score
-      FROM (
-        SELECT qid, nid, c9,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY c9 DESC, nid) AS rk
-        FROM pool
-      ) WHERE rk = 1
-    ),
-    i2 AS (
-      SELECT p.qid, p.nid,
-             round(CAST({lam} AS DOUBLE) * p.c9
-                   - CAST({1 - lam} AS DOUBLE) * cc.d9, 9) AS score
-      FROM pool p
-      JOIN s1 ON s1.qid = p.qid AND p.nid <> s1.nid
-      JOIN cc ON cc.qid = p.qid AND cc.nid_a = p.nid AND cc.nid_b = s1.nid
-    ),
-    s2 AS (
-      SELECT qid, nid, score FROM (
-        SELECT qid, nid, score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY score DESC, nid) AS rk
-        FROM i2
-      ) WHERE rk = 1
-    ),
-    i3 AS (
-      SELECT p.qid, p.nid,
-             round(CAST({lam} AS DOUBLE) * p.c9
-                   - CAST({1 - lam} AS DOUBLE)
-                     * greatest(c1.d9, c2.d9), 9) AS score
-      FROM pool p
-      JOIN s1 ON s1.qid = p.qid AND p.nid <> s1.nid
-      JOIN s2 ON s2.qid = p.qid AND p.nid <> s2.nid
-      JOIN cc c1 ON c1.qid = p.qid AND c1.nid_a = p.nid
-                AND c1.nid_b = s1.nid
-      JOIN cc c2 ON c2.qid = p.qid AND c2.nid_a = p.nid
-                AND c2.nid_b = s2.nid
-    ),
-    s3 AS (
-      SELECT qid, nid, score FROM (
-        SELECT qid, nid, score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY score DESC, nid) AS rk
-        FROM i3
-      ) WHERE rk = 1
-    )
-    SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
-           round(score, 6) AS mmr_score
-    FROM (
-      SELECT qid, 1 AS rank, nid, score FROM s1
-      UNION ALL SELECT qid, 2, nid, score FROM s2
-      UNION ALL SELECT qid, 3, nid, score FROM s3
-    ) ORDER BY qid, rank
-    """
-
-
-@REGISTRY.register(
-    "sm44_mmr_diversified_topk",
-    oracle=_sm44_oracle_sql(),
-    doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) "
-    "diversified top-3: for each query in the deterministic vec_id % "
-    "50 sample, greedily pick argmax of lambda*sim(q,c) - (1-lambda)*"
-    "max_cos(c, already-picked) from the exact top-8 cosine pool — "
-    "the de-dup-at-retrieval-time operator every RAG stack and "
-    "hard-negative miner needs when the plain top-k returns five "
-    "copies of the same paragraph (exactly what a corpus with dd03-"
-    "scale duplication does). The greedy loop is UNROLLED into 3 "
-    "deterministic DataFrame stages (k is a constant, so the plan is "
-    "static — no driver iteration): pool -> pick-1 -> rescore-vs-s1 "
-    "-> pick-2 -> rescore-vs-max(s1,s2) -> pick-3. Every cosine is "
-    "the 9-dp-rounded fixed-order fold and every MMR score re-rounds "
-    "at 9 dp before its rank window (the sm42b ulp barrier); ranks "
-    "tiebreak on nid. Plan: one broadcast-query corpus scan for the "
-    "pool (TakeOrdered-per-query shape, |corpus| never self-joins), "
-    "candidate-candidate cosines on the 8-row-per-query pool frame "
-    "(pinned via localCheckpoint — three iterations reuse it), then "
-    "three |queries|-grain joins. At 100 TB the pool stage swaps to "
-    "sm05/sm18 ANN candidates (the sm23b precedent) and the MMR "
-    "stages are unchanged — they never touch the corpus.",
-    tags=("similarity", "llm", "mmr", "diversity", "topk"),
-)
-def sm44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    lam = F.lit(_SM44_LAMBDA).cast("double")
-    one_lam = F.lit(1 - _SM44_LAMBDA).cast("double")
-    emb = t(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
-    )
-    q = normed.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    e = normed.select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-    )
-    sim = pair_dot(F.col("q_emb"), F.col("n_emb")) / (
-        F.col("q_nrm") * F.col("n_nrm")
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("c9"), F.asc("nid"))
-    pool = (
-        F.broadcast(q)
-        .join(e, F.col("nid") != F.col("qid"))
-        .select(
-            "qid", "nid", F.round(sim, 9).alias("c9"), "n_emb", "n_nrm"
-        )
-        .withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= _SM44_POOL)
-        .drop("rk")
-        # pinned: three MMR iterations + the pairwise-cosine frame all
-        # read the pool — unpinned lineage would re-run the corpus scan
-        .localCheckpoint(eager=False)
-    )
-    pa = pool.select("qid", F.col("nid").alias("nid_a"),
-                     F.col("n_emb").alias("a_emb"),
-                     F.col("n_nrm").alias("a_nrm"))
-    pb = pool.select(F.col("qid").alias("qid_b"),
-                     F.col("nid").alias("nid_b"),
-                     F.col("n_emb").alias("b_emb"),
-                     F.col("n_nrm").alias("b_nrm"))
-    dsim = pair_dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.col("a_nrm") * F.col("b_nrm")
-    )
-    cc = (
-        pa.join(
-            pb,
-            (F.col("qid") == F.col("qid_b"))
-            & (F.col("nid_a") != F.col("nid_b")),
-        )
-        .select("qid", "nid_a", "nid_b", F.round(dsim, 9).alias("d9"))
-        .localCheckpoint(eager=False)
-    )
-    slim = pool.select("qid", "nid", "c9")
-    s1 = (
-        slim.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select("qid", "nid", F.round(lam * F.col("c9"), 9).alias("score"))
-    )
-    ws = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
-
-    def pick(pool_i: DataFrame) -> DataFrame:
-        return (
-            pool_i.withColumn("rk", F.row_number().over(ws))
-            .filter(F.col("rk") == 1)
-            .select("qid", "nid", "score")
-        )
-
-    s1a = s1.select("qid", F.col("nid").alias("s1_nid"))
-    i2 = (
-        slim.join(s1a, "qid")
-        .filter(F.col("nid") != F.col("s1_nid"))
-        .join(
-            cc.select("qid", F.col("nid_a").alias("nid"),
-                      F.col("nid_b").alias("s1_nid"), "d9"),
-            ["qid", "nid", "s1_nid"],
-        )
-        .select(
-            "qid",
-            "nid",
-            F.round(lam * F.col("c9") - one_lam * F.col("d9"), 9).alias(
-                "score"
-            ),
-        )
-    )
-    s2 = pick(i2)
-    s2a = s2.select("qid", F.col("nid").alias("s2_nid"))
-    i3 = (
-        slim.join(s1a, "qid")
-        .join(s2a, "qid")
-        .filter(
-            (F.col("nid") != F.col("s1_nid"))
-            & (F.col("nid") != F.col("s2_nid"))
-        )
-        .join(
-            cc.select("qid", F.col("nid_a").alias("nid"),
-                      F.col("nid_b").alias("s1_nid"),
-                      F.col("d9").alias("d1")),
-            ["qid", "nid", "s1_nid"],
-        )
-        .join(
-            cc.select("qid", F.col("nid_a").alias("nid"),
-                      F.col("nid_b").alias("s2_nid"),
-                      F.col("d9").alias("d2")),
-            ["qid", "nid", "s2_nid"],
-        )
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                lam * F.col("c9")
-                - one_lam * F.greatest(F.col("d1"), F.col("d2")),
-                9,
-            ).alias("score"),
-        )
-    )
-    s3 = pick(i3)
-    out = (
-        s1.select("qid", F.lit(1).alias("rank"), "nid", "score")
-        .unionByName(s2.select("qid", F.lit(2).alias("rank"), "nid", "score"))
-        .unionByName(s3.select("qid", F.lit(3).alias("rank"), "nid", "score"))
-    )
-    return out.select(
-        "qid",
-        F.col("rank").cast("long").alias("rank"),
-        "nid",
-        F.round("score", 6).alias("mmr_score"),
-    ).orderBy("qid", "rank")
-
-
 @REGISTRY.register(
     "sm45_dot_cosine_rank_overlap",
     oracle=f"""

@@ -4974,7 +4974,7 @@ def tx59(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of the ROUNDED value re-round, DECIMAL sums — tx53's idiom), "
     "so accumulation order cannot flake; the exact median comes from "
     "cumulative counts at the (source, length) distinct grain — no "
-    "corpus-scale sort (x97's percentile pattern). Plan: map-only "
+    "corpus-scale sort (exact value-at-rank from cumulative counts). Plan: map-only "
     "token count + log terms on one scan, one |sources|-row moment "
     "agg, one tiny distinct-length frame with partitioned prefix "
     "windows. At 100 TB: one pass, alphabet-sized exchanges.",

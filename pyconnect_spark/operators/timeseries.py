@@ -6516,7 +6516,7 @@ def ts73(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below 0 means the series is smoother than random (trend/"
     "seasonality — cross-read with ts68's period scan) and far above "
     "0 means it alternates faster than random (negative "
-    "autocorrelation, e.g. batch-then-starve ingestion). Ties "
+    "autocorrelation, e.g. batch-then-starve ingestion). ts27 ANNOTATES the same strict extrema per day; this counts them and tests the count against the exchangeability null. Ties "
     "produce no turning point by the strict compares — identical "
     "arithmetic in both engines (a deflation the doc of record "
     "acknowledges rather than hides); expectation/variance/z are "
@@ -6650,107 +6650,6 @@ def ts75(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
-    "ts76_stickiness_dau_mau",
-    oracle="""
-    WITH ud AS (
-      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
-    ),
-    bounds AS (
-      SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud
-    ),
-    cover AS (
-      SELECT u, d + CAST(i.i AS INT) AS t, i.i AS i
-      FROM ud, (SELECT unnest(range(0, 28)) AS i) i
-    ),
-    daily AS (
-      SELECT t,
-             CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN u END)
-                  AS BIGINT) AS dau,
-             CAST(COUNT(DISTINCT CASE WHEN i <= 6 THEN u END)
-                  AS BIGINT) AS wau,
-             CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
-      FROM cover GROUP BY 1
-    ),
-    full_days AS (
-      SELECT d.* FROM daily d, bounds b
-      WHERE d.t >= b.mn + 27 AND d.t <= b.mx
-    )
-    SELECT strftime(t, '%Y-%m') AS month,
-           CAST(COUNT(*) AS BIGINT) AS n_days,
-           round(CAST(SUM(dau) AS DOUBLE) / COUNT(*), 6) AS avg_dau,
-           round(CAST(SUM(wau) AS DOUBLE) / COUNT(*), 6) AS avg_wau,
-           round(CAST(SUM(mau) AS DOUBLE) / COUNT(*), 6) AS avg_mau,
-           round(CAST(SUM(dau) AS DOUBLE) / SUM(mau), 6) AS stickiness
-    FROM full_days GROUP BY 1 ORDER BY 1
-    """,
-    doc="DAU/WAU/MAU active-user rollup with the DAU/MAU stickiness "
-    "ratio, monthly: the product-analytics staple (every growth "
-    "dashboard's first page) computed EXACTLY — each (user, day) "
-    "activity row covers the 28 trailing-window target days it can "
-    "appear in (explode x28 at the user-day grain, NOT the event "
-    "grain), so one distinct-count agg yields DAU (offset 0), WAU "
-    "(offsets 0-6) and MAU (all 28) per day in a single exchange; "
-    "days without a full 28-day lookback are excluded so edge "
-    "windows never understate MAU. All counts are exact integers "
-    "(no HLL — this is the calibration target x49's sketch rollup "
-    "is judged against); the averages and ratio-of-sums stickiness "
-    "are identically-written IEEE divisions rounded 6 dp. Plan: "
-    "events collapse to the user-day grain FIRST (the corpus-scale "
-    "combiner agg), the x28 explode multiplies only user-days, and "
-    "the per-day distinct agg shuffles (day, user) keys. At 100 TB "
-    "user-days are ~1e4x smaller than events, so the explode is "
-    "bounded; swap the exact distinct for x49's HLL partials when "
-    "even that exchange hurts.",
-    tags=("timeseries", "dau", "mau", "stickiness", "growth"),
-)
-def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ud = ev.select(
-        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
-    ).distinct()
-    bounds = ud.agg(
-        F.min("d").alias("mn"), F.max("d").alias("mx")
-    )
-    cover = ud.select(
-        "u",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
-    ).select("u", "i", F.expr("date_add(d, i)").alias("t"))
-    daily = cover.groupBy("t").agg(
-        F.countDistinct(F.when(F.col("i") == 0, F.col("u")))
-        .cast("long")
-        .alias("dau"),
-        F.countDistinct(F.when(F.col("i") <= 6, F.col("u")))
-        .cast("long")
-        .alias("wau"),
-        F.countDistinct("u").cast("long").alias("mau"),
-    )
-    full_days = daily.crossJoin(F.broadcast(bounds)).filter(
-        (F.col("t") >= F.date_add(F.col("mn"), 27))
-        & (F.col("t") <= F.col("mx"))
-    )
-    return (
-        full_days.groupBy(F.date_format("t", "yyyy-MM").alias("month"))
-        .agg(
-            F.count("*").cast("long").alias("n_days"),
-            F.round(F.sum("dau").cast("double") / F.count("*"), 6).alias(
-                "avg_dau"
-            ),
-            F.round(F.sum("wau").cast("double") / F.count("*"), 6).alias(
-                "avg_wau"
-            ),
-            F.round(F.sum("mau").cast("double") / F.count("*"), 6).alias(
-                "avg_mau"
-            ),
-            F.round(
-                F.sum("dau").cast("double") / F.sum("mau"), 6
-            ).alias("stickiness"),
-        )
-        .orderBy("month")
-    )
-
-
-@REGISTRY.register(
     "ts77_weekly_retention_curve",
     oracle="""
     WITH uw AS (
@@ -6785,7 +6684,7 @@ def ts76(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OBSERVABLE cohort — only users whose first week is at least k "
     "weeks before the data edge count as eligible at offset k, the "
     "right-censoring correction without which late cohorts silently "
-    "drag the tail down (the classic retention-dashboard bug). "
+    "drag the tail down (the classic retention-dashboard bug) — the statistic ts07's per-cohort daily triangle does NOT give you, and the fold that turns that triangle into one decision-ready curve. "
     "Week index is Monday-aligned integer day arithmetic ((date - "
     "1970-01-05) // 7 — no timezone-dependent truncation), activity "
     "collapses to the user-week grain first, and every count is an "

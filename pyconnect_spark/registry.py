@@ -209,21 +209,21 @@ _DECLARED_IN_ROUND = {
     "ts73_record_breaking_days": 53, "ts74_turning_points_test": 53,
     "ts75_traffic_concentration": 53,
     # round 9, third wave
-    "x97_interpurchase_cadence": 54, "tx58_char_coverage_curve": 54,
+    "tx58_char_coverage_curve": 54,
     # round 9, fourth wave
     "dd42_seed_stability_audit": 55,
-    # round 9, fifth wave (retrieval-quality pair)
-    "sm44_mmr_diversified_topk": 56, "sm45_dot_cosine_rank_overlap": 56,
+    # round 9, fifth wave
+    "sm45_dot_cosine_rank_overlap": 56,
     # round 9, sixth wave
     "mm15_video_frame_plan": 57,
     # round 9, seventh wave
-    "ts76_stickiness_dau_mau": 58, "tx59_template_prefix_profile": 58,
+    "tx59_template_prefix_profile": 58,
     "dd43_shingle_width_curve": 58,
     # round 9, eighth wave
     "dd44_chain_merge_audit": 59, "ts77_weekly_retention_curve": 59,
     "sm46_class_margin_matrix": 59, "x98_sku_repurchase": 59,
     # round 9, ninth wave
-    "x99_backlog_aging": 60, "dd45_neardup_token_accounting": 60,
+    "dd45_neardup_token_accounting": 60,
     "tx60_length_lognormal_fit": 60,
     # round 9, tenth wave
     "ts78_user_concentration": 61,
