@@ -1475,7 +1475,7 @@ _MM15_DIMS = ((640, 360), (1280, 720))  # checksum % 2 picks one
     "counts sampled frames per clip, applies the "
     f"{_MM15_FRAME_CAP}-frame training cap, and budgets decoded RGB "
     "bytes — the numbers that decide shard sizes and decode-worker "
-    "count BEFORE anyone touches a GPU, plus the cap-hit share that "
+    "count BEFORE anyone touches a GPU (mm03 is the row-to-frames mapInPandas fan-out this table budgets), plus the cap-hit share that "
     "says whether long clips are being truncated into bias. Every "
     "sampling decision is integer arithmetic (// and least "
     "throughout); the two FP shares are identically-written IEEE "

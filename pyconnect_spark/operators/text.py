@@ -4969,6 +4969,7 @@ def tx59(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumption behind tx12/tx34's bin planning), and the gap "
     "between the two medians is the one-glance test of whether that "
     "assumption holds per source before trusting fitted tail "
+    "(tx28 scores length INEQUALITY; this fits the distribution) "
     "quantiles for max_seq_len and truncation budgets. Log moments "
     "cross the repo's libm barrier (each ln rounds at 9 dp, squares "
     "of the ROUNDED value re-round, DECIMAL sums — tx53's idiom), "
