@@ -6923,19 +6923,21 @@ def ts78(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT k, tus, o_orderkey, tag,
              last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
-                 OVER (PARTITION BY k ORDER BY tus, tag
+                 OVER (PARTITION BY k ORDER BY tus, tag, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS back_ts,
              last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
-                 OVER (PARTITION BY k ORDER BY tus, tag
+                 OVER (PARTITION BY k ORDER BY tus, tag, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS back_id,
              last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
-                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC
+                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC,
+                             event_id DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS fwd_ts,
              last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
-                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC
+                 OVER (PARTITION BY k ORDER BY tus DESC, tag DESC,
+                             event_id DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS fwd_id
       FROM u
@@ -6962,8 +6964,10 @@ def ts78(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ts03 backward, ts45 forward+tolerance): for every order, the "
     "same-user event with the smallest |event_ts - order_ts|, like "
     "pandas merge_asof(direction='nearest'). Tie semantics are "
-    "pinned: an exact-timestamp event matches BACKWARD (delta 0), "
-    "and an equidistant pair resolves to the earlier event. Built as "
+    "pinned: an exact-timestamp event matches BACKWARD (delta 0), an "
+    "equidistant pair resolves to the earlier event, and two events "
+    "sharing one timestamp resolve by event_id (max backward / min "
+    "forward — the carry order is total in both engines). Built as "
     "ts03's pure-JVM union + carry window run in BOTH directions "
     "over ONE union frame — the ascending carry yields the "
     "latest-at-or-before candidate, the descending carry the "
@@ -6993,12 +6997,12 @@ def ts79(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.unionByName(od)
     wb = (
         Window.partitionBy("k")
-        .orderBy("tus", "tag")
+        .orderBy("tus", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("k")
-        .orderBy(F.desc("tus"), F.desc("tag"))
+        .orderBy(F.desc("tus"), F.desc("tag"), F.desc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev_ts = F.when(F.col("tag") == 0, F.col("tus"))
