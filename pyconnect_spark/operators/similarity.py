@@ -6056,3 +6056,159 @@ def sm47(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
     )
+
+
+# sm48: the groups act as the two "languages" of a bitext-mining run —
+# a deterministic split of the label space; ratio-margin per Artetxe &
+# Schwenk (CCMatrix/LASER), k=2 neighbors in the denominator.
+_SM48_ACCEPT = 1.05
+
+
+def _sm48_oracle_sql() -> str:
+    return f"""
+    WITH a AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label < 5
+    ),
+    b AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label >= 5
+    ),
+    scored AS (
+      SELECT q.vec_id AS a_id, e.vec_id AS b_id, {_IVF_PAIR_COS} AS c9
+      FROM a q JOIN b e ON TRUE
+    ),
+    ranked AS (
+      SELECT a_id, b_id, c9,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY c9 DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY c9 DESC, a_id) AS rb
+      FROM scored
+    ),
+    ma AS (
+      SELECT a_id,
+             MAX(CASE WHEN ra = 1 THEN c9 END) AS c1,
+             MAX(CASE WHEN ra = 2 THEN c9 END) AS c2,
+             MAX(CASE WHEN ra = 3 THEN c9 END) AS c3
+      FROM ranked GROUP BY 1
+    ),
+    mb AS (
+      SELECT b_id,
+             MAX(CASE WHEN rb = 1 THEN c9 END) AS c1,
+             MAX(CASE WHEN rb = 2 THEN c9 END) AS c2,
+             MAX(CASE WHEN rb = 3 THEN c9 END) AS c3
+      FROM ranked GROUP BY 1
+    ),
+    mutual AS (
+      SELECT a_id, b_id, c9 FROM ranked WHERE ra = 1 AND rb = 1
+    )
+    SELECT m.a_id, m.b_id, round(m.c9, 6) AS cos_sim,
+           round(ma.c1 / ((ma.c2 + ma.c3) / 2), 6) AS margin_a,
+           round(mb.c1 / ((mb.c2 + mb.c3) / 2), 6) AS margin_b,
+           CAST(CASE WHEN least(ma.c1 / ((ma.c2 + ma.c3) / 2),
+                                mb.c1 / ((mb.c2 + mb.c3) / 2))
+                          >= {_SM48_ACCEPT}
+                     THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM mutual m
+    JOIN ma ON ma.a_id = m.a_id
+    JOIN mb ON mb.b_id = m.b_id
+    ORDER BY m.a_id
+    """
+
+
+@REGISTRY.register(
+    "sm48_bitext_margin_mining",
+    oracle=_sm48_oracle_sql(),
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2019 — the "
+    "CCMatrix/LASER parallel-corpus miner): across two disjoint "
+    "vector groups (labels <5 vs >=5 standing in for the two "
+    "languages), emit MUTUAL nearest-neighbor pairs scored by the "
+    "ratio margin cos(x,y) / mean(cos to the next-2 neighbors), "
+    "accepted when BOTH directions clear the published ~1.05 bar — "
+    "the operator that builds aligned training pairs from "
+    "independently-crawled corpora, where raw cosine thresholds fail "
+    "(hubness inflates some rows' cosines globally; the margin "
+    "normalizes by each point's own neighborhood — sm23's hubness "
+    "audit measures exactly the pathology this corrects). Both "
+    "rank directions come from ONE scored frame (two windows, "
+    "opposite partition keys); cosines are 9-dp-rounded fixed-order "
+    "folds, margins are single IEEE expressions of those values "
+    "rounded 6 dp, ranks tiebreak on ids. This is the exact audit "
+    "grain (|A|x|B| pairs, broadcast-side join — sm02's class); at "
+    "real corpus scale the scored frame comes from sm05/sm18 ANN "
+    "candidates per side (the sm23b precedent) and the margin/"
+    "mutuality stages run unchanged on candidate lists. Plan: one "
+    "broadcast cross-group scan -> two rank windows in one exchange "
+    "each -> two 3-row-per-point margin aggs -> mutual equi-join.",
+    tags=("similarity", "llm", "bitext", "margin", "mining"),
+)
+def sm48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "label", "embedding",
+        vector_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = normed.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = normed.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = pair_dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id", F.round(sim, 9).alias("c9")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("c9"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("c9"), F.asc("a_id"))
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "c9",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+        # pinned: the two margin aggs and the mutual filter all read it
+    ).localCheckpoint(eager=False)
+
+    def margins(key: str, rk: str, out: str) -> DataFrame:
+        g = ranked.groupBy(key).agg(
+            F.max(F.when(F.col(rk) == 1, F.col("c9"))).alias("c1"),
+            F.max(F.when(F.col(rk) == 2, F.col("c9"))).alias("c2"),
+            F.max(F.when(F.col(rk) == 3, F.col("c9"))).alias("c3"),
+        )
+        return g.select(
+            key,
+            (
+                F.col("c1") / ((F.col("c2") + F.col("c3")) / 2)
+            ).alias(out),
+        )
+
+    ma = margins("a_id", "ra", "m_a")
+    mb = margins("b_id", "rb", "m_b")
+    mutual = ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1)).select(
+        "a_id", "b_id", "c9"
+    )
+    return (
+        mutual.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round("c9", 6).alias("cos_sim"),
+            F.round("m_a", 6).alias("margin_a"),
+            F.round("m_b", 6).alias("margin_b"),
+            F.when(
+                F.least(F.col("m_a"), F.col("m_b")) >= _SM48_ACCEPT, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("accepted"),
+        )
+        .orderBy("a_id")
+    )

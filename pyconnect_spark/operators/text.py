@@ -5040,3 +5040,66 @@ def tx60(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REGISTRY.register(
+    "tx61_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT source, lang, n_chars // 500 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS grp
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+               AS docs_at_risk,
+           round(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END)
+                 * 1.0 / SUM(grp), 6) AS risk_share
+    FROM qi GROUP BY 1 ORDER BY 1
+    """,
+    doc="k-anonymity release audit over the document metadata that "
+    "ships WITH a dataset: treat (source, lang, 500-char length "
+    "bucket) as the quasi-identifier tuple and report, per source, "
+    "the dataset's k (the smallest group size), the groups below "
+    "k=5, and the share of documents living in those re-identifiable "
+    "groups — the Sweeney-style governance gate run before "
+    "publishing corpus metadata or per-group statistics (a group of "
+    "1 means that row's 'anonymous' metadata IS an identifier; "
+    "publishing per-group counts below k leaks membership). "
+    "Complements tx15's content-side PII scrub: scrubbing the TEXT "
+    "does nothing if the metadata partitioning singles a document "
+    "out. All quantities are exact integers from one combiner agg at "
+    "the quasi-identifier grain plus a |sources|-row rollup; the "
+    "risk share is one identically-written IEEE division rounded 6 "
+    "dp. At 100 TB this is dd01's exchange shape with a 3-column "
+    "key; generalizing the tuple (add any column) changes only the "
+    "grouping list.",
+    tags=("text", "llm", "governance", "k-anonymity", "privacy"),
+)
+def tx61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "source",
+        "lang",
+        F.expr("CAST(n_chars DIV 500 AS BIGINT)").alias("len_bucket"),
+    ).agg(F.count("*").cast("long").alias("grp"))
+    viol = F.when(F.col("grp") < 5, F.col("grp")).otherwise(0)
+    return (
+        qi.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("grp").cast("long").alias("k_anonymity"),
+            F.sum(F.when(F.col("grp") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.sum(viol).cast("long").alias("docs_at_risk"),
+            F.round(F.sum(viol) * 1.0 / F.sum("grp"), 6).alias(
+                "risk_share"
+            ),
+        )
+        .orderBy("source")
+    )

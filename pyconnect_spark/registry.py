@@ -6,7 +6,7 @@ rotates by staleness: queries that have never had a driver row lead,
 then anything rebuilt since its last row, then everything whose last
 green row is oldest. Queries verified last round follow the window in
 module order — nothing is ever dropped from the declared surface, and
-with ~365 declared queries the whole surface re-verifies every ~8
+with ~367 declared queries the whole surface re-verifies every ~8
 rounds at 50 rows/round (the rotation always puts never-checked and oldest-evidence
 queries first, so staleness is bounded even as the surface grows;
 tools/strict_sweep.py covers the full surface between driver windows).
@@ -233,6 +233,8 @@ _DECLARED_IN_ROUND = {
     "sm47_centroid_distance_anova": 63,
     # round 9, thirteenth wave
     "ts79_asof_nearest": 64,
+    # round 9, fourteenth wave
+    "sm48_bitext_margin_mining": 65, "tx61_k_anonymity_audit": 65,
 }
 
 
