@@ -5243,56 +5243,89 @@ def _sm39_sql_top(bits: int | None, k: int = 10) -> str:
     "half-up to the integer grid — the scale division and "
     "remultiplication are exact-input ops, no libm anywhere before "
     "the 9 dp barrier), so the quantized CODES themselves are "
-    "bit-identical cross-engine. Plan: each level is the sm01 "
-    "broadcast-query map-only TakeOrdered pass; at 100 TB one pass "
-    "emits all levels' scores and the overlap joins are k-row.",
+    "bit-identical cross-engine. Plan (round-10 fusion, the sm23 "
+    "Arrow-BLAS donor): ONE mapInPandas corpus pass emits every "
+    "level's 9-dp cosine — each Arrow batch quantizes its block at "
+    "all levels and keeps only its local top-10 per level under the "
+    "global (c9 DESC, vec_id) order, so the partitioned global rank "
+    "window sees batches×40 candidate rows, never the corpus (any "
+    "global top-10 row survives its batch filter ⇒ bit-identical "
+    "across partitionings); both engines round to 9 dp BEFORE "
+    "ranking, so BLAS accumulation order can't flip a rank or error "
+    "cell vs the oracle's sequential fold (sm23/sm30 ulp convention). "
+    "The pre-fusion shape ran 5 full interpreted-fold corpus scans "
+    "(one per tier) and benched 20.9 s at sf0.1; at 100 TB the fused "
+    "pass is the only corpus touch and the overlap joins are k-row.",
     tags=("similarity", "llm", "quantization", "recall", "int8"),
 )
 def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
+    import numpy as np
+    from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 3).select(
-        F.transform("embedding", lambda y: y.cast("double")).alias("qv")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 3).head()[1], dtype=np.float64
     )
-    corpus = emb.filter(F.col("vec_id") != 3).crossJoin(F.broadcast(q))
+    nq = float(np.sqrt((qv * qv).sum()))
+    levels = ((64, None),) + tuple((b, _SM39_L[b]) for b in _SM39_BITS)
 
-    def topk(bits: int | None) -> DataFrame:
-        ev = F.transform("embedding", lambda y: y.cast("double"))
-        if bits is not None:
-            lim = _SM39_L[bits]
-            mx = F.array_max(F.transform(ev, F.abs))
-            scale = F.when(mx > 0, mx / lim).otherwise(F.lit(1.0))
-            ev = F.transform(ev, lambda x: F.round(x / scale) * scale)
-        dot = F.aggregate(
-            F.zip_with(ev, F.col("qv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        ne = F.sqrt(F.aggregate(ev, F.lit(0.0), lambda acc, x: acc + x * x))
-        nq = F.sqrt(
-            F.aggregate(
-                F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x
+    def scored_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            mx = np.abs(X).max(axis=1)
+            out_b, out_i, out_c = [], [], []
+            for bits, lim in levels:
+                if lim is None:
+                    Xq = X
+                else:
+                    scale = np.where(mx > 0, mx / lim, 1.0)[:, None]
+                    # round() half-up to the integer grid, the same
+                    # tie-break as F.round/DuckDB round (np.round is
+                    # banker's): codes stay bit-identical cross-engine.
+                    Z = X / scale
+                    Xq = (np.sign(Z) * np.floor(np.abs(Z) + 0.5)) * scale
+                ne = np.sqrt((Xq * Xq).sum(axis=1))
+                c9 = round9_half_up(
+                    (Xq @ qv) / (np.where(ne > 0, ne, 1.0) * nq)
+                )
+                # local top-10 under the global (c9 DESC, vec_id) order
+                order = np.lexsort((ids, -c9))[:10]
+                out_b.extend([bits] * len(order))
+                out_i.extend(ids[order])
+                out_c.extend(c9[order])
+            yield pd.DataFrame(
+                {"bits": out_b, "vec_id": out_i, "c9": out_c}
             )
-        )
-        return (
-            corpus.select(
-                "vec_id",
-                F.round(
-                    dot / (F.when(ne > 0, ne).otherwise(F.lit(1.0)) * nq), 9
-                ).alias("c9"),
-            )
-            .orderBy(F.desc("c9"), "vec_id")
-            .limit(10)
-        )
 
-    exact = topk(None).localCheckpoint(eager=False)
-    outs = []
-    for b in _SM39_BITS:
-        tb = topk(b)
-        ov = tb.join(
-            exact.select(F.col("vec_id"), F.col("c9").alias("cx9")), "vec_id"
-        ).agg(
+    cand = emb.filter(F.col("vec_id") != 3).mapInPandas(
+        scored_batches, schema="bits int, vec_id long, c9 double"
+    )
+    w = Window.partitionBy("bits").orderBy(F.desc("c9"), "vec_id")
+    tops = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    # instead of a tops⋈tops self-join (which would double the corpus
+    # pass in the plan), a vec_id-partitioned window over the ≤40-row
+    # candidate frame carries each id's exact-tier cosine onto its
+    # quantized rows; cx9 NULL ⇔ the id missed the exact top-10, the
+    # same membership semantics as the oracle's inner join. One
+    # grouped job; a left join from the literal level frame keeps a
+    # zero-overlap level as (0, 0.0, NULL), the oracle's
+    # SUM/COUNT-over-empty semantics.
+    wv = Window.partitionBy("vec_id")
+    ov = (
+        tops.withColumn(
+            "cx9",
+            F.max(F.when(F.col("bits") == 64, F.col("c9"))).over(wv),
+        )
+        .filter((F.col("bits") != 64) & F.col("cx9").isNotNull())
+        .groupBy("bits")
+        .agg(
             F.count("*").alias("n_overlap"),
             F.round(
                 F.sum(
@@ -5304,15 +5337,22 @@ def sm39(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_abs_cos_err"),
         )
-        outs.append(
-            ov.select(
-                F.lit(b).cast("long").alias("bits"),
-                F.col("n_overlap").cast("long").alias("n_overlap"),
-                F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_10"),
-                "mean_abs_cos_err",
-            )
+    )
+    lv = spark.createDataFrame([(b,) for b in _SM39_BITS], "bits int")
+    return (
+        lv.join(F.broadcast(ov), "bits", "left")
+        .select(
+            F.col("bits").cast("long").alias("bits"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 10.0, 6).alias(
+                "recall_at_10"
+            ),
+            "mean_abs_cos_err",
         )
-    return reduce(DataFrame.unionByName, outs).orderBy(F.desc("bits"))
+        .orderBy(F.desc("bits"))
+    )
 
 
 @REGISTRY.register(

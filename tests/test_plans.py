@@ -1659,13 +1659,19 @@ def test_dd39_bitset_broadcasts_onto_probe(spark):
     assert not unpartitioned_windows(df)
 
 
-def test_sm39_levels_are_broadcast_query_takeordered(spark):
-    # every quantization level is the sm01 shape: query broadcast onto a
-    # map-only corpus scan ending in TakeOrderedAndProject
+def test_sm39_one_fused_arrow_corpus_pass(spark):
+    # round-10 fusion: ONE mapInPandas corpus scan emits every
+    # quantization level's 9-dp cosine (pre-fusion ran 5 interpreted-fold
+    # scans); the global rank window is partitioned by bits over the
+    # batch-local top-10 candidates, and the overlap joins broadcast
+    from pyconnect_spark.plans import unpartitioned_windows
+
     df = _Q["sm39_quantization_recall_curve"](spark, SF)
     text = explain_str(df)
-    assert "TakeOrderedAndProject" in text
+    assert "MapInPandas" in text
+    assert text.count("embeddings.parquet") == 1
     assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
 
 
 def test_ts66_one_partitioned_lag_window(spark):
