@@ -372,10 +372,14 @@ HEADLINE = [
     "mm15_video_frame_plan",
     "ts79_asof_nearest",
     "tx61_k_anonymity_audit",
+    # round-10 additions
+    "sm47_centroid_distance_anova",
+    "sm48b_bitext_margin_scaled",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and
-    # sm48 (|A|x|B| bitext margin mining) join that class.
+    # sm48 (|A|x|B| bitext margin mining) join that class — sm48b is
+    # sm48's benched shape.
     # x42 (Python UDTF chunking) is the documented slow tier, like b24's
     # row UDF — neither is benched; tx16 is the production chunking path.
     # dd02/dd09 stay un-benched: deliberate quadratic exact tiers.

@@ -235,6 +235,9 @@ _DECLARED_IN_ROUND = {
     "ts79_asof_nearest": 64,
     # round 9, fourteenth wave
     "sm48_bitext_margin_mining": 65, "tx61_k_anonymity_audit": 65,
+    # round 10, first wave (sm48's ANN-candidate scale tier — round-9
+    # verdict task #2)
+    "sm48b_bitext_margin_scaled": 66,
 }
 
 

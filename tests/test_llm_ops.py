@@ -1065,3 +1065,30 @@ def test_sm42b_scale_tier_agrees_with_exact_on_fixture(spark):
     mean_e = sum(r.knn_accuracy for r in exact.values()) / len(exact)
     mean_s = sum(r.knn_accuracy for r in scaled.values()) / len(scaled)
     assert abs(mean_e - mean_s) <= 0.1, (mean_e, mean_s)
+
+
+def test_sm48b_scale_tier_equals_exact_on_clustered(spark, tmp_path):
+    """Round-9 verdict task #2 (the sm30b/sm42b precedent): the declared
+    ANN-candidate bitext-mining tier must agree with the exact |A|x|B|
+    tier on data with cluster structure. With the symmetric
+    home-cell-in-probe-list candidate rule at n_probe=4, the candidate
+    lists contain every true cross-group top-3 on the clustered
+    fixture, so the mined pair sets — including BOTH margins and the
+    accept bit — are IDENTICAL (measured 93/93; on the i.i.d. parquet
+    worst case candidates degrade exactly as sm05/sm18 document, which
+    is why docs/SCALE.md gates tier choice on the structure audits)."""
+    from pyconnect_spark.operators.similarity import (
+        clustered_embeddings,
+        sm48,
+        sm48b,
+    )
+
+    d = str(tmp_path / "clustered")
+    clustered_embeddings(spark, n=512).withColumn(
+        "label", (F.col("vec_id") % 10).cast("int")
+    ).write.parquet(str(tmp_path / "clustered" / "embeddings.parquet"))
+    key = lambda r: (r.a_id, r.b_id, r.cos_sim, r.margin_a, r.margin_b, r.accepted)
+    exact = {key(r) for r in sm48(spark, d).collect()}
+    scaled = {key(r) for r in sm48b(spark, d).collect()}
+    assert exact, "fixture must mine pairs"
+    assert scaled == exact, (len(scaled), len(exact), len(scaled ^ exact))

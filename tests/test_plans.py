@@ -1987,3 +1987,16 @@ def test_ts72_one_hourly_rollup_typed_windows(spark):
     assert not unpartitioned_windows(df)
     assert text.count("events.parquet") == 0
     assert "Scan ExistingRDD" in text
+
+
+def test_sm48b_candidate_joins_no_cartesian(spark):
+    # the scale tier's only cross join is the broadcast seed-quantizer
+    # scoring (BroadcastNestedLoopJoin); candidate generation and
+    # scoring are equi-joins on cell / vec ids, every window is
+    # partitioned, and no CartesianProduct exists anywhere
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm48b_bitext_margin_scaled"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
