@@ -1,0 +1,247 @@
+"""Engine-infrastructure declared queries (round-9 verdict task #3):
+capabilities that were pytest-proven but invisible to the external
+driver's correctness ledger — the batch Avro DataSource, skewed-join
+handling, and MERGE-style parquet maintenance — each converted into a
+``queries()`` entry with a full DuckDB oracle on post-operation state.
+
+Reference parity: the reference's whole data plane is Avro records moving
+through connectors (``src/pyconnect/avroparser.py``,
+``src/pyconnect/pyconnectsource.py:163-196``); io01 drives this repo's
+batch re-expression of that codec end-to-end. io02/io03 are EXT scale
+operators (BASELINE.json north star): the hot-key join every multi-tenant
+fact table hits, and the partition-scoped upsert that stands in for
+Delta/Iceberg MERGE INTO on a plain parquet lake.
+
+Side-effecting queries write under a deterministic ``/tmp`` staging dir
+keyed by the sf_dir basename (driver sf0.01 / bench sf0.1 never collide)
+and leave files in place — the returned DataFrame is lazy and the driver
+collects it after the builder returns.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyconnect_spark.operators._util import dec, dsum, sql_dsum, t
+from pyconnect_spark.query import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+def _staging(tag: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pyconnect_spark_{tag}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+@REGISTRY.register(
+    "io01_avro_batch_roundtrip",
+    oracle=f"""
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_dsum('s_acctbal')} AS total_acctbal
+    FROM supplier
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Batch Avro DataSource roundtrip (REF parity: the reference's "
+    "entire data plane is Avro records — schema inference "
+    "avroparser.py:12-105, serialize pyconnectsource.py:163-196): the "
+    "supplier table is written through df.write.format('pyconnect_avro') "
+    "(one OCF container per partition, the jar-free pure-Python codec) "
+    "and read back through the registered Spark 4 Python DataSource "
+    "(schema probed from the first container header, one InputPartition "
+    "per file), then aggregated. The oracle computes the same aggregate "
+    "from the parquet source, so any codec corruption — framing, zigzag "
+    "varints, IEEE doubles, UTF-8 — flips the value hash. Money crosses "
+    "the DECIMAL(12,2) barrier (doubles roundtrip Avro bit-exactly). "
+    "Plan: write and read are both task-per-file parallel; at 100 TB "
+    "the decode is an executor-side streaming scan with no driver "
+    "involvement past the header probe.",
+    tags=("io", "avro", "datasource", "roundtrip", "ref-parity"),
+)
+def io01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
+
+    spark.dataSource.register(AvroOcfDataSource)
+    out = _staging("io01", sf_dir)
+    t(spark, sf_dir, "supplier").write.format("pyconnect_avro").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("pyconnect_avro").load(out)
+    return (
+        back.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@REGISTRY.register(
+    "io02_skew_hot_key_join",
+    oracle=f"""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 7
+                  ELSE l_orderkey % 25 END AS k,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+             CASE WHEN n_nationkey = 7 THEN 'hot' ELSE 'cold' END AS tier
+      FROM nation
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('b.l_quantity')} AS sum_qty,
+           {sql_dsum('b.l_extendedprice')} AS sum_price
+    FROM big b JOIN dim d ON b.k = d.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Deliberately skewed fact-dim join — the multi-tenant hot-key "
+    "distribution where one key owns ~90% of the fact rows (here "
+    "manufactured deterministically from l_orderkey so the oracle "
+    "replays it; in production it's the whale tenant / null-FK / "
+    "default-value key). This declares the engine's skewed-JOIN tier: "
+    "x28 covers skew-safe two-phase AGGREGATION; joins are the other "
+    "half. At fixture scale the 25-row nation dim broadcasts (no "
+    "shuffle to skew); with broadcast off at cluster scale this exact "
+    "shape is what AQE skew-join splits at runtime — "
+    "tests/test_plans.py::test_io02_aqe_splits_hot_partition executes "
+    "THIS builder under cluster-scale thresholds and pins "
+    "isSkew=true in the final adaptive plan, and functions/skew.py's "
+    "salting is the explicit fallback tier for joins AQE cannot "
+    "rewrite. Money crosses the DECIMAL(12,2) barrier.",
+    tags=("io", "skew", "join", "aqe", "scale"),
+)
+def io02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+        .otherwise(F.col("l_orderkey") % 25)
+        .alias("k"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    # the dim is a plain keyed scan (nation keys are unique), NOT an
+    # aggregate: OptimizeSkewedJoin pattern-matches
+    # SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) and an agg node between
+    # the dim's shuffle and the join would disqualify the split
+    dim = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.when(F.col("n_nationkey") == 7, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+    return (
+        big.join(dim, "k")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("tier")
+    )
+
+
+@REGISTRY.register(
+    "io03_merge_upsert_state",
+    oracle=f"""
+    WITH initial AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    updates AS (
+      SELECT o_orderkey,
+             'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice,
+             CASE WHEN o_orderkey % 8 = 2 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT i.* FROM initial i
+      WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM merged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="MERGE-style upsert with the oracle on POST-MAINTENANCE table "
+    "state (sources/layout.py merge_upsert — partition-scoped rewrite, "
+    "the engine-native MERGE INTO on a plain parquet lake): a target is "
+    "seeded with 3/4 of orders partitioned by o_orderpriority, then an "
+    "update batch (every even key: status→'U', price doubled, and keys "
+    "≡2 mod 8 MOVED to the 1-URGENT partition) is merged — updates "
+    "replace matching keys, new keys insert, moved keys must vanish "
+    "from their old directory (the stale-file cleanup path). The "
+    "returned frame aggregates the RE-READ target, so the driver hash "
+    "checks the actual on-disk merged state against the oracle's "
+    "declarative merge. Price doubling is exact double arithmetic; "
+    "money crosses the DECIMAL(12,2) barrier. Plan: touched-partition "
+    "pruning means an upsert batch touching 0.1% of partitions costs "
+    "0.1% of a rewrite at 100 TB; the final exchange keys on the "
+    "partition column so each directory is written by its owner task.",
+    tags=("io", "merge", "upsert", "maintenance", "layout"),
+)
+def io03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyconnect_spark.sources.layout import merge_upsert
+
+    base = _staging("io03", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    orders = t(spark, sf_dir, "orders").select(*cols)
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    merge_upsert(
+        spark,
+        base,
+        initial,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 8 == 2, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    merge_upsert(
+        spark,
+        base,
+        updates,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    state = spark.read.parquet(base)
+    return (
+        state.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+            ).alias("n_updated"),
+        )
+        .orderBy("o_orderpriority")
+    )

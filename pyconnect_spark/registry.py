@@ -14,11 +14,11 @@ tools/strict_sweep.py covers the full surface between driver windows).
 
 from __future__ import annotations
 
-from pyconnect_spark.operators import dedup, extended, multimodal, relational, similarity, text, timeseries, tpch
+from pyconnect_spark.operators import dedup, extended, io_infra, multimodal, relational, similarity, text, timeseries, tpch
 from pyconnect_spark.query import Query, QueryRegistry
 
 _MERGED = QueryRegistry()
-for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal):
+for mod in (relational, extended, tpch, timeseries, text, dedup, similarity, multimodal, io_infra):
     _MERGED.merge(mod.REGISTRY)
 
 # First 50 = the driver's verification window for ROUND 5. Composition
@@ -238,6 +238,10 @@ _DECLARED_IN_ROUND = {
     # round 10, first wave (sm48's ANN-candidate scale tier — round-9
     # verdict task #2)
     "sm48b_bitext_margin_scaled": 66,
+    # round 10, second wave (engine-infra declared queries — round-9
+    # verdict task #3: avro datasource, skewed join, merge maintenance)
+    "io01_avro_batch_roundtrip": 67, "io02_skew_hot_key_join": 67,
+    "io03_merge_upsert_state": 67,
 }
 
 

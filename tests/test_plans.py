@@ -2000,3 +2000,52 @@ def test_sm48b_candidate_joins_no_cartesian(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_io02_aqe_splits_hot_partition(spark, tmp_path):
+    # the DECLARED skewed-join query (not a synthetic stand-in) must get
+    # its oversized shuffle partition split by AQE once broadcast is off
+    # and the skew thresholds are at fixture scale — the zero-code-change
+    # skew tier io02's docstring promises (functions/skew.py salting is
+    # the explicit fallback); the executed SMJ reports isSkew=true.
+    # AQE splits at MAPPER-block granularity, and the sf0.01 fixture is
+    # one parquet file = one mapper (unsplittable); stage a 16-file copy
+    # so the map side has cluster-like block counts — at 100 TB the scan
+    # has thousands of mappers and this is the natural shape.
+    d = str(tmp_path / "skewfix")
+    spark.read.parquet(f"{SF}/lineitem.parquet").repartition(16).write.parquet(
+        str(tmp_path / "skewfix" / "lineitem.parquet")
+    )
+    spark.read.parquet(f"{SF}/nation.parquet").write.parquet(
+        str(tmp_path / "skewfix" / "nation.parquet")
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        df = _Q["io02_skew_hot_key_join"](spark, d)
+        rows = df.collect()
+        assert len(rows) == 2  # hot + cold tiers
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
