@@ -5865,7 +5865,7 @@ def sm45(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT la, lb,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(c9 AS DECIMAL(20,9))) AS DOUBLE) AS s
+             SUM(CAST(c9 AS DECIMAL(20,9))) AS s
       FROM pairs GROUP BY 1, 2
     ),
     per AS (
@@ -5876,10 +5876,10 @@ def sm45(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold AS (
       SELECT label,
              CAST(SUM(CASE WHEN intra THEN n END) AS BIGINT) AS n_intra,
-             SUM(CASE WHEN intra THEN s END) AS s_intra,
+             CAST(SUM(CASE WHEN intra THEN s END) AS DOUBLE) AS s_intra,
              CAST(SUM(CASE WHEN NOT intra THEN n END) AS BIGINT)
                  AS n_inter,
-             SUM(CASE WHEN NOT intra THEN s END) AS s_inter
+             CAST(SUM(CASE WHEN NOT intra THEN s END) AS DOUBLE) AS s_inter
       FROM per GROUP BY 1
     )
     SELECT CAST(label AS BIGINT) AS label, n_intra, n_inter,
@@ -5934,7 +5934,10 @@ def sm46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pairs.groupBy("la", "lb").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("c9").cast("decimal(20,9)")).cast("double").alias("s"),
+        # stays DECIMAL through the downstream fold agg (ADVICE r09:
+        # a DOUBLE partial here re-enters order-dependent accumulation
+        # exactly where the ts67/ts68 fix removed it)
+        F.sum(F.col("c9").cast("decimal(20,9)")).alias("s"),
     )
     per = cells.select(
         F.col("la").alias("label"),
@@ -5951,9 +5954,9 @@ def sm46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fold = per.groupBy("label").agg(
         F.sum(F.when(F.col("intra"), F.col("n"))).cast("long").alias("n_intra"),
-        F.sum(F.when(F.col("intra"), F.col("s"))).alias("s_intra"),
+        F.sum(F.when(F.col("intra"), F.col("s"))).cast("double").alias("s_intra"),
         F.sum(F.when(~F.col("intra"), F.col("n"))).cast("long").alias("n_inter"),
-        F.sum(F.when(~F.col("intra"), F.col("s"))).alias("s_inter"),
+        F.sum(F.when(~F.col("intra"), F.col("s"))).cast("double").alias("s_inter"),
     )
     intra = F.col("s_intra") / F.col("n_intra")
     inter = F.col("s_inter") / F.col("n_inter")
@@ -5979,18 +5982,20 @@ def sm46(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     st AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(nrm AS DECIMAL(20,9))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(round(nrm * nrm, 9) AS DECIMAL(20,9)))
-                  AS DOUBLE) AS ss
+             SUM(CAST(nrm AS DECIMAL(20,9))) AS s,
+             SUM(CAST(round(nrm * nrm, 9) AS DECIMAL(20,9))) AS ss
       FROM nr GROUP BY 1
     ),
     tot AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st_, SUM(ss) AS sst,
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s) AS DOUBLE) AS st_,
+             CAST(SUM(ss) AS DOUBLE) AS sst,
              CAST(COUNT(*) AS BIGINT) AS k
       FROM st
     ),
     sg AS (
-      SELECT CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9)))
+      SELECT CAST(SUM(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n,
+                                 9) AS DECIMAL(38,9)))
                   AS DOUBLE) AS sgm
       FROM st
     ),
@@ -6066,22 +6071,23 @@ def sm47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = nr.groupBy("label").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("nrm").cast("decimal(20,9)")).cast("double").alias("s"),
+        # stay DECIMAL through the tot fold (ADVICE r09: DOUBLE
+        # partials here re-enter order-dependent accumulation — the
+        # ts67/ts68 class); cast to double only inside single-row
+        # expressions downstream
+        F.sum(F.col("nrm").cast("decimal(20,9)")).alias("s"),
         F.sum(
             F.round(F.col("nrm") * F.col("nrm"), 9).cast("decimal(20,9)")
-        )
-        .cast("double")
-        .alias("ss"),
+        ).alias("ss"),
     )
+    sd = F.col("s").cast("double")
     tot = st.agg(
         F.sum("n").cast("long").alias("nt"),
-        F.sum("s").alias("st_"),
-        F.sum("ss").alias("sst"),
+        F.sum("s").cast("double").alias("st_"),
+        F.sum("ss").cast("double").alias("sst"),
         F.count("*").cast("long").alias("k"),
         F.sum(
-            F.round(F.col("s") * F.col("s") / F.col("n"), 9).cast(
-                "decimal(38,9)"
-            )
+            F.round(sd * sd / F.col("n"), 9).cast("decimal(38,9)")
         )
         .cast("double")
         .alias("sgm"),
