@@ -545,6 +545,48 @@ def host_canary() -> float:
     return round(best, 4)
 
 
+def _canary32_task(seed: int) -> float:
+    """One worker's slice of the concurrent canary: the same numpy +
+    integer-hash mix as host_canary, sized ~1/4 of it."""
+    import numpy as np
+
+    a = (np.arange(1 << 18, dtype=np.float64) % (7.3 + seed * 0)) + 0.5
+    m = np.outer(a[:384] % 1.7, a[:384] % 1.9)
+    b = a.copy()
+    s = 0.0
+    for _ in range(30):
+        b = b * 1.000001 + 0.25
+        s += float(b.sum())
+    for _ in range(4):
+        s += float((m @ m).sum())
+    h = 0
+    for i in range(500_000):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFF
+    assert s > 0 and h >= 0
+    return s
+
+
+def host_canary32(workers: int = 32) -> float:
+    """CONCURRENT host-speed yardstick (round-9 verdict task #5): 32
+    copies of a fixed workload run in 32 processes, wall-clock min-of-2.
+    The single-thread canary decorrelates from the 32-way suite under
+    CPU steal (round 9 measured common45_per_canary at 70.7 and 135.1
+    on the SAME commit) because steal hits aggregate capacity harder
+    than one core; this canary contends for all cores the way the suite
+    does, so common45_per_canary32 is the cross-round basis to prefer
+    when the two canaries disagree."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    best = float("inf")
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_canary32_task, range(workers)))  # warm the pool
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(pool.map(_canary32_task, range(workers)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -613,7 +655,17 @@ def main() -> None:
         "sf": sf,
         "ann_recall_at_5": recall,
         "canary_sec": host_canary(),
+        "canary32_sec": host_canary32(),
     }
+    # Per-family subtotals (round-8 verdict task #7): where the suite's
+    # time actually goes, at the family grain readers reason in.
+    import re as _re
+
+    fams: dict[str, float] = {}
+    for k, v in timings.items():
+        fam = _re.match(r"[a-z]+", k).group(0)  # sm42b -> sm, io01 -> io
+        fams[fam] = fams.get(fam, 0.0) + v
+    detail["family_sec"] = {k: round(v, 3) for k, v in sorted(fams.items())}
     # Canary-normalized cross-round metric (round-6 verdict task #6):
     # common45 wall-clock divided by the deterministic host-speed canary.
     # Host CPU steal inflates both proportionally, so THIS ratio — not the
