@@ -6415,3 +6415,168 @@ def sm48b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(sim, 9).alias("c9"))
     )
     return _sm48_margin_mutual_tail(scored)
+
+
+def _sm46b_oracle_sql() -> str:
+    return """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, y -> CAST(y AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    nu AS (
+      SELECT vec_id, label,
+             list_transform(range(1, len(x) + 1),
+               i -> round(x[CAST(i AS INT)]
+                          / sqrt(list_aggregate(list_transform(x,
+                                y -> y * y), 'sum')), 9)) AS u
+      FROM v
+    ),
+    dims AS (
+      SELECT nu.label, uu.i, nu.u[uu.i] AS uv
+      FROM nu, unnest(range(1, len(nu.u) + 1)) AS uu(i)
+    ),
+    ls AS (
+      SELECT label, i,
+             CAST(SUM(CAST(uv AS DECIMAL(20,9))) AS DOUBLE) AS sd
+      FROM dims GROUP BY 1, 2
+    ),
+    svec AS (SELECT label, list(sd ORDER BY i) AS sv FROM ls GROUP BY 1),
+    lt AS (
+      SELECT i, CAST(SUM(CAST(uv AS DECIMAL(20,9))) AS DOUBLE) AS td
+      FROM dims GROUP BY 1
+    ),
+    tvec AS (SELECT list(td ORDER BY i) AS tv FROM lt),
+    per AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(list_aggregate(list_transform(u,
+                  y -> y * y), 'sum'), 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS t
+      FROM nu GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM per),
+    g AS (
+      SELECT s.label,
+             list_aggregate(list_transform(range(1, len(s.sv) + 1),
+               i -> s.sv[CAST(i AS INT)] * s.sv[CAST(i AS INT)]),
+               'sum') AS gaa,
+             list_aggregate(list_transform(range(1, len(s.sv) + 1),
+               i -> s.sv[CAST(i AS INT)] * tv.tv[CAST(i AS INT)]),
+               'sum') AS sga
+      FROM svec s CROSS JOIN tvec tv
+    )
+    SELECT CAST(p.label AS BIGINT) AS label,
+           CAST(p.n * (p.n - 1) / 2 AS BIGINT) AS n_intra,
+           CAST(p.n * (tot.ntot - p.n) AS BIGINT) AS n_inter,
+           round((g.gaa - p.t) / (p.n * (p.n - 1)), 6) AS mean_intra_cos,
+           round((g.sga - g.gaa) / (p.n * (tot.ntot - p.n)), 6)
+               AS mean_inter_cos,
+           round((g.gaa - p.t) / (p.n * (p.n - 1))
+                 - (g.sga - g.gaa) / (p.n * (tot.ntot - p.n)), 6)
+               AS margin
+    FROM per p JOIN g ON g.label = p.label CROSS JOIN tot
+    ORDER BY 1
+    """
+
+
+@REGISTRY.register(
+    "sm46b_class_margin_sums",
+    oracle=_sm46b_oracle_sql(),
+    doc="Class-separation margins, SCALE tier — not an approximation "
+    "but an algebraic REWRITE of sm46's |corpus|^2 pair grid: on "
+    "per-vector normalized embeddings u = x/|x|, the sum of pairwise "
+    "cosines within label a is (S_a.S_a - sum_j u_j.u_j)/2 and "
+    "between a and everything else is S_a.S_tot - S_a.S_a, where S_a "
+    "is label a's per-dimension SUM VECTOR — so the exact class "
+    "margins cost ONE O(N*d) map + a |labels| x d aggregate instead "
+    "of N^2 pair evaluations (the textbook sum-of-pairs moment "
+    "identity). Every per-dim sum accumulates 9-dp-rounded components "
+    "as DECIMAL(20,9) (order-independent across engines and "
+    "partitionings), the per-label self-dot crosses the same barrier, "
+    "and the final d-length dot folds run left-to-right over "
+    "identical doubles in both engines. Output schema and pair-count "
+    "semantics match sm46 exactly; the only delta vs sm46's values "
+    "is WHERE the 9-dp rounding sits (per component here, per pair "
+    "there) — tests pin cell-for-cell EQUALITY at 6 dp on the fixture "
+    "(measured 0 diff; the worst-case class bound is ~2e-6). "
+    "Labels with n=1 produce a NULL intra mean in both engines. At "
+    "100 TB this is a map + two shuffles of d-row partials; nothing "
+    "quadratic exists at any scale.",
+    tags=("similarity", "llm", "labels", "margin", "scale-tier"),
+)
+def sm46b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    nrm = F.sqrt(
+        F.aggregate("x", F.lit(0.0), lambda acc, y: acc + y * y)
+    )
+    nu = v.select(
+        "label",
+        F.transform("x", lambda xi: F.round(xi / nrm, 9)).alias("u"),
+    )
+    dims = nu.select(
+        "label", F.posexplode("u").alias("i0", "uv")
+    ).select("label", (F.col("i0") + 1).alias("i"), "uv")
+    ls = dims.groupBy("label", "i").agg(
+        F.sum(F.col("uv").cast("decimal(20,9)")).cast("double").alias("sd")
+    )
+    svec = ls.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sd"))),
+            lambda s: s["sd"],
+        ).alias("sv")
+    )
+    tvec = (
+        dims.groupBy("i")
+        .agg(
+            F.sum(F.col("uv").cast("decimal(20,9)"))
+            .cast("double")
+            .alias("td")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "td"))),
+                lambda s: s["td"],
+            ).alias("tv")
+        )
+    )
+    selfdot = F.round(
+        F.aggregate("u", F.lit(0.0), lambda acc, y: acc + y * y), 9
+    )
+    per = nu.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(selfdot.cast("decimal(20,9)")).cast("double").alias("t"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("ntot"))
+    g = svec.crossJoin(F.broadcast(tvec)).select(
+        "label",
+        F.aggregate(
+            F.zip_with("sv", "sv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("gaa"),
+        F.aggregate(
+            F.zip_with("sv", "tv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("sga"),
+    )
+    n, ntot = F.col("n"), F.col("ntot")
+    intra = (F.col("gaa") - F.col("t")) / (n * (n - 1))
+    inter = (F.col("sga") - F.col("gaa")) / (n * (ntot - n))
+    return (
+        per.join(g, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            (n * (n - 1) / 2).cast("long").alias("n_intra"),
+            (n * (ntot - n)).cast("long").alias("n_inter"),
+            F.round(intra, 6).alias("mean_intra_cos"),
+            F.round(inter, 6).alias("mean_inter_cos"),
+            F.round(intra - inter, 6).alias("margin"),
+        )
+        .orderBy("label")
+    )

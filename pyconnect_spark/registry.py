@@ -242,6 +242,8 @@ _DECLARED_IN_ROUND = {
     # verdict task #3: avro datasource, skewed join, merge maintenance)
     "io01_avro_batch_roundtrip": 67, "io02_skew_hot_key_join": 67,
     "io03_merge_upsert_state": 67,
+    # round 10, third wave (sm46's exact moment-identity scale tier)
+    "sm46b_class_margin_sums": 68,
 }
 
 

@@ -2049,3 +2049,15 @@ def test_io02_aqe_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sm46b_no_pair_grid(spark):
+    # the moment-identity tier must contain NO self-join of the corpus:
+    # one embeddings scan feeds the per-dim partials, the only cross
+    # joins are 1-row broadcast scalars, and windows stay partitioned
+    from pyconnect_spark.plans import unpartitioned_windows
+
+    df = _Q["sm46b_class_margin_sums"](spark, SF)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert not unpartitioned_windows(df)
