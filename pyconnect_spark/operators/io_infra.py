@@ -245,3 +245,55 @@ def io03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@REGISTRY.register(
+    "io04_zorder_layout_scan",
+    oracle=f"""
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= 100 AND l_quantity <= 10
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Z-order layout maintenance with the oracle on the REWRITTEN "
+    "table (sources/layout.py write_zordered — the Delta/Iceberg "
+    "OPTIMIZE ZORDER move as plain Spark expressions): lineitem is "
+    "rewritten clustered by the Morton interleave of (l_partkey, "
+    "l_quantity) — one stats pass, one range exchange on the Z-value, "
+    "one within-partition sort — then a two-column selective predicate "
+    "is answered FROM THE Z-ORDERED COPY and hash-checked against the "
+    "oracle's scan of the original, so the layout rewrite is proven "
+    "lossless value-for-value while exercising the exact read path the "
+    "layout exists for. Each z-ordered file covers a tight min/max "
+    "range on BOTH clustered columns (pinned by "
+    "tests/test_scale_utils.py::test_zorder_write_tightens_file_ranges"
+    "_on_both_columns), so at 100 TB parquet file/row-group pruning "
+    "turns this predicate's full scan into a few-file read on EITHER "
+    "column. Money crosses the DECIMAL(12,2) barrier.",
+    tags=("io", "zorder", "layout", "maintenance", "pruning"),
+)
+def io04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.sources.layout import write_zordered
+
+    base = _staging("io04", sf_dir)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    write_zordered(
+        li, base, zorder_by=["l_partkey", "l_quantity"], n_files=8
+    )
+    z = spark.read.parquet(base)
+    return (
+        z.filter((F.col("l_partkey") <= 100) & (F.col("l_quantity") <= 10))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_partkey")
+    )

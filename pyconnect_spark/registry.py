@@ -244,6 +244,8 @@ _DECLARED_IN_ROUND = {
     "io03_merge_upsert_state": 67,
     # round 10, third wave (sm46's exact moment-identity scale tier)
     "sm46b_class_margin_sums": 68,
+    # round 10, fourth wave (Z-order layout maintenance)
+    "io04_zorder_layout_scan": 69,
 }
 
 

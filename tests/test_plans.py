@@ -2061,3 +2061,15 @@ def test_sm46b_no_pair_grid(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert not unpartitioned_windows(df)
+
+
+def test_io04_predicate_reaches_zordered_scan(spark):
+    # the two-column predicate must reach the z-ordered parquet scan as
+    # pushed filters — that is the pruning contract the layout rewrite
+    # exists for (per-file min/max ranges are pinned tight by
+    # test_scale_utils' zorder range test)
+    df = _Q["io04_zorder_layout_scan"](spark, SF)
+    text = explain_str(df)
+    assert "LessThanOrEqual(l_partkey,100)" in text, text[-2000:]
+    assert "LessThanOrEqual(l_quantity,10.0)" in text
+    assert "CartesianProduct" not in text
