@@ -380,6 +380,8 @@ HEADLINE = [
     "io03_merge_upsert_state",
     "sm46b_class_margin_sums",
     "io04_zorder_layout_scan",
+    "io05_delete_keys_state",
+    "io06_compact_small_files",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and

@@ -297,3 +297,113 @@ def io04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@REGISTRY.register(
+    "io05_delete_keys_state",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Row-level DELETE with the oracle on post-maintenance on-disk "
+    "state (sources/layout.py delete_keys — the right-to-be-forgotten "
+    "/ retention-expiry primitive an LLM training corpus is legally "
+    "required to support): the customer table is staged partitioned "
+    "by c_mktsegment, every 7th key is deleted as a deterministic "
+    "deletion-request batch, and the RE-READ target is aggregated and "
+    "hash-checked against the oracle's declarative anti-join — so the "
+    "driver verifies the doomed rows are gone from disk AND every "
+    "surviving row is intact. Partition-scoped like io03: only "
+    "directories holding doomed keys are rewritten (touched-partition "
+    "semi join on just the key+partition columns); at 100 TB a "
+    "deletion batch touching one user costs one partition rewrite, "
+    "not a table rewrite. Money crosses the DECIMAL(12,2) barrier.",
+    tags=("io", "delete", "gdpr", "maintenance", "layout"),
+)
+def io05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyconnect_spark.sources.layout import delete_keys
+
+    base = _staging("io05", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer")
+    cust.write.partitionBy("c_mktsegment").parquet(base)
+    doomed = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    delete_keys(
+        spark,
+        base,
+        doomed,
+        key_cols=["c_custkey"],
+        partition_by=["c_mktsegment"],
+    )
+    state = spark.read.parquet(base)
+    return (
+        state.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@REGISTRY.register(
+    "io06_compact_small_files",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Small-file compaction with the oracle on the compacted table "
+    "(sources/layout.py compact_parquet): orders is deliberately "
+    "fragmented into 64 tiny files per the streaming-ingest failure "
+    "mode, then compacted THROUGH THE PARTITION-PRESERVING SALTED "
+    "PATH (partition_by=o_orderstatus: shuffle key = (partition cols, "
+    "size-proportional salt) so each directory gets ~size/target "
+    "files instead of the n x |partitions| re-fragmentation a "
+    "round-robin repartition would cause), and the compacted copy is "
+    "aggregated and hash-checked against the oracle's scan of the "
+    "original — the rewrite is proven lossless value-for-value. "
+    "tests pin that the file count actually DROPS. At 100 TB this is "
+    "the scheduled maintenance job that keeps per-file open/footer "
+    "costs off every downstream scan. Money crosses the DECIMAL(12,2) "
+    "barrier.",
+    tags=("io", "compaction", "small-files", "maintenance", "layout"),
+)
+def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyconnect_spark.sources.layout import compact_parquet
+
+    base = _staging("io06", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartition(64).write.partitionBy("o_orderstatus").parquet(src)
+    compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=1 << 20,
+        partition_by=["o_orderstatus"],
+    )
+    state = spark.read.parquet(dst)
+    return (
+        state.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

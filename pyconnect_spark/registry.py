@@ -246,6 +246,8 @@ _DECLARED_IN_ROUND = {
     "sm46b_class_margin_sums": 68,
     # round 10, fourth wave (Z-order layout maintenance)
     "io04_zorder_layout_scan": 69,
+    # round 10, fifth wave (delete + compaction maintenance)
+    "io05_delete_keys_state": 70, "io06_compact_small_files": 70,
 }
 
 

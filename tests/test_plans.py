@@ -2073,3 +2073,26 @@ def test_io04_predicate_reaches_zordered_scan(spark):
     assert "LessThanOrEqual(l_partkey,100)" in text, text[-2000:]
     assert "LessThanOrEqual(l_quantity,10.0)" in text
     assert "CartesianProduct" not in text
+
+
+def test_io06_compaction_reduces_file_count(spark, tmp_path):
+    # the declared compaction query's own staging must show the repair:
+    # 64-way fragmentation in, ~per-partition-budget files out, same rows
+    import glob as g
+    import os
+
+    _Q["io06_compact_small_files"](spark, SF).collect()
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "pyconnect_spark_io06", "sf0.01")
+    count = lambda d: sum(
+        1
+        for p in g.glob(os.path.join(d, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+        and not os.path.basename(p).startswith(("_", "."))
+    )
+    n_src, n_dst = count(os.path.join(base, "fragmented")), count(
+        os.path.join(base, "compacted")
+    )
+    assert n_src >= 64 * 3  # 64-way round robin x 3 status dirs
+    assert n_dst < n_src / 4, (n_src, n_dst)
