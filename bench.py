@@ -382,6 +382,8 @@ HEADLINE = [
     "io04_zorder_layout_scan",
     "io05_delete_keys_state",
     "io06_compact_small_files",
+    "io07_schema_evolution_read",
+    "io08_partition_pruned_scan",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and

@@ -407,3 +407,114 @@ def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@REGISTRY.register(
+    "io07_schema_evolution_read",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v2' ELSE 'v1' END
+               AS schema_ver,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_status,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Schema-evolution read: two writer generations append to the "
+    "same dataset — v1 files carry (o_orderkey, o_totalprice), v2 "
+    "files add o_orderstatus (the ingest-pipeline reality at 100 TB: "
+    "producers upgrade mid-stream and history is never rewritten) — "
+    "and the reader reconstructs the union schema via "
+    "mergeSchema=true, NULL-filling the added column for v1 rows. The "
+    "oracle derives column presence from key parity, so the driver "
+    "hash checks BOTH that no row was lost across generations AND "
+    "that the NULL-fill semantics are exact (n_with_status counts "
+    "non-NULL o_orderstatus after the merge). Plan: schema merge is a "
+    "footer-only planning step (per-file footers read in parallel); "
+    "the data scan stays columnar with the absent column synthesized "
+    "as NULL — no rewrite of old files, ever. Money crosses the "
+    "DECIMAL(12,2) barrier.",
+    tags=("io", "schema-evolution", "merge-schema", "ingest"),
+)
+def io07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = _staging("io07", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.parquet(base)
+    v2.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy(
+            F.when(F.col("o_orderstatus").isNotNull(), F.lit("v2"))
+            .otherwise(F.lit("v1"))
+            .alias("schema_ver")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_status"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("schema_ver")
+    )
+
+
+@REGISTRY.register(
+    "io08_partition_pruned_scan",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Hive-partitioned layout + partition-pruned scan: events is "
+    "staged partitioned by event_date (the ingest-locality column "
+    "every 100 TB event lake partitions on), and a one-week predicate "
+    "is answered from the partitioned copy — the filter must prune at "
+    "the DIRECTORY level (PartitionFilters in the scan node, pinned "
+    "by plan test — a different mechanism from io04's row-group "
+    "PushedFilters: pruned directories are never listed into tasks at "
+    "all, so a day query on a year of data schedules ~1/365th of the "
+    "work). The oracle filters the original events by the same "
+    "date strings (UTC-pinned in both engines), so the staged layout "
+    "is proven lossless and the week's values hash-check exactly. "
+    "Money-grain values cross the DECIMAL(12,2) barrier; dates travel "
+    "as strings (the repo-wide DATE-dtype rule).",
+    tags=("io", "partitioning", "pruning", "layout", "ingest"),
+)
+def io08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = _staging("io08", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("event_date").parquet(base)
+    staged = spark.read.parquet(base)
+    return (
+        staged.filter(
+            F.col("event_date").between("2024-01-08", "2024-01-14")
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

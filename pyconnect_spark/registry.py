@@ -248,6 +248,8 @@ _DECLARED_IN_ROUND = {
     "io04_zorder_layout_scan": 69,
     # round 10, fifth wave (delete + compaction maintenance)
     "io05_delete_keys_state": 70, "io06_compact_small_files": 70,
+    # round 10, sixth wave (schema evolution + partition pruning)
+    "io07_schema_evolution_read": 71, "io08_partition_pruned_scan": 71,
 }
 
 

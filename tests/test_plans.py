@@ -2096,3 +2096,17 @@ def test_io06_compaction_reduces_file_count(spark, tmp_path):
     )
     assert n_src >= 64 * 3  # 64-way round robin x 3 status dirs
     assert n_dst < n_src / 4, (n_src, n_dst)
+
+
+def test_io08_partition_filters_prune_directories(spark):
+    # the week predicate must land in PartitionFilters (directory-level
+    # pruning — unlisted partitions never become tasks), not just as a
+    # post-scan filter; and the pruned scan reads only the week's files
+    df = _Q["io08_partition_pruned_scan"](spark, SF)
+    text = explain_str(df)
+    import re
+
+    scan = text[text.find("PartitionFilters"):]
+    assert "PartitionFilters" in text, text[-1500:]
+    pf = scan[: scan.find("]") + 1]
+    assert "event_date" in pf, pf
