@@ -384,6 +384,11 @@ HEADLINE = [
     "io06_compact_small_files",
     "io07_schema_evolution_read",
     "io08_partition_pruned_scan",
+    # round-11 additions
+    "io09_dynamic_partition_pruning",
+    "io10_bucketed_colocated_join",
+    "io11_runtime_bloom_join",
+    "io12_dynamic_overwrite_backfill",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and
@@ -669,8 +674,10 @@ def main() -> None:
 
     fams: dict[str, float] = {}
     for k, v in timings.items():
-        fam = _re.match(r"[a-z]+", k).group(0)  # sm42b -> sm, io01 -> io
-        fams[fam] = fams.get(fam, 0.0) + v
+        m = _re.match(r"[a-z]+", k)  # sm42b -> sm, io01 -> io
+        fams[m.group(0) if m else "other"] = (
+            fams.get(m.group(0) if m else "other", 0.0) + v
+        )
     detail["family_sec"] = {k: round(v, 3) for k, v in sorted(fams.items())}
     # Canary-normalized cross-round metric (round-6 verdict task #6):
     # common45 wall-clock divided by the deterministic host-speed canary.

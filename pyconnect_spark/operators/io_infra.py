@@ -12,10 +12,11 @@ operators (BASELINE.json north star): the hot-key join every multi-tenant
 fact table hits, and the partition-scoped upsert that stands in for
 Delta/Iceberg MERGE INTO on a plain parquet lake.
 
-Side-effecting queries write under a deterministic ``/tmp`` staging dir
-keyed by the sf_dir basename (driver sf0.01 / bench sf0.1 never collide)
-and leave files in place — the returned DataFrame is lazy and the driver
-collects it after the builder returns.
+Side-effecting queries write under a ``/tmp`` staging dir keyed by the
+Spark applicationId, the tag, and the sf_dir basename (driver sf0.01 /
+bench sf0.1 never collide; two concurrent sessions never share a path —
+round-10 ADVICE) and leave files in place — the returned DataFrame is
+lazy and the driver collects it after the builder returns.
 """
 
 from __future__ import annotations
@@ -32,10 +33,15 @@ from pyconnect_spark.query import QueryRegistry
 REGISTRY = QueryRegistry()
 
 
-def _staging(tag: str, sf_dir: str) -> str:
+def _staging(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    # applicationId isolates concurrent sessions hitting the same fixture
+    # (and defeats pre-created paths under the world-writable parent);
+    # the files must outlive the builder because the returned DataFrame
+    # is lazy, so cleanup is the next same-session run's rmtree.
     return os.path.join(
         tempfile.gettempdir(),
-        f"pyconnect_spark_{tag}",
+        f"pyconnect_spark_{spark.sparkContext.applicationId}",
+        tag,
         os.path.basename(os.path.normpath(sf_dir)),
     )
 
@@ -70,7 +76,7 @@ def io01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconnect_spark.sources.avro_datasource import AvroOcfDataSource
 
     spark.dataSource.register(AvroOcfDataSource)
-    out = _staging("io01", sf_dir)
+    out = _staging(spark, "io01", sf_dir)
     t(spark, sf_dir, "supplier").write.format("pyconnect_avro").mode(
         "overwrite"
     ).save(out)
@@ -206,7 +212,7 @@ def io03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyconnect_spark.sources.layout import merge_upsert
 
-    base = _staging("io03", sf_dir)
+    base = _staging(spark, "io03", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     orders = t(spark, sf_dir, "orders").select(*cols)
@@ -279,7 +285,7 @@ def io03(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconnect_spark.sources.layout import write_zordered
 
-    base = _staging("io04", sf_dir)
+    base = _staging(spark, "io04", sf_dir)
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -330,7 +336,7 @@ def io05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyconnect_spark.sources.layout import delete_keys
 
-    base = _staging("io05", sf_dir)
+    base = _staging(spark, "io05", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cust = t(spark, sf_dir, "customer")
     cust.write.partitionBy("c_mktsegment").parquet(base)
@@ -384,7 +390,7 @@ def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyconnect_spark.sources.layout import compact_parquet
 
-    base = _staging("io06", sf_dir)
+    base = _staging(spark, "io06", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     src, dst = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
     orders = t(spark, sf_dir, "orders").select(
@@ -441,7 +447,7 @@ def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io07(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    base = _staging("io07", sf_dir)
+    base = _staging(spark, "io07", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     orders = t(spark, sf_dir, "orders")
     v1 = orders.filter(F.col("o_orderkey") % 2 != 0).select(
@@ -500,21 +506,296 @@ def io07(spark: SparkSession, sf_dir: str) -> DataFrame:
 def io08(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    base = _staging("io08", sf_dir)
+    base = _staging(spark, "io08", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     ev = t(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.partitionBy("event_date").parquet(base)
     staged = spark.read.parquet(base)
+    # Hive partition discovery type-infers 'yyyy-MM-dd' values to DATE.
+    # The filter stays on the RAW partition attribute (string literals
+    # coerce to date) so it lands in PartitionFilters; the group key
+    # casts back to string so the declared output schema is string BY
+    # CONSTRUCTION (the repo-wide dates-as-strings rule), not via
+    # harness stringification (round-10 ADVICE).
     return (
         staged.filter(
             F.col("event_date").between("2024-01-08", "2024-01-14")
         )
-        .groupBy("event_date", "event_type")
+        .groupBy(
+            F.col("event_date").cast("string").alias("event_date"),
+            F.col("event_type"),
+        )
         .agg(
             F.count("*").alias("n"),
             dsum("value").alias("sum_value"),
         )
         .orderBy("event_date", "event_type")
+    )
+
+
+@REGISTRY.register(
+    "io09_dynamic_partition_pruning",
+    oracle=f"""
+    WITH sel AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+      FROM events
+      WHERE CAST(strftime(ts, '%d') AS INTEGER) BETWEEN 8 AND 14
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e
+    JOIN sel s ON strftime(e.ts, '%Y-%m-%d') = s.event_date
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Join-driven DYNAMIC partition pruning — the runtime counterpart "
+    "of io08's static directory pruning: events is staged partitioned "
+    "by event_date, a day dimension is staged separately, and the "
+    "fact-dim join's only date predicate lives on the DIM side "
+    "(dayofmonth BETWEEN 8 AND 14 — comparison-shaped, which DPP's "
+    "isLikelySelective heuristic requires), so the fact scan can only "
+    "be pruned by a dynamicpruning subquery injected at planning time "
+    "from the dim's filter result. "
+    "tests/test_plans.py::test_io09_dynamic_pruning_subquery_in_scan "
+    "executes THIS builder with the fixture-scale cost heuristics "
+    "neutralized (reuseBroadcastOnly/useStats off — at 100 TB the "
+    "stock heuristics fire on their own, exactly as the evidence test "
+    "tests/test_scale_utils.py::test_dynamic_partition_pruning_on_"
+    "partitioned_fact documents) and pins the dynamicpruning "
+    "expression in the fact scan's PartitionFilters. The oracle "
+    "replays the staged join declaratively from the original events, "
+    "so the partitioned layout + dim roundtrip is proven lossless "
+    "value-for-value. Money-grain values cross the DECIMAL(12,2) "
+    "barrier. Plan: at 100 TB a dim-selected week joins against "
+    "~7/365ths of a year-partitioned fact — the scan never lists the "
+    "other 358 directories into tasks at all.",
+    tags=("io", "partitioning", "dpp", "pruning", "join", "scale"),
+)
+def io09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = _staging(spark, "io09", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "dim")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("event_date").parquet(fact_path)
+    # the dim is written as DATE so the join key matches the fact's
+    # partition-inferred DATE column with no cast on the fact side —
+    # a cast on the partition attribute would disqualify DPP
+    ev.select(F.to_date("ts").alias("event_date")).distinct().write.parquet(
+        dim_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(
+        F.dayofmonth("event_date").between(8, 14)
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@REGISTRY.register(
+    "io10_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_quantity')} AS sum_qty,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Bucketed-table co-located join — the write-once/join-many "
+    "layout every 100 TB fact-to-fact pipeline keys on: orders and "
+    "lineitem are written as 8-bucket tables hashed on the order key "
+    "(external tables at an explicit staging path, session-catalog "
+    "metadata carrying the bucket spec), then joined bucket-to-bucket. "
+    "Because both sides' on-disk layout already satisfies the join's "
+    "required distribution, the sort-merge join runs with NO shuffle "
+    "exchange on either side — "
+    "tests/test_plans.py::test_io10_bucketed_join_has_no_exchange "
+    "executes THIS builder with broadcast off and pins SortMergeJoin "
+    "with zero Exchange nodes beneath it (the evidence test "
+    "tests/test_scale_utils.py::test_bucketed_join_has_no_shuffle "
+    "proved the mechanism; this declares it). At fixture scale under "
+    "stock confs the 2-column orders side may broadcast instead — "
+    "same rows either way, and the oracle replays the join+aggregate "
+    "declaratively from the original tables so the bucketed write/read "
+    "roundtrip is proven lossless value-for-value. Money crosses the "
+    "DECIMAL(12,2) barrier. Plan: at 100 TB, re-bucketing once turns "
+    "every subsequent orderkey join/aggregation from a full 100 TB "
+    "shuffle into a zero-exchange local merge — the single biggest "
+    "shuffle a TPC-H-shaped workload has simply disappears.",
+    tags=("io", "bucketing", "join", "layout", "scale"),
+)
+def io10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = _staging(spark, "io10", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    sfx = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    ta, tb = f"io10_orders_{sfx}", f"io10_lineitem_{sfx}"
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable(ta)
+    )
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(tb)
+    )
+    joined = spark.table(ta).join(
+        spark.table(tb), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@REGISTRY.register(
+    "io11_runtime_bloom_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_quantity')} AS sum_qty,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Runtime bloom-filter join pruning — the arbitrary-key analog of "
+    "io09's dynamic partition pruning: a selective dimension slice "
+    "(orders with o_totalprice > 450000, ~10% of keys) joins the "
+    "lineitem fact on a NON-partition key, so the only way to prune "
+    "the fact scan is Spark's InjectRuntimeFilter — a bloom_filter_agg "
+    "built on the dim's join keys whose might_contain() semi-filter is "
+    "pushed into the probe side's scan. "
+    "tests/test_plans.py::test_io11_bloom_filter_in_probe_scan "
+    "executes THIS builder under session.runtime_filter_conf's "
+    "test-scale thresholds (stock thresholds are sized for >10 GB "
+    "probe scans — at 100 TB they fire on their own, exactly as the "
+    "evidence test tests/test_scale_utils.py::"
+    "test_runtime_bloom_filter_prunes_probe_side documents) and pins "
+    "bloom_filter_agg + might_contain in the executed plan. The "
+    "oracle replays the filtered join declaratively, so bloom false "
+    "positives MUST NOT leak rows (might_contain only prunes; the "
+    "join condition still decides membership — the hash check proves "
+    "exactly that). Money crosses the DECIMAL(12,2) barrier. Plan: at "
+    "100 TB a 10%-selective dim filter drops ~90% of the fact "
+    "shuffle's rows at the SCAN, before the exchange ever sees them.",
+    tags=("io", "bloom", "runtime-filter", "join", "pruning", "scale"),
+)
+def io11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    fact = t(spark, sf_dir, "lineitem")
+    return (
+        fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@REGISTRY.register(
+    "io12_dynamic_overwrite_backfill",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum("CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-10' "
+                     "THEN value * 2 ELSE value END")} AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Dynamic-partition-overwrite backfill with the oracle on the "
+    "POST-BACKFILL on-disk state (the io03/io05 pattern): events is "
+    "staged partitioned by event_date, then one day (2024-01-10) is "
+    "recomputed (values doubled — the corrected-job stand-in) and "
+    "written mode('overwrite') with the per-write "
+    "partitionOverwriteMode=dynamic option, TWICE — the re-run is the "
+    "idempotence proof. Dynamic overwrite must replace ONLY the "
+    "incoming frame's partitions: static semantics would truncate the "
+    "other 29 days (their rows vanish → hash mismatch), append "
+    "semantics would double day 10 (its count doubles → hash "
+    "mismatch), and a non-idempotent re-run would double it again — "
+    "the oracle's declarative CASE replay over the original events "
+    "catches every failure mode. This is the incremental-backfill "
+    "primitive the rollup cascade (ts09) and training-shard layout "
+    "rely on: recompute one partition, never truncate the table. "
+    "Money-grain values cross the DECIMAL(12,2) barrier; dates travel "
+    "as strings (partition-inferred DATE cast back at the group key, "
+    "the io08 rule). Plan: a one-day backfill rewrites 1/365th of a "
+    "year-partitioned fact at 100 TB; the write is partition-scoped "
+    "and the re-run costs the same as the first run.",
+    tags=("io", "backfill", "overwrite", "idempotent", "maintenance"),
+)
+def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = _staging(spark, "io12", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("event_date").parquet(base)
+    fixed = ev.filter(F.col("event_date") == "2024-01-10").withColumn(
+        "value", F.col("value") * 2
+    )
+    for _ in range(2):  # second run proves the backfill is idempotent
+        (
+            fixed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+    state = spark.read.parquet(base)
+    return (
+        state.groupBy(
+            F.col("event_date").cast("string").alias("event_date")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_date")
     )

@@ -5251,8 +5251,11 @@ def _sm39_sql_top(bits: int | None, k: int = 10) -> str:
     "window sees batches×40 candidate rows, never the corpus (any "
     "global top-10 row survives its batch filter ⇒ bit-identical "
     "across partitionings); both engines round to 9 dp BEFORE "
-    "ranking, so BLAS accumulation order can't flip a rank or error "
-    "cell vs the oracle's sequential fold (sm23/sm30 ulp convention). "
+    "ranking, so a BLAS-vs-sequential-fold rank or error-cell flip "
+    "requires the unrounded values to straddle a 0.5e-9 rounding "
+    "boundary within an ulp — accepted as negligible-but-possible "
+    "under the sm23/sm30 ulp convention, not impossible (a boundary "
+    "sweep failure here is diagnosable, not a contradiction). "
     "The pre-fusion shape ran 5 full interpreted-fold corpus scans "
     "(one per tier) and benched 20.9 s at sf0.1; at 100 TB the fused "
     "pass is the only corpus touch and the overlap joins are k-row.",

@@ -250,6 +250,16 @@ _DECLARED_IN_ROUND = {
     "io05_delete_keys_state": 70, "io06_compact_small_files": 70,
     # round 10, sixth wave (schema evolution + partition pruning)
     "io07_schema_evolution_read": 71, "io08_partition_pruned_scan": 71,
+    # round 11, first wave (the last two tested-but-undeclared plan
+    # capabilities — round-10 verdict task #1: dynamic partition
+    # pruning and the bucketed shuffle-free join)
+    "io09_dynamic_partition_pruning": 72,
+    "io10_bucketed_colocated_join": 72,
+    # round 11, second wave (the remaining pytest-only engine
+    # capabilities converted to contract: runtime bloom-filter join
+    # pruning and dynamic-partition-overwrite backfill)
+    "io11_runtime_bloom_join": 73,
+    "io12_dynamic_overwrite_backfill": 73,
 }
 
 

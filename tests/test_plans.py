@@ -2110,3 +2110,82 @@ def test_io08_partition_filters_prune_directories(spark):
     assert "PartitionFilters" in text, text[-1500:]
     pf = scan[: scan.find("]") + 1]
     assert "event_date" in pf, pf
+
+
+def test_io09_dynamic_pruning_subquery_in_scan(spark):
+    # the DECLARED query (not a synthetic stand-in) must get a
+    # dynamicpruning subquery injected into the fact scan's
+    # PartitionFilters once the fixture-scale cost heuristics are
+    # neutralized — at 100 TB the stock heuristics (broadcast reuse +
+    # stats-estimated benefit) fire on their own; fixture tables fall
+    # below them (documented in tests/test_scale_utils.py's evidence
+    # test, which this declared-builder pin supersedes)
+    keys = (
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "false")
+        spark.conf.set(keys[1], "false")
+        spark.conf.set(keys[2], "1000")
+        df = _Q["io09_dynamic_partition_pruning"](spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        phys = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "dynamicpruning" in opt or "dynamicpruning" in phys, phys[:3000]
+        assert df.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_io10_bucketed_join_has_no_exchange(spark):
+    # with broadcast off, the DECLARED bucketed join must plan as a
+    # SortMergeJoin whose subtree contains NO Exchange — the on-disk
+    # bucket layout satisfies the join's required distribution, so the
+    # only shuffles in the whole plan are the post-join aggregation and
+    # the final order-by; the scans must actually select buckets
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _Q["io10_bucketed_colocated_join"](spark, SF)
+        # tree-form physical plan: everything after the SortMergeJoin
+        # line is its subtree (formatted mode would append node DETAILS
+        # for the upstream agg/sort exchanges after the tree and break
+        # the containment check)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in text, text[-2000:]
+        below = text[text.find("SortMergeJoin"):]
+        assert "Exchange" not in below, below[:3000]
+        assert below.count("SelectedBucketsCount: 8 out of 8") == 2, below[:3000]
+        assert "Bucketed: true" in below, below[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_io11_bloom_filter_in_probe_scan(spark):
+    # the DECLARED query must get a runtime bloom filter injected once
+    # the cluster-sized thresholds are lowered to fixture scale:
+    # bloom_filter_agg on the dim's join keys, might_contain pushed
+    # into the lineitem probe side — the arbitrary-key analog of io09's
+    # dynamic partition pruning (stock thresholds need a >10 GB probe
+    # scan and fire on their own at 100 TB)
+    from pyconnect_spark.session import runtime_filter_conf
+
+    conf = runtime_filter_conf(test_scale=True)
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        df = _Q["io11_runtime_bloom_join"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan.lower(), plan[:3000]
+        assert df.count() == 5
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
