@@ -389,6 +389,7 @@ HEADLINE = [
     "io10_bucketed_colocated_join",
     "io11_runtime_bloom_join",
     "io12_dynamic_overwrite_backfill",
+    "io13_salted_join_fallback",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and

@@ -799,3 +799,73 @@ def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@REGISTRY.register(
+    "io13_salted_join_fallback",
+    oracle=f"""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 7
+                  ELSE l_orderkey % 25 END AS k,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+             CASE WHEN n_nationkey = 7 THEN 'hot' ELSE 'cold' END AS tier
+      FROM nation
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('b.l_quantity')} AS sum_qty,
+           {sql_dsum('b.l_extendedprice')} AS sum_price
+    FROM big b JOIN dim d ON b.k = d.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Manual salted-join fallback, declared as io02's STRATEGY TWIN "
+    "(same hot-key shape, same oracle — identical hashes prove the "
+    "salted execution is lossless): functions/skew.py salted_join "
+    "salts the fact side with a content-deterministic xxhash64 salt "
+    "(no rand() — bit-stable under retries and speculative "
+    "re-execution), replicates the dim n_salts=16x via explode, and "
+    "joins on (key, salt) so the 90%-hot key's rows spread over 16 "
+    "reducers instead of one. This is the explicit tier for the joins "
+    "AQE's OptimizeSkewedJoin declines to split (an aggregate between "
+    "the dim's exchange and the join, or a downstream operator reusing "
+    "the join's output partitioning — both conditions measured in "
+    "tests/test_plans.py's io02 notes); "
+    "tests/test_plans.py::test_io13_salted_join_keys_include_salt pins "
+    "the join keys carrying _salt and the dim-side explode with "
+    "broadcast off. At fixture scale the 400-row salted dim "
+    "broadcasts under stock confs — same rows either way. Money "
+    "crosses the DECIMAL(12,2) barrier.",
+    tags=("io", "skew", "join", "salting", "fallback", "scale"),
+)
+def io13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyconnect_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+        .otherwise(F.col("l_orderkey") % 25)
+        .alias("k"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    dim = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.when(F.col("n_nationkey") == 7, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+    return (
+        salted_join(big, dim, ["k"], n_salts=16)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("tier")
+    )

@@ -260,6 +260,9 @@ _DECLARED_IN_ROUND = {
     # pruning and dynamic-partition-overwrite backfill)
     "io11_runtime_bloom_join": 73,
     "io12_dynamic_overwrite_backfill": 73,
+    # round 11, third wave (io02's strategy twin: the manual salted
+    # fallback for joins AQE declines to split)
+    "io13_salted_join_fallback": 74,
 }
 
 

@@ -2189,3 +2189,24 @@ def test_io11_bloom_filter_in_probe_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_io13_salted_join_keys_include_salt(spark):
+    # with broadcast off, the DECLARED salted fallback must join on
+    # (k, _salt) — the hot key's rows spread across 16 reducers — with
+    # the dim side replicated via explode; and its rows must equal
+    # io02's (the strategy twin contract)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _Q["io13_salted_join_fallback"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        smj = plan[plan.find("SortMergeJoin"):]
+        assert "SortMergeJoin" in plan, plan[:3000]
+        assert "_salt" in smj[: smj.find("\n")], smj[:300]
+        assert "Generate explode" in plan or "explode" in plan, plan[:3000]
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, _Q["io02_skew_hot_key_join"](spark, SF).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
