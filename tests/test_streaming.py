@@ -2058,3 +2058,114 @@ def test_s36_streaming_vocab_equals_batch(spark, tmp_path):
     )
     after = sorted(map(tuple, merged.collect()))
     assert after == before
+
+
+def test_s28b_cdc_stream_equals_declared_io03(spark, tmp_path):
+    """S28b (round 11): S28's CDC-apply pattern, productized as
+    streaming/cdc.py and pinned against the DECLARED io03 query —
+    draining the SAME two change sets io03 applies (initial load, then
+    the update batch with status flips, price doubles, and
+    cross-partition key moves) must leave on-disk state whose
+    io03-grain aggregate EQUALS the declared batch query bit-for-bit;
+    re-applying the update batch (the at-least-once replay) must be a
+    row-level no-op. (S28 proved the mechanism on a toy table; this
+    ties the stream twin to the driver-hash-checked surface.)"""
+    from pyconnect_spark.operators._util import dsum, t as _t
+    from pyconnect_spark.registry import ALL
+    from pyconnect_spark.sources.layout import merge_upsert
+    from pyconnect_spark.streaming.cdc import cdc_upsert_stream
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    orders = _t(spark, sf, "orders").select(*cols)
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 8 == 2, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+    incoming = str(tmp_path / "changes")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = cdc_upsert_stream(
+            spark.readStream.schema(initial.schema).parquet(incoming),
+            target_dir=target,
+            checkpoint_dir=ckpt,
+            key_cols=["o_orderkey"],
+            partition_by=["o_orderpriority"],
+        )
+        q.awaitTermination()
+
+    initial.coalesce(1).write.mode("append").parquet(incoming)
+    drain()
+    updates.coalesce(1).write.mode("append").parquet(incoming)
+    drain()
+
+    def agg(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    dsum("o_totalprice").alias("total_price"),
+                    F.sum(
+                        F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+                    ).alias("n_updated"),
+                )
+                .collect(),
+            )
+        )
+
+    got = agg(spark.read.parquet(target))
+    want = sorted(map(tuple, ALL.builders()["io03_merge_upsert_state"](spark, sf).collect()))
+    assert got == want
+
+    # at-least-once replay: re-applying the SAME update batch must be a
+    # row-level no-op (same keys replaced with identical rows)
+    rows_before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merge_upsert(
+        spark,
+        target,
+        updates,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    rows_after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert rows_after == rows_before
+
+
+def test_s28c_cdc_seq_col_compacts_intra_batch_duplicates(spark, tmp_path):
+    """S28c (round 11): when one micro-batch carries several versions of
+    a key, cdc.py's seq_col contract keeps only the newest (the CDC
+    log-sequence-number move) — S28's maxFilesPerTrigger=1 ordering
+    handles cross-batch versions; this covers the intra-batch case.
+    Without a seq_col, upstream per-batch compaction is assumed."""
+    from pyconnect_spark.streaming.cdc import cdc_upsert_stream
+
+    incoming = str(tmp_path / "changes")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [(1, "a", 1.0, 10), (1, "a", 5.0, 30), (1, "a", 3.0, 20),
+         (2, "b", 7.0, 10)],
+        "k long, part string, v double, seq long",
+    )
+    batch.coalesce(1).write.parquet(incoming)
+    q = cdc_upsert_stream(
+        spark.readStream.schema(batch.schema).parquet(incoming),
+        target_dir=target,
+        checkpoint_dir=ckpt,
+        key_cols=["k"],
+        partition_by=["part"],
+        seq_col="seq",
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(target).select("k", "part", "v").collect()))
+    assert got == [(1, "a", 5.0), (2, "b", 7.0)]
