@@ -60,6 +60,7 @@ example:
 	python examples/llm_pipeline.py
 	python examples/event_analytics.py
 	python examples/dedup_at_scale.py
+	python examples/table_maintenance.py
 
 lint:
 	python -m compileall -q pyconnect_spark tests bench.py __spark_entry__.py
