@@ -390,6 +390,7 @@ HEADLINE = [
     "io11_runtime_bloom_join",
     "io12_dynamic_overwrite_backfill",
     "io13_salted_join_fallback",
+    "io14_time_travel_read",
     # sm42 stays un-benched at sf0.1: deliberate quadratic exact audit
     # tier (25.8s at sf0.01, 22.3x at 10x) — sm42b is the benched shape,
     # same policy as dd02/dd09 below; sm46 (all-pairs label margins) and

@@ -869,3 +869,121 @@ def io13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@REGISTRY.register(
+    "io14_time_travel_read",
+    oracle=f"""
+    WITH initial AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    updates AS (
+      SELECT o_orderkey,
+             'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice,
+             CASE WHEN o_orderkey % 8 = 2 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT i.* FROM initial i
+      WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    ),
+    v1 AS (
+      SELECT CAST(1 AS BIGINT) AS version, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_dsum('o_totalprice')} AS total_price,
+             CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_updated
+      FROM initial GROUP BY 2
+    ),
+    v2 AS (
+      SELECT CAST(2 AS BIGINT) AS version, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_dsum('o_totalprice')} AS total_price,
+             CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_updated
+      FROM merged GROUP BY 2
+    )
+    SELECT * FROM v1
+    UNION ALL
+    SELECT * FROM v2
+    ORDER BY version, o_orderpriority
+    """,
+    doc="Versioned-table TIME TRAVEL (sources/versioned.py — the "
+    "Delta/Iceberg transaction-log move as plain parquet + JSON "
+    "manifests): the io03 change sets are applied through vt_init (v1) "
+    "and the copy-on-write vt_merge (v2), then BOTH versions are read "
+    "back by their manifests and aggregated side by side. The oracle "
+    "computes v1 from the pre-merge slice and v2 from the declarative "
+    "merge, so the hash proves the two snapshot guarantees at once: "
+    "the merge produced exactly MERGE semantics (incl. cross-partition "
+    "key moves), AND version 1 still reads bit-for-bit PRE-merge state "
+    "after version 2 committed — if the COW rewrite had touched any "
+    "shared file, v1's half of the hash flips. Untouched partitions' "
+    "files are shared across manifests verbatim "
+    "(tests/test_versioned.py pins file sharing, audit-preserving "
+    "rollback, and manifest atomicity); commits are atomic POSIX "
+    "renames. Money crosses the DECIMAL(12,2) barrier. Plan: a "
+    "manifest is a KB-scale driver-side file list; data reads are "
+    "ordinary pruned parquet scans of the listed files (basePath keeps "
+    "partition inference), so at 100 TB time travel costs one JSON "
+    "read and history costs only the rewritten partitions' retained "
+    "files.",
+    tags=("io", "versioning", "time-travel", "cow", "maintenance"),
+)
+def io14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyconnect_spark.sources.versioned import vt_init, vt_merge, vt_read
+
+    base = _staging(spark, "io14", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    orders = t(spark, sf_dir, "orders").select(*cols)
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    vt_init(spark, base, initial, partition_by=["o_orderpriority"])
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 8 == 2, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    vt_merge(
+        spark,
+        base,
+        updates,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+
+    def snapshot(version: int) -> DataFrame:
+        return (
+            vt_read(spark, base, version)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+                ).alias("n_updated"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "o_orderpriority",
+                "n_orders",
+                "total_price",
+                "n_updated",
+            )
+        )
+
+    return (
+        snapshot(1)
+        .unionByName(snapshot(2))
+        .orderBy("version", "o_orderpriority")
+    )

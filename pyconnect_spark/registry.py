@@ -263,6 +263,9 @@ _DECLARED_IN_ROUND = {
     # round 11, third wave (io02's strategy twin: the manual salted
     # fallback for joins AQE declines to split)
     "io13_salted_join_fallback": 74,
+    # round 11, fourth wave (versioned table: COW snapshots,
+    # time-travel reads, audit-preserving rollback)
+    "io14_time_travel_read": 75,
 }
 
 
