@@ -2082,9 +2082,9 @@ def test_io06_compaction_reduces_file_count(spark, tmp_path):
     import os
 
     _Q["io06_compact_small_files"](spark, SF).collect()
-    import tempfile
+    from pyconnect_spark.operators.io_infra import _staging
 
-    base = os.path.join(tempfile.gettempdir(), "pyconnect_spark_io06", "sf0.01")
+    base = _staging(spark, "io06", SF)
     count = lambda d: sum(
         1
         for p in g.glob(os.path.join(d, "**", "*"), recursive=True)
