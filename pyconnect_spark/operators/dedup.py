@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyconnect_spark.cachereg import track
-from pyconnect_spark.operators._util import t
+from pyconnect_spark.operators._util import spread, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -87,13 +87,24 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(arr).alias("sh"))
 
 
-def _word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _word_shingles(
+    docs: DataFrame, n: int = 3, *, spread_input: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per doc: doc_id, sh.
 
     Word-level shingling is the published choice for document-scale
     MinHash dedup (e.g. the C4/Gopher/RefinedWeb pipelines): ~10× fewer
     shingles than char n-grams and O(len) to produce — split once, then
     join n-token windows of the token array."""
+    # Tokenize+shingle+explode is map-heavy; floor its parallelism so it
+    # never fuses to a one-task single-file scan (guide §2.5) — no-op when
+    # the scan already carries >= cores partitions. Callers shingling a
+    # deliberately tiny frame (dd22's 30-doc audit sample) pass
+    # spread_input=False: a 1-partition LIMIT sample looks identical to a
+    # 1-partition corpus scan to the floor, and fanning 30 rows across
+    # the cluster costs more scheduling than it buys.
+    if spread_input:
+        docs = spread(docs, "doc_id")
     with_toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
@@ -182,15 +193,16 @@ def minhash_signatures(
             lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
         )
     )
-    # Small local files arrive as one partition; spread the map work.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # Small local files arrive as one partition; spread the map work
+    # (conditional + keyed: no-op when the scan already has >= cores
+    # partitions, hash-keyed so no round-robin pre-sort).
     # Shingle hash: first 15 hex chars of md5 (60 bits) mod the Mersenne
     # field — a public hash both engines compute bit-identically, which is
     # what makes the whole MinHash+LSH pipeline oracle-checkable in DuckDB
     # (measured cost parity with xxhash64 at sf0.1: the 64 affine
     # permutations dominate, not the shingle hash).
     hashed = (
-        with_toks.repartition(par)
+        spread(with_toks, "doc_id")
         .select(
             "doc_id",
             F.transform(
@@ -488,30 +500,56 @@ def connected_components(
     Diameter bounds iterations (near-dup clusters are shallow); each round
     is one join + one aggregation — the standard large-graph formulation.
     """
-    def _truncate(df: DataFrame) -> DataFrame:
+    def _truncate(df: DataFrame, *, lazy: bool = False) -> DataFrame:
         # Reliable checkpoint when a dir is configured (cluster: HDFS/S3,
         # survives executor loss); localCheckpoint otherwise (local mode:
-        # executor == driver, nothing extra to lose).
+        # executor == driver, nothing extra to lose). ``lazy`` applies to
+        # the local path only: materialization then rides the NEXT action
+        # instead of a dedicated blocking job (reliable checkpoint always
+        # runs its own write job, so laziness buys nothing there).
+        import os as _os
+
+        if _os.environ.get("PYCONNECT_CC_EAGER"):  # measurement A/B aid
+            lazy = False
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint()
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=not lazy)
 
     # Materialize the edge set ONCE: without this every iteration re-derives
     # the edges from source (for dd05 that is the quadratic shingle
     # self-join, re-executed per round — measured ~5 s vs ~2 s at sf0.1).
     # The symmetric edge list is small relative to the corpus (near-dup
     # graphs are sparse), so the checkpoint is cheap and also truncates
-    # the edge lineage for every subsequent round.
-    sym = _truncate(edges.selectExpr("a", "b").union(edges.selectExpr("b AS a", "a AS b")))
-    if sym.limit(1).count() == 0:
+    # the edge lineage for every subsequent round. The two directions come
+    # from ONE explode over the edge rows (not edges UNION reversed-edges,
+    # which plans the whole upstream edge derivation twice), and the
+    # emptiness probe is a COUNT over the frame being lazily checkpointed,
+    # so materialize + probe is one job instead of two (guide §1.2: fewer
+    # serial passes).
+    sym = _truncate(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b"),
+        lazy=True,
+    )
+    import os as _os
+
+    _cc_eager = bool(_os.environ.get("PYCONNECT_CC_EAGER"))
+    if (sym.limit(1).count() if _cc_eager else sym.count()) == 0:
         return nodes.select(F.col("node"), F.col("node").alias("root"))
     # Iterate ONLY over nodes that touch an edge: isolated nodes are their
     # own component by definition and would otherwise ride through every
     # join/aggregate round as dead weight. Near-dup graphs are sparse, so
     # this typically shrinks the iteration frames by orders of magnitude —
-    # at 100 TB the label frame is |dup-suspects|, not |corpus|.
-    edge_nodes = _truncate(sym.select(F.col("a").alias("node")).distinct())
+    # at 100 TB the label frame is |dup-suspects|, not |corpus|. Lazy:
+    # materializes inside iteration 0's first shuffle job.
+    edge_nodes = _truncate(sym.select(F.col("a").alias("node")).distinct(), lazy=True)
     labels = edge_nodes.select("node", F.col("node").alias("root"))
     # Near-dup graphs are shallow, so plain one-hop propagation converges
     # in a handful of rounds with one join each. If a component is deeper
@@ -550,7 +588,7 @@ def connected_components(
                     (F.col("_changed") | (F.col("p_root") < F.col("root"))).alias("_changed"),
                 )
             )
-        new_labels = _truncate(new_labels)
+        new_labels = _truncate(new_labels, lazy=True)
         labels = new_labels.drop("_changed")
         # Convergence probe = one tiny driver job per round. Shallow graphs
         # (the near-dup norm) exit within the first few rounds, where the
@@ -558,10 +596,17 @@ def connected_components(
         # pointer doubling engages (deep, path-like graphs), labels travel
         # 2^k hops per round and one extra iteration is cheaper than it
         # was in the one-hop regime — probe every 2nd round to halve the
-        # driver round-trips on the long tail.
+        # driver round-trips on the long tail. The probe is a full
+        # aggregate (not filter+limit), so it computes every partition of
+        # the lazily-checkpointed frame: materialize + probe fuse into ONE
+        # job per round where the eager-checkpoint-then-limit form took
+        # two (guide §1.2).
         if it >= _DOUBLING_AFTER and (it - _DOUBLING_AFTER) % 2 == 1:
             continue
-        if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
+        if _cc_eager:
+            if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
+                break
+        elif not new_labels.agg(F.max("_changed")).first()[0]:
             break
     # Singletons re-attached once, outside the loop (anti join, no shuffle
     # of the iteration frames).
@@ -2128,7 +2173,7 @@ def dd22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle frame feeds three branches (sizes + both join sides);
     # unpersisted, each branch re-runs the full-corpus TakeOrdered sample
     # scan (measured 4.7 s vs 1.0 s at sf0.1 for a 30-doc audit).
-    sh = track(_word_shingles(sample, 3).persist())
+    sh = track(_word_shingles(sample, 3, spread_input=False).persist())
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

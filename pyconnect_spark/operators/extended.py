@@ -14,7 +14,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import MONEY, dec, dsum, one_minus, sql_dsum, t
+from pyconnect_spark.operators._util import (
+    MONEY,
+    dec,
+    dsum,
+    one_minus,
+    spread,
+    sql_dsum,
+    t,
+)
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -3326,7 +3334,12 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    contrib_edges = edges.join(outw, "src").select(
+    # outw is one row per distinct src (|parts|-bounded, KBs at sf0.1 and
+    # MBs at 100 TB) — broadcast it so the edge list is NOT shuffled by
+    # src to attach the out-weight (guide §3.1: broadcast the side that
+    # fits; the join's size estimate misses this because outw sits behind
+    # an aggregation).
+    contrib_edges = edges.join(F.broadcast(outw), "src").select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("share")
     ).localCheckpoint(eager=False)
     # deliberately NO per-iteration localCheckpoint on `ranks` (unlike
@@ -3335,16 +3348,23 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single plan wins, because AQE reuses the contrib_edges/ranks
     # exchanges across iterations while checkpoints would serialize the
     # pipeline into blocking jobs. Only the EDGE frames above are pinned.
+    # Per-iteration join strategy (guide §3.1): the rank frame and the
+    # per-destination contribution aggregate are |nodes|-bounded (KB-MB at
+    # any scale) while contrib_edges is the corpus-scale side — broadcast
+    # the small frames so no iteration ever re-shuffles or re-sorts the
+    # edge list (plan: 20 SortMergeJoin / 32 Exchange → broadcast joins,
+    # edge list exchanged zero times after its checkpoint).
     for _ in range(5):
         contrib = (
             contrib_edges.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
+                "src",
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
         )
         ranks = nodes.join(
-            contrib, F.col("node") == F.col("dst"), "left"
+            F.broadcast(contrib), F.col("node") == F.col("dst"), "left"
         ).select(
             "node",
             (
@@ -3992,7 +4012,13 @@ def _x75_w_sql(u: str) -> str:
 def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyconnect_spark.operators.rankops import rank_small_frame
 
-    o = t(spark, sf_dir, "orders")
+    # ×32 md5 expansion is map-heavy; floor the scan's parallelism so it
+    # doesn't run as one task on a single-row-group input (guide §2.5) —
+    # project to the two needed columns first so the exchange is narrow.
+    o = spread(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
     bdf = spark.range(1, _X75_B + 1).select(F.col("id").alias("b"))
     u = (
         F.conv(

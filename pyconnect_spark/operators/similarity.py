@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import t
+from pyconnect_spark.operators._util import spread, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -393,7 +393,9 @@ def seed_ivf_cells_frame(
     )
     nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     ns = F.sqrt(F.aggregate(s, F.lit(0.0), lambda acc, x: acc + x * x))
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
+    # N x n_cells scoring is the heaviest map stage of every IVF consumer;
+    # floor its parallelism so it never fuses to a one-task scan (§2.5).
+    scored = spread(emb, "vec_id").crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "embedding",
         F.col("srk").alias("cell"),
@@ -441,7 +443,7 @@ def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     nc = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x))
     scored = (
-        emb.select("vec_id", "embedding", v.alias("v"))
+        spread(emb.select("vec_id", "embedding", v.alias("v")), "vec_id")
         .crossJoin(F.broadcast(cvec))
         .select(
             "vec_id",

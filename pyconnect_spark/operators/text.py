@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import t
+from pyconnect_spark.operators._util import spread, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -2032,6 +2032,7 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
     Split out of tx32 so tests can drive it with hand-built frames
     against a pure-Python reference implementation."""
     cur = wf.persist()
+    persisted = [cur]
     merges: list[tuple] = []
     try:
         for step in range(1, n_merges + 1):
@@ -2084,11 +2085,18 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
                 ).alias("syms"),
                 "wc",
             ).persist()
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
+            # No materializing count here: the NEXT iteration's argmax
+            # collect computes nxt while its parent is still persisted, so
+            # materialization rides a job that runs anyway — halves the
+            # loop's job count (guide §1.2). The price is holding all
+            # n_merges word-shape frames persisted until the end; the
+            # frame is vocab-bounded (~10^6-10^7 rows at any corpus
+            # scale), so n_merges copies are MBs, not corpus-sized.
+            persisted.append(nxt)
             cur = nxt
     finally:
-        cur.unpersist()
+        for p in persisted:
+            p.unpersist()
     return merges
 
 
@@ -2951,8 +2959,12 @@ def tx40(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from pyconnect_spark.cachereg import track
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # tokenize+md5 explode is the heavy map chain: floor its parallelism
+    # (guide §2.5 — single-row-group scans arrive as one task).
+    toks = spread(docs.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id",
         "source",
         F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("w"),
@@ -2964,6 +2976,14 @@ def tx41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     ).agg(F.count("*").cast("double").alias("n"))
+    # db feeds SIX consumers (cb/cs/ds/tot/buckets + the scorer); uncached,
+    # the tokenize+hash+aggregate subtree plans and runs once per consumer
+    # (12 scans of documents in the before-plan). Unlike the exploded
+    # shingle frames dd14 measured (cache slower than re-scan), db is the
+    # POST-aggregation frame — (doc, bucket)-bounded, far smaller than the
+    # token stream — so caching it is the guide §5 "reused AND cheaper
+    # than recompute" case.
+    db = track(db.cache())
     cb = db.groupBy(F.col("source").alias("cls"), "b").agg(
         F.sum("n").alias("nsb")
     )
