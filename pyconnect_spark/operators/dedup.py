@@ -687,12 +687,31 @@ def lsh_verified_edges(
         .filter(
             F.least("na", "nb") >= threshold * F.greatest("na", "nb")
         )
+        # Pinned: consumed three times below (doc set, pair filter, and
+        # via both broadcasts) — unpinned, each broadcast build would
+        # re-run the whole LSH candidate pipeline.
+        .localCheckpoint(eager=False)
     )
-    x = base.select(F.col("doc_id").alias("a"), "h")
-    y = base.select(F.col("doc_id").alias("b"), "h")
+    # Verify tier, dd14's shape (guide §3.2 posture): restrict the shingle
+    # frame to candidate DOCS via a broadcast join BEFORE any shingle-keyed
+    # exchange, so the corpus-scale base is never shuffled — the old form
+    # shuffled the FULL shingle frame twice (once by doc to meet the
+    # candidates, once by (doc, hash) for the intersection). Candidate
+    # docs/pairs are the dup-suspect slice — bounded far below corpus
+    # scale, broadcastable; if a pathological corpus ever overflowed the
+    # broadcast cap, the fallback is exactly the old shuffle form.
+    cand_docs = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionAll(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    base_c = base.join(F.broadcast(cand_docs), "doc_id")
+    xa = base_c.select(F.col("doc_id").alias("a"), "h")
+    yb = base_c.select(F.col("doc_id").alias("b"), "h")
     common = (
-        cand.join(x, "a")
-        .join(y, ["b", "h"])
+        xa.join(yb, "h")
+        .where(F.col("a") < F.col("b"))
+        .join(F.broadcast(cand), ["a", "b"])
         .groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("nc"))
     )
@@ -2618,7 +2637,10 @@ def dd25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # per-position 8-gram md5 is the heavy map chain — floor its
+    # parallelism (guide §2.5; the subtree also plans twice: the keep
+    # aggregate and the pruned join).
+    toks = spread(docs, "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     )
     idx = F.when(

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import t
+from pyconnect_spark.operators._util import spread, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -448,7 +448,12 @@ _MM07_ORACLE = f"""
     tags=("multimodal", "dedup", "phash", "lsh", "hamming"),
 )
 def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The Python frame-sampling stage inherits the scan's partitioning
+    # (single task on a one-row-group fixture file) — floor it so the
+    # Arrow workers run in parallel (guide §2.5/§4).
+    docs = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     frames = docs.mapInPandas(
         sample_frames,
         schema="doc_id long, frame_idx long, n_frames long, frame_md5 string",

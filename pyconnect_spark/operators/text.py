@@ -1468,19 +1468,49 @@ def _textrank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
 def tx24(spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.85) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), _TOKEN_RE)
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(w).alias("pos", "word"),
+    # Windowed co-occurrence pairs generated MAP-SIDE from the token array
+    # (guide §2.4: remove shuffles outright): the former posexplode +
+    # positional self-join shuffled the exploded token frame twice and
+    # joined it against itself; the ±1/±2 window only ever pairs
+    # positions inside one document, so both directions of every ordered
+    # pair come straight out of the array — one narrow stage into the
+    # vocab²-keyed edge aggregation, zero joins. Pair multiset is
+    # identical: forward offsets (+1, +2) emitted as (x, y), their
+    # mirrored (-1, -2) rows as (y, x).
+    toks = spread(docs.select("doc_id", "text"), "doc_id").select(
+        w.alias("w")
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.word") != F.col("b.word"))
-            & (F.col("b.pos") - F.col("a.pos")).isin(-2, -1, 1, 2),
+    n = F.size("w")
+
+    def _fwd(j: int):
+        idx = F.when(n > j, F.sequence(F.lit(1), n - j)).otherwise(
+            F.array().cast("array<int>")
         )
-        .groupBy(F.col("a.word").alias("src"), F.col("b.word").alias("dst"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("w", i).alias("x"),
+                F.element_at("w", i + j).alias("y"),
+            ),
+        )
+
+    edges = (
+        toks.select(F.explode(F.concat(_fwd(1), _fwd(2))).alias("pr"))
+        .where(F.col("pr.x") != F.col("pr.y"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pr.x").alias("src"), F.col("pr.y").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pr.y").alias("src"), F.col("pr.x").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -1498,15 +1528,17 @@ def tx24(spark: SparkSession, sf_dir: str, n_iter: int = 5, damping: float = 0.8
     nodes = track(trans.select(F.col("src").alias("word")).distinct().cache())
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select("word", (F.lit(1.0) / F.col("n")).alias("r"))
+    # Iteration frames are vocab-bounded — broadcast them so the cached
+    # transition table is never re-shuffled (same move as x70, guide §3.1).
     for _ in range(n_iter):
         contrib = (
-            trans.join(ranks.withColumnRenamed("word", "src"), "src")
+            trans.join(F.broadcast(ranks.withColumnRenamed("word", "src")), "src")
             .groupBy(F.col("dst").alias("word"))
             .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "word", "left")
+            .join(F.broadcast(contrib), "word", "left")
             .select(
                 "word",
                 (
@@ -2701,6 +2733,11 @@ def tx39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), _TOKEN_RE)
+    # No spread() here: measured neutral-to-negative (interleaved A/B
+    # min 5.3 s without vs 6.0 s with at sf0.1) — the explode feeds a
+    # (doc, gram)-keyed aggregation whose partial agg fuses with the
+    # scan, and the three downstream consumers replan the subtree from
+    # the exchange either way.
     toks = docs.select("doc_id", "source", w.alias("w")).filter(F.size("w") >= 2)
     dg = toks.select(
         "doc_id",
@@ -2715,6 +2752,11 @@ def tx39(spark: SparkSession, sf_dir: str) -> DataFrame:
     dgc = dg.groupBy("doc_id", "source", "gram").agg(
         F.count("*").cast("double").alias("n")
     )
+    # NOT cached, though three consumers read it: dgc is gram-grain — the
+    # same exploded-string scale dd14 measured as slower to rescan from a
+    # deserialized cache than to recompute through the codegen-fused
+    # explode (tried here: min-of-4 15.3 s cached vs 2.8 s uncached).
+    # tx41's db differs because its grain is (doc, bucket<=512).
     cg = dgc.groupBy("gram").agg(F.sum("n").alias("c_ab"))
     ctx = dgc.groupBy(F.split(F.col("gram"), " ")[0].alias("a")).agg(
         F.sum("n").alias("c_a")
