@@ -55,6 +55,8 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
 
     if os.environ.get("PYCONNECT_NO_SPREAD"):  # measurement A/B aid only
         return df
+    if df.isStreaming:  # streaming plans have no RDD to probe; no-op
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     # The partition-count probe (plan → RDD) costs ~40-100 ms of driver

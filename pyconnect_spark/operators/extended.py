@@ -1359,20 +1359,32 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word")
-    )
-    a, b = tok.alias("a"), tok.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.word") != F.col("b.word"))
-            & (F.col("b.pos") - F.col("a.pos")).isin(1, 2),
+    # Window pairs generated map-side from the token array (tx24's
+    # rewrite, guide §2.4): the ±1/±2 window never crosses a document, so
+    # the exploded-token positional self-join (two shuffles of the token
+    # frame) reduces to one narrow stage feeding the edge distinct.
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select(w.alias("w"))
+    n = F.size("w")
+
+    def _fwd48(j: int):
+        idx = F.when(n > j, F.sequence(F.lit(1), n - j)).otherwise(
+            F.array().cast("array<int>")
         )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("w", i).alias("x"),
+                F.element_at("w", i + j).alias("y"),
+            ),
+        )
+
+    edges = (
+        toks.select(F.explode(F.concat(_fwd48(1), _fwd48(2))).alias("pr"))
+        .where(F.col("pr.x") != F.col("pr.y"))
         .select(
-            F.least("a.word", "b.word").alias("u"),
-            F.greatest("a.word", "b.word").alias("v"),
+            F.least("pr.x", "pr.y").alias("u"),
+            F.greatest("pr.x", "pr.y").alias("v"),
         )
         .distinct()
     )
@@ -6025,8 +6037,11 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("nu"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("dy"))
-    joined = directed.join(du, F.col("u") == F.col("nu")).join(
-        dv, F.col("v") == F.col("nv")
+    # deg is |parts|-bounded (KB-MB at any scale) while `directed` is the
+    # corpus-scale edge list — broadcast both endpoint copies so the edge
+    # list is never shuffled to attach degrees (guide §3.1, x70's move).
+    joined = directed.join(F.broadcast(du), F.col("u") == F.col("nu")).join(
+        F.broadcast(dv), F.col("v") == F.col("nv")
     )
     s = joined.agg(
         F.count("*").cast("long").alias("m"),

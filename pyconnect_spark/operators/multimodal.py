@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import spread, t
+from pyconnect_spark.operators._util import t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -448,12 +448,13 @@ _MM07_ORACLE = f"""
     tags=("multimodal", "dedup", "phash", "lsh", "hamming"),
 )
 def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The Python frame-sampling stage inherits the scan's partitioning
-    # (single task on a one-row-group fixture file) — floor it so the
-    # Arrow workers run in parallel (guide §2.5/§4).
-    docs = spread(
-        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    # NO spread() here, deliberately: it would repartition (doc_id, text)
+    # — i.e. ship the payload through an exchange — breaking the mm-family
+    # "payload bytes never shuffle" invariant that
+    # test_mm07_exchanges_carry_hashes_not_payloads pins. The Python
+    # sampling stage stays scan-partitioned; every exchange below it
+    # carries only 8-byte hashes.
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     frames = docs.mapInPandas(
         sample_frames,
         schema="doc_id long, frame_idx long, n_frames long, frame_md5 string",
