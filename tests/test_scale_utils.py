@@ -710,3 +710,27 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score", "batch"}
     rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_spread_floors_parallelism_only_when_needed(spark):
+    """spread() (the round-11 map-parallelism floor): repartitions a
+    under-parallel frame to defaultParallelism, is a NO-OP on a frame
+    already at/above it (the 100 TB case — the trigger is measured from
+    the plan, never a constant), preserves rows exactly, and leaves
+    streaming frames untouched."""
+    from pyconnect_spark.operators._util import spread
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "doc_id long, text string").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    s = spread(one, "doc_id")
+    assert s.rdd.getNumPartitions() == par
+    assert sorted(r["doc_id"] for r in s.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert spread(wide) is wide  # already parallel: returned unchanged
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    assert spread(stream) is stream  # streaming plans have no RDD to probe
