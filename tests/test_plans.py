@@ -190,13 +190,22 @@ def test_tx11_build_launches_no_extra_jobs(spark):
     # the query must not trigger a driver-side count() job. Every
     # spark.read.parquet fires one tiny footer-schema job, so the lazy
     # baseline is "same job count as a trivially-lazy single-table build",
-    # not literally zero.
-    tracker = spark.sparkContext.statusTracker()
+    # not literally zero. Jobs are counted inside a UNIQUE job group per
+    # build: the length of getJobIdsForGroup(None) goes NEGATIVE in long
+    # sessions because the status store evicts old job IDs
+    # (spark.ui.retainedJobs), which made the old before/after-length
+    # delta meaningless after ~1000 jobs.
+    sc = spark.sparkContext
 
     def jobs_during(name):
-        before = len(tracker.getJobIdsForGroup(None))
-        _Q[name](spark, SF)
-        return len(tracker.getJobIdsForGroup(None)) - before
+        group = f"lazy-probe-{name}"
+        sc.setJobGroup(group, f"laziness probe: {name}")
+        try:
+            _Q[name](spark, SF)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
 
     baseline = jobs_during("tx01_text_stats")  # known-lazy, same table
     assert jobs_during("tx11_tfidf_keywords") <= baseline, "building tx11 must be lazy"
