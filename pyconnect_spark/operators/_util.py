@@ -22,6 +22,12 @@ FACTOR = "decimal(4,2)"  # discount / tax factors in [0, 2)
 # spread()'s partition-count probe memo: (applicationId, semanticHash) -> n
 _SPREAD_MEMO: dict[tuple[str, int], int] = {}
 
+# Measurement-only kill switch for spread(), flipped by tools/abtime.py's
+# interleaved A/B arms via direct module-attribute assignment. Deliberately
+# NOT an environment variable: a stale env var in a driver environment
+# would silently change production job structure (round-11 advice).
+_AB_DISABLE_SPREAD = False
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -51,9 +57,7 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
     hash repartitioning on a real key skips round-robin's
     sort-before-repartition pass and distributes evenly for unique keys.
     """
-    import os
-
-    if os.environ.get("PYCONNECT_NO_SPREAD"):  # measurement A/B aid only
+    if _AB_DISABLE_SPREAD:  # set ONLY by tools/abtime.py (measurement A/B)
         return df
     if df.isStreaming:  # streaming plans have no RDD to probe; no-op
         return df

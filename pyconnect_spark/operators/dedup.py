@@ -507,10 +507,6 @@ def connected_components(
         # the local path only: materialization then rides the NEXT action
         # instead of a dedicated blocking job (reliable checkpoint always
         # runs its own write job, so laziness buys nothing there).
-        import os as _os
-
-        if _os.environ.get("PYCONNECT_CC_EAGER"):  # measurement A/B aid
-            lazy = False
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint()
@@ -538,10 +534,7 @@ def connected_components(
         ).select("e.a", "e.b"),
         lazy=True,
     )
-    import os as _os
-
-    _cc_eager = bool(_os.environ.get("PYCONNECT_CC_EAGER"))
-    if (sym.limit(1).count() if _cc_eager else sym.count()) == 0:
+    if sym.count() == 0:
         return nodes.select(F.col("node"), F.col("node").alias("root"))
     # Iterate ONLY over nodes that touch an edge: isolated nodes are their
     # own component by definition and would otherwise ride through every
@@ -603,10 +596,7 @@ def connected_components(
         # two (guide §1.2).
         if it >= _DOUBLING_AFTER and (it - _DOUBLING_AFTER) % 2 == 1:
             continue
-        if _cc_eager:
-            if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
-                break
-        elif not new_labels.agg(F.max("_changed")).first()[0]:
+        if not new_labels.agg(F.max("_changed")).first()[0]:
             break
     # Singletons re-attached once, outside the loop (anti join, no shuffle
     # of the iteration frames).

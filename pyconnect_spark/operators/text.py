@@ -2064,7 +2064,7 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
     Split out of tx32 so tests can drive it with hand-built frames
     against a pure-Python reference implementation."""
     cur = wf.persist()
-    persisted = [cur]
+    live = [cur]  # parent + child only — O(1) cache, any n_merges
     merges: list[tuple] = []
     try:
         for step in range(1, n_merges + 1):
@@ -2094,6 +2094,13 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
             )
             if not best:  # no pairs left anywhere (all words fully merged)
                 break
+            # The collect above materialized `cur`; anything older than
+            # `cur` can never be recomputed from again — release it so the
+            # live cache is parent+child regardless of n_merges (real BPE
+            # training runs 10^4+ merges; holding every generation would
+            # grow the cache linearly and thrash eviction).
+            while len(live) > 1:
+                live.pop(0).unpersist()
             best = best[0]
             a, b = best["pair"].split(" ")
             merged = a + b
@@ -2120,14 +2127,11 @@ def bpe_merges(wf: DataFrame, n_merges: int) -> list[tuple]:
             # No materializing count here: the NEXT iteration's argmax
             # collect computes nxt while its parent is still persisted, so
             # materialization rides a job that runs anyway — halves the
-            # loop's job count (guide §1.2). The price is holding all
-            # n_merges word-shape frames persisted until the end; the
-            # frame is vocab-bounded (~10^6-10^7 rows at any corpus
-            # scale), so n_merges copies are MBs, not corpus-sized.
-            persisted.append(nxt)
+            # loop's job count (guide §1.2).
+            live.append(nxt)
             cur = nxt
     finally:
-        for p in persisted:
+        for p in live:
             p.unpersist()
     return merges
 
@@ -2758,8 +2762,15 @@ def tx39(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode (tried here: min-of-4 15.3 s cached vs 2.8 s uncached).
     # tx41's db differs because its grain is (doc, bucket<=512).
     cg = dgc.groupBy("gram").agg(F.sum("n").alias("c_ab"))
-    ctx = dgc.groupBy(F.split(F.col("gram"), " ")[0].alias("a")).agg(
-        F.sum("n").alias("c_a")
+    # ctx re-aggregates cg instead of re-deriving dgc from the raw text:
+    # c_a = SUM(n) grouped by first word == SUM(c_ab) over the grams
+    # sharing that first word, and the n values are COUNT(*)s carried in
+    # doubles — integer sums far below 2^53, so the reassociation is
+    # bitwise exact. This drops one full tokenize+explode+aggregate chain
+    # from the plan (guide §1.2: don't compute things twice); the oracle
+    # still groups dgc directly, which is the same exact integer sum.
+    ctx = cg.groupBy(F.split(F.col("gram"), " ")[0].alias("a")).agg(
+        F.sum("c_ab").alias("c_a")
     )
     vocab = docs.select(
         F.explode(F.split(F.trim(F.col("text")), _TOKEN_RE)).alias("word")

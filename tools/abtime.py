@@ -1,7 +1,9 @@
 """Interleaved A/B timing for the spread() parallelism floor.
 
-Runs each named query alternately with PYCONNECT_NO_SPREAD set (A = before)
-and unset (B = after), several interleaved rounds, in ONE session — host
+Runs each named query alternately with _util spread() disabled (A = before,
+via the module-level _AB_DISABLE_SPREAD flag — the toggle lives HERE, not in
+an env var the production paths would read) and enabled (B = after), several
+interleaved rounds, in ONE session — host
 steal drifts over tens of seconds, so interleaving cancels it where
 back-to-back reps cannot. Prints per-query min/median for both arms.
 
@@ -41,10 +43,9 @@ def main() -> None:
     for r in range(reps):
         for name in names:
             for arm in ("A", "B"):
-                if arm == "A":
-                    os.environ["PYCONNECT_NO_SPREAD"] = "1"
-                else:
-                    os.environ.pop("PYCONNECT_NO_SPREAD", None)
+                from pyconnect_spark.operators import _util
+
+                _util._AB_DISABLE_SPREAD = arm == "A"
                 spark.sparkContext.setJobDescription(f"ab:{name}:{arm}{r}")
                 t0 = time.perf_counter()
                 builders[name](spark, SF).count()

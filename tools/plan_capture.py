@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for named queries into plans/r11/.
+"""Capture .explain("formatted") for named queries into plans/r12/.
 
 Usage: python tools/plan_capture.py before|after name [name ...]
        python tools/plan_capture.py before --top N   (top-N from BENCH_DETAIL.json)
 
 Planning only — no execution — so it is cheap and safe to run while other
-jobs own the CPUs. Output: plans/r11/<name>_<tag>.txt
+jobs own the CPUs. Output: plans/r12/<name>_<tag>.txt
 """
 from __future__ import annotations
 
@@ -29,7 +29,7 @@ def main() -> None:
         detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
         ranked = sorted(detail["queries"].items(), key=lambda kv: -kv[1])
         names = [k for k, _ in ranked[:n] if k != "stream_window_events"]
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLAN_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     builders = ALL.builders()
