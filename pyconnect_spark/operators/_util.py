@@ -22,11 +22,12 @@ FACTOR = "decimal(4,2)"  # discount / tax factors in [0, 2)
 # spread()'s partition-count probe memo: (applicationId, semanticHash) -> n
 _SPREAD_MEMO: dict[tuple[str, int], int] = {}
 
-# Measurement-only kill switch for spread(), flipped by tools/abtime.py's
-# interleaved A/B arms via direct module-attribute assignment. Deliberately
-# NOT an environment variable: a stale env var in a driver environment
-# would silently change production job structure (round-11 advice).
+# Measurement-only kill switches, flipped by tools/abtime.py's interleaved
+# A/B arms via direct module-attribute assignment. Deliberately NOT
+# environment variables: a stale env var in a driver environment would
+# silently change production job structure (round-11 advice).
 _AB_DISABLE_SPREAD = False
+_AB_DISABLE_SPREAD_ON = False
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,13 +62,24 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
         return df
     if df.isStreaming:  # streaming plans have no RDD to probe; no-op
         return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _probe_partitions(df) >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
+def _probe_partitions(df: DataFrame) -> int:
+    """Measured partition count of a frame's plan, memoized.
+
+    The probe (plan → RDD) costs ~40-100 ms of driver planning per call;
+    memoize it on the ANALYZED plan's semantic hash (analysis is cached on
+    the DataFrame and the hash is a cheap tree walk), so e.g. a
+    tuning-curve query building 8 signature variants over the same
+    tokenized frame probes once, not 8 times. Only probe scan/map-only
+    frames: on a frame containing an Exchange, materializing the RDD would
+    finalize (and start executing) the adaptive plan.
+    """
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # The partition-count probe (plan → RDD) costs ~40-100 ms of driver
-    # planning per call; memoize it on the ANALYZED plan's semantic hash
-    # (analysis is cached on the DataFrame and the hash is a cheap tree
-    # walk), so e.g. a tuning-curve query building 8 signature variants
-    # over the same tokenized frame probes once, not 8 times.
     key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
     nparts = _SPREAD_MEMO.get(key)
     if nparts is None:
@@ -75,9 +87,38 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
         if len(_SPREAD_MEMO) > 4096:  # bound a long session's memo
             _SPREAD_MEMO.clear()
         _SPREAD_MEMO[key] = nparts
-    if nparts >= target:
+    return nparts
+
+
+def spread_on(df: DataFrame, base: DataFrame, *keys: str | Column) -> DataFrame:
+    """Keyed parallelism floor for a DERIVED frame (candidate pairs, the
+    inputs of a cell-keyed candidate join) feeding a CPU-dense per-row
+    stage — the array folds of the similarity tier, which are higher-order
+    functions Spark evaluates interpreted (no whole-stage codegen), so
+    their cost is rows x dims of EXPRESSION evaluation even when the bytes
+    are tiny. AQE's byte-based partition coalescing sees only the bytes
+    and shrinks the post-exchange stage to a handful of tasks at fixture
+    scale (guide §2.5 — the round-11 "pair-scoring under-parallelizes"
+    leftover).
+
+    The derived frame itself cannot be probed the way spread() probes a
+    scan (materializing the RDD of a post-Exchange plan finalizes the
+    adaptive plan and starts executing it), so the TRIGGER is the measured
+    partition count of the BASE SCAN the pipeline reads (static, memoized
+    — spread()'s probe): when the base scan already carries >= cores
+    partitions (any real corpus; 100 TB), this returns the input
+    unchanged and AQE keeps full control. When the base is a
+    single-row-group fixture file, *df* is hash-repartitioned on *keys*
+    to defaultParallelism — an explicit user repartition, which AQE's
+    coalescing leaves alone, so the fold that follows keeps >= cores
+    tasks. Nothing is tuned to either environment.
+    """
+    if _AB_DISABLE_SPREAD_ON:  # set ONLY by tools/abtime.py
         return df
-    return df.repartition(target, *keys) if keys else df.repartition(target)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _probe_partitions(base) >= target:
+        return df
+    return df.repartition(target, *keys)
 
 
 def dec(col: str | Column, typ: str = MONEY) -> Column:

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyconnect_spark.cachereg import track
-from pyconnect_spark.operators._util import spread, t
+from pyconnect_spark.operators._util import spread, spread_on, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -646,6 +646,20 @@ def word_jaccard_edges(docs: DataFrame, threshold: float) -> DataFrame:
     return common.filter(jacc >= threshold).select("a", "b")
 
 
+# Broadcast cap for the LSH verify tier's candidate-pair / candidate-doc
+# frames: 1M pairs is ~80 MB as a built hash relation (2 longs + 2 ints a
+# row) — comfortably inside executor memory at any deployment size, far
+# under the 8 GB broadcast hard cap. Above it, the verify tier falls back
+# to the shuffle form. Tests force it to 0 to exercise the fallback.
+_VERIFY_BCAST_CAP = 1_000_000
+
+# Doc-count cap for dd34's measured broadcast-vs-merge decision: under it
+# the doc-grain split map (long + 5-char split per row — ~60 MB as a
+# relation at the cap) broadcasts onto the gram stream; over it the join
+# is forced to sort-merge.
+_SPLIT_BCAST_CAP = 2_000_000
+
+
 def lsh_verified_edges(
     docs: DataFrame, threshold: float = 0.8, n_bands: int = _N_BANDS
 ) -> DataFrame:
@@ -682,29 +696,54 @@ def lsh_verified_edges(
         # re-run the whole LSH candidate pipeline.
         .localCheckpoint(eager=False)
     )
-    # Verify tier, dd14's shape (guide §3.2 posture): restrict the shingle
-    # frame to candidate DOCS via a broadcast join BEFORE any shingle-keyed
-    # exchange, so the corpus-scale base is never shuffled — the old form
-    # shuffled the FULL shingle frame twice (once by doc to meet the
-    # candidates, once by (doc, hash) for the intersection). Candidate
-    # docs/pairs are the dup-suspect slice — bounded far below corpus
-    # scale, broadcastable; if a pathological corpus ever overflowed the
-    # broadcast cap, the fallback is exactly the old shuffle form.
-    cand_docs = (
-        cand.select(F.col("a").alias("doc_id"))
-        .unionAll(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    base_c = base.join(F.broadcast(cand_docs), "doc_id")
-    xa = base_c.select(F.col("doc_id").alias("a"), "h")
-    yb = base_c.select(F.col("doc_id").alias("b"), "h")
-    common = (
-        xa.join(yb, "h")
-        .where(F.col("a") < F.col("b"))
-        .join(F.broadcast(cand), ["a", "b"])
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("nc"))
-    )
+    # Size gate for the verify tier's broadcasts (round-11 verdict item 4 /
+    # advice item 1): the count materializes the pinned candidate frame —
+    # a job the first consumer would otherwise run — and MEASURES the
+    # dup-suspect slice instead of asserting it is small. On a dup-heavy
+    # pathological corpus the candidate set is not guaranteed KB-scale,
+    # and an explicit F.broadcast over the cap fails the job instead of
+    # degrading; over the cap we take the shuffle form below.
+    n_cand = cand.count()
+    if n_cand <= _VERIFY_BCAST_CAP:
+        # Verify tier, dd14's shape (guide §3.2 posture): restrict the
+        # shingle frame to candidate DOCS via a broadcast join BEFORE any
+        # shingle-keyed exchange, so the corpus-scale base is never
+        # shuffled — the old form shuffled the FULL shingle frame twice
+        # (once by doc to meet the candidates, once by (doc, hash) for the
+        # intersection). PER-SIDE restriction (a-docs / b-docs separately,
+        # round-11 advice item 2): a boilerplate shingle hash shared by k
+        # candidate docs expands to k_a x k_b rows in the h-join instead
+        # of k^2/2 — the hot-key blowup never materializes pairs both
+        # banding and the size-ratio bound already pruned from one side.
+        a_docs = cand.select(F.col("a").alias("doc_id")).distinct()
+        b_docs = cand.select(F.col("b").alias("doc_id")).distinct()
+        xa = base.join(F.broadcast(a_docs), "doc_id").select(
+            F.col("doc_id").alias("a"), "h"
+        )
+        yb = base.join(F.broadcast(b_docs), "doc_id").select(
+            F.col("doc_id").alias("b"), "h"
+        )
+        common = (
+            xa.join(yb, "h")
+            .where(F.col("a") < F.col("b"))
+            .join(F.broadcast(cand), ["a", "b"])
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count("*").alias("nc"))
+        )
+    else:
+        # Shuffle fallback (the pre-broadcast form, exercised by
+        # tests/test_llm_ops.py with the cap forced to 0): join the
+        # shingle frame to the candidate pairs by doc keys — two
+        # corpus-scale exchanges, but no broadcast of an over-cap
+        # candidate set. Same aggregate, same result.
+        x = base.select(F.col("doc_id").alias("a"), "h")
+        y = base.select(F.col("doc_id").alias("b"), "h")
+        common = (
+            cand.join(x, "a")
+            .join(y, ["b", "h"])
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count("*").alias("nc"))
+        )
     jacc = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
     return common.filter(jacc >= threshold).select("a", "b")
 
@@ -1298,6 +1337,10 @@ def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
             vector_norm(F.col("embedding")).alias("nrm"),
         )
     )
+    # parallelism floor on the cell self-join input: the interpreted
+    # per-pair cosine folds below otherwise run on the 1-2 tasks AQE's
+    # byte-based coalescing leaves at fixture scale (§2.5; no-op at scale)
+    corpus = spread_on(corpus, emb, "cell")
     a = corpus.alias("a")
     b = corpus.alias("b")
     cos = pair_dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -3217,7 +3260,10 @@ def dd32(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     fp = docs.select("doc_id", F.md5("text").alias("f"))
     ex = fp.groupBy("f").agg(F.min("doc_id").alias("rep"))
-    lab = fp.join(ex, "f").select("doc_id", "rep")
+    # pinned: the rep slice (feeding the whole LSH/CC tier) and the final
+    # verdict join both read it — unpinned, the md5 fingerprint agg over
+    # the corpus is planned twice per consumer (§1.2)
+    lab = fp.join(ex, "f").select("doc_id", "rep").localCheckpoint(eager=False)
     reps = docs.join(
         lab.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
@@ -3341,11 +3387,17 @@ def leakage_safe_splits_frame(docs: DataFrame) -> DataFrame:
         comp.select(F.col("node").alias("rep"), "root"), "rep", "left"
     ).select("doc_id", F.coalesce("root", "rep").alias("grp"))
     u = split_coin(F.col("grp"))
+    # Pinned: dd33 reads this assignment four ways (doc-grain coin,
+    # root-split attach twice, the summary agg) and dd34 twice (train
+    # side, eval side) — unpinned, EACH consumer re-plans the whole
+    # fingerprint + LSH-verify chain above (the round-open dd33 plan
+    # scanned `documents` 42 times; guide §1.2/§5). The frame is
+    # doc-grain (3 narrow columns), far below the corpus payload.
     return grp.select(
         "doc_id",
         "grp",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 
@@ -3559,7 +3611,20 @@ def dd34(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     splits = leakage_safe_splits_frame(docs).select("doc_id", "split")
-    grams = gram_digests(docs).join(splits, "doc_id")
+    # The pinned splits frame is an ExistingRDD scan with unknown
+    # (defaulted-huge) statistics, while the gram explode's estimate
+    # stays at SCAN size — left to the planner, it broadcasts the
+    # corpus-scale EXPLODE as the build side (measured 9.6 s -> 223 s at
+    # sf0.1 when the pin first landed; at 100 TB a failed TB-scale
+    # broadcast). Decide from a MEASURED count instead: under the cap,
+    # broadcast the doc-grain split map — the gram stream then never
+    # shuffles at all (strictly better than the round-open SMJ, which
+    # exchanged every gram instance by doc_id); over the cap force
+    # sort-merge, the right strategy when both sides are corpus-grain.
+    if docs.count() <= _SPLIT_BCAST_CAP:
+        grams = gram_digests(docs).join(F.broadcast(splits), "doc_id")
+    else:
+        grams = gram_digests(docs).hint("merge").join(splits, "doc_id")
     train_set = (
         grams.where(F.col("split") == "train").select("g").distinct()
     )
@@ -4017,9 +4082,12 @@ def dd38(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         docs.select(F.col("doc_id").alias("node")), edges
     )
+    # pinned: sizes and the per-source counts both read it, and each
+    # re-planning repeats the CC-output/docs join (§1.2); (root, source)
+    # is doc-grain, two narrow columns
     mem = comp.join(
         docs.select(F.col("doc_id").alias("node"), "source"), "node"
-    ).select("root", "source")
+    ).select("root", "source").localCheckpoint(eager=False)
     sizes = mem.groupBy("root").agg(F.count("*").cast("long").alias("size"))
     bysrc = mem.groupBy("root", "source").agg(
         F.count("*").cast("long").alias("c")
@@ -4475,10 +4543,13 @@ def _dd42_oracle_sql() -> str:
 )
 def dd42(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    pairs_a = lsh_candidate_pairs(minhash_signatures(docs))
+    # both pinned: count + agreement join each (dd46's rationale)
+    pairs_a = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
+        eager=False
+    )
     pairs_b = lsh_candidate_pairs(
         minhash_signatures(docs, param_offset=_N_HASHES), salt="sB:"
-    )
+    ).localCheckpoint(eager=False)
     na = pairs_a.agg(F.count("*").cast("long").alias("n_pairs_seed_a"))
     nb = pairs_b.agg(F.count("*").cast("long").alias("n_pairs_seed_b"))
     common = pairs_a.join(pairs_b, ["doc_a", "doc_b"]).agg(
@@ -4689,14 +4760,48 @@ def dd44(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("root")
         .agg(F.count("*").cast("long").alias("size"))
         .filter(F.col("size") > 1)
+        # pinned: the member restriction below and the final join both
+        # read it; the agg over the pinned labels is cheap but the frame
+        # is consumed from three plan positions
+        .localCheckpoint(eager=False)
     )
     a = comp.select(F.col("root").alias("r"), F.col("node").alias("pa"))
     b = comp.select(F.col("root").alias("r2"), F.col("node").alias("pb"))
     pairs = a.join(
         b, (F.col("r") == F.col("r2")) & (F.col("pa") < F.col("pb"))
     ).select("r", "pa", "pb")
-    base = _word_shingles(docs).select(
-        "doc_id", F.xxhash64("sh").alias("h")
+    # Every consumer of the shingle frame below (the intersection join via
+    # pa AND pb, the two size attaches) reads only docs that appear in a
+    # size>1 cluster — so shingle ONLY those docs instead of the whole
+    # corpus, which the round-open plan shingled four separate times
+    # (§2.3: project/filter before the expensive work; §1.2). Membership
+    # is dup-suspect bounded: broadcast under the verify tier's cap,
+    # plain semi-join over it.
+    members = comp.join(cs.select("root"), "root").select(
+        F.col("node").alias("doc_id")
+    )
+    n_members = members.count()
+    # spread the SCAN side before the semi-join (the probe must stay on a
+    # static scan plan — probing the join frame would finalize its
+    # adaptive plan), then shingle without re-spreading
+    mdocs = spread(docs, "doc_id").join(
+        F.broadcast(members) if n_members <= _VERIFY_BCAST_CAP else members,
+        "doc_id",
+        "left_semi",
+    )
+    # Pinned: four consumers below (nc's pa side, nc's pb side, and the
+    # two size attaches) read the member shingle frame — unpinned, each
+    # would re-plan the semi-join + shingle chain, and because `pairs` is
+    # checkpoint-backed with defaulted-huge statistics while the EXPLODE's
+    # estimate stays at scan size, the planner then broadcasts the explode
+    # as the build side (dd34's flip — at 100 TB a failed TB-scale
+    # broadcast). The pin gives all four consumers one small ExistingRDD
+    # (members x ~50 shingle hashes, dup-suspect bounded at any scale)
+    # and unknown-stats joins plan as sort-merge, safe everywhere.
+    base = (
+        _word_shingles(mdocs, spread_input=False)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .localCheckpoint(eager=False)
     )
     sz = base.groupBy("doc_id").agg(F.count("*").alias("n"))
     nc = (
@@ -4886,9 +4991,16 @@ def _dd46_oracle_sql() -> str:
 )
 def dd46(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    mpairs = lsh_candidate_pairs(minhash_signatures(docs))
-    spairs = simhash_hamming_pairs(dd04(spark, sf_dir), max_dist=8).select(
-        "doc_a", "doc_b"
+    # both pair frames pinned: each is read twice (its own count + the
+    # agreement join) and each re-planning repeats a corpus-scale
+    # signature pipeline (§1.2); pair frames are dup-suspect bounded
+    mpairs = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
+        eager=False
+    )
+    spairs = (
+        simhash_hamming_pairs(dd04(spark, sf_dir), max_dist=8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     nm = mpairs.agg(F.count("*").cast("long").alias("n_pairs_minhash"))
     ns = spairs.agg(F.count("*").cast("long").alias("n_pairs_simhash"))

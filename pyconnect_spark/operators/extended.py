@@ -3259,6 +3259,16 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast cap (rows) for the graph queries' node-grain frames (x70's
+# per-iteration rank/contrib + outw, x93's degree table): ~100 MB as a
+# built hash relation at the cap, and x70's fused 5-iteration plan holds
+# up to 11 such relations live at once. |parts| grows linearly with SF,
+# so the "small at any scale" claim is measured (a count the queries
+# already run), not asserted — over the cap the hint is dropped and AQE
+# chooses the join strategy (round-11 advice item 1).
+_GRAPH_BCAST_CAP = 2_000_000
+
+
 def _x70_oracle_sql() -> str:
     d = 0.85
     ctes = ["""edges AS (
@@ -3316,29 +3326,36 @@ def _x70_oracle_sql() -> str:
 )
 def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 0.85
-    # dedup (orderkey, partkey) BEFORE the basket self-join, then a plain
-    # count(*): within a deduped basket each (src, dst) pair occurs once
-    # per order, so count(*) == countDistinct(orderkey) — but the distinct
-    # shrinks the join input AND replaces the two-phase distinct-aggregate
-    # with a map-side-combinable count. Measured 17.7 -> 9.4 s at sf0.1
-    # (min-of-2 warm, identical output) — round-6 verdict task #8.
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Edge build: ONE exchange of the fact projection. The former shape —
+    # distinct (exchange 1) then a self-join on orderkey (exchange 2, both
+    # sides) then the pair agg (exchange 3) — moved the lineitem
+    # projection through three exchanges to produce per-order pairs that
+    # never cross an order boundary. Instead aggregate the DEDUPED basket
+    # per order (collect_set folds the old distinct INTO the one orderkey
+    # exchange) and emit all ordered pairs MAP-SIDE from the basket array
+    # (tx24/x48's rewrite, guide §2.4): within a deduped basket each
+    # (src, dst) ordered pair occurs once per order, so count(*) ==
+    # countDistinct(orderkey) — unchanged from the round-6 argument, with
+    # the self-join gone. Basket sizes bound the pair fan-out exactly as
+    # they bounded the old join output (TPC-H baskets are <= 7 lines).
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.filter("ps", lambda y: y != x),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        baskets.select(pair.alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
         .agg(F.count("*").cast("double").alias("w"))
         .localCheckpoint(eager=False)
     )
@@ -3346,12 +3363,16 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    # outw is one row per distinct src (|parts|-bounded, KBs at sf0.1 and
-    # MBs at 100 TB) — broadcast it so the edge list is NOT shuffled by
-    # src to attach the out-weight (guide §3.1: broadcast the side that
-    # fits; the join's size estimate misses this because outw sits behind
-    # an aggregation).
-    contrib_edges = edges.join(F.broadcast(outw), "src").select(
+    # The rank/contrib/outw frames are |src-parts|-bounded — n, measured
+    # above for the init value anyway, SIZE-GATES the broadcasts (round-11
+    # advice item 1: TPC-H part count grows linearly with SF, so "small at
+    # any scale" must be measured, not asserted; over the cap the hint is
+    # dropped and AQE picks the strategy).
+    bcast = F.broadcast if n <= _GRAPH_BCAST_CAP else (lambda f: f)
+    # outw broadcast so the edge list is NOT shuffled by src to attach the
+    # out-weight (guide §3.1: the join's size estimate misses this because
+    # outw sits behind an aggregation).
+    contrib_edges = edges.join(bcast(outw), "src").select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("share")
     ).localCheckpoint(eager=False)
     # deliberately NO per-iteration localCheckpoint on `ranks` (unlike
@@ -3369,14 +3390,14 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(5):
         contrib = (
             contrib_edges.join(
-                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
+                bcast(ranks.select(F.col("node").alias("src"), "rank")),
                 "src",
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
         )
         ranks = nodes.join(
-            F.broadcast(contrib), F.col("node") == F.col("dst"), "left"
+            bcast(contrib), F.col("node") == F.col("dst"), "left"
         ).select(
             "node",
             (
@@ -6008,20 +6029,33 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extended", "graph", "assortativity", "stats"),
 )
 def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    # Forward pairs (pa < pb) generated MAP-SIDE from the per-order deduped
+    # basket (x70's round-12 rewrite, guide §2.4): collect_set folds the
+    # basket dedup into the ONE orderkey exchange and the old self-join's
+    # two further corpus-scale exchanges disappear; the edge-dedup distinct
+    # is unchanged. Pair multiset before distinct is identical to the old
+    # a.join(b, ok==ok2 & pa<pb) output, so the edge SET is identical.
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    b = basket.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    fwd = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.filter("ps", lambda y: y > x),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
     )
     # pinned: the directed union reads it twice and the endpoint joins
     # read the union again — unpinned lineage would re-run the basket
-    # self-join (the dominant exchange at 100 TB) up to ~4x
+    # pair build (the dominant exchange at 100 TB) up to ~4x
     edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
+        baskets.select(fwd.alias("pr"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -6037,11 +6071,18 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("nu"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("dy"))
-    # deg is |parts|-bounded (KB-MB at any scale) while `directed` is the
-    # corpus-scale edge list — broadcast both endpoint copies so the edge
-    # list is never shuffled to attach degrees (guide §3.1, x70's move).
-    joined = directed.join(F.broadcast(du), F.col("u") == F.col("nu")).join(
-        F.broadcast(dv), F.col("v") == F.col("nv")
+    # deg is |parts|-bounded while `directed` is the corpus-scale edge
+    # list — broadcast both endpoint copies so the edge list is never
+    # shuffled to attach degrees (guide §3.1, x70's move). SIZE-GATED on
+    # a measured count (round-11 advice item 1): |parts| grows with SF,
+    # so over the cap the hint is dropped and AQE chooses. The count
+    # materializes the pinned deg frame — a job its three consumers
+    # would otherwise race to run.
+    bcast = (
+        F.broadcast if deg.count() <= _GRAPH_BCAST_CAP else (lambda f: f)
+    )
+    joined = directed.join(bcast(du), F.col("u") == F.col("nu")).join(
+        bcast(dv), F.col("v") == F.col("nv")
     )
     s = joined.agg(
         F.count("*").cast("long").alias("m"),

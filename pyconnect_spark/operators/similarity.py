@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyconnect_spark.operators._util import spread, t
+from pyconnect_spark.operators._util import spread, spread_on, t
 from pyconnect_spark.query import QueryRegistry
 
 REGISTRY = QueryRegistry()
@@ -1750,9 +1750,13 @@ def ivfadc_topk(
         F.col("srk").alias("cell"),
         F.transform("seed_emb", lambda x: x.cast("double")).alias("cent"),
     )
-    # corpus residuals vs the OWN cell's centroid
+    # corpus residuals vs the OWN cell's centroid. spread() on the scan
+    # side: the joins below broadcast their small sides, so the residual
+    # frame inherits the streamed scan's partitioning — on a one-task
+    # fixture file the PQ encode's interpreted argmin folds downstream
+    # would otherwise run single-threaded (§2.5; no-op at scale).
     resid = (
-        emb.join(cells, "vec_id")
+        spread(emb, "vec_id").join(cells, "vec_id")
         .join(F.broadcast(cents), "cell")
         .select(
             "vec_id",
@@ -2486,21 +2490,42 @@ def sm20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    mu_rows = (
+
+    # d-vector frames stay IN-PLAN as 1-row array frames attached by
+    # broadcast (x70's iteration shape applied to linear algebra —
+    # round-11 verdict task 3): the former per-iteration collect() was a
+    # driver round-trip per power step (7 serial jobs for mu + 5 steps +
+    # trace); now the ONLY action is the final one and every iteration is
+    # a broadcast-chained stage of the same job cascade. The arithmetic
+    # is op-for-op identical: per-dim sums are the same partial-agg tree
+    # over the same persisted partitioning, the norm is the same
+    # ascending-dim left fold (F.aggregate == the old sequential Python
+    # loop == DuckDB's list ordering), and division/sqrt are the same
+    # IEEE ops — the collected-vs-broadcast values are the same doubles.
+    def to_arr(grouped: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        # (j, x) rows -> one row holding the d-array in ascending-j order
+        return grouped.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key, val))),
+                lambda s: s[val],
+            ).alias(out)
+        )
+
+    mu_f = to_arr(
         emb.select(F.posexplode("e").alias("j", "x"))
         .groupBy("j")
-        .agg(F.avg("x").alias("m"))
-        .collect()
+        .agg(F.avg("x").alias("m")),
+        "j",
+        "m",
+        "mu",
     )
-    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["j"])]
-    mu_arr = F.array(*[F.lit(m) for m in mu])
     xc = track(
-        emb.select(
+        emb.crossJoin(F.broadcast(mu_f))
+        .select(
             "vec_id",
-            F.zip_with(
-                "e", mu_arr, lambda x, m: x - m
-            ).alias("c"),
-        ).persist()
+            F.zip_with("e", "mu", lambda x, m: x - m).alias("c"),
+        )
+        .persist()
     )
 
     def dot(a, b):
@@ -2510,35 +2535,45 @@ def sm20(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    v = [0.125] * d
-    lam = 0.0
+    def l2(arr):
+        # ascending-dim sequential fold == list_dot_product order
+        return F.sqrt(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    vf = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * d).alias("v"), F.lit(0.0).alias("lam")
+    )
     for _ in range(iters):
-        v_arr = F.array(*[F.lit(x) for x in v])
-        w_rows = (
-            xc.select(
-                dot(F.col("c"), v_arr).alias("s"),
+        wf = to_arr(
+            xc.crossJoin(F.broadcast(vf.select("v")))
+            .select(
+                dot(F.col("c"), F.col("v")).alias("s"),
                 F.posexplode("c").alias("j", "cj"),
             )
             .select("j", (F.col("s") * F.col("cj")).alias("p"))
             .groupBy("j")
-            .agg(F.sum("p").alias("w"))
-            .collect()
+            .agg(F.sum("p").alias("w")),
+            "j",
+            "w",
+            "warr",
         )
-        w = [r["w"] for r in sorted(w_rows, key=lambda r: r["j"])]
-        nrm2 = 0.0
-        for x in w:  # ascending-dim sequential sum == list_dot_product order
-            nrm2 += x * x
-        lam = nrm2**0.5
-        v = [x / lam for x in w]
-    trace = xc.select(F.sum(dot(F.col("c"), F.col("c")))).collect()[0][0]
-    out = spark.createDataFrame(
-        [(j + 1, v[j], lam / trace) for j in range(d)],
-        "dim int, loading double, explained_frac double",
-    )
-    return out.select(
-        "dim",
-        F.round("loading", 6).alias("loading"),
-        F.round("explained_frac", 6).alias("explained_frac"),
+        vf = wf.select(
+            F.transform("warr", lambda x: x / l2(F.col("warr"))).alias("v"),
+            l2(F.col("warr")).alias("lam"),
+        )
+    tr = xc.agg(F.sum(dot(F.col("c"), F.col("c"))).alias("trace"))
+    return (
+        vf.crossJoin(F.broadcast(tr))
+        .select(
+            F.posexplode("v").alias("j", "loading"),
+            (F.col("lam") / F.col("trace")).alias("ef"),
+        )
+        .select(
+            (F.col("j") + 1).cast("int").alias("dim"),
+            F.round("loading", 6).alias("loading"),
+            F.round("ef", 6).alias("explained_frac"),
+        )
     )
 
 
@@ -3082,6 +3117,9 @@ def sm23b(spark: SparkSession, sf_dir: str) -> DataFrame:
             vector_norm(F.col("embedding")).alias("q_nrm"),
         )
     )
+    # parallelism floor on the candidate join inputs (sm30b's comment)
+    corpus = spread_on(corpus, emb, "cell")
+    probes = spread_on(probes, emb, "q_cell")
     cos = pair_dot(F.col("embedding"), F.col("q_emb")) / (
         F.col("nrm") * F.col("q_nrm")
     )
@@ -3991,6 +4029,7 @@ _SM30B_N_PROBE = 4
 def sm30b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    emb = t(spark, sf_dir, "embeddings")
     ranked = seed_ivf_cells(spark, sf_dir)
     corpus = ranked.filter(F.col("rk") == 1).select(
         "vec_id",
@@ -4004,6 +4043,12 @@ def sm30b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         vector_norm(F.col("embedding")).alias("q_nrm"),
     )
+    # Both sides of the cell-keyed candidate join repartitioned on the
+    # join key (no-op at scale): the SMJ reuses the explicit exchanges,
+    # which AQE's byte-based coalescing leaves alone, so the interpreted
+    # per-pair cosine folds downstream keep >= cores tasks (§2.5).
+    corpus = spread_on(corpus, emb, "cell")
+    probes = spread_on(probes, emb, "q_cell")
     cos = pair_dot(F.col("embedding"), F.col("q_emb")) / (
         F.col("nrm") * F.col("q_nrm")
     )
@@ -5675,6 +5720,9 @@ def sm42b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         vector_norm(F.col("embedding")).alias("q_nrm"),
     )
+    # parallelism floor on the candidate join inputs (sm30b's comment)
+    corpus = spread_on(corpus, emb, "cell")
+    probes = spread_on(probes, emb, "q_cell")
     cos = pair_dot(F.col("embedding"), F.col("q_emb")) / (
         F.col("nrm") * F.col("q_nrm")
     )
@@ -6391,13 +6439,17 @@ def sm48b(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpr = cells.filter(
         (F.col("rk") <= _SM48B_N_PROBE) & (F.col("label") >= 5)
     ).select(F.col("vec_id").alias("b_id"), "cell")
+    emb = t(spark, sf_dir, "embeddings")
     cand = (
         apr.join(bh, "cell")
         .select("a_id", "b_id")
         .unionByName(ah.join(bpr, "cell").select("a_id", "b_id"))
         .distinct()
+        # ~16 bytes/pair: AQE's byte-based coalescing shrinks the distinct
+        # output to 1-2 tasks at fixture scale, single-threading the
+        # interpreted cosine folds that follow — floor it (no-op at scale).
     )
-    emb = t(spark, sf_dir, "embeddings")
+    cand = spread_on(cand, emb, "a_id", "b_id")
     normed = emb.select(
         "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
     )

@@ -20,7 +20,10 @@ def _run(script: str, *args: str) -> None:
         [sys.executable, os.path.join(_ROOT, "examples", script), *args],
         capture_output=True,
         text=True,
-        timeout=280,
+        # Hang guard, not a perf bound: llm_pipeline.py measures ~250 s
+        # standalone on this steal-prone host and tipped over the old 280 s
+        # under a concurrently-loaded test session (round-12 gate check).
+        timeout=540,
         cwd=_ROOT,
     )
     assert proc.returncode == 0, f"{script} failed:\n{proc.stderr[-2000:]}"

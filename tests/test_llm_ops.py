@@ -846,6 +846,25 @@ def test_dd05_lsh_tier_agrees_with_exact_tier(spark):
         assert scale == exact, (sf, scale ^ exact)
 
 
+def test_lsh_verify_shuffle_fallback_matches_broadcast_path(spark, monkeypatch):
+    """The verify tier's broadcasts are size-gated (round-11 verdict item
+    4): candidate sets over _VERIFY_BCAST_CAP take a shuffle-join form
+    instead of failing an over-cap broadcast. Force the cap to 0 so the
+    fallback branch executes, and pin that both branches produce the
+    identical edge set."""
+    from pyconnect_spark.catalog import load_table
+    from pyconnect_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bcast = {(r.a, r.b) for r in dedup.lsh_verified_edges(docs, 0.8).collect()}
+    monkeypatch.setattr(dedup, "_VERIFY_BCAST_CAP", 0)
+    fallback = {
+        (r.a, r.b) for r in dedup.lsh_verified_edges(docs, 0.8).collect()
+    }
+    assert bcast, "fixture must actually exercise the tier"
+    assert fallback == bcast, fallback ^ bcast
+
+
 def test_tx47_handles_sub_two_token_docs(spark, tmp_path):
     """Regression (round-8 advice): a <2-token doc must yield ZERO
     bigrams. The old sequence(1, greatest(size(w)-1, 0)) produced the

@@ -734,3 +734,29 @@ def test_spread_floors_parallelism_only_when_needed(spark):
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     assert spread(stream) is stream  # streaming plans have no RDD to probe
+
+
+def test_spread_on_floors_derived_frame_by_base_probe(spark):
+    """spread_on() (the round-12 pair-scoring floor): repartitions a
+    DERIVED frame on its keys when the BASE scan is under-parallel, is a
+    NO-OP when the base already carries >= cores partitions (the 100 TB
+    case), and preserves rows exactly. The trigger is the base probe —
+    the derived frame itself is never probed (probing a post-Exchange
+    plan would finalize it)."""
+    from pyspark.sql import functions as F
+
+    from pyconnect_spark.operators._util import spread_on
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "vec_id long, text string"
+    ).coalesce(1)
+    derived = base.groupBy("vec_id").agg(F.count("*").alias("n"))
+    s = spread_on(derived, base, "vec_id")
+    assert s is not derived  # under-parallel base: floor applied
+    assert s.rdd.getNumPartitions() == par
+    assert sorted(r["vec_id"] for r in s.collect()) == list(range(100))
+
+    wide_base = spark.range(1000).repartition(par + 4)
+    derived2 = wide_base.groupBy("id").agg(F.count("*").alias("n"))
+    assert spread_on(derived2, wide_base, "id") is derived2  # at-scale no-op
